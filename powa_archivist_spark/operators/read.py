@@ -1,0 +1,80 @@
+"""Read path — the query semantics powa-web consumes (SURVEY.md §3.4).
+
+``powa_stat_get_activity(srvid, from, to)`` (powa--5.2.0.sql:7765-7792) is
+the canonical unpack-read:
+
+    SELECT * FROM current WHERE ts BETWEEN from AND to
+    UNION ALL
+    SELECT (unnest(records)).* FROM history
+      WHERE coalesce_range && tstzrange(from, to, '[]')
+    ... re-filtered on ts
+
+plus the diff/rate derivation between consecutive records (§2.8).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.diff_rate import with_diff, with_rate
+from ..functions.packing import unpack
+from ..specs import DatasourceSpec
+from ..storage import Warehouse
+
+
+def stat_get_history(
+    wh: Warehouse,
+    spec: DatasourceSpec,
+    srvid: int,
+    ts_from: dt.datetime,
+    ts_to: dt.datetime,
+) -> DataFrame:
+    """current-slice UNION ALL unpacked-history-slice, flat rows."""
+    lo, hi = F.lit(ts_from), F.lit(ts_to)
+    cols = ["srvid", *spec.key_names, "ts", *spec.counter_names]
+
+    cur = (
+        wh.read(Warehouse.current(spec.name), spec.current_schema)
+        .filter(F.col("srvid") == srvid)
+        .filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+        .select(*cols)
+    )
+    hist = wh.read(Warehouse.history(spec.name), spec.history_schema).filter(
+        F.col("srvid") == srvid
+    )
+    unpacked = unpack(hist, spec, lo, hi).select(*cols)
+    return cur.unionByName(unpacked)
+
+
+def stat_get_rates(
+    wh: Warehouse,
+    spec: DatasourceSpec,
+    srvid: int,
+    ts_from: dt.datetime,
+    ts_to: dt.datetime,
+    clamp_resets: bool = True,
+) -> DataFrame:
+    """Per-entity per-sec rates between consecutive snapshots — the `/`
+    operator applied over the unpack-read (powa--5.2.0.sql:1176-1223)."""
+    series = stat_get_history(wh, spec, srvid, ts_from, ts_to)
+    return with_rate(series, spec, clamp_resets=clamp_resets).filter(
+        F.col("sec").isNotNull()
+    )
+
+
+def stat_get_diffs(
+    wh: Warehouse,
+    spec: DatasourceSpec,
+    srvid: int,
+    ts_from: dt.datetime,
+    ts_to: dt.datetime,
+    clamp_resets: bool = False,
+) -> DataFrame:
+    """The `-` operator over the unpack-read (powa--5.2.0.sql:1139-1173)."""
+    series = stat_get_history(wh, spec, srvid, ts_from, ts_to)
+    return with_diff(series, spec, clamp_resets=clamp_resets).filter(
+        F.col("intvl").isNotNull()
+    )

@@ -1,0 +1,78 @@
+"""Generic snapshot job — staging -> current (+ per-db rollup).
+
+Reference: the generated ``<ds>_snapshot`` functions
+(powa--5.2.0.sql:1427-1488) and the handwritten
+``powa_statements_snapshot`` wCTE pipeline (powa--5.2.0.sql:4006-4108):
+
+    capture   := <ds>_src(srvid)           -- one scan
+    [dict]    := MRU-touch + insert-missing into powa_statements
+    by_query  := INSERT INTO *_history_current
+    by_db     := INSERT INTO *_history_current_db (SUM ... GROUP BY dbid, ts)
+    cleanup   := DELETE staging rows for srvid
+
+Spark shape: cache the capture once, run the dependent writes, then drop
+the staging partition.  The per-db rollup is materialized at write time on
+purpose ("first screens stay reactive" — powa--5.2.0.sql:4013-4015): at
+100 TB the rollup is a map-side-combine groupBy over the snapshot slice
+only, never a re-aggregation of history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..specs import DatasourceSpec
+from ..storage import Warehouse
+
+
+def db_rollup_agg(df: DataFrame, spec: DatasourceSpec) -> DataFrame:
+    """SUM of every aggregatable counter GROUP BY (srvid, dbid, ts)
+    (powa--5.2.0.sql:4070-4093).  Partial aggregation (map-side combine) is
+    automatic for sum(); no extra shuffle beyond the one groupBy."""
+    sums = [F.sum(c.name).alias(c.name) for c in spec.agg_counters]
+    return df.groupBy("srvid", spec.dbid_col, "ts").agg(*sums)
+
+
+def snapshot(
+    wh: Warehouse,
+    spec: DatasourceSpec,
+    srvid: int,
+    capture: DataFrame | None = None,
+    drop_staging: bool = True,
+) -> int:
+    """Run one snapshot pass for ``spec`` on server ``srvid``.
+
+    ``capture`` defaults to the staging table filtered to srvid (the remote
+    path); a local datasource can pass its own source DataFrame (the
+    version-shimmed reader, sources/readers.py).
+
+    Returns the number of captured rows (the reference's ``final`` count,
+    powa--5.2.0.sql:4095-4100).
+    """
+    if capture is None:
+        staging = wh.read(Warehouse.src_tmp(spec.name), spec.staging_schema)
+        capture = staging.filter(F.col("srvid") == srvid)
+
+    capture = capture.select(
+        F.col("srvid").cast("int"),
+        *spec.key_names,
+        "ts",
+        *spec.counter_names,
+    ).cache()
+    try:
+        n = capture.count()
+        if n > 0:
+            wh.append(capture, Warehouse.current(spec.name), partition_by=["srvid"])
+            if spec.db_rollup:
+                wh.append(
+                    db_rollup_agg(capture, spec),
+                    Warehouse.current_db(spec.name),
+                    partition_by=["srvid"],
+                )
+        if drop_staging and wh.exists(Warehouse.src_tmp(spec.name)):
+            # staging truncate per srvid (powa--5.2.0.sql:4102-4104)
+            wh.drop_srvid(Warehouse.src_tmp(spec.name), srvid)
+        return n
+    finally:
+        capture.unpersist()

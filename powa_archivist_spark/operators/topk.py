@@ -1,0 +1,111 @@
+"""Top-K per group — qualstats constvalues rankings.
+
+Reference: ``powa_qualstats_aggregate_constvalues_current``
+(powa--5.2.0.sql:6924-6982): over one named window partition
+(srvid, qualid, queryid, dbid, userid), compute 5 independent
+``row_number()`` rankings (most used / most filtering / least filtering /
+most executed / most err-estimate) plus window min/max of the time bounds,
+then ``array_agg(... ORDER BY rank) FILTER (WHERE rank <= 20)``.
+
+Spark: the classic window-rank-filter top-K per key; the 5 rankings share
+ONE shuffle (same partition key), each adds only a sort.  The ordered
+filtered array_agg becomes rank-filter + sort_array(collect_list(struct)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOP_K = 20  # hardcoded FILTER (powa--5.2.0.sql:6945-6950)
+
+
+def ranked_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    rankings: dict[str, Column],
+    k: int = TOP_K,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Generic N-ranking top-K: one row per group, one ts-ordered packed
+    array per ranking.
+
+    ``rankings`` maps output column name -> ORDER BY expression.  Ties are
+    broken by the payload columns for determinism (Postgres row_number is
+    arbitrary under ties; we pin it).
+    """
+    payload_cols = payload_cols or [
+        c for c in df.columns if c not in group_cols
+    ]
+    w = Window.partitionBy(*group_cols)
+    ranked = df
+    tiebreak = [F.col(c) for c in payload_cols]
+    for name, order in rankings.items():
+        ranked = ranked.withColumn(
+            f"__rank_{name}", F.row_number().over(w.orderBy(order, *tiebreak))
+        )
+    any_kept = None
+    for name in rankings:
+        cond = F.col(f"__rank_{name}") <= k
+        any_kept = cond if any_kept is None else (any_kept | cond)
+    ranked = ranked.filter(any_kept)
+
+    aggs = []
+    for name in rankings:
+        aggs.append(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col(f"__rank_{name}") <= k,
+                            F.struct(
+                                F.col(f"__rank_{name}").alias("rank"),
+                                F.struct(*[F.col(c) for c in payload_cols]).alias(
+                                    "payload"
+                                ),
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["payload"],
+            ).alias(name)
+        )
+    return df.select(*group_cols).distinct().join(
+        ranked.groupBy(*group_cols).agg(*aggs), group_cols, "left"
+    )
+
+
+def qualstats_constvalues_topk(df: DataFrame, k: int = TOP_K) -> DataFrame:
+    """The reference's 6-output ranking job over pre-aggregated constvalues
+    (powa--5.2.0.sql:6924-6982).
+
+    Input columns: srvid, qualid, queryid, dbid, userid, constvalues,
+    sum_occurences, sum_execution_count, sum_nbfiltered,
+    mean_err_estimate_ratio, mean_err_estimate_num, mints, maxts.
+    """
+    group = ["srvid", "qualid", "queryid", "dbid", "userid"]
+    filtered_ratio = F.when(
+        F.col("sum_execution_count") == 0, F.lit(0.0)
+    ).otherwise(F.col("sum_nbfiltered") / F.col("sum_execution_count"))
+    rankings = {
+        "most_used": F.desc("sum_occurences"),
+        "most_filtering": filtered_ratio.desc(),
+        "least_filtering": filtered_ratio.asc(),
+        "most_executed": F.desc("sum_execution_count"),
+        "most_errestim_ratio": F.desc("mean_err_estimate_ratio"),
+        "most_errestim_num": F.desc("mean_err_estimate_num"),
+    }
+    payload = [
+        "constvalues",
+        "sum_occurences",
+        "sum_execution_count",
+        "sum_nbfiltered",
+        "mean_err_estimate_ratio",
+        "mean_err_estimate_num",
+    ]
+    out = ranked_topk(df, group, rankings, k=k, payload_cols=payload)
+    # window min/max of time bounds without collapsing rows (W2)
+    bounds = df.groupBy(*group).agg(
+        F.min("mints").alias("mints"), F.max("maxts").alias("maxts")
+    )
+    return out.join(bounds, group)

@@ -1,0 +1,197 @@
+"""Snapshot orchestrator — ``powa_take_snapshot(srvid)`` equivalent.
+
+Reference: powa--5.2.0.sql:3450-3710 + the bgworker timer loop
+(powa.c:331-505).  Semantics preserved:
+
+1. per-srvid concurrency lock (``FOR UPDATE NOWAIT`` on powa_snapshot_metas,
+   powa--5.2.0.sql:3413-3448) -> threading lock per srvid here; on a real
+   cluster an external lock service or Delta optimistic txn.
+2. ``coalesce_seq += 1``, ``snapts = now()``.
+3. snapshot dispatch in (priority, name) order, each datasource inside its
+   own try/except; failures append to the errors ledger and never abort the
+   pass (powa--5.2.0.sql:3509-3547).
+4. conditional coalesce when ``(coalesce_seq + srvid % 20) % coalesce == 0``
+   — the % 20 smears maintenance of many servers across passes
+   (powa--5.2.0.sql:3549-3604).
+5. conditional purge on the NEXT pass (``% == 1``) (powa--5.2.0.sql:3606-3661).
+6. errors recorded in the metas table; returns the error count.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators import dictionary
+from .operators.aggregate import aggregate
+from .operators.purge import DEFAULT_RETENTION, purge, reset
+from .operators.snapshot import snapshot
+from .specs import ALL_SPECS, DatasourceSpec
+from .storage import Warehouse
+
+DEFAULT_COALESCE = 100  # powa.c:277-281 (tests use 5, sql/01_general.sql:83)
+SMEAR_MODULUS = 20      # powa--5.2.0.sql:3550, 3608
+
+METAS_TABLE = "powa_snapshot_metas"
+METAS_SCHEMA = T.StructType(
+    [
+        T.StructField("srvid", T.IntegerType(), False),
+        T.StructField("coalesce_seq", T.LongType(), False),
+        T.StructField("snapts", T.TimestampType(), True),
+        T.StructField("aggts", T.TimestampType(), True),
+        T.StructField("purgets", T.TimestampType(), True),
+        T.StructField("errors", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+@dataclass
+class ServerConfig:
+    """powa_servers row (powa--5.2.0.sql:120-136)."""
+
+    srvid: int
+    frequency_s: int = 300
+    retention: dt.timedelta = DEFAULT_RETENTION
+    powa_coalesce: int = DEFAULT_COALESCE
+    # enabled datasources; None = all registered
+    enabled: list[str] | None = None
+
+
+class Orchestrator:
+    def __init__(self, wh: Warehouse,
+                 specs: dict[str, DatasourceSpec] | None = None):
+        self.wh = wh
+        self.specs = specs if specs is not None else dict(ALL_SPECS)
+        self._locks: dict[int, threading.Lock] = {}
+        self._locks_guard = threading.Lock()
+
+    # ---- metas state ----------------------------------------------------
+
+    def _lock(self, srvid: int) -> threading.Lock:
+        with self._locks_guard:
+            return self._locks.setdefault(srvid, threading.Lock())
+
+    def read_metas(self, srvid: int) -> dict:
+        df = self.wh.read(METAS_TABLE, METAS_SCHEMA).filter(
+            F.col("srvid") == srvid
+        )
+        rows = df.collect()
+        if not rows:
+            return {
+                "srvid": srvid, "coalesce_seq": 0, "snapts": None,
+                "aggts": None, "purgets": None, "errors": [],
+            }
+        return rows[0].asDict()
+
+    def _write_metas(self, meta: dict) -> None:
+        others = self.wh.read(METAS_TABLE, METAS_SCHEMA).filter(
+            F.col("srvid") != meta["srvid"]
+        )
+        row = self.wh.spark.createDataFrame(
+            [tuple(meta[f.name] for f in METAS_SCHEMA.fields)], METAS_SCHEMA
+        )
+        self.wh.overwrite(others.unionByName(row), METAS_TABLE)
+
+    # ---- dispatch -------------------------------------------------------
+
+    def _dispatch_order(self, server: ServerConfig) -> list[DatasourceSpec]:
+        """ORDER BY priority, name (powa--5.2.0.sql:3520)."""
+        enabled = (
+            self.specs.values()
+            if server.enabled is None
+            else [self.specs[n] for n in server.enabled if n in self.specs]
+        )
+        return sorted(enabled, key=lambda s: (s.priority, s.name))
+
+    def take_snapshot(
+        self,
+        server: ServerConfig,
+        captures: dict[str, DataFrame] | None = None,
+        now: dt.datetime | None = None,
+    ) -> int:
+        """One full pass; returns the number of errors (reference returns
+        the same — powa--5.2.0.sql:3696-3707).
+
+        ``captures`` optionally provides pre-built source DataFrames per
+        datasource (the local-server path); otherwise staging tables are
+        consumed (the remote path).
+        """
+        srvid = server.srvid
+        lock = self._lock(srvid)
+        if not lock.acquire(blocking=False):
+            raise RuntimeError(
+                f"snapshot already in progress for srvid={srvid}"
+            )  # powa_prevent_concurrent_snapshot
+        try:
+            return self._take_snapshot_locked(server, captures, now)
+        finally:
+            lock.release()
+
+    def _take_snapshot_locked(self, server, captures, now) -> int:
+        srvid = server.srvid
+        now = now or dt.datetime.now(dt.timezone.utc)
+        captures = captures or {}
+        meta = self.read_metas(srvid)
+        meta["coalesce_seq"] += 1
+        meta["snapts"] = now
+        errors: list[str] = []
+
+        order = self._dispatch_order(server)
+        for spec in order:
+            try:
+                cap = captures.get(spec.name)
+                n = snapshot(self.wh, spec, srvid, capture=cap)
+                if spec.name == "statements" and n > 0:
+                    src = cap
+                    if src is None:
+                        cur = self.wh.read(
+                            Warehouse.current(spec.name), spec.current_schema
+                        )
+                        src = cur.filter(
+                            (F.col("srvid") == srvid) & (F.col("ts") == F.lit(now))
+                        )
+                    dictionary.merge_statements(self.wh, srvid, src, now=now)
+            except Exception as e:  # per-function error trapping
+                errors.append(f"powa_{spec.name}_snapshot: {e}")
+
+        # conditional coalesce (powa--5.2.0.sql:3549-3604)
+        phase = (meta["coalesce_seq"] + srvid % SMEAR_MODULUS) % server.powa_coalesce
+        if phase == 0:
+            for spec in order:
+                try:
+                    aggregate(self.wh, spec, srvid)
+                except Exception as e:
+                    errors.append(f"powa_{spec.name}_aggregate: {e}")
+            meta["aggts"] = now
+        # conditional purge on the pass after a coalesce (3606-3661)
+        elif phase == 1:
+            for spec in order:
+                try:
+                    purge(self.wh, spec, srvid, retention=server.retention, now=now)
+                except Exception as e:
+                    errors.append(f"powa_{spec.name}_purge: {e}")
+            try:
+                dictionary.purge_statements(
+                    self.wh, srvid, server.retention, now=now
+                )
+            except Exception as e:
+                errors.append(f"powa_statements_dict_purge: {e}")
+            meta["purgets"] = now
+
+        meta["errors"] = errors
+        self._write_metas(meta)
+        return len(errors)
+
+    def reset_server(self, server: ServerConfig) -> None:
+        """``powa_reset(srvid)`` (powa--5.2.0.sql:6359-6563)."""
+        for spec in self._dispatch_order(server):
+            reset(self.wh, spec, server.srvid)
+        self.wh.drop_srvid(dictionary.TABLE, server.srvid)
+        meta = self.read_metas(server.srvid)
+        meta.update({"coalesce_seq": 0, "errors": []})
+        self._write_metas(meta)

@@ -1,0 +1,155 @@
+"""Warehouse layout: parquet tables, partitioning, append/overwrite helpers.
+
+The reference's physical design (heap tables + GiST/btree indexes + TOAST
+tuning, SURVEY.md §4) maps to:
+
+- every table partitioned by ``srvid`` (the universal tenant key,
+  powa--5.2.0.sql:120-136) — partition pruning replaces the btree prefix;
+- history tables additionally partitioned by ``range_day`` (date of
+  range_end) — retention purge (powa--5.2.0.sql:5848-5887) becomes cheap
+  partition-wise deletion, and the range-overlap read path prunes whole
+  days before parquet min/max stats prune row groups;
+- dynamic partition overwrite for "drain the current partition" semantics
+  (the reference's DELETE-after-pack, powa--5.2.0.sql:6051-6114).
+
+At 100 TB: srvid × day partitioning bounds every maintenance job to the
+partitions it touches; appends never rewrite history; the packed layout
+keeps file counts proportional to entities, not snapshots.
+
+No Delta Lake in this environment, so MERGE is implemented as
+read-join-overwrite at the partition level (documented per call site);
+concurrency control is orchestrator-level per-srvid locking (§3.1).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _nullable(dtype: T.DataType) -> T.DataType:
+    """Recursively null-normalize a type (parquet round-trips lose NOT NULL)."""
+    if isinstance(dtype, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _nullable(f.dataType), True) for f in dtype.fields]
+        )
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(_nullable(dtype.elementType), True)
+    if isinstance(dtype, T.MapType):
+        return T.MapType(_nullable(dtype.keyType), _nullable(dtype.valueType), True)
+    return dtype
+
+
+class Warehouse:
+    """Root-directory handle for all engine tables."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- paths -----------------------------------------------------------
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return False
+        for _, _, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    # ---- IO --------------------------------------------------------------
+
+    def read(self, table: str, schema: Optional[T.StructType] = None) -> DataFrame:
+        """Read a table; empty DataFrame with the right schema if absent."""
+        if not self.exists(table):
+            if schema is None:
+                raise FileNotFoundError(f"table {table} missing and no schema given")
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(self.path(table))
+        if schema is not None:
+            # partition columns come back typed-by-inference; re-cast + order.
+            # Cast targets must be null-normalized: parquet reads are always
+            # nullable and casting to a NOT NULL nested field is invalid.
+            df = df.select(
+                *[
+                    F.col(f.name).cast(_nullable(f.dataType)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        return df
+
+    def append(self, df: DataFrame, table: str,
+               partition_by: Optional[list[str]] = None) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def overwrite_partitions(self, df: DataFrame, table: str,
+                             partition_by: list[str]) -> None:
+        """Dynamic partition overwrite: replace only the partitions present
+        in ``df`` (spark.sql.sources.partitionOverwriteMode=dynamic)."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(self.path(table))
+        )
+
+    def overwrite(self, df: DataFrame, table: str,
+                  partition_by: Optional[list[str]] = None) -> None:
+        """Full-table overwrite via write-new-then-swap (safe against
+        readers of the old path mid-write in local mode)."""
+        tmp = self.path(table) + ".__tmp__"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        final = self.path(table)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    def drop_table(self, table: str) -> None:
+        p = self.path(table)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    def drop_srvid(self, table: str, srvid: int) -> None:
+        """Partition-wise delete of one server's data (reset semantics,
+        powa--5.2.0.sql:6359-6563)."""
+        p = os.path.join(self.path(table), f"srvid={srvid}")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    # ---- table-name conventions (mirror the reference's naming) ---------
+
+    @staticmethod
+    def current(ds: str) -> str:
+        return f"powa_{ds}_history_current"
+
+    @staticmethod
+    def current_db(ds: str) -> str:
+        return f"powa_{ds}_history_current_db"
+
+    @staticmethod
+    def history(ds: str) -> str:
+        return f"powa_{ds}_history"
+
+    @staticmethod
+    def history_db(ds: str) -> str:
+        return f"powa_{ds}_history_db"
+
+    @staticmethod
+    def src_tmp(ds: str) -> str:
+        return f"powa_{ds}_src_tmp"

@@ -1,0 +1,144 @@
+"""Lifecycle invariants ported from the reference's golden tests
+(/root/reference/sql/01_general.sql:98-153, coalesce=5):
+
+- after 1 snapshot: current populated, history empty;
+- after 5 snapshots: coalesce fires -> history populated (packed), current
+  drained;
+- purge pass on the next snapshot;
+- reset drains everything.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from powa_archivist_spark.orchestrator import Orchestrator, ServerConfig
+from powa_archivist_spark.specs import PG_STAT_BGWRITER, get_spec
+from powa_archivist_spark.storage import Warehouse
+
+from .conftest import ts
+
+SPEC = PG_STAT_BGWRITER
+
+
+def bgwriter_rows(spark, srvid, t, base):
+    """One cumulative bgwriter sample (keyless module)."""
+    return spark.createDataFrame(
+        [(srvid, t, base + 10, base // 2, base + 5, base // 10, base * 2)],
+        SPEC.staging_schema,
+    )
+
+
+@pytest.fixture()
+def orch(wh):
+    return Orchestrator(wh, specs={SPEC.name: SPEC})
+
+
+def test_snapshot_then_coalesce_then_reset(spark, wh, orch):
+    server = ServerConfig(srvid=0, powa_coalesce=5)
+    cur_t, hist_t = Warehouse.current(SPEC.name), Warehouse.history(SPEC.name)
+
+    # snapshot 1: current populated, history empty (01_general.sql:98-118)
+    errs = orch.take_snapshot(
+        server, captures={SPEC.name: bgwriter_rows(spark, 0, ts(0), 100)},
+        now=ts(0),
+    )
+    assert errs == 0
+    assert wh.read(cur_t).count() == 1
+    assert not wh.exists(hist_t)
+
+    # snapshots 2..5: coalesce fires at seq=5 (srvid=0 -> no smear offset)
+    for i in range(1, 5):
+        orch.take_snapshot(
+            server,
+            captures={SPEC.name: bgwriter_rows(spark, 0, ts(i * 5), 100 + i * 7)},
+            now=ts(i * 5),
+        )
+
+    meta = orch.read_metas(0)
+    assert meta["coalesce_seq"] == 5
+    assert meta["aggts"] is not None
+    # history packed: ONE row holding all 5 records, current drained
+    hist = wh.read(hist_t)
+    assert hist.count() == 1
+    row = hist.collect()[0]
+    assert len(row.records) == 5
+    # records ts-ordered, range inclusive '[]' (powa--5.2.0.sql:6005)
+    rts = [r.ts for r in row.records]
+    assert rts == sorted(rts)
+    assert row.range_start == rts[0].replace(tzinfo=None) or row.range_start == rts[0]
+    assert row.mins_in_range.buffers_clean == 110
+    assert row.maxs_in_range.buffers_clean == 138
+    assert wh.read(cur_t, SPEC.current_schema).count() == 0
+
+    # snapshot 6 -> purge pass stamps purgets (01_general.sql:140)
+    orch.take_snapshot(
+        server, captures={SPEC.name: bgwriter_rows(spark, 0, ts(30), 200)},
+        now=ts(30),
+    )
+    assert orch.read_metas(0)["purgets"] is not None
+    # nothing expired (retention 1 day) -> history intact
+    assert wh.read(hist_t).count() == 1
+
+    # reset drains everything (01_general.sql:142-153)
+    orch.reset_server(server)
+    assert wh.read(cur_t, SPEC.current_schema).count() == 0
+    assert wh.read(hist_t, SPEC.history_schema).count() == 0
+    assert orch.read_metas(0)["coalesce_seq"] == 0
+
+
+def test_purge_drops_expired_ranges(spark, wh, orch):
+    server = ServerConfig(srvid=0, powa_coalesce=2,
+                          retention=dt.timedelta(hours=1))
+    # two snapshots long ago -> packed
+    orch.take_snapshot(
+        server, captures={SPEC.name: bgwriter_rows(spark, 0, ts(0), 10)}, now=ts(0)
+    )
+    orch.take_snapshot(
+        server, captures={SPEC.name: bgwriter_rows(spark, 0, ts(5), 20)}, now=ts(5)
+    )
+    assert wh.read(Warehouse.history(SPEC.name)).count() == 1
+    # next pass, 2 days later: purge fires and the old range is expired
+    late = ts(0) + dt.timedelta(days=2)
+    orch.take_snapshot(
+        server, captures={SPEC.name: bgwriter_rows(spark, 0, late, 30)}, now=late
+    )
+    assert wh.read(Warehouse.history(SPEC.name), SPEC.history_schema).count() == 0
+
+
+def test_error_isolation(spark, wh):
+    """A failing datasource never aborts the pass (powa--5.2.0.sql:3530-3546)."""
+    bad = get_spec("pg_stat_database")
+    orch = Orchestrator(wh, specs={SPEC.name: SPEC, bad.name: bad})
+    server = ServerConfig(srvid=0)
+
+    class Boom:
+        def select(self, *a, **k):
+            raise RuntimeError("datasource exploded")
+
+    errs = orch.take_snapshot(
+        server,
+        captures={SPEC.name: bgwriter_rows(spark, 0, ts(0), 1), bad.name: Boom()},
+        now=ts(0),
+    )
+    assert errs == 1
+    assert wh.read(Warehouse.current(SPEC.name)).count() == 1
+    assert any("pg_stat_database" in e for e in orch.read_metas(0)["errors"])
+
+
+def test_smear_offsets_coalesce(spark, wh):
+    """srvid % 20 offsets the coalesce phase (powa--5.2.0.sql:3550)."""
+    orch = Orchestrator(wh, specs={SPEC.name: SPEC})
+    server = ServerConfig(srvid=3, powa_coalesce=5)
+    # (seq + 3) % 5 == 0  -> first coalesce at seq=2
+    orch.take_snapshot(
+        server, captures={SPEC.name: bgwriter_rows(spark, 3, ts(0), 1)}, now=ts(0)
+    )
+    assert orch.read_metas(3)["aggts"] is None
+    orch.take_snapshot(
+        server, captures={SPEC.name: bgwriter_rows(spark, 3, ts(5), 2)}, now=ts(5)
+    )
+    assert orch.read_metas(3)["aggts"] is not None
