@@ -20,12 +20,13 @@ Reference: powa--5.2.0.sql:3450-3710 + the bgworker timer loop
 from __future__ import annotations
 
 import datetime as dt
+import json
+import os
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .operators import dictionary
 from .operators.aggregate import aggregate
@@ -37,17 +38,11 @@ from .storage import Warehouse
 DEFAULT_COALESCE = 100  # powa.c:277-281 (tests use 5, sql/01_general.sql:83)
 SMEAR_MODULUS = 20      # powa--5.2.0.sql:3550, 3608
 
-METAS_TABLE = "powa_snapshot_metas"
-METAS_SCHEMA = T.StructType(
-    [
-        T.StructField("srvid", T.IntegerType(), False),
-        T.StructField("coalesce_seq", T.LongType(), False),
-        T.StructField("snapts", T.TimestampType(), True),
-        T.StructField("aggts", T.TimestampType(), True),
-        T.StructField("purgets", T.TimestampType(), True),
-        T.StructField("errors", T.ArrayType(T.StringType()), True),
-    ]
-)
+# powa_snapshot_metas (powa--5.2.0.sql:908-918): one tiny state row per
+# srvid.  Stored as an atomic JSON file, not a Spark table — it is
+# orchestrator state (the lock/sequence object), not analytical data, and a
+# distributed write for one row is pure overhead at any scale.
+METAS_DIR = "powa_snapshot_metas"
 
 
 @dataclass
@@ -76,26 +71,35 @@ class Orchestrator:
         with self._locks_guard:
             return self._locks.setdefault(srvid, threading.Lock())
 
+    def _metas_path(self, srvid: int) -> str:
+        d = self.wh.path(METAS_DIR)
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"srvid={srvid}.json")
+
     def read_metas(self, srvid: int) -> dict:
-        df = self.wh.read(METAS_TABLE, METAS_SCHEMA).filter(
-            F.col("srvid") == srvid
-        )
-        rows = df.collect()
-        if not rows:
+        p = self._metas_path(srvid)
+        if not os.path.exists(p):
             return {
                 "srvid": srvid, "coalesce_seq": 0, "snapts": None,
                 "aggts": None, "purgets": None, "errors": [],
             }
-        return rows[0].asDict()
+        with open(p) as f:
+            raw = json.load(f)
+        for k in ("snapts", "aggts", "purgets"):
+            if raw.get(k):
+                raw[k] = dt.datetime.fromisoformat(raw[k])
+        return raw
 
     def _write_metas(self, meta: dict) -> None:
-        others = self.wh.read(METAS_TABLE, METAS_SCHEMA).filter(
-            F.col("srvid") != meta["srvid"]
-        )
-        row = self.wh.spark.createDataFrame(
-            [tuple(meta[f.name] for f in METAS_SCHEMA.fields)], METAS_SCHEMA
-        )
-        self.wh.overwrite(others.unionByName(row), METAS_TABLE)
+        out = dict(meta)
+        for k in ("snapts", "aggts", "purgets"):
+            if out.get(k):
+                out[k] = out[k].isoformat()
+        p = self._metas_path(meta["srvid"])
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f)
+        os.replace(tmp, p)
 
     # ---- dispatch -------------------------------------------------------
 
