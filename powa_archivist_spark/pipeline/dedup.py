@@ -1,0 +1,301 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame/Catalyst plans (no Python UDFs):
+
+- exact dedup: hash-groupBy on normalized text;
+- n-gram Jaccard: shingle sets + self-join + set arithmetic;
+- MinHash + LSH: k permutations via seeded xxhash64, banded bucket join —
+  the scale path: candidate generation is an equi-join on (band, bucket),
+  never an all-pairs cross join;
+- SimHash: 64-bit-vote fingerprint + banded hamming candidate join.
+
+Scale notes (100 TB): exact dedup is one shuffle on a 64/128-bit digest;
+MinHash-LSH candidate pairs shuffle on band buckets whose cardinality is
+tunable via (bands, rows-per-band); the verify step only touches candidate
+pairs.  The brute-force Jaccard self-join exists as the small-data oracle
+path and for verification of LSH recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column) -> Column:
+    """Dedup key normalization: lowercase + whitespace collapse."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: representative id (min) +
+    multiplicity.  Single hash-groupBy shuffle on the md5 digest."""
+    return (
+        docs.select(
+            F.md5(normalized_text(F.col(text_col))).alias("text_hash"),
+            F.col(id_col),
+        )
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def token_sets(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("toks")
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token-set Jaccard >= threshold via an inverted-index equi-join.
+
+    Candidate pairs come from co-occurrence on a token (pairs sharing no
+    token have jaccard 0 and can never pass a positive threshold), so the
+    plan is explode → shuffle on token → pair-count groupBy — never an
+    all-pairs cross join.  union = |A| + |B| - |A ∩ B|."""
+    toks = token_sets(docs, text_col, id_col)
+    sizes = toks.select(F.col(id_col), F.size("toks").alias("n_toks"))
+    inv = toks.select(F.col(id_col), F.explode("toks").alias("tok"))
+    a = inv.select(F.col(id_col).alias("a_id"), "tok")
+    b = inv.select(F.col(id_col).alias("b_id"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("inter_size"))
+    )
+    na = sizes.select(F.col(id_col).alias("a_id"), F.col("n_toks").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_toks").alias("n_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("inter_size")
+    return (
+        inter.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "inter_size",
+            union.alias("union_size"),
+            (F.col("inter_size") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column (distinct).
+
+    Guarded for texts shorter than n tokens: sequence(0, negative) would
+    silently produce a *descending* index array."""
+    toks = F.split(col, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """num_perm minhash values per doc via seeded xxhash64 over shingles.
+
+    h_i(doc) = min over shingles of xxhash64(seed_i, shingle) — a standard
+    tabulation-style permutation family, entirely JVM-side (no UDFs).
+
+    Plan shape: explode shingles → one groupBy with num_perm plain MIN
+    aggregates (map-side partial agg, narrow codegen).  The tempting
+    alternative — num_perm × array_min(transform(...)) nested expressions —
+    generates pathologically large Janino code (~90 s for 500 docs) and
+    would fall out of whole-stage codegen at scale."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH: equal band-slice -> candidate pair.
+
+    rows-per-band r = num_perm/bands; collision probability for similarity
+    s is 1-(1-s^r)^bands.  Shuffle key = (band, hash(slice)) — bounded
+    bucket cardinality, no cross join anywhere."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, shingle_n, text_col, id_col)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("a_id")
+    )
+    b = banded.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("b_id")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard (two-phase:
+    cheap candidate join, exact check only on candidates)."""
+    cands = minhash_lsh_candidates(
+        docs, num_perm, bands, shingle_n, text_col, id_col
+    )
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    joined = cands.join(a, "a_id").join(b, "b_id")
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    return (
+        joined.select(
+            "a_id", "b_id", (inter / union).alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: per-bit majority vote over token hashes.
+
+    Vote for bit k = sum over tokens of (hash>>k & 1 ? +1 : -1); the
+    fingerprint sets bit k if the vote is positive.
+
+    Plan shape: explode distinct tokens → one groupBy with 64 plain SUM
+    aggregates over the shared token hash, then a single projection
+    assembling the fingerprint.  (64 nested F.aggregate array traversals
+    compile to enormous generated code — ~40 s for 500 docs.)  Tokenless
+    docs are kept via explode_outer with vote 0 → fingerprint 0."""
+    def mask(k: int) -> int:
+        # bit 63 of a signed 64-bit mask is the sign bit
+        return (1 << k) if k < 63 else -(1 << 63)
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(F.split(F.col(text_col), " "))).alias(
+            "tok"
+        ),
+    )
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.col("tok").isNull(), 0)
+            .when(h.bitwiseAND(F.lit(mask(k))) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for k in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v{k}") > 0, F.lit(mask(k)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation: split the 64-bit fingerprint into
+    (max_hamming + 1) bands — by pigeonhole, any pair within the distance
+    budget collides on at least one full band; the join is equi on
+    (band, band_value)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    fps = simhash(docs, text_col, id_col)
+    banded = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), b * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.val")
+    a = banded.select(
+        "band", "val", F.col(id_col).alias("a_id"), F.col("simhash").alias("a_fp")
+    )
+    b = banded.select(
+        "band", "val", F.col(id_col).alias("b_id"), F.col("simhash").alias("b_fp")
+    )
+    cands = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_fp", "b_fp")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
+    return cands.select(
+        "a_id", "b_id", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,188 @@
+"""Pipeline-operator query surface + DuckDB oracles (where expressible).
+
+Hash-/engine-dependent operators (minhash, simhash, fingerprints) have no
+SQL oracle — the driver records a rows-only check for them; their
+correctness is covered by pytest property tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import t
+from . import dedup, similarity, textstats
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+"""
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+ORACLE_JACCARD = """
+SELECT a_id, b_id, inter_size, union_size, jaccard
+FROM (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.toks, b.toks)) AS inter_size,
+         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+           AS union_size,
+         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+           AS jaccard
+  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents) a
+  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents) b
+    ON a.doc_id < b.doc_id
+) p
+WHERE jaccard >= 0.8
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No SQL oracle (xxhash64 permutations are engine-specific) — driver
+    records rows-only; recall vs exact jaccard is pytest-verified."""
+    return dedup.minhash_dedup_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.8
+    ).orderBy("a_id", "b_id")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No SQL oracle (bit-vote over xxhash64) — rows-only check."""
+    return dedup.simhash_near_dup_pairs(
+        t(spark, sf_dir, "documents"), max_hamming=3
+    ).orderBy("a_id", "b_id")
+
+
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_bruteforce(
+        t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
+ORACLE_KNN = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, dot_q, rank
+FROM (
+  SELECT query_id, neighbor_id, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(q.v, c.v),
+             x -> x[1] * x[2])) AS BIGINT) AS dot_q
+    FROM e q, e c
+    WHERE q.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id != q.vec_id
+  ) s
+) r
+WHERE rank <= 10
+"""
+
+
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (rows-only; recall vs brute force pytest-verified).
+    Hyperplanes are fixed pseudo-random (seeded) so results are stable."""
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    return similarity.knn_lsh(
+        t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4],
+        planes=planes, k=10,
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_stats(t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_QUALITY = r"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\s+')))
+         AS n_distinct_tokens,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\s+')) AS mean_token_len,
+       CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\s+')) AS distinct_ratio
+FROM documents
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count_bpe_ish(t(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS n_subword_pieces
+FROM documents
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(t(spark, sf_dir, "documents"))
+
+
+def _marker_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in textstats.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({markers})))"
+        f" AS n_{lang}"
+    )
+
+
+ORACLE_LANG_ID = f"""
+SELECT doc_id, lang, n_en, n_de, n_fr, n_es,
+       CASE WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'unknown'
+            WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+            WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
+            WHEN n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM (
+  SELECT doc_id, lang,
+         {_marker_sql('en')},
+         {_marker_sql('de')},
+         {_marker_sql('fr')},
+         {_marker_sql('es')}
+  FROM documents
+) c
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No SQL oracle (xxhash64) — rows-only check."""
+    return textstats.doc_fingerprint(t(spark, sf_dir, "documents"))
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "knn_cosine_topk": (knn_cosine_topk, ORACLE_KNN),
+    "knn_cosine_lsh": (knn_cosine_lsh, None),
+    "text_quality": (text_quality, ORACLE_TEXT_QUALITY),
+    "token_counts": (token_counts, ORACLE_TOKEN_COUNTS),
+    "lang_id": (lang_id_heuristic, ORACLE_LANG_ID),
+    "doc_fingerprints": (doc_fingerprints, None),
+}

@@ -1,0 +1,98 @@
+"""Text analysis operators: quality stats, token counting, language ID,
+document fingerprinting — all Catalyst expressions over the documents
+table, oracle-checkable where the arithmetic is engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "y", "las"],
+}
+
+
+def text_stats(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Quality counters: chars, tokens, distinct tokens, alpha chars,
+    mean token length — integers + per-row ratios only (deterministic)."""
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    n_distinct = F.size(F.array_distinct(toks))
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        n_alpha.alias("n_alpha"),
+        (n_alpha.cast("double") / n_tokens).alias("mean_token_len"),
+        (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
+    )
+
+
+def token_count_bpe_ish(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (alpha runs + digit runs + punctuation singletons)."""
+    text = F.col(text_col)
+    ws = F.size(F.split(F.trim(text), r"\s+"))
+    pieces = F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+    return docs.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        pieces.alias("n_subword_pieces"),
+    )
+
+
+def _marker_count(text_col: Column, markers: list[str]) -> Column:
+    toks = F.split(text_col, " ")
+    return F.size(
+        F.filter(toks, lambda x: x.isin(*[F.lit(m) for m in markers]))
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID (deterministic CASE chain; ties resolve
+    in fixed language order, unknown when no marker hits)."""
+    text = F.col(text_col)
+    counts = {
+        lang: _marker_count(text, markers).alias(f"n_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    df = docs.select(F.col(id_col), F.col("lang"), *counts.values())
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"n_{lang}") for lang in langs])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in langs:
+        pred = pred.when(F.col(f"n_{lang}") == best, F.lit(lang))
+    return df.select(
+        id_col, "lang", *[f"n_{lang}" for lang in langs], pred.alias("pred_lang")
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
+    """Winnowing-style fingerprint: min/max rolling xxhash64 over word
+    shingles — a compact per-document signature for fast prefiltering."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0)))
+    hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.xxhash64(F.concat_ws(" ", toks)).alias("fp_full"),
+    )

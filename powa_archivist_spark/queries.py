@@ -1,0 +1,527 @@
+"""Declared query surface — the operator inventory exercised over the
+driver's TPC-H-ish testdata, each with a DuckDB oracle (SURVEY.md §2).
+
+Every query here is built from the engine's operator library (packing,
+diff/rate, top-K, joins, rollups) applied to the provisioned tables
+(`region nation customer supplier part orders lineitem events documents
+embeddings`).
+
+Determinism contract with the oracle (the driver hash-compares values):
+- money/metric aggregates are quantized per-row to integer cents
+  (``CAST(round(x * 100) AS BIGINT)``) BEFORE summing — integer sums are
+  order-independent and bitwise identical across engines, where
+  double-precision sums are not (both engines round doubles half-away-
+  from-zero, so the per-row quantization itself is identical);
+- double outputs are only ever produced by per-row arithmetic on
+  identical inputs (IEEE ops are deterministic), never by reductions;
+- every ranking breaks ties on a unique key;
+- DuckDB ``SUM(BIGINT)`` returns HUGEINT — oracles cast back to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .specs import Counter, DatasourceSpec, Key
+from .functions.packing import pack, unpack
+from .functions.diff_rate import rate_exprs
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table loader with version shims — the Spark analog of the
+    reference's versioned ``*_src`` readers that pad/convert columns per
+    source version (powa--5.2.0.sql:3798-4004, S1/S4).
+
+    events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; read nanos as long and truncate to micros (integer ``div`` —
+    double arithmetic would round half the microseconds up, diverging from
+    the oracle's truncation)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(col: Column, scale: int = 100) -> Column:
+    return F.round(col * scale).cast("long")
+
+
+# Events mapped onto the engine's datasource model: entity = user_id,
+# counters = (event_id, value_cents).  Lets the powa operators (pack /
+# unpack / rate) run against oracle-checkable public data.
+EVENTS_SPEC = DatasourceSpec(
+    name="events",
+    keys=(Key("user_id", "oid"),),
+    counters=(Counter("event_id", "bigint"), Counter("value_cents", "bigint")),
+)
+
+
+def _events_as_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        F.lit(0).alias("srvid"),
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        cents(F.col("value")).alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytical queries (A1 aggregation, J1 joins, O3 top-K)
+# ---------------------------------------------------------------------------
+
+Q1_CUTOFF = "2000-01-01 00:00:00"
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: grouped cumulative-counter style aggregation (A1)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp")
+    )
+    price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+        F.sum(cents(price)).alias("sum_base_price_cents"),
+        F.sum(F.round(price * (1 - disc) * 10000).cast("long")).alias(
+            "sum_disc_price_c4"
+        ),
+        F.sum(F.round(price * (1 - disc) * (1 + tax) * 1000000).cast("long")).alias(
+            "sum_charge_c6"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price_cents",
+        "sum_disc_price_c4",
+        "sum_charge_c6",
+        "count_order",
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (
+            F.col("sum_base_price_cents").cast("double") / 100 / F.col("count_order")
+        ).alias("avg_price"),
+    )
+
+
+ORACLE_Q01 = f"""
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price_cents,
+       sum_disc_price_c4, sum_charge_c6, count_order,
+       CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+       CAST(sum_base_price_cents AS DOUBLE) / 100 / count_order AS avg_price
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_price_cents,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           AS BIGINT) AS sum_disc_price_c4,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+           * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_c6,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+  GROUP BY l_returnflag, l_linestatus
+) g
+"""
+
+
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue top-10: broadcast dims + window rank with tie-break (O3)."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-03-15").cast("timestamp")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_c4"))
+    )
+    w = Window.orderBy(F.desc("revenue_c4"), F.asc("o_orderkey"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue_c4", "rank")
+    )
+
+
+ORACLE_Q03 = """
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue_c4, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue_c4 DESC, o_orderkey) AS rank
+  FROM (
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+             AS BIGINT)) AS BIGINT) AS revenue_c4
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+  ) r
+) ranked
+WHERE rank <= 10
+"""
+
+
+def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join volume rollup: all dims broadcast, one fact shuffle."""
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_c4"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+ORACLE_Q05 = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         AS BIGINT) AS revenue_c4,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# powa-core semantics over the events series
+# ---------------------------------------------------------------------------
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-db rollup analog (A1): SUM counters GROUP BY the db key."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(cents(F.col("value"))).alias("sum_value_cents"),
+    )
+
+
+ORACLE_EVENTS_ROLLUP = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type
+"""
+
+
+def events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `/` rate operator (§2.8): per-entity lag deltas / epoch seconds.
+
+    Epochs are taken as fractional-second doubles (microseconds are exactly
+    representable), denominator clamped to >= 1s like the reference
+    (powa--5.2.0.sql:1205-1213)."""
+    ev = _events_as_series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    prev_epoch = F.lag(epoch).over(w)
+    delta = F.col("value_cents") - F.lag("value_cents").over(w)
+    sec = epoch - prev_epoch
+    clamped = F.when(sec < 1.0, F.lit(1.0)).otherwise(sec)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            delta.alias("delta_cents"),
+            sec.alias("sec"),
+            (delta.cast("double") / 100 / clamped).alias("rate_per_sec"),
+        )
+        .filter(F.col("sec").isNotNull())
+    )
+
+
+ORACLE_EVENTS_RATE = """
+SELECT user_id, event_id, ts, delta_cents, sec,
+       CAST(delta_cents AS DOUBLE) / 100 /
+         (CASE WHEN sec < 1.0 THEN 1.0 ELSE sec END) AS rate_per_sec
+FROM (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT)
+           - lag(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents,
+         epoch(ts) - lag(epoch(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sec
+  FROM events
+) d
+WHERE sec IS NOT NULL
+"""
+
+
+PACK_FROM = "2024-01-05 00:00:00"
+PACK_TO = "2024-01-25 00:00:00"
+
+
+def events_pack_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 packing + the unpack-read (powa_stat_get_activity semantics):
+    pack per-entity arrays, then explode back through the two-phase range
+    filter — lossless roundtrip proves packing correctness."""
+    series = _events_as_series(spark, sf_dir)
+    packed = pack(series, EVENTS_SPEC)
+    lo = F.lit(PACK_FROM).cast("timestamp")
+    hi = F.lit(PACK_TO).cast("timestamp")
+    return unpack(packed, EVENTS_SPEC, lo, hi).select(
+        "user_id", "ts", "event_id", "value_cents"
+    )
+
+
+ORACLE_PACK_UNPACK = f"""
+SELECT user_id, ts, event_id,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+WHERE ts BETWEEN TIMESTAMP '{PACK_FROM}' AND TIMESTAMP '{PACK_TO}'
+"""
+
+
+def events_minmax_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed row's summary surface: inclusive range bounds + field-wise
+    min/max sketches (powa--5.2.0.sql:6002-6049)."""
+    series = _events_as_series(spark, sf_dir)
+    packed = pack(series, EVENTS_SPEC)
+    return packed.select(
+        "user_id",
+        "range_start",
+        "range_end",
+        F.size("records").alias("n_records"),
+        F.col("mins_in_range.value_cents").alias("min_value_cents"),
+        F.col("maxs_in_range.value_cents").alias("max_value_cents"),
+        F.col("mins_in_range.event_id").alias("min_event_id"),
+        F.col("maxs_in_range.event_id").alias("max_event_id"),
+    )
+
+
+ORACLE_MINMAX = """
+SELECT user_id, MIN(ts) AS range_start, MAX(ts) AS range_end,
+       CAST(COUNT(*) AS INT) AS n_records,
+       MIN(CAST(round(value * 100) AS BIGINT)) AS min_value_cents,
+       MAX(CAST(round(value * 100) AS BIGINT)) AS max_value_cents,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM events GROUP BY user_id
+"""
+
+
+def events_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20-per-group ranking (A5/W1, powa--5.2.0.sql:6945-6950)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", cents(F.col("value")).alias("value_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value_cents"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("event_type", "rank", "event_id", "value_cents")
+    )
+
+
+ORACLE_TOPK = """
+SELECT event_type, rank, event_id, value_cents
+FROM (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+           ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id) AS rank
+  FROM events
+) r WHERE rank <= 20
+"""
+
+
+def events_mru_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRU dictionary semantics (last_present_ts, powa--5.2.0.sql:4025-4031)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_present_ts"), F.count(F.lit(1)).alias("n_seen"))
+    )
+
+
+ORACLE_MRU = """
+SELECT user_id, MAX(ts) AS last_present_ts, COUNT(*) AS n_seen
+FROM events GROUP BY user_id
+"""
+
+
+def orders_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: WHERE EXISTS gating -> left_semi join."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2001-06-01").cast("timestamp")
+    )
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", cents(F.col("o_totalprice")).alias("o_totalprice_cents"))
+
+
+ORACLE_SEMI = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '2001-06-01 00:00:00')
+"""
+
+
+def customers_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: NOT EXISTS -> left_anti join (missing-dictionary detection)."""
+    cust = t(spark, sf_dir, "customer")
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+"""
+
+
+def latest_order_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/J7: ORDER BY ... DESC LIMIT 1 per key -> window row_number pick."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+ORACLE_LATEST = """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) r WHERE rn = 1
+"""
+
+
+def events_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 time-slice predicate — prunable range read."""
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    return (
+        t(spark, sf_dir, "events")
+        .filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+        .filter(F.col("event_type") != "click")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+ORACLE_RANGE_READ = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+  AND event_type != 'click'
+"""
+
+
+def events_ignored_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: ignored-entities filter (powa.ignored_users)."""
+    ignored = [1, 2, 3, 5, 8]
+    return (
+        t(spark, sf_dir, "events")
+        .filter(~F.col("user_id").isin(ignored))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("sum_value_cents"),
+        )
+    )
+
+
+ORACLE_IGNORED = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+WHERE user_id NOT IN (1, 2, 3, 5, 8)
+GROUP BY event_type
+"""
+
+
+def docs_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: regex filter (utility-statement exclusion pattern)."""
+    docs = t(spark, sf_dir, "documents")
+    pat = r"\b(query|table)\b"
+    return (
+        docs.filter(F.col("text").rlike(pat))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_REGEX = r"""
+SELECT lang, COUNT(*) AS n_docs
+FROM documents
+WHERE regexp_matches(text, '\b(query|table)\b')
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+CORE_QUERIES = {
+    "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
+    "q03_top_orders": (q03_top_orders, ORACLE_Q03),
+    "q05_nation_volume": (q05_nation_volume, ORACLE_Q05),
+    "events_rollup": (events_rollup, ORACLE_EVENTS_ROLLUP),
+    "events_rate": (events_rate, ORACLE_EVENTS_RATE),
+    "events_pack_unpack": (events_pack_unpack, ORACLE_PACK_UNPACK),
+    "events_minmax_sketch": (events_minmax_sketch, ORACLE_MINMAX),
+    "events_topk_per_group": (events_topk_per_group, ORACLE_TOPK),
+    "events_mru_last_seen": (events_mru_last_seen, ORACLE_MRU),
+    "orders_semi_join": (orders_semi_join, ORACLE_SEMI),
+    "customers_anti_join": (customers_anti_join, ORACLE_ANTI),
+    "latest_order_pick": (latest_order_pick, ORACLE_LATEST),
+    "events_range_read": (events_range_read, ORACLE_RANGE_READ),
+    "events_ignored_users": (events_ignored_users, ORACLE_IGNORED),
+    "docs_regex_filter": (docs_regex_filter, ORACLE_REGEX),
+}

@@ -31,6 +31,9 @@ def get_spark(app_name: str = "powa_archivist_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # testdata events.parquet carries TIMESTAMP(NANOS) — read as long,
+        # converted to micros in the loader shim (queries.t)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
