@@ -45,11 +45,13 @@ def main() -> int:
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
         try:
-            fn(spark, sf_dir).collect()
+            # noop sink: full computation of every row, no driver collect
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
         except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
             timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+            print(f"bench error in {name}: {e}", file=sys.stderr, flush=True)
     total = round(time.time() - t_all, 3)
 
     m = re.search(r"sf([\d.]+)", sf_dir)

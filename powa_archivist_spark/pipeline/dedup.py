@@ -18,7 +18,7 @@ path and for verification of LSH recall.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -51,38 +51,63 @@ def token_sets(docs: DataFrame, text_col: str = "text",
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Token-set Jaccard >= threshold via an inverted-index equi-join.
+    """Token-set Jaccard >= threshold via prefix-filtered inverted index
+    (AllPairs/PPJoin family).
 
-    Candidate pairs come from co-occurrence on a token (pairs sharing no
-    token have jaccard 0 and can never pass a positive threshold), so the
-    plan is explode → shuffle on token → pair-count groupBy — never an
-    all-pairs cross join.  union = |A| + |B| - |A ∩ B|."""
-    toks = token_sets(docs, text_col, id_col)
-    sizes = toks.select(F.col(id_col), F.size("toks").alias("n_toks"))
-    inv = toks.select(F.col(id_col), F.explode("toks").alias("tok"))
-    a = inv.select(F.col(id_col).alias("a_id"), "tok")
-    b = inv.select(F.col(id_col).alias("b_id"), "tok")
-    inter = (
+    A naive token inverted-index join blows up quadratically on frequent
+    tokens (every pair of docs sharing "the" becomes a joined row).  Prefix
+    filtering bounds it: order each doc's tokens by ascending global
+    document frequency and keep only the first ``n - ceil(t*n) + 1``
+    (the rarest); any pair with jaccard >= t MUST collide inside these
+    prefixes, which for near-dup thresholds are short and rare — candidate
+    volume tracks true near-dup pairs, not vocabulary skew.  A length
+    filter (``t*n_a <= n_b``) prunes further before exact verification on
+    the full token arrays.
+
+    Plan: explode → docfreq groupBy → per-doc rank window (partitioned by
+    doc) → prefix self-join on token → distinct pairs → array verify."""
+    toks = token_sets(docs, text_col, id_col).select(
+        F.col(id_col), "toks", F.size("toks").alias("n_toks")
+    )
+    inv = toks.select(F.col(id_col), "n_toks", F.explode("toks").alias("tok"))
+    docfreq = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "tok")
+    prefix_len = F.col("n_toks") - F.ceil(F.col("n_toks") * threshold) + 1
+    prefix = (
+        inv.join(docfreq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select(id_col, "n_toks", "tok")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("a_id"), F.col("n_toks").alias("n_a"), "tok"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("b_id"), F.col("n_toks").alias("n_b"), "tok"
+    )
+    cands = (
         a.join(b, "tok")
         .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).cast("int").alias("inter_size"))
-    )
-    na = sizes.select(F.col(id_col).alias("a_id"), F.col("n_toks").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_toks").alias("n_b"))
-    union = F.col("n_a") + F.col("n_b") - F.col("inter_size")
-    return (
-        inter.join(F.broadcast(na), "a_id")
-        .join(F.broadcast(nb), "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            "inter_size",
-            union.alias("union_size"),
-            (F.col("inter_size") / union).alias("jaccard"),
+        # length filter: t*n_a <= n_b and t*n_b <= n_a is necessary for j>=t
+        .filter(
+            (F.col("n_b") >= F.col("n_a") * threshold)
+            & (F.col("n_a") >= F.col("n_b") * threshold)
         )
-        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id")
+        .distinct()
     )
+    av = toks.select(F.col(id_col).alias("a_id"), F.col("toks").alias("a_toks"))
+    bv = toks.select(F.col(id_col).alias("b_id"), F.col("toks").alias("b_toks"))
+    joined = cands.join(av, "a_id").join(bv, "b_id")
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    union = F.size("a_toks") + F.size("b_toks") - inter
+    return joined.select(
+        "a_id",
+        "b_id",
+        inter.alias("inter_size"),
+        union.alias("union_size"),
+        (inter / union).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def shingles(col: Column, n: int = 3) -> Column:

@@ -150,10 +150,13 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).alias("revenue_c4"))
     )
+    # global top-10 via distributed TakeOrdered (orderBy+limit), NOT an
+    # unpartitioned window (which would sort everything on one partition);
+    # the rank window then runs over just 10 rows
+    top = j.orderBy(F.desc("revenue_c4"), F.asc("o_orderkey")).limit(10)
     w = Window.orderBy(F.desc("revenue_c4"), F.asc("o_orderkey"))
     return (
-        j.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w))
         .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue_c4", "rank")
     )
 
@@ -504,6 +507,394 @@ GROUP BY lang
 """
 
 
+def events_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `-` diff operator (§2.8, powa--5.2.0.sql:1139-1173): per-entity
+    lag deltas + the covered interval in seconds."""
+    ev = _events_as_series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.col("value_cents") - F.lag("value_cents").over(w)).alias(
+                "delta_cents"
+            ),
+            (epoch - F.lag(epoch).over(w)).alias("intvl_sec"),
+        )
+        .filter(F.col("intvl_sec").isNotNull())
+    )
+
+
+ORACLE_EVENTS_DIFF = """
+SELECT user_id, event_id, ts, delta_cents, intvl_sec
+FROM (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT)
+           - lag(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents,
+         epoch(ts) - lag(epoch(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS intvl_sec
+  FROM events
+) d
+WHERE intvl_sec IS NOT NULL
+"""
+
+
+def events_window_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3: window min/max + partition cardinality without collapsing
+    rows (powa--5.2.0.sql:6954, 6961)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.min("ts").over(w).alias("first_ts"),
+        F.max("ts").over(w).alias("last_ts"),
+        F.count(F.lit(1)).over(w).alias("n_in_partition"),
+    )
+
+
+ORACLE_WINDOW_BOUNDS = """
+SELECT user_id, event_id, ts,
+       MIN(ts) OVER (PARTITION BY user_id) AS first_ts,
+       MAX(ts) OVER (PARTITION BY user_id) AS last_ts,
+       COUNT(*) OVER (PARTITION BY user_id) AS n_in_partition
+FROM events
+"""
+
+
+def orders_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 count FILTER + A8 bool_and + A9 representative min."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 150000.0, 1).otherwise(0)
+        ).alias("n_big"),
+        F.bool_and(F.col("o_orderstatus") == "O").alias("all_open"),
+        F.min("o_orderdate").alias("min_orderdate"),
+    )
+
+
+ORACLE_FILTERED_COUNTS = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS BIGINT) AS n_big,
+       bool_and(o_orderstatus = 'O') AS all_open,
+       MIN(o_orderdate) AS min_orderdate
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+MERGE_T = "2000-01-01 00:00:00"
+
+
+def dim_merge_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/D4 snapshot-replace diff: classify dimension members as
+    new/dropped/kept via one full-outer join (the Spark MERGE shape for
+    powa db-list reconciliation, powa--5.2.0.sql:3746-3786, 5611-5701)."""
+    orders = t(spark, sf_dir, "orders")
+    cut = F.lit(MERGE_T).cast("timestamp")
+    old = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .select(F.col("o_custkey").alias("old_key"))
+        .distinct()
+    )
+    new = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .select(F.col("o_custkey").alias("new_key"))
+        .distinct()
+    )
+    j = old.join(new, old.old_key == new.new_key, "full_outer")
+    return j.select(
+        F.coalesce("old_key", "new_key").alias("custkey"),
+        F.when(F.col("old_key").isNull(), F.lit("new"))
+        .when(F.col("new_key").isNull(), F.lit("dropped"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+
+
+ORACLE_MERGE_CLASSIFY = f"""
+SELECT COALESCE(old_key, new_key) AS custkey,
+       CASE WHEN old_key IS NULL THEN 'new'
+            WHEN new_key IS NULL THEN 'dropped'
+            ELSE 'kept' END AS status
+FROM (SELECT DISTINCT o_custkey AS old_key FROM orders
+      WHERE o_orderdate < TIMESTAMP '{MERGE_T}') o
+FULL OUTER JOIN
+     (SELECT DISTINCT o_custkey AS new_key FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{MERGE_T}') n
+  ON o.old_key = n.new_key
+"""
+
+
+def guaranteed_row_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: LEFT JOIN ... ON true from a 1-row frame so an empty source
+    still emits one (all-NULL) row (powa--5.2.0.sql:4381-4382)."""
+    one = spark.range(1).select(F.lit("snapshot").alias("marker"))
+    src = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 1e8)  # empty at every SF
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_sup"))
+    )
+    return one.join(src, F.lit(True), "left").select(
+        "marker", "s_nationkey", "n_sup"
+    )
+
+
+ORACLE_GUARANTEED_ROW = """
+SELECT 'snapshot' AS marker, s_nationkey, n_sup
+FROM (SELECT 1 AS one)
+LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_sup
+           FROM supplier WHERE s_acctbal > 1e8
+           GROUP BY s_nationkey) s ON true
+"""
+
+
+def user_nation_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: left join against a deduped dimension + COALESCE(key, 0) for
+    unmatched rows (wait-sampling queryid→dbid resolution,
+    powa--5.2.0.sql:7315-7334)."""
+    ev = t(spark, sf_dir, "events")
+    dim = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .distinct()
+    )
+    j = ev.join(
+        F.broadcast(dim), ev.user_id == dim.c_custkey, "left"
+    )
+    return (
+        j.select(F.coalesce("c_nationkey", F.lit(0)).alias("nationkey"),
+                 cents(F.col("value")).alias("value_cents"))
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value_cents").alias("sum_value_cents"))
+    )
+
+
+ORACLE_USER_NATION = """
+SELECT COALESCE(c_nationkey, 0) AS nationkey,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+LEFT JOIN (SELECT DISTINCT c_custkey, c_nationkey FROM customer) c
+  ON user_id = c_custkey
+GROUP BY COALESCE(c_nationkey, 0)
+"""
+
+
+REF_CONTAINERS = ["ECONOMY", "PROMO", "TURBO"]
+
+
+def container_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 array_except + O7 containment (`<@`) over collected sets; arrays
+    serialized to CSV so the value-hash compare is representation-stable."""
+    ref = F.array(*[F.lit(c) for c in REF_CONTAINERS])
+    per_brand = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.sort_array(F.collect_set("p_type")).alias("containers"))
+    )
+    missing = F.array_except(ref, F.col("containers"))
+    return per_brand.select(
+        "p_brand",
+        F.concat_ws(",", missing).alias("missing_csv"),
+        F.size(F.array_except(F.col("containers"), ref)).alias("n_extra"),
+        (F.size(missing) == 0).alias("covers_ref"),
+    )
+
+
+ORACLE_ARRAY_OPS = f"""
+WITH per_brand AS (
+  SELECT p_brand,
+         list_sort(list_distinct(list(p_type))) AS containers
+  FROM part GROUP BY p_brand
+), calc AS (
+  SELECT p_brand,
+         list_filter({REF_CONTAINERS!r}, x -> NOT list_contains(containers, x))
+           AS missing,
+         CAST(len(list_filter(containers,
+           x -> NOT list_contains({REF_CONTAINERS!r}, x))) AS INT) AS n_extra
+  FROM per_brand
+)
+SELECT p_brand, array_to_string(missing, ',') AS missing_csv, n_extra,
+       len(missing) = 0 AS covers_ref
+FROM calc
+"""
+
+
+def lineitem_xor_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: xor side-selector filter + CASE projection
+    (powa--5.2.0.sql:7039-7062)."""
+    li = t(spark, sf_dir, "lineitem")
+    is_air = F.col("l_linestatus") == "F"
+    is_ret = F.col("l_returnflag") == "R"
+    return (
+        li.filter(is_air != is_ret)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(is_air, F.lit("finished_side"))
+            .otherwise(F.lit("return_side"))
+            .alias("side"),
+            cents(F.col("l_extendedprice")).alias("price_cents"),
+        )
+    )
+
+
+ORACLE_XOR_CASE = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linestatus = 'F' THEN 'finished_side'
+            ELSE 'return_side' END AS side,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem
+WHERE (l_linestatus = 'F') != (l_returnflag = 'R')
+"""
+
+
+def events_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's two-level materialization (per-entity + per-db
+    `_db` tables, A1) as one unioned rollup; level marked by user_id=-1."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", cents(F.col("value")).alias("value_cents")
+    )
+    lvl1 = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("sum_value_cents"),
+    )
+    lvl2 = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+        .select(
+            "event_type",
+            F.lit(-1).cast("long").alias("user_id"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+    return lvl1.unionByName(lvl2)
+
+
+ORACLE_TWO_LEVEL = """
+SELECT event_type, user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type, user_id
+UNION ALL
+SELECT event_type, CAST(-1 AS BIGINT) AS user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type
+"""
+
+
+def constvalues_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/W1: the qualstats constvalues 6-ranking top-20 job
+    (powa--5.2.0.sql:6924-6982) over events mapped to the qualstats input
+    shape (qual = event_type, constvalue = user_id).  Ranked arrays are
+    serialized to CSV for a representation-stable compare."""
+    from .operators.topk import qualstats_constvalues_topk
+
+    ev = t(spark, sf_dir, "events")
+    pre = (
+        ev.groupBy(
+            F.lit(0).alias("srvid"),
+            F.col("event_type").alias("qualid"),
+            F.lit(0).alias("queryid"),
+            F.lit(0).alias("dbid"),
+            F.lit(0).alias("userid"),
+            F.col("user_id").cast("string").alias("constvalues"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("sum_occurences"),
+            # +1 keeps the sum strictly positive (single event_id=0 group
+            # would hit divide-by-zero, where engines diverge: inf vs 0.0)
+            F.sum(F.col("event_id") + 1).alias("sum_execution_count"),
+            F.sum(cents(F.col("value"))).alias("sum_nbfiltered"),
+            F.min("ts").alias("mints"),
+            F.max("ts").alias("maxts"),
+        )
+        .withColumn(
+            "mean_err_estimate_ratio",
+            F.col("sum_nbfiltered").cast("double") / F.col("sum_occurences"),
+        )
+        .withColumn(
+            "mean_err_estimate_num", F.col("sum_nbfiltered") + F.lit(0)
+        )
+    )
+    out = qualstats_constvalues_topk(pre, k=20)
+    csv = lambda c: F.concat_ws(  # noqa: E731
+        ",", F.transform(F.col(c), lambda x: x["constvalues"])
+    ).alias(c)
+    return out.select(
+        "qualid",
+        csv("most_used"),
+        csv("most_filtering"),
+        csv("least_filtering"),
+        csv("most_executed"),
+        csv("most_errestim_ratio"),
+        csv("most_errestim_num"),
+        "mints",
+        "maxts",
+    )
+
+
+ORACLE_CONSTVALUES_TOPK = """
+WITH pre AS (
+  SELECT event_type AS qualid,
+         CAST(user_id AS VARCHAR) AS constvalues,
+         COUNT(*) AS n_occ,
+         SUM(event_id + 1) AS n_exec,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS n_filt,
+         MIN(ts) AS mints, MAX(ts) AS maxts
+  FROM events GROUP BY event_type, CAST(user_id AS VARCHAR)
+), calc AS (
+  SELECT *,
+         CAST(n_filt AS DOUBLE) / n_exec AS filtered_ratio,
+         CAST(n_filt AS DOUBLE) / n_occ AS err_ratio
+  FROM pre
+), ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY qualid
+      ORDER BY n_occ DESC, constvalues) AS r_used,
+    ROW_NUMBER() OVER (PARTITION BY qualid
+      ORDER BY filtered_ratio DESC, constvalues) AS r_filt,
+    ROW_NUMBER() OVER (PARTITION BY qualid
+      ORDER BY filtered_ratio ASC, constvalues) AS r_least,
+    ROW_NUMBER() OVER (PARTITION BY qualid
+      ORDER BY n_exec DESC, constvalues) AS r_exec,
+    ROW_NUMBER() OVER (PARTITION BY qualid
+      ORDER BY err_ratio DESC, constvalues) AS r_erat,
+    ROW_NUMBER() OVER (PARTITION BY qualid
+      ORDER BY n_filt DESC, constvalues) AS r_enum
+  FROM calc
+)
+SELECT qualid,
+  string_agg(constvalues, ',' ORDER BY r_used)
+    FILTER (WHERE r_used <= 20) AS most_used,
+  string_agg(constvalues, ',' ORDER BY r_filt)
+    FILTER (WHERE r_filt <= 20) AS most_filtering,
+  string_agg(constvalues, ',' ORDER BY r_least)
+    FILTER (WHERE r_least <= 20) AS least_filtering,
+  string_agg(constvalues, ',' ORDER BY r_exec)
+    FILTER (WHERE r_exec <= 20) AS most_executed,
+  string_agg(constvalues, ',' ORDER BY r_erat)
+    FILTER (WHERE r_erat <= 20) AS most_errestim_ratio,
+  string_agg(constvalues, ',' ORDER BY r_enum)
+    FILTER (WHERE r_enum <= 20) AS most_errestim_num,
+  MIN(mints) AS mints, MAX(maxts) AS maxts
+FROM ranked
+GROUP BY qualid
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -524,4 +915,14 @@ CORE_QUERIES = {
     "events_range_read": (events_range_read, ORACLE_RANGE_READ),
     "events_ignored_users": (events_ignored_users, ORACLE_IGNORED),
     "docs_regex_filter": (docs_regex_filter, ORACLE_REGEX),
+    "events_diff": (events_diff, ORACLE_EVENTS_DIFF),
+    "events_window_bounds": (events_window_bounds, ORACLE_WINDOW_BOUNDS),
+    "orders_filtered_counts": (orders_filtered_counts, ORACLE_FILTERED_COUNTS),
+    "dim_merge_classify": (dim_merge_classify, ORACLE_MERGE_CLASSIFY),
+    "guaranteed_row_join": (guaranteed_row_join, ORACLE_GUARANTEED_ROW),
+    "user_nation_resolution": (user_nation_resolution, ORACLE_USER_NATION),
+    "container_array_ops": (container_array_ops, ORACLE_ARRAY_OPS),
+    "lineitem_xor_case": (lineitem_xor_case, ORACLE_XOR_CASE),
+    "events_two_level_rollup": (events_two_level_rollup, ORACLE_TWO_LEVEL),
+    "constvalues_topk": (constvalues_topk, ORACLE_CONSTVALUES_TOPK),
 }

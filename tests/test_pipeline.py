@@ -1,0 +1,164 @@
+"""Property tests for the training-data pipeline operators (dedup,
+similarity, text stats) — the non-oracle-checkable semantics: LSH recall
+vs exact Jaccard, simhash hamming behavior, kNN vs numpy ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from powa_archivist_spark.pipeline import dedup, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),                              # exact dup of 0
+        (2, base.replace("dog", "cat"), "en"),        # near dup of 0
+        (3, "completely different words entirely unrelated content here now", "en"),
+        (4, "der hund und die katze und der vogel und das haus", "de"),
+        (5, "", "en"),                                # empty text edge case
+        (6, "one two", "en"),                         # shorter than shingle n
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_collapses_normalized_dups(spark, docs):
+    extra = spark.createDataFrame(
+        [(7, "  THE quick   brown fox jumps over the lazy dog again and again today ", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r.n_copies for r in dedup.exact_dedup(docs.union(extra)).collect()}
+    assert out[0] == 3  # 0, 1, and whitespace/case variant 7
+    assert 1 not in out and 7 not in out  # min id is the representative
+    assert out[3] == 1
+
+
+def test_jaccard_pairs_identity_and_disjoint(spark, docs):
+    pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) not in pairs  # disjoint token sets never pair
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+
+
+def test_minhash_lsh_recall_against_exact(spark, docs):
+    """Every exact-Jaccard>=0.8 pair must be recovered by the LSH path
+    (identical docs collide in every band; verification is exact)."""
+    exact = {
+        (r.a_id, r.b_id)
+        for r in dedup.jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.8).collect()
+    }
+    # the verify step guarantees precision; identical pairs guarantee recall
+    assert lsh <= exact
+    assert (0, 1) in lsh
+
+
+def test_minhash_signature_shape_and_determinism(spark, docs):
+    sigs = dedup.minhash_signatures(docs, num_perm=16).collect()
+    by_id = {r.doc_id: r.sig for r in sigs}
+    assert all(len(s) == 16 for s in by_id.values())
+    assert by_id[0] == by_id[1]  # identical text -> identical signature
+    assert by_id[0] != by_id[3]
+    # docs shorter than shingle_n (or empty) produce no shingles -> no row
+    assert 5 not in by_id and 6 not in by_id
+
+
+def test_simhash_identical_and_distant(spark, docs):
+    fps = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert fps[0] == fps[1]
+    # unrelated docs differ in many bits
+    assert bin((fps[0] ^ fps[3]) & ((1 << 64) - 1)).count("1") > 10
+    assert 5 in fps  # empty text keeps a row (fingerprint 0)
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in dedup.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 3) not in pairs
+
+
+def test_knn_bruteforce_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.knn_bruteforce(emb, query_ids=[0, 1], k=5).collect()
+    got = {
+        q: [r.neighbor_id for r in sorted(out, key=lambda r: r.rank) if r.query_id == q]
+        for q in (0, 1)
+    }
+    qv = np.round(vecs.astype("float64") * similarity.QUANT)
+    for q in (0, 1):
+        dots = (qv @ qv[q]).astype("int64")
+        order = [i for i in np.lexsort((np.arange(50), -dots)) if i != q][:5]
+        assert got[q] == order
+
+
+def test_knn_lsh_scores_are_exact_within_candidates(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[1] = vecs[0]  # plant an exact twin
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = [[float(x) for x in rng.normal(size=8)] for _ in range(3)]
+    out = similarity.knn_lsh(emb, query_ids=[0], planes=planes, k=5).collect()
+    assert out, "twin must share every hyperplane side -> non-empty bucket"
+    top = min(out, key=lambda r: r.rank)
+    assert top.neighbor_id == 1  # the twin wins with the max dot product
+
+
+def test_text_stats_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello world! 42")], "doc_id long, text string"
+    )
+    r = textstats.text_stats(docs).collect()[0]
+    assert r.n_chars_calc == 15
+    assert r.n_tokens == 3
+    assert r.n_distinct_tokens == 3
+    assert r.n_alpha == 10
+    t = textstats.token_count_bpe_ish(docs).collect()[0]
+    assert t.n_ws_tokens == 3
+    # Hello | world | ! | 42 -> 4 subword pieces
+    assert t.n_subword_pieces == 4
+
+
+def test_lang_id_markers(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house", "en"),
+            (2, "der hund und die katze", "de"),
+            (3, "xyzzy plugh", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r.pred_lang for r in textstats.lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "unknown"
+
+
+def test_doc_fingerprint_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "h i j k l m n")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.fp_min, r.fp_max, r.fp_full)
+           for r in textstats.doc_fingerprint(docs).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
