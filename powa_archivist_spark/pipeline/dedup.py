@@ -51,7 +51,112 @@ def token_sets(docs: DataFrame, text_col: str = "text",
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Token-set Jaccard >= threshold via prefix-filtered inverted index
+    """Token-set Jaccard >= threshold — adaptive physical strategy.
+
+    Plan choice mirrors what AQE does for joins, but at the algorithm
+    level: probe the vocabulary size first (bounded ``limit(64)`` probe);
+
+    - **small vocabulary (<= 63 distinct tokens)**: encode each token set
+      as an int64 bitmask; pair verification collapses to
+      ``bit_count(a & b) / bit_count(a | b)`` — O(1) per pair — computed
+      once per DISTINCT set pair and expanded to doc pairs afterwards.
+      Prefix filtering is useless here (every token is high-frequency),
+      and array intersection per pair is ~50x this cost.
+    - **large vocabulary**: AllPairs/PPJoin prefix filtering (below).
+    """
+    toks = token_sets(docs, text_col, id_col)
+    vocab = [
+        r.tok
+        for r in toks.select(F.explode("toks").alias("tok"))
+        .distinct()
+        .limit(64)
+        .collect()
+    ]
+    if len(vocab) <= 63:
+        return _jaccard_bitmask(toks, vocab, threshold, id_col)
+    return _jaccard_prefix(toks, threshold, id_col)
+
+
+def _jaccard_bitmask(toks: DataFrame, vocab: list[str], threshold: float,
+                     id_col: str) -> DataFrame:
+    """Small-vocabulary path: int64-bitmask set encoding.
+
+    Distinct-mask pairs are verified (C x C / 2 cheap bit ops), then
+    expanded to doc pairs via the mask -> ids grouping; same-mask groups
+    expand directly with jaccard 1.0."""
+    bit_for = F.create_map(
+        *[x for i, tok in enumerate(vocab) for x in (F.lit(tok), F.lit(i))]
+    )
+    masks = (
+        toks.select(F.col(id_col), F.explode("toks").alias("tok"))
+        .select(
+            F.col(id_col),
+            F.element_at(bit_for, F.col("tok")).alias("bi"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr("shiftleft(CAST(1 AS BIGINT), bi)").alias("bit"),
+        )
+        .groupBy(id_col)
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+    groups = masks.groupBy("mask").agg(F.collect_list(id_col).alias("ids"))
+    ga = groups.select(F.col("mask").alias("mask_a"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("mask").alias("mask_b"), F.col("ids").alias("ids_b"))
+    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+    union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
+    cross_pairs = (
+        ga.crossJoin(F.broadcast(gb))
+        .filter(F.col("mask_a") < F.col("mask_b"))
+        .withColumn("inter_size", inter)
+        .withColumn("union_size", union)
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.explode("ids_a").alias("xa"),
+            F.col("ids_b"),
+            "inter_size",
+            "union_size",
+            "jaccard",
+        )
+        .select(
+            "xa",
+            F.explode("ids_b").alias("xb"),
+            "inter_size",
+            "union_size",
+            "jaccard",
+        )
+    )
+    same_pairs = (
+        groups.filter(F.size("ids") > 1)
+        .select(
+            F.bit_count("mask").alias("n_set"),
+            F.explode("ids").alias("xa"),
+            F.col("ids"),
+        )
+        .select("n_set", "xa", F.explode("ids").alias("xb"))
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "xa",
+            "xb",
+            F.col("n_set").alias("inter_size"),
+            F.col("n_set").alias("union_size"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    both = cross_pairs.unionByName(same_pairs)
+    return both.select(
+        F.least("xa", "xb").alias("a_id"),
+        F.greatest("xa", "xb").alias("b_id"),
+        "inter_size",
+        "union_size",
+        "jaccard",
+    )
+
+
+def _jaccard_prefix(toks: DataFrame, threshold: float,
+                    id_col: str) -> DataFrame:
+    """Large-vocabulary path: prefix-filtered inverted index
     (AllPairs/PPJoin family).
 
     A naive token inverted-index join blows up quadratically on frequent
@@ -66,9 +171,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
 
     Plan: explode → docfreq groupBy → per-doc rank window (partitioned by
     doc) → prefix self-join on token → distinct pairs → array verify."""
-    toks = token_sets(docs, text_col, id_col).select(
-        F.col(id_col), "toks", F.size("toks").alias("n_toks")
-    )
+    toks = toks.select(F.col(id_col), "toks", F.size("toks").alias("n_toks"))
     inv = toks.select(F.col(id_col), "n_toks", F.explode("toks").alias("tok"))
     docfreq = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "tok")

@@ -47,6 +47,26 @@ def test_jaccard_pairs_identity_and_disjoint(spark, docs):
     assert 0.5 <= pairs[(0, 2)] < 1.0
 
 
+def test_jaccard_prefix_path_matches_bitmask_semantics(spark):
+    """>63-token vocabulary forces the prefix-filter path; results must
+    equal brute-force Jaccard on planted near-dups."""
+    vocab = [f"w{i:03d}" for i in range(120)]
+    base = " ".join(vocab[:40])
+    near = " ".join(vocab[1:40] + [vocab[100]])  # 39/41 shared
+    far = " ".join(vocab[60:100])
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.a_id, r.b_id): (r.inter_size, r.union_size, r.jaccard)
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)][2] == 1.0
+    assert pairs[(0, 2)] == (39, 41, 39 / 41)
+    assert not any(3 in p for p in pairs)
+
+
 def test_minhash_lsh_recall_against_exact(spark, docs):
     """Every exact-Jaccard>=0.8 pair must be recovered by the LSH path
     (identical docs collide in every band; verification is exact)."""
