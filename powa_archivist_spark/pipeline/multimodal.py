@@ -1,0 +1,95 @@
+"""Multimodal column handling: image/audio/video as opaque ``binary``
+columns plus typed metadata, processed through Arrow-batched
+``mapInPandas`` — the pattern for decode / feature-extract / resize /
+frame-sample stages at 100 TB (binary payloads never pass through
+Python row-at-a-time; each batch is one Arrow buffer).
+
+The actual codec decode is STUBBED (no image/audio libraries in this
+environment): ``decode_image`` raises NotImplementedError, and the
+deterministic fake ``extract_meta`` derives metadata arithmetically from
+the bytes so the whole Spark seam (schema, batching, multi-row expansion)
+is real and oracle-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "doc_id long, n_bytes int, checksum long, width int, height int, fmt string"
+)
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_checksum long"
+
+FMTS = ["jpeg", "png", "webp"]
+
+
+def decode_image(payload: bytes):  # pragma: no cover - intentional stub
+    """REAL decode seam — requires an image codec library (PIL/opencv),
+    not available in this environment.  The Spark-side plumbing below is
+    what matters; swap this in production."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary payload column (UTF-8 bytes of the text —
+    the deterministic stand-in for a blob-store fetch)."""
+    return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def _fake_meta(payload: pd.Series) -> pd.DataFrame:
+    """Deterministic fake 'decode': metadata derived from raw bytes."""
+    n = payload.apply(lambda b: len(b) if b is not None else 0).astype("int64")
+    first = payload.apply(lambda b: b[0] if b else 0).astype("int64")
+    last = payload.apply(lambda b: b[-1] if b else 0).astype("int64")
+    return pd.DataFrame(
+        {
+            "n_bytes": n.astype("int32"),
+            "checksum": first * 256 + last,
+            "width": (320 + n % 320).astype("int32"),
+            "height": (240 + n % 240).astype("int32"),
+            "fmt": (n % 3).map(dict(enumerate(FMTS))),
+        }
+    )
+
+
+def extract_meta(docs_with_payload: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas metadata extraction: one output row per payload."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = _fake_meta(pdf["payload"])
+            out.insert(0, "doc_id", pdf[id_col].astype("int64"))
+            yield out
+
+    return docs_with_payload.mapInPandas(fn, META_SCHEMA)
+
+
+def sample_frames(docs_with_payload: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas frame sampling: MULTI-row output per input payload
+    (n_bytes % 4 + 1 frames) — the batch-shape pattern for video frame
+    extraction, where output cardinality differs from input."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = _fake_meta(pdf["payload"])
+            n_frames = (meta["n_bytes"].astype("int64") % 4 + 1).astype("int64")
+            reps = n_frames.to_numpy()
+            doc_ids = pdf[id_col].astype("int64").to_numpy().repeat(reps)
+            base = meta["checksum"].to_numpy().repeat(reps)
+            idx = [i for r in reps for i in range(r)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": pd.Series(idx, dtype="int32"),
+                    "frame_checksum": base + pd.Series(idx, dtype="int64"),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(fn, FRAME_SCHEMA)

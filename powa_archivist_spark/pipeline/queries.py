@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import t
-from . import dedup, similarity, textstats
+from . import dedup, multimodal, similarity, textstats
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,6 +107,78 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_DOT_Q = 350_000_000_000  # cosine 0.35 x QUANT^2 on unit vectors
+
+
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), min_dot_q=MIN_DOT_Q
+    )
+
+
+ORACLE_EMB_NEAR_DUP = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       CAST(list_sum(list_transform(list_zip(a.v, b.v),
+         x -> x[1] * x[2])) AS BIGINT) AS dot_q
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(list_zip(a.v, b.v),
+  x -> x[1] * x[2])) AS BIGINT) >= {MIN_DOT_Q}
+"""
+
+
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only; recall vs brute force pytest-verified)."""
+    return similarity.knn_ivf(
+        t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    ).orderBy("query_id", "rank")
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction through the Arrow/mapInPandas
+    seam; the deterministic fake decode keeps it oracle-checkable."""
+    docs = multimodal.with_payload(t(spark, sf_dir, "documents"))
+    return multimodal.extract_meta(docs)
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE ascii(text[1]) * 256 + ascii(text[-1]) END AS checksum,
+       CAST(320 + octet_length(encode(text)) % 320 AS INT) AS width,
+       CAST(240 + octet_length(encode(text)) % 240 AS INT) AS height,
+       CASE octet_length(encode(text)) % 3
+         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt
+FROM documents
+"""
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: multi-row-per-payload mapInPandas expansion."""
+    docs = multimodal.with_payload(t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(docs)
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+WITH meta AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE ascii(text[1]) * 256 + ascii(text[-1]) END AS checksum
+  FROM documents
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       checksum + f AS frame_checksum
+FROM meta, unnest(range(n_bytes % 4 + 1)) AS u(f)
+"""
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.text_stats(t(spark, sf_dir, "documents"))
 
@@ -181,6 +253,10 @@ PIPELINE_QUERIES = {
     "dedup_simhash": (dedup_simhash, None),
     "knn_cosine_topk": (knn_cosine_topk, ORACLE_KNN),
     "knn_cosine_lsh": (knn_cosine_lsh, None),
+    "knn_ivf_topk": (knn_ivf_topk, None),
+    "emb_near_dup": (emb_near_dup, ORACLE_EMB_NEAR_DUP),
+    "multimodal_meta": (multimodal_meta, ORACLE_MULTIMODAL_META),
+    "multimodal_frames": (multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "text_quality": (text_quality, ORACLE_TEXT_QUALITY),
     "token_counts": (token_counts, ORACLE_TOKEN_COUNTS),
     "lang_id": (lang_id_heuristic, ORACLE_LANG_ID),

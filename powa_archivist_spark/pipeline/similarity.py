@@ -62,6 +62,96 @@ def knn_bruteforce(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    min_dot_q: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: quantized dot >= min_dot_q
+    (cosine threshold x QUANT^2 for unit vectors).  Exact all-pairs
+    baseline; the LSH/IVF variants are the scale path.
+
+    The corpus side is broadcast once; the pair loop never shuffles."""
+    a = emb.select(F.col(id_col).alias("a_id"), quantized(F.col(vec_col)).alias("av"))
+    b = emb.select(F.col(id_col).alias("b_id"), quantized(F.col(vec_col)).alias("bv"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", int_dot(F.col("av"), F.col("bv")).alias("dot_q"))
+        .filter(F.col("dot_q") >= min_dot_q)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroid_mod: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization with deterministic centroid sampling
+    (``vec_id % centroid_mod == 0`` — reproducible without RNG or
+    iterative k-means).  Returns (centroids, assignments).
+
+    Assignment = argmax dot(centroid, vec) over the broadcast centroid
+    table — one pass over the corpus, no shuffle except the rank window
+    partitioned by vec.  At scale the cell id becomes a partition column
+    so a probe touches only its cells' files."""
+    cents = emb.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cell_id"), quantized(F.col(vec_col)).alias("cv")
+    )
+    vecs = emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col, "v", "cell_id", int_dot(F.col("v"), F.col("cv")).alias("dot_c")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("dot_c"), F.asc("cell_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cell_id", "v")
+    )
+    return cents, assign
+
+
+def knn_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_mod: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate kNN: probe the nprobe nearest cells per query,
+    exact quantized rescoring inside probed cells only."""
+    cents, assign = ivf_assign(emb, centroid_mod, id_col, vec_col)
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cell_id", int_dot(F.col("qv"), F.col("cv")).alias("dot_c")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("dot_c"), F.asc("cell_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell_id")
+    )
+    cand = probes.join(
+        assign.select(F.col(id_col).alias("neighbor_id"), "cell_id", "v"),
+        "cell_id",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", int_dot(F.col("qv"), F.col("v")).alias("dot_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
 def lsh_bucket(vec, planes: list[list[float]]):
     """Sign-of-projection bucket id for a list of hyperplanes."""
     bucket = F.lit(0).cast("long")

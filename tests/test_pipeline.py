@@ -143,6 +143,81 @@ def test_knn_lsh_scores_are_exact_within_candidates(spark):
     assert top.neighbor_id == 1  # the twin wins with the max dot product
 
 
+def test_knn_ivf_recall_and_exactness(spark):
+    """IVF probes a subset of cells; returned scores must be exact and
+    recall vs brute force reasonable on clustered data."""
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 8))
+    vecs = np.vstack([
+        c + 0.05 * rng.normal(size=(25, 8)) for c in centers
+    ]).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    brute = similarity.knn_bruteforce(emb, query_ids=[0], k=10).collect()
+    # centroid_mod=10 puts ~3 sampled centroids inside the query's true
+    # cluster; nprobe must cover them for high recall
+    ivf = similarity.knn_ivf(emb, query_ids=[0], k=10, nprobe=3,
+                             centroid_mod=10).collect()
+    bs = {r.neighbor_id: r.dot_q for r in brute}
+    for r in ivf:
+        if r.neighbor_id in bs:
+            assert r.dot_q == bs[r.neighbor_id]  # exact rescoring
+    recall = len({r.neighbor_id for r in ivf} & set(bs)) / len(bs)
+    assert recall >= 0.7
+
+
+def test_embedding_near_dup_pairs(spark):
+    vecs = np.eye(4, dtype="float32")
+    vecs = np.vstack([vecs, vecs[0:1]])  # 4 is a dup of 0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r.a_id, r.b_id): r.dot_q
+        for r in similarity.embedding_near_dup_pairs(
+            emb, min_dot_q=900_000_000_000
+        ).collect()
+    }
+    assert set(pairs) == {(0, 4)}
+    assert pairs[(0, 4)] == similarity.QUANT * similarity.QUANT
+
+
+def test_multimodal_meta_and_frames(spark):
+    from powa_archivist_spark.pipeline import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "x" * 7)], "doc_id long, text string"
+    )
+    wp = multimodal.with_payload(docs)
+    meta = {r.doc_id: r for r in multimodal.extract_meta(wp).collect()}
+    assert meta[1].n_bytes == 3
+    assert meta[1].checksum == ord("a") * 256 + ord("c")
+    assert meta[1].width == 323 and meta[1].height == 243
+    assert meta[1].fmt == "jpeg"
+    assert meta[2].n_bytes == 0 and meta[2].checksum == 0
+    frames = multimodal.sample_frames(wp).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    # n_frames = n_bytes % 4 + 1
+    assert len(per_doc[1]) == 4 and len(per_doc[2]) == 1 and len(per_doc[3]) == 4
+    assert sorted(r.frame_idx for r in per_doc[1]) == [0, 1, 2, 3]
+    assert all(
+        r.frame_checksum == meta[r.doc_id].checksum + r.frame_idx for r in frames
+    )
+
+
+def test_decode_stub_raises(spark):
+    from powa_archivist_spark.pipeline import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
 def test_text_stats_values(spark):
     docs = spark.createDataFrame(
         [(1, "Hello world! 42")], "doc_id long, text string"
