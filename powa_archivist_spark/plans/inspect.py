@@ -1,0 +1,76 @@
+"""Physical-plan inspection — guardrails for the plans we rely on at
+scale.
+
+The reference delegates all physical strategy to the Postgres planner and
+encodes its expectations as indexes (SURVEY.md §4).  Here the analogous
+expectations — filters reaching the parquet scan, dimension joins
+broadcast, expressions inside whole-stage codegen — are made assertable
+so tests pin them (a plan regression is a perf bug at 100 TB even when
+results stay correct).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (what ``df.explain(mode)`` prints).
+
+    With AQE the output repeats the whole tree under ``== Initial Plan ==``
+    — that section is stripped so node counts aren't doubled."""
+    jvm = df.sparkSession._jvm
+    s = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+    return s.split("== Initial Plan ==")[0]
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the parquet scan (``PushedFilters: [...]``)."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan_string(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[list[str]]:
+    """Column sets actually read from each parquet scan (column pruning)."""
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan_string(df)):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c]
+        out.append(cols)
+    return out
+
+
+def _node_count(df: DataFrame, node: str) -> int:
+    """Count distinct plan nodes: formatted mode prints each node in the
+    tree AND as a numbered ``(N) Node`` detail — count the latter."""
+    return len(re.findall(rf"\(\d+\) {node}\b", plan_string(df)))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return _node_count(df, "BroadcastHashJoin")
+
+
+def sort_merge_join_count(df: DataFrame) -> int:
+    return _node_count(df, "SortMergeJoin")
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Shuffle boundaries.  Broadcast exchanges print as
+    ``(N) BroadcastExchange`` and never match ``(N) Exchange``."""
+    return _node_count(df, "Exchange")
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """Distinct WholeStageCodegen regions (wider = fewer interpreted
+    boundaries).  Formatted mode annotates nodes with
+    ``[codegen id : N]``."""
+    return len(set(re.findall(r"\[codegen id : (\d+)\]", plan_string(df))))
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    return "CartesianProduct" in plan_string(df)

@@ -1,0 +1,73 @@
+"""Plan-shape guardrails: these pin the physical properties the engine
+depends on at scale — filter pushdown to parquet, column pruning,
+broadcast dimension joins, range-predicate pushdown on packed history.
+A regression here is a performance bug even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from powa_archivist_spark.functions.packing import pack, unpack
+from powa_archivist_spark.plans import inspect as pi
+from powa_archivist_spark.queries import (
+    EVENTS_SPEC,
+    _events_as_series,
+    events_range_read,
+    q05_nation_volume,
+    user_nation_resolution,
+)
+from powa_archivist_spark.storage import Warehouse
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_range_read_pushdown_and_pruning(spark):
+    df = events_range_read(spark, SF)
+    pushed = " ".join(pi.pushed_filters(df))
+    assert "ts" in pushed and "event_type" in pushed
+    # projection reaches the scan: only the 5 selected columns are read
+    (schema,) = pi.read_schemas(df)
+    assert set(schema) == {"event_id", "ts", "user_id", "event_type", "value"}
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    df = q05_nation_volume(spark, SF)
+    assert pi.broadcast_join_count(df) == 4  # orders/customer/supplier/nation
+    assert not pi.has_cartesian(df)
+    # one fact-side shuffle for the final groupBy, nothing else
+    assert pi.exchange_count(df) <= 2
+
+
+def test_dim_resolution_broadcasts(spark):
+    df = user_nation_resolution(spark, SF)
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sort_merge_join_count(df) == 0
+
+
+def test_packed_history_range_pushdown(spark, wh):
+    """The two-phase unpack-read pushes the range-overlap predicate into
+    the parquet scan of the PACKED table — the Spark analog of the
+    reference's GiST range index (powa--5.2.0.sql:2123)."""
+    packed = pack(_events_as_series(spark, SF), EVENTS_SPEC)
+    wh.overwrite(packed, "events_history", partition_by=["srvid"])
+    hist = wh.read("events_history")
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    out = unpack(hist, EVENTS_SPEC, lo, hi)
+    pushed = " ".join(pi.pushed_filters(out))
+    assert "range_start" in pushed and "range_end" in pushed
+
+
+def test_rollup_single_shuffle(spark):
+    """Per-db rollup = exactly one hash shuffle (partial aggregation
+    map-side); a second exchange would double network at scale."""
+    ev = _events_as_series(spark, SF)
+    rollup = ev.groupBy("srvid", "user_id").agg(
+        F.sum("value_cents").alias("v"), F.count(F.lit(1)).alias("n")
+    )
+    assert pi.exchange_count(rollup) == 1
+    # map-side combine before the shuffle (partial aggregation)
+    assert "partial_sum" in pi.plan_string(rollup)
