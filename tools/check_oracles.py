@@ -46,7 +46,10 @@ def main() -> int:
     from powa_archivist_spark.session import get_spark
 
     spark = get_spark("check_oracles")
-    con = duckdb.connect()
+    # threads=1: duckdb's default worker pool (one per core) busy-waits
+    # and starves the Spark JVM in-process — expression-heavy queries go
+    # 10-30x slower with an idle multi-threaded duckdb connection open
+    con = duckdb.connect(config={"threads": 1})
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
