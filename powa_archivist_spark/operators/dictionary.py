@@ -88,16 +88,7 @@ def purge_statements(
 
 
 def _overwrite_srvid_partition(wh: Warehouse, df: DataFrame, srvid: int) -> None:
-    # stage-then-swap: materialize the rewrite to a scratch table first
-    # (we are rewriting our own input), then replace the srvid partition —
-    # stays distributed, no driver-side collect
-    scratch = f"{TABLE}__rewrite"
-    wh.overwrite(df, scratch)
-    staged = wh.read(scratch, SCHEMA)
-    wh.drop_srvid(TABLE, srvid)
-    if staged.limit(1).count() > 0:
-        wh.append(staged, TABLE, partition_by=["srvid"])
-    wh.drop_table(scratch)
+    wh.rewrite_srvid_partition(df, TABLE, SCHEMA, srvid)
 
 
 def read_statements(wh: Warehouse, srvid: int | None = None) -> DataFrame:

@@ -120,6 +120,21 @@ class Warehouse:
             shutil.rmtree(final)
         os.replace(tmp, final)
 
+    def rewrite_srvid_partition(self, df: DataFrame, table: str,
+                                schema: Optional[T.StructType],
+                                srvid: int) -> None:
+        """Replace one srvid partition with ``df`` where ``df`` is derived
+        from the partition being replaced: stage-then-swap via a scratch
+        table (a direct overwrite would clobber its own input mid-read).
+        Stays distributed — no driver collect."""
+        scratch = f"{table}__rewrite"
+        self.overwrite(df, scratch)
+        staged = self.read(scratch, schema)
+        self.drop_srvid(table, srvid)
+        if staged.limit(1).count() > 0:
+            self.append(staged, table, partition_by=["srvid"])
+        self.drop_table(scratch)
+
     def drop_table(self, table: str) -> None:
         p = self.path(table)
         if os.path.isdir(p):

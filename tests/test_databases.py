@@ -1,0 +1,87 @@
+"""Databases dimension lifecycle (powa_databases_snapshot/purge) and
+small-file compaction maintenance.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from powa_archivist_spark.operators import databases as dbs
+from powa_archivist_spark.operators import dictionary, maintenance
+from powa_archivist_spark.storage import Warehouse
+
+from .conftest import ts
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(rows, "oid long, datname string")
+
+
+def test_databases_new_rename_drop_cycle(spark, wh):
+    dbs.databases_snapshot(wh, 1, _feed(spark, [(10, "app"), (11, "staging")]),
+                           now=ts(0))
+    got = {r.oid: (r.datname, r.dropped) for r in dbs.read_databases(wh, 1).collect()}
+    assert got == {10: ("app", None), 11: ("staging", None)}
+
+    # rename 11, drop 10, add 12 — one reconciliation pass
+    dbs.databases_snapshot(
+        wh, 1, _feed(spark, [(11, "staging_v2"), (12, "new_db")]), now=ts(5)
+    )
+    all_rows = {
+        r.oid: (r.datname, r.dropped)
+        for r in dbs.read_databases(wh, 1, include_dropped=True).collect()
+    }
+    assert all_rows[11][0] == "staging_v2"
+    assert all_rows[12] == ("new_db", None)
+    assert all_rows[10][0] == "app" and all_rows[10][1] is not None
+    # P3: dropped dbs excluded from the default feed
+    assert {r.oid for r in dbs.read_databases(wh, 1).collect()} == {11, 12}
+    # dropped stamp is written once, not refreshed on later passes
+    dbs.databases_snapshot(wh, 1, _feed(spark, [(11, "staging_v2"), (12, "new_db")]),
+                           now=ts(10))
+    again = {
+        r.oid: r.dropped
+        for r in dbs.read_databases(wh, 1, include_dropped=True).collect()
+    }
+    assert again[10] == all_rows[10][1]
+
+
+def test_databases_purge_cascades_to_dictionary(spark, wh):
+    dbs.databases_snapshot(wh, 1, _feed(spark, [(10, "app"), (11, "keep")]),
+                           now=ts(0))
+    # statements dictionary rows for both dbs
+    cap = spark.createDataFrame(
+        [(100, 10, 5, "SELECT a", ts(0)), (200, 11, 5, "SELECT b", ts(0))],
+        "queryid long, dbid long, userid long, query string, ts timestamp",
+    )
+    dictionary.merge_statements(wh, 1, cap, now=ts(0))
+    assert dictionary.read_statements(wh, 1).count() == 2
+
+    # db 10 disappears; grace = 1.2 x retention not yet elapsed -> kept
+    dbs.databases_snapshot(wh, 1, _feed(spark, [(11, "keep")]), now=ts(5))
+    retention = dt.timedelta(hours=1)
+    assert dbs.purge_databases(wh, 1, retention, now=ts(30)) == 0
+
+    late = ts(5) + dt.timedelta(hours=2)  # > 1.2 * 1h after the drop
+    assert dbs.purge_databases(wh, 1, retention, now=late) == 1
+    left = {r.oid for r in dbs.read_databases(wh, 1, include_dropped=True).collect()}
+    assert left == {11}
+    # cascade: db 10's dictionary entries removed, db 11's kept
+    remaining = dictionary.read_statements(wh, 1).collect()
+    assert [(r.queryid, r.dbid) for r in remaining] == [(200, 11)]
+
+
+def test_compaction_reduces_files(spark, wh):
+    for i in range(8):
+        df = spark.createDataFrame(
+            [(1, ts(i), i)], "srvid int, ts timestamp, v long"
+        )
+        wh.append(df, "metrics", partition_by=["srvid"])
+    before, after = maintenance.compact(wh, "metrics", 1)
+    assert before == 8 and after == 1
+    out = wh.read("metrics").filter(F.col("srvid") == 1)
+    assert out.count() == 8  # data intact
+    # idempotent: second pass is a no-op
+    assert maintenance.compact(wh, "metrics", 1) == (1, 1)
