@@ -141,9 +141,15 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata extraction through the Arrow/mapInPandas
-    seam; the deterministic fake decode keeps it oracle-checkable."""
+    seam; the deterministic fake decode keeps it oracle-checkable.
+
+    The decode stage is CPU-bound Python — repartition the (single-file)
+    input so every core gets a batch; at scale the landing table is
+    already many files and this is a no-op choice."""
     docs = multimodal.with_payload(t(spark, sf_dir, "documents"))
-    return multimodal.extract_meta(docs)
+    return multimodal.extract_meta(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 ORACLE_MULTIMODAL_META = """
@@ -162,7 +168,9 @@ FROM documents
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: multi-row-per-payload mapInPandas expansion."""
     docs = multimodal.with_payload(t(spark, sf_dir, "documents"))
-    return multimodal.sample_frames(docs)
+    return multimodal.sample_frames(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 ORACLE_MULTIMODAL_FRAMES = """

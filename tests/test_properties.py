@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis): the packing roundtrip, diff/rate
+arithmetic, and the two jaccard code paths are validated against
+Python-computed ground truth on generated inputs.
+
+max_examples is kept small — every example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from itertools import combinations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from powa_archivist_spark.functions.diff_rate import with_rate
+from powa_archivist_spark.functions.packing import pack, unpack
+from powa_archivist_spark.pipeline import dedup
+from powa_archivist_spark.queries import EVENTS_SPEC
+
+BASE = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),        # user_id (entity)
+        st.integers(min_value=0, max_value=10_000),   # ts offset seconds
+        st.integers(min_value=0, max_value=10**9),    # event_id
+        st.integers(min_value=-10**6, max_value=10**6),  # value_cents
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: (r[0], r[1]),  # one sample per (entity, ts)
+)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _series_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (0, uid, BASE + dt.timedelta(seconds=off), eid, vc)
+            for uid, off, eid, vc in rows
+        ],
+        "srvid int, user_id long, ts timestamp, event_id long, value_cents long",
+    )
+
+
+@given(rows=series_strategy)
+@SLOW
+def test_pack_unpack_roundtrip(spark, rows):
+    df = _series_df(spark, rows)
+    packed = pack(df, EVENTS_SPEC)
+    back = unpack(packed, EVENTS_SPEC)
+    got = {
+        (r.user_id, r.ts, r.event_id, r.value_cents) for r in back.collect()
+    }
+    want = {
+        (uid, (BASE + dt.timedelta(seconds=off)).replace(tzinfo=None), eid, vc)
+        for uid, off, eid, vc in rows
+    }
+    # session TZ is UTC; collected naive timestamps are UTC wall-clock
+    assert got == want
+    # sketches: per-entity min/max of every counter + inclusive bounds
+    for p in packed.collect():
+        ent = [r for r in rows if r[0] == p.user_id]
+        assert p.mins_in_range.value_cents == min(r[3] for r in ent)
+        assert p.maxs_in_range.value_cents == max(r[3] for r in ent)
+        assert p.mins_in_range.event_id == min(r[2] for r in ent)
+        offs = [r[1] for r in ent]
+        assert p.range_start.replace(tzinfo=None) == (
+            BASE + dt.timedelta(seconds=min(offs))
+        ).replace(tzinfo=None)
+        assert len(p.records) == len(ent)
+        # ts-ordered records (Postgres relies on insertion order; we sort)
+        rts = [r.ts for r in p.records]
+        assert rts == sorted(rts)
+
+
+@given(rows=series_strategy)
+@SLOW
+def test_rate_matches_manual(spark, rows):
+    df = _series_df(spark, rows)
+    out = with_rate(df, EVENTS_SPEC).filter(F.col("sec").isNotNull()).collect()
+    got = {
+        (r.user_id, r.ts): (r.sec, r.value_cents_per_sec) for r in out
+    }
+    per_entity: dict[int, list] = {}
+    for uid, off, eid, vc in rows:
+        per_entity.setdefault(uid, []).append((off, eid, vc))
+    want = {}
+    for uid, samples in per_entity.items():
+        samples.sort()
+        for (o1, _e1, v1), (o2, _e2, v2) in zip(samples, samples[1:]):
+            sec = o2 - o1
+            clamped = max(sec, 1)
+            ts2 = (BASE + dt.timedelta(seconds=o2)).replace(tzinfo=None)
+            want[(uid, ts2)] = (sec, (v2 - v1) / clamped)
+    assert set(got) == set(want)
+    for k, (sec, rate) in want.items():
+        assert got[k][0] == sec
+        assert got[k][1] == pytest.approx(rate, abs=1e-12)
+
+
+doc_strategy = st.lists(
+    st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]),  # 12-token vocab
+        min_size=1,
+        max_size=10,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(token_lists=doc_strategy,
+       threshold=st.sampled_from([0.3, 0.5, 0.8]))
+@SLOW
+def test_jaccard_bitmask_matches_ground_truth(spark, token_lists, threshold):
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a_id, r.b_id): (r.inter_size, r.union_size)
+        for r in dedup.jaccard_pairs(docs, threshold=threshold).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(token_lists)}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter / union >= threshold:
+            want[(a, b)] = (inter, union)
+    assert got == want
