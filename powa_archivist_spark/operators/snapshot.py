@@ -40,12 +40,20 @@ def snapshot(
     srvid: int,
     capture: DataFrame | None = None,
     drop_staging: bool = True,
+    idempotent: bool = True,
 ) -> int:
     """Run one snapshot pass for ``spec`` on server ``srvid``.
 
     ``capture`` defaults to the staging table filtered to srvid (the remote
     path); a local datasource can pass its own source DataFrame (the
     version-shimmed reader, sources/readers.py).
+
+    ``idempotent``: replaying a staging batch must not double-count.  The
+    reference gets this by truncating staging inside the same transaction
+    (powa--5.2.0.sql:4102-4104); without that atomicity, appends are keyed
+    by snapshot timestamp — capture rows whose ts already exists in the
+    server's current partition are skipped (the anti-join reads only the
+    small between-coalesce current slice).
 
     Returns the number of captured rows (the reference's ``final`` count,
     powa--5.2.0.sql:4095-4100).
@@ -59,7 +67,16 @@ def snapshot(
         *spec.key_names,
         "ts",
         *spec.counter_names,
-    ).cache()
+    )
+    if idempotent and wh.exists(Warehouse.current(spec.name)):
+        seen_ts = (
+            wh.read(Warehouse.current(spec.name), spec.current_schema)
+            .filter(F.col("srvid") == srvid)
+            .select("ts")
+            .distinct()
+        )
+        capture = capture.join(F.broadcast(seen_ts), "ts", "left_anti")
+    capture = capture.cache()
     try:
         n = capture.count()
         if n > 0:

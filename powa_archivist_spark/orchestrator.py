@@ -28,7 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators import dictionary
+from .operators import databases, dictionary
 from .operators.aggregate import aggregate
 from .operators.purge import DEFAULT_RETENTION, purge, reset
 from .operators.snapshot import snapshot
@@ -145,6 +145,16 @@ class Orchestrator:
         meta["snapts"] = now
         errors: list[str] = []
 
+        # databases dimension runs first (priority -3,
+        # powa--5.2.0.sql:170-173) so P3/J1 joins see a fresh dimension
+        if "databases" in captures:
+            try:
+                databases.databases_snapshot(
+                    self.wh, srvid, captures["databases"], now=now
+                )
+            except Exception as e:
+                errors.append(f"powa_databases_snapshot: {e}")
+
         order = self._dispatch_order(server)
         for spec in order:
             try:
@@ -185,6 +195,13 @@ class Orchestrator:
                 )
             except Exception as e:
                 errors.append(f"powa_statements_dict_purge: {e}")
+            try:
+                if self.wh.exists(databases.TABLE):
+                    databases.purge_databases(
+                        self.wh, srvid, server.retention, now=now
+                    )
+            except Exception as e:
+                errors.append(f"powa_databases_purge: {e}")
             meta["purgets"] = now
 
         meta["errors"] = errors
@@ -196,6 +213,7 @@ class Orchestrator:
         for spec in self._dispatch_order(server):
             reset(self.wh, spec, server.srvid)
         self.wh.drop_srvid(dictionary.TABLE, server.srvid)
+        self.wh.drop_srvid(databases.TABLE, server.srvid)
         meta = self.read_metas(server.srvid)
         meta.update({"coalesce_seq": 0, "errors": []})
         self._write_metas(meta)

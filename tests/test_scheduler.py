@@ -1,0 +1,86 @@
+"""Scheduler drift-freedom, snapshot replay idempotency, and the
+orchestrator's databases integration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from powa_archivist_spark.operators import databases as dbs
+from powa_archivist_spark.operators.snapshot import snapshot
+from powa_archivist_spark.orchestrator import Orchestrator, ServerConfig
+from powa_archivist_spark.scheduler import run_loop
+from powa_archivist_spark.specs import PG_STAT_BGWRITER
+from powa_archivist_spark.storage import Warehouse
+
+from .conftest import ts
+
+SPEC = PG_STAT_BGWRITER
+
+
+class FakeClock:
+    """Clock advanced by sleep() AND by simulated work inside passes."""
+
+    def __init__(self):
+        self.t = 1000.0
+
+    def __call__(self):
+        return self.t
+
+    def sleep(self, s):
+        self.t += s
+
+
+def test_drift_free_schedule(spark, wh):
+    orch = Orchestrator(wh, specs={SPEC.name: SPEC})
+    server = ServerConfig(srvid=0, frequency_s=10)
+    clock = FakeClock()
+    calls = []
+
+    real_take = orch.take_snapshot
+
+    def slow_take(*a, **k):
+        calls.append(clock.t)
+        clock.t += 13.0 if len(calls) == 2 else 2.0  # pass 2 overruns
+        return real_take(*a, **k)
+
+    orch.take_snapshot = slow_take
+    starts = run_loop(orch, server, max_passes=4, clock=clock,
+                      sleep=clock.sleep)
+    # scheduled grid stays at exact multiples of the frequency: the
+    # 13s overrun of pass 2 does not shift passes 3/4
+    assert starts == [1000.0, 1010.0, 1020.0, 1030.0]
+    # pass 3 started late (23s into its slot -> immediately), pass 4 on time
+    assert calls[2] > 1020.0 and calls[3] == 1030.0
+
+
+def test_snapshot_replay_is_idempotent(spark, wh):
+    cap = spark.createDataFrame(
+        [(0, ts(0), 110, 50, 105, 10, 200)], SPEC.staging_schema
+    )
+    assert snapshot(wh, SPEC, 0, capture=cap) == 1
+    # replaying the SAME batch (same ts) appends nothing
+    assert snapshot(wh, SPEC, 0, capture=cap) == 0
+    assert wh.read(Warehouse.current(SPEC.name)).count() == 1
+    # a new ts still lands
+    cap2 = spark.createDataFrame(
+        [(0, ts(5), 120, 55, 110, 12, 220)], SPEC.staging_schema
+    )
+    assert snapshot(wh, SPEC, 0, capture=cap2) == 1
+    assert wh.read(Warehouse.current(SPEC.name)).count() == 2
+
+
+def test_orchestrator_runs_databases_first_and_purges(spark, wh):
+    orch = Orchestrator(wh, specs={SPEC.name: SPEC})
+    server = ServerConfig(srvid=1, powa_coalesce=5)
+    feed = spark.createDataFrame([(10, "app")], "oid long, datname string")
+    cap = spark.createDataFrame(
+        [(1, ts(0), 110, 50, 105, 10, 200)], SPEC.staging_schema
+    )
+    errs = orch.take_snapshot(
+        server, captures={"databases": feed, SPEC.name: cap}, now=ts(0)
+    )
+    assert errs == 0
+    assert {r.oid for r in dbs.read_databases(wh, 1).collect()} == {10}
+    # reset clears the dimension too
+    orch.reset_server(server)
+    assert wh.read(dbs.TABLE, dbs.SCHEMA).count() == 0
