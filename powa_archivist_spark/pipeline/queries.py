@@ -132,6 +132,20 @@ WHERE CAST(list_sum(list_transform(list_zip(a.v, b.v),
 """
 
 
+def emb_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked numpy-matmul variant — identical output, the scale path."""
+    return similarity.embedding_near_dup_pairs_blocked(
+        t(spark, sf_dir, "embeddings"), min_dot_q=MIN_DOT_Q
+    )
+
+
+def knn_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact kNN (per-block local top-k, tiny final rank)."""
+    return similarity.knn_bruteforce_blocked(
+        t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
 def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (rows-only; recall vs brute force pytest-verified)."""
     return similarity.knn_ivf(
@@ -263,6 +277,8 @@ PIPELINE_QUERIES = {
     "knn_cosine_lsh": (knn_cosine_lsh, None),
     "knn_ivf_topk": (knn_ivf_topk, None),
     "emb_near_dup": (emb_near_dup, ORACLE_EMB_NEAR_DUP),
+    "emb_near_dup_blocked": (emb_near_dup_blocked, ORACLE_EMB_NEAR_DUP),
+    "knn_cosine_blocked": (knn_cosine_blocked, ORACLE_KNN),
     "multimodal_meta": (multimodal_meta, ORACLE_MULTIMODAL_META),
     "multimodal_frames": (multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "text_quality": (text_quality, ORACLE_TEXT_QUALITY),

@@ -152,6 +152,109 @@ def knn_ivf(
     )
 
 
+def _quantize_np(vec_series):
+    """pandas Series of float arrays -> exact int64 matrix (same grid as
+    :func:`quantized`; numpy and the JVM round identically here because
+    inputs are float32-exact and the scale is a power of 10)."""
+    import numpy as np
+
+    m = np.stack(vec_series.to_numpy()).astype("float64")
+    # match Spark's ROUND (HALF_UP): rint is half-even, so shift by copysign
+    return np.floor(np.abs(m) * QUANT + 0.5).astype("int64") * np.sign(m).astype("int64")
+
+
+def embedding_near_dup_pairs_blocked(
+    emb: DataFrame,
+    min_dot_q: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocked-matmul variant of :func:`embedding_near_dup_pairs`:
+    the corpus matrix is broadcast once; each partition multiplies its
+    BLOCK against the whole corpus with one int64 numpy matmul
+    (Arrow-batched mapInPandas) — identical results, ~an order of
+    magnitude faster than per-pair array expressions, and the shape that
+    scales: blocks stream, the broadcast is one corpus-sized buffer."""
+    import numpy as np
+    import pandas as pd
+
+    corpus = emb.select(id_col, vec_col).toPandas()
+    c_ids = corpus[id_col].to_numpy().astype("int64")
+    c_mat = _quantize_np(corpus[vec_col])
+    bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat))
+
+    def fn(batches):
+        ids_c, Vc = bc.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy().astype("int64")
+            A = _quantize_np(pdf[vec_col])
+            D = A @ Vc.T
+            ai, ci = np.where(D >= min_dot_q)
+            l_id, r_id = a_ids[ai], ids_c[ci]
+            keep = l_id < r_id
+            yield pd.DataFrame(
+                {
+                    "a_id": l_id[keep],
+                    "b_id": r_id[keep],
+                    "dot_q": D[ai[keep], ci[keep]],
+                }
+            )
+
+    blocks = emb.select(id_col, vec_col).repartition(
+        emb.sparkSession.sparkContext.defaultParallelism
+    )
+    return blocks.mapInPandas(fn, "a_id long, b_id long, dot_q long")
+
+
+def knn_bruteforce_blocked(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocked exact kNN: queries broadcast, each corpus block emits its
+    LOCAL top-k per query (argpartition), the final window ranks only
+    queries x k x blocks rows.  Same results as :func:`knn_bruteforce`."""
+    import numpy as np
+    import pandas as pd
+
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).toPandas()
+    q_ids = q[id_col].to_numpy().astype("int64")
+    q_mat = _quantize_np(q[vec_col])
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    def fn(batches):
+        ids_q, Q = bc.value
+        for pdf in batches:
+            n_ids = pdf[id_col].to_numpy().astype("int64")
+            V = _quantize_np(pdf[vec_col])
+            D = Q @ V.T  # queries x block
+            out = {"query_id": [], "neighbor_id": [], "dot_q": []}
+            for qi in range(len(ids_q)):
+                d = D[qi]
+                mask = n_ids != ids_q[qi]
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                top = idx[np.argsort(-d[idx], kind="stable")[:k]]
+                out["query_id"].extend([ids_q[qi]] * len(top))
+                out["neighbor_id"].extend(n_ids[top])
+                out["dot_q"].extend(d[top])
+            yield pd.DataFrame(out)
+
+    blocks = emb.select(id_col, vec_col).repartition(
+        emb.sparkSession.sparkContext.defaultParallelism
+    )
+    local = blocks.mapInPandas(fn, "query_id long, neighbor_id long, dot_q long")
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
 def lsh_bucket(vec, planes: list[list[float]]):
     """Sign-of-projection bucket id for a list of hyperplanes."""
     bucket = F.lit(0).cast("long")

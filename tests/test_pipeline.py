@@ -186,6 +186,34 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs[(0, 4)] == similarity.QUANT * similarity.QUANT
 
 
+def test_blocked_similarity_matches_expression_path(spark):
+    """The numpy block-matmul operators must produce bitwise-identical
+    results to the Catalyst expression versions (same quantization grid,
+    half-away-from-zero rounding)."""
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    thr = 100_000_000_000
+    hof = {
+        (r.a_id, r.b_id): r.dot_q
+        for r in similarity.embedding_near_dup_pairs(emb, thr).collect()
+    }
+    blk = {
+        (r.a_id, r.b_id): r.dot_q
+        for r in similarity.embedding_near_dup_pairs_blocked(emb, thr).collect()
+    }
+    assert hof == blk and len(hof) > 0
+    k1 = {(r.query_id, r.rank): (r.neighbor_id, r.dot_q)
+          for r in similarity.knn_bruteforce(emb, [0, 1], k=5).collect()}
+    k2 = {(r.query_id, r.rank): (r.neighbor_id, r.dot_q)
+          for r in similarity.knn_bruteforce_blocked(emb, [0, 1], k=5).collect()}
+    assert k1 == k2
+
+
 def test_multimodal_meta_and_frames(spark):
     from powa_archivist_spark.pipeline import multimodal
 
