@@ -91,6 +91,23 @@ def _overwrite_srvid_partition(wh: Warehouse, df: DataFrame, srvid: int) -> None
     wh.rewrite_srvid_partition(df, TABLE, SCHEMA, srvid)
 
 
+def gate_to_statements(wh: Warehouse, srvid: int, df: DataFrame) -> DataFrame:
+    """J2: keep only rows whose (queryid, dbid, userid) exists in the
+    statements dictionary (``WHERE EXISTS``, powa--5.2.0.sql:7119-7124) —
+    qualstats-like sources must not reference unknown statements.
+
+    The dictionary is the engine's most-broadcast dimension; the semi
+    join never shuffles the fact side."""
+    if not wh.exists(TABLE):
+        return df.limit(0)
+    dic = (
+        wh.read(TABLE, SCHEMA)
+        .filter(F.col("srvid") == srvid)
+        .select("queryid", "dbid", "userid")
+    )
+    return df.join(F.broadcast(dic), ["queryid", "dbid", "userid"], "left_semi")
+
+
 def read_statements(wh: Warehouse, srvid: int | None = None) -> DataFrame:
     df = wh.read(TABLE, SCHEMA)
     if srvid is not None:

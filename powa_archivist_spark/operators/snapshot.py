@@ -68,6 +68,10 @@ def snapshot(
         "ts",
         *spec.counter_names,
     )
+    if spec.requires_statements:
+        from . import dictionary
+
+        capture = dictionary.gate_to_statements(wh, srvid, capture)
     if idempotent and wh.exists(Warehouse.current(spec.name)):
         seen_ts = (
             wh.read(Warehouse.current(spec.name), spec.current_schema)

@@ -29,6 +29,13 @@ def get_spark(app_name: str = "powa_archivist_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # long sessions run hundreds of generated-code classes; the JVM
+        # default 240m code cache silently flush-thrashes once full and
+        # expression-heavy queries degrade 10-30x late in a session
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # testdata events.parquet carries TIMESTAMP(NANOS) — read as long,

@@ -118,6 +118,9 @@ class DatasourceSpec:
     # name of the key column holding the database oid (for db_rollup)
     dbid_col: str = "dbid"
     external: bool = False  # handwritten, not fully generic
+    # gate capture rows to (queryid, dbid, userid) triples present in the
+    # statements dictionary (J2 semi-join, powa--5.2.0.sql:7119-7124)
+    requires_statements: bool = False
 
     # ---- derived schemas -------------------------------------------------
 
@@ -569,6 +572,7 @@ QUALSTATS_SPEC = DatasourceSpec(
     kind="extension",
     priority=10,
     external=True,
+    requires_statements=True,
     keys=(Key("qualid", "oid"), Key("queryid", "oid"), Key("dbid", "oid"),
           Key("userid", "oid")),
     counters=(

@@ -69,6 +69,30 @@ def test_snapshot_replay_is_idempotent(spark, wh):
     assert wh.read(Warehouse.current(SPEC.name)).count() == 2
 
 
+def test_qualstats_gated_to_known_statements(spark, wh):
+    """J2: qualstats rows referencing unknown statements are dropped
+    (mirrors 02_remote_api.sql's missing-FK tolerance)."""
+    from powa_archivist_spark.operators import dictionary
+    from powa_archivist_spark.specs import QUALSTATS_SPEC as QUALSTATS
+
+    cap = spark.createDataFrame(
+        [(100, 10, 5, "SELECT a", ts(0))],
+        "queryid long, dbid long, userid long, query string, ts timestamp",
+    )
+    dictionary.merge_statements(wh, 1, cap, now=ts(0))
+
+    rows = [
+        # (srvid, ts, qualid, queryid, dbid, userid, counters...)
+        (1, ts(0), 7, 100, 10, 5, 4, 10, 2, 1.0, 1.0),   # known statement
+        (1, ts(0), 8, 999, 10, 5, 4, 10, 2, 1.0, 1.0),   # unknown queryid
+    ]
+    staged = spark.createDataFrame(rows, QUALSTATS.staging_schema)
+    n = snapshot(wh, QUALSTATS, 1, capture=staged)
+    assert n == 1
+    kept = wh.read(Warehouse.current(QUALSTATS.name)).collect()
+    assert [r.qualid for r in kept] == [7]
+
+
 def test_orchestrator_runs_databases_first_and_purges(spark, wh):
     orch = Orchestrator(wh, specs={SPEC.name: SPEC})
     server = ServerConfig(srvid=1, powa_coalesce=5)
