@@ -507,6 +507,44 @@ GROUP BY lang
 """
 
 
+SPLIT_TS = "2024-01-15 00:00:00"
+
+
+def events_history_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical read path end-to-end (powa_stat_get_activity +
+    the `/` operator, powa--5.2.0.sql:7765-7792 + 1176-1223): events
+    before SPLIT_TS are coalesce-packed (history), the rest stay flat
+    (current); the reader unions current with the unpacked history slice
+    and derives per-entity rates.  Packing is lossless, so the output
+    must equal rates computed directly over the raw series — which is
+    exactly what the SQL oracle does."""
+    series = _events_as_series(spark, sf_dir)
+    cut = F.lit(SPLIT_TS).cast("timestamp")
+    packed = pack(series.filter(F.col("ts") < cut), EVENTS_SPEC)
+    current = series.filter(F.col("ts") >= cut)
+    lo = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    hist_slice = unpack(packed, EVENTS_SPEC, lo, hi)
+    full = current.select(
+        "srvid", "user_id", "ts", "event_id", "value_cents"
+    ).unionByName(
+        hist_slice.select("srvid", "user_id", "ts", "event_id", "value_cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    delta = F.col("value_cents") - F.lag("value_cents").over(w)
+    sec = epoch - F.lag(epoch).over(w)
+    clamped = F.when(sec < 1.0, F.lit(1.0)).otherwise(sec)
+    return full.select(
+        "user_id",
+        "event_id",
+        "ts",
+        delta.alias("delta_cents"),
+        sec.alias("sec"),
+        (delta.cast("double") / 100 / clamped).alias("rate_per_sec"),
+    ).filter(F.col("sec").isNotNull())
+
+
 def events_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `-` diff operator (§2.8, powa--5.2.0.sql:1139-1173): per-entity
     lag deltas + the covered interval in seconds."""
@@ -925,4 +963,5 @@ CORE_QUERIES = {
     "lineitem_xor_case": (lineitem_xor_case, ORACLE_XOR_CASE),
     "events_two_level_rollup": (events_two_level_rollup, ORACLE_TWO_LEVEL),
     "constvalues_topk": (constvalues_topk, ORACLE_CONSTVALUES_TOPK),
+    "events_history_rates": (events_history_rates, ORACLE_EVENTS_RATE),
 }
