@@ -933,6 +933,88 @@ GROUP BY qualid
 """
 
 
+def price_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: CROSS JOIN against a 1-row global aggregate (the bgwriter pg17
+    shim pattern, powa--5.2.0.sql:4639-4645) — every row compared to a
+    corpus-wide statistic without a self-join."""
+    li = t(spark, sf_dir, "lineitem")
+    # exact integer comparison (price*n > 2*sum), never a double average:
+    # double reductions are summation-order-dependent across engines
+    stat = li.agg(
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        li.crossJoin(F.broadcast(stat))
+        .filter(
+            2 * cents(F.col("l_extendedprice")) * F.col("n")
+            > 3 * F.col("sum_cents")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            cents(F.col("l_extendedprice")).alias("price_cents"),
+        )
+    )
+
+
+ORACLE_ABOVE_AVG = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem
+CROSS JOIN (SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                   COUNT(*) AS n
+            FROM lineitem) s
+WHERE 2 * CAST(round(l_extendedprice * 100) AS BIGINT) * n > 3 * sum_cents
+"""
+
+
+def union_dictionary_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 + P4: join facts against a deduped UNION of two dictionaries
+    (the qualstats statement-dictionary union join,
+    powa--5.2.0.sql:7070-7080), with a prefix-exclusion filter on the
+    dictionary side (the toast-schema LIKE filter, powa--5.2.0.sql:353)."""
+    recent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    building = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    dic = recent.union(building).distinct()
+    cust = t(spark, sf_dir, "customer").filter(
+        ~F.col("c_name").startswith("Customer#00000001")
+    )
+    return (
+        cust.join(F.broadcast(dic), cust.c_custkey == dic.custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents(F.col("c_acctbal"))).alias("sum_acctbal_cents"),
+        )
+    )
+
+
+ORACLE_UNION_DICT = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS sum_acctbal_cents
+FROM customer
+JOIN (SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      UNION
+      SELECT c_custkey AS custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING') d
+  ON c_custkey = d.custkey
+WHERE c_name NOT LIKE 'Customer#00000001%'
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -964,4 +1046,6 @@ CORE_QUERIES = {
     "events_two_level_rollup": (events_two_level_rollup, ORACLE_TWO_LEVEL),
     "constvalues_topk": (constvalues_topk, ORACLE_CONSTVALUES_TOPK),
     "events_history_rates": (events_history_rates, ORACLE_EVENTS_RATE),
+    "price_above_global_avg": (price_above_global_avg, ORACLE_ABOVE_AVG),
+    "union_dictionary_join": (union_dictionary_join, ORACLE_UNION_DICT),
 }
