@@ -117,16 +117,25 @@ def read_staging(
     server_version: int | None = None,
     source: VersionedSource | None = None,
 ) -> DataFrame:
-    """Full source path: staging read -> optional versioned column-map
-    resolution -> schema shim -> srvid filter."""
+    """Full source path: RAW staging read (data lands in the source
+    version's column layout) -> optional versioned column-map resolution
+    -> schema shim -> srvid filter."""
     from ..storage import Warehouse
 
-    df = wh.read(Warehouse.src_tmp(spec.name), spec.staging_schema)
+    table = Warehouse.src_tmp(spec.name)
+    if not wh.exists(table):
+        return wh.read(table, spec.staging_schema)  # empty, target schema
+    df = wh.read(table)  # raw: columns are whatever the source version wrote
     if source is not None and server_version is not None:
         colmap = resolve_versioned(source, server_version)
         if isinstance(colmap, dict):
+            present = set(df.columns)
             df = df.select(
-                *[F.col(src).alias(dst) for dst, src in colmap.items()]
+                *[
+                    F.col(src).alias(dst)
+                    for dst, src in colmap.items()
+                    if src in present
+                ]
             )
     return shim_to_schema(df, spec.staging_schema).filter(
         F.col("srvid") == srvid

@@ -69,6 +69,39 @@ def test_statements_filters(spark):
     assert {r.id for r in out.collect()} == {1}  # only the real statement
 
 
+def test_read_staging_versioned_full_path(spark, wh):
+    """staging parquet -> versioned column-map resolution -> schema shim
+    -> srvid filter, end to end."""
+    from powa_archivist_spark.sources.readers import read_staging
+    from powa_archivist_spark.storage import Warehouse
+
+    # stage rows under OLD column names (renamed across source versions)
+    staged = spark.createDataFrame(
+        [(1, ts(0), 10, 5), (2, ts(0), 20, 6)],
+        "srvid int, ts timestamp, buf_clean long, maxwritten long",
+    )
+    wh.append(staged, Warehouse.src_tmp(PG_STAT_BGWRITER.name),
+              partition_by=["srvid"])
+
+    src = (
+        VersionedSource("pg_stat_bgwriter")
+        # v17+: native names; v<17 staged under legacy names
+        .add(170000, None)
+        .add(0, {
+            "srvid": "srvid", "ts": "ts",
+            "buffers_clean": "buf_clean",
+            "maxwritten_clean": "maxwritten",
+        })
+    )
+    out = read_staging(wh, PG_STAT_BGWRITER, srvid=1,
+                       server_version=160002, source=src)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.buffers_clean == 10 and r.maxwritten_clean == 5
+    assert r.buffers_alloc == 0  # shimmed counter default
+
+
 CAT_SCHEMA = "srvid int, dbid long, oid long, relname string"
 
 
