@@ -1015,6 +1015,77 @@ GROUP BY c_mktsegment
 """
 
 
+def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a fact-dimension join (TPC-H Q12
+    shape): per returnflag, split line counts by order priority class."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_PRIORITY_LINES = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-of-aggregates (TPC-H Q14 shape): promo revenue share as one
+    exact-int division (deterministic double from exact operands)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).alias(
+            "promo_rev_c4"
+        ),
+        F.sum(rev).alias("total_rev_c4"),
+    )
+    return agg.select(
+        "promo_rev_c4",
+        "total_rev_c4",
+        (
+            100.0 * F.col("promo_rev_c4").cast("double")
+            / F.col("total_rev_c4")
+        ).alias("promo_share_pct"),
+    )
+
+
+ORACLE_PROMO_SHARE = """
+SELECT promo_rev_c4, total_rev_c4,
+       100.0 * CAST(promo_rev_c4 AS DOUBLE) / total_rev_c4 AS promo_share_pct
+FROM (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_rev_c4,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS BIGINT) AS total_rev_c4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+) s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1048,4 +1119,6 @@ CORE_QUERIES = {
     "events_history_rates": (events_history_rates, ORACLE_EVENTS_RATE),
     "price_above_global_avg": (price_above_global_avg, ORACLE_ABOVE_AVG),
     "union_dictionary_join": (union_dictionary_join, ORACLE_UNION_DICT),
+    "priority_line_counts": (priority_line_counts, ORACLE_PRIORITY_LINES),
+    "promo_revenue_share": (promo_revenue_share, ORACLE_PROMO_SHARE),
 }

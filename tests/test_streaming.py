@@ -24,6 +24,52 @@ def _drop(spark, landing, name, rows):
     df.coalesce(1).write.mode("overwrite").parquet(os.path.join(landing, name))
 
 
+def test_windowed_counters_batch_and_stream(spark, wh):
+    """Batch and streaming forms of the windowed aggregation agree, and
+    the watermark emits only finalized windows in append mode."""
+    import datetime as dt
+
+    from powa_archivist_spark.streaming.windowed import (
+        stream_windowed_counters,
+        windowed_counters,
+    )
+
+    schema = "user_id long, ts timestamp, value_cents long"
+    rows = [
+        (1, ts(0), 100), (1, ts(3), 50),          # window [12:00, 12:10)
+        (1, ts(12), 70), (2, ts(14), 30),         # window [12:10, 12:20)
+        (1, ts(2, 30), 10),                       # LATE row for window 1
+        (2, ts(55), 5),                           # far ahead: advances WM
+    ]
+    df = spark.createDataFrame(rows, schema)
+    batch = {
+        (r.window_start.minute, r.user_id): (r.n_events, r.sum_value)
+        for r in windowed_counters(df, "10 minutes").collect()
+    }
+    # late row still lands in its event-time window in batch
+    assert batch[(0, 1)] == (3, 160)
+    assert batch[(10, 1)] == (1, 70) and batch[(10, 2)] == (1, 30)
+
+    landing = tempfile.mkdtemp(prefix="wlanding_")
+    out = tempfile.mkdtemp(prefix="wout_")
+    ckpt = tempfile.mkdtemp(prefix="wckpt_")
+    df.coalesce(1).write.mode("overwrite").parquet(landing + "/b0")
+    q = stream_windowed_counters(
+        spark, landing + "/*", spark.createDataFrame([], schema).schema,
+        ckpt, out, window_len="10 minutes", watermark="10 minutes",
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.window_start.minute, r.user_id): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    # watermark = max(ts)-10m = 12:45 -> windows ending <= 12:45 finalized;
+    # the 12:50 window stays open and is NOT emitted in append mode
+    assert got[(0, 1)] == (3, 160)
+    assert got[(10, 1)] == (1, 70) and got[(10, 2)] == (1, 30)
+    assert not any(m == 50 for m, _u in got)
+
+
 def test_stream_ingest_exactly_once(spark, wh):
     landing = tempfile.mkdtemp(prefix="landing_")
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
