@@ -1015,6 +1015,36 @@ GROUP BY c_mktsegment
 """
 
 
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (data-driven window boundaries — the
+    operator built-in windows can't express; streaming twin uses
+    applyInPandasWithState)."""
+    from .streaming.sessionize import sessionize_batch
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return sessionize_batch(ev, gap_s=1800)
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), idx AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT)
+              AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, MIN(ts) AS session_start,
+       MAX(ts) AS session_end, COUNT(*) AS n_events
+FROM idx GROUP BY user_id, session_idx
+"""
+
+
 def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation over a fact-dimension join (TPC-H Q12
     shape): per returnflag, split line counts by order priority class."""
@@ -1121,4 +1151,5 @@ CORE_QUERIES = {
     "union_dictionary_join": (union_dictionary_join, ORACLE_UNION_DICT),
     "priority_line_counts": (priority_line_counts, ORACLE_PRIORITY_LINES),
     "promo_revenue_share": (promo_revenue_share, ORACLE_PROMO_SHARE),
+    "events_sessionize": (events_sessionize, ORACLE_SESSIONIZE),
 }

@@ -1,0 +1,127 @@
+"""Gap-based sessionization — batch and custom-stateful streaming forms.
+
+Batch: per entity, a session breaks where the gap to the previous event
+exceeds ``gap_s`` — lag + running-sum window arithmetic, fully
+oracle-checkable.
+
+Streaming: the same semantics as a CUSTOM STATEFUL OPERATOR via
+``applyInPandasWithState`` — per-entity state carries the open session
+(start, last_ts, n_events) across micro-batches and checkpoint restarts;
+a session is emitted ("closed") only when a later event arrives beyond
+the gap.  This is the pattern for operators Spark's built-in windowed
+aggregations can't express (data-driven window boundaries).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+SESSION_STATE_SCHEMA = (
+    "session_start timestamp, last_ts timestamp, n_events long"
+)
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_s: int = 1800,
+    entity_col: str = "user_id",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """lag -> new-session flag -> running sum = session index -> groupBy."""
+    w = Window.partitionBy(entity_col).orderBy("ts", order_col)
+    prev = F.lag(F.col("ts").cast("double")).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts").cast("double") - prev > gap_s), 1
+    ).otherwise(0)
+    with_idx = events.withColumn(
+        "session_idx", F.sum(is_new).over(w).cast("long")
+    )
+    return with_idx.groupBy(entity_col, "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    gap_s: int = 1800,
+    entity_col: str = "user_id",
+):
+    """applyInPandasWithState sessionizer: emits CLOSED sessions; the open
+    session per entity lives in managed state across micro-batches."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = dt.timedelta(seconds=gap_s)
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        ts_list: list = []
+        for pdf in pdfs:
+            ts_list.extend(pdf["ts"].tolist())
+        ts_list.sort()
+        if state.exists:
+            start, last, n = state.get
+            cur = [start, last, int(n)]
+        else:
+            cur = None
+        closed = []
+        for ts in ts_list:
+            if cur is None:
+                cur = [ts, ts, 1]
+            elif ts - cur[1] > gap:
+                closed.append(cur)
+                cur = [ts, ts, 1]
+            else:
+                cur[1] = ts
+                cur[2] += 1
+        if cur is not None:
+            state.update((cur[0], cur[1], cur[2]))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_sessionize(
+    spark,
+    landing_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    gap_s: int = 1800,
+    available_now: bool = True,
+):
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    sessions = stateful_sessionize(stream, gap_s)
+    writer = (
+        sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .format("parquet")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -70,6 +70,58 @@ def test_windowed_counters_batch_and_stream(spark, wh):
     assert not any(m == 50 for m, _u in got)
 
 
+def test_stateful_sessionize_across_batches(spark):
+    """applyInPandasWithState: the open session survives micro-batch AND
+    restart boundaries in managed state; a later event beyond the gap
+    closes and emits it."""
+    from powa_archivist_spark.streaming.sessionize import (
+        sessionize_batch,
+        stream_sessionize,
+    )
+
+    schema = "user_id long, ts timestamp, event_id long"
+    landing = tempfile.mkdtemp(prefix="slanding_")
+    out = tempfile.mkdtemp(prefix="sout_")
+    ckpt = tempfile.mkdtemp(prefix="sckpt_")
+
+    b0 = spark.createDataFrame(
+        [(1, ts(0), 1), (1, ts(5), 2), (2, ts(0), 3)], schema
+    )
+    b0.coalesce(1).write.parquet(landing + "/b0")
+    q = stream_sessionize(spark, landing + "/*",
+                          spark.createDataFrame([], schema).schema, ckpt, out,
+                          gap_s=1800)
+    q.awaitTermination(300)
+    # nothing closed yet — all sessions still open in state
+    import os
+    closed = (
+        spark.read.parquet(out).collect()
+        if any(f.endswith(".parquet") for _, _, fs in os.walk(out) for f in fs)
+        else []
+    )
+    assert closed == []
+
+    # user 1 returns 50 min later (> 30 min gap): session 1 closes;
+    # the state was recovered from the checkpoint by a NEW query run
+    b1 = spark.createDataFrame([(1, ts(55), 4)], schema)
+    b1.coalesce(1).write.parquet(landing + "/b1")
+    q = stream_sessionize(spark, landing + "/*",
+                          spark.createDataFrame([], schema).schema, ckpt, out,
+                          gap_s=1800)
+    q.awaitTermination(300)
+    closed = spark.read.parquet(out).collect()
+    assert len(closed) == 1
+    s = closed[0]
+    assert s.user_id == 1 and s.n_events == 2
+    assert s.session_start == ts(0).replace(tzinfo=None)
+    assert s.session_end == ts(5).replace(tzinfo=None)
+
+    # batch form agrees on the full dataset
+    batch = sessionize_batch(b0.union(b1), gap_s=1800)
+    rows = {(r.user_id, r.session_idx): r.n_events for r in batch.collect()}
+    assert rows == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
 def test_stream_ingest_exactly_once(spark, wh):
     landing = tempfile.mkdtemp(prefix="landing_")
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
