@@ -1015,6 +1015,74 @@ GROUP BY c_mktsegment
 """
 
 
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery decorrelation (TPC-H Q2 shape): the cheapest
+    lineitem price per part, joined back to recover the supplier —
+    expressed as a min-aggregate + equi-join instead of a per-row
+    subquery."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        cents(F.col("l_extendedprice")).alias("price_cents"),
+    )
+    mins = li.groupBy("l_partkey").agg(F.min("price_cents").alias("min_cents"))
+    return (
+        li.join(F.broadcast(mins), "l_partkey")
+        .filter(F.col("price_cents") == F.col("min_cents"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("suppkey"),  # deterministic tie-break
+            F.min("min_cents").alias("min_price_cents"),
+        )
+    )
+
+
+ORACLE_CHEAPEST = """
+SELECT l_partkey, CAST(MIN(l_suppkey) AS BIGINT) AS suppkey,
+       MIN(min_cents) AS min_price_cents
+FROM (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents,
+         m.min_cents
+  FROM lineitem l
+  JOIN (SELECT l_partkey,
+               MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents
+        FROM lineitem GROUP BY l_partkey) m
+    ON l.l_partkey = m.l_partkey
+  WHERE CAST(round(l.l_extendedprice * 100) AS BIGINT) = m.min_cents
+) x
+GROUP BY l_partkey
+"""
+
+
+def salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 rollup computed through the salted two-phase path (skew
+    mitigation); algebraic ops make it bit-identical to a direct
+    groupBy — which is exactly what the oracle computes."""
+    from .functions.skew import salted_agg
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("value_cents")
+    )
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "value_cents"),
+            "sum_value_cents": ("sum", "value_cents"),
+            "max_value_cents": ("max", "value_cents"),
+        },
+    )
+
+
+ORACLE_SALTED = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       MAX(CAST(round(value * 100) AS BIGINT)) AS max_value_cents
+FROM events GROUP BY event_type
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (data-driven window boundaries — the
     operator built-in windows can't express; streaming twin uses
@@ -1152,4 +1220,6 @@ CORE_QUERIES = {
     "priority_line_counts": (priority_line_counts, ORACLE_PRIORITY_LINES),
     "promo_revenue_share": (promo_revenue_share, ORACLE_PROMO_SHARE),
     "events_sessionize": (events_sessionize, ORACLE_SESSIONIZE),
+    "cheapest_supplier_per_part": (cheapest_supplier_per_part, ORACLE_CHEAPEST),
+    "salted_rollup": (salted_rollup, ORACLE_SALTED),
 }
