@@ -49,6 +49,26 @@ WHERE jaccard >= 0.8
 """
 
 
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.near_dup_keep(t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+ORACLE_KEEP_LIST = """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT b.doc_id
+  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents) a
+  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents) b
+    ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+)
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No SQL oracle (xxhash64 permutations are engine-specific) — driver
     records rows-only; recall vs exact jaccard is pytest-verified."""
@@ -271,6 +291,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_QUERIES = {
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
+    "dedup_keep_list": (dedup_keep_list, ORACLE_KEEP_LIST),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
     "knn_cosine_topk": (knn_cosine_topk, ORACLE_KNN),
