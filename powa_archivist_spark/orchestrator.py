@@ -26,7 +26,7 @@ import threading
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators import databases, dictionary
 from .operators.aggregate import aggregate
@@ -89,6 +89,31 @@ class Orchestrator:
             if raw.get(k):
                 raw[k] = dt.datetime.fromisoformat(raw[k])
         return raw
+
+    def read_metas_df(self) -> DataFrame:
+        """``powa_snapshot_metas`` as a queryable DataFrame — one row per
+        srvid with the errors ledger (powa--5.2.0.sql:908-918).  powa-web
+        consumes the metas as a TABLE (last snapshot time, per-datasource
+        failures), so the JSON state files get a tabular view; the row
+        count is the number of registered servers, so a driver-side load
+        into a DataFrame is the right scale call."""
+        schema = T.StructType([
+            T.StructField("srvid", T.IntegerType(), False),
+            T.StructField("coalesce_seq", T.LongType(), True),
+            T.StructField("snapts", T.TimestampType(), True),
+            T.StructField("aggts", T.TimestampType(), True),
+            T.StructField("purgets", T.TimestampType(), True),
+            T.StructField("errors", T.ArrayType(T.StringType()), True),
+        ])
+        d = self.wh.path(METAS_DIR)
+        rows = []
+        if os.path.isdir(d):
+            for fname in sorted(os.listdir(d)):
+                if not fname.endswith(".json"):
+                    continue
+                m = self.read_metas(int(fname.split("=")[1].split(".")[0]))
+                rows.append(tuple(m[f.name] for f in schema.fields))
+        return self.wh.spark.createDataFrame(rows, schema)
 
     def _write_metas(self, meta: dict) -> None:
         out = dict(meta)
@@ -159,17 +184,10 @@ class Orchestrator:
         for spec in order:
             try:
                 cap = captures.get(spec.name)
-                n = snapshot(self.wh, spec, srvid, capture=cap)
-                if spec.name == "statements" and n > 0:
-                    src = cap
-                    if src is None:
-                        cur = self.wh.read(
-                            Warehouse.current(spec.name), spec.current_schema
-                        )
-                        src = cur.filter(
-                            (F.col("srvid") == srvid) & (F.col("ts") == F.lit(now))
-                        )
-                    dictionary.merge_statements(self.wh, srvid, src, now=now)
+                if spec.name == "statements":
+                    self._statements_snapshot(spec, srvid, cap, now)
+                else:
+                    snapshot(self.wh, spec, srvid, capture=cap)
             except Exception as e:  # per-function error trapping
                 errors.append(f"powa_{spec.name}_snapshot: {e}")
 
@@ -207,6 +225,34 @@ class Orchestrator:
         meta["errors"] = errors
         self._write_metas(meta)
         return len(errors)
+
+    def _statements_snapshot(self, spec, srvid: int, cap, now) -> int:
+        """Statements pass: ONE capture feeds both the history append and
+        the dictionary merge — the reference's wCTE reads the source once
+        and fans out (powa--5.2.0.sql:4006-4066).
+
+        On the remote path the staging slice (which carries the `query`
+        text column the history tables don't) is read BEFORE snapshot()
+        truncates the staging partition and persisted, so the merge never
+        re-reads dropped files and never re-scans the just-written
+        current table.  On a real deployment the same guarantee comes
+        from a transactional table format (staging consume + merge in one
+        txn)."""
+        from .sources.readers import read_staging
+
+        src = cap
+        persisted = False
+        if src is None:
+            src = read_staging(self.wh, spec, srvid).persist()
+            persisted = True
+        try:
+            n = snapshot(self.wh, spec, srvid, capture=src)
+            if n > 0:
+                dictionary.merge_statements(self.wh, srvid, src, now=now)
+            return n
+        finally:
+            if persisted:
+                src.unpersist()
 
     def reset_server(self, server: ServerConfig) -> None:
         """``powa_reset(srvid)`` (powa--5.2.0.sql:6359-6563)."""

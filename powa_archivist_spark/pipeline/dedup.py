@@ -50,7 +50,8 @@ def token_sets(docs: DataFrame, text_col: str = "text",
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  strategy: str = "auto") -> DataFrame:
     """Token-set Jaccard >= threshold — adaptive physical strategy.
 
     Plan choice mirrors what AQE does for joins, but at the algorithm
@@ -63,8 +64,15 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
       Prefix filtering is useless here (every token is high-frequency),
       and array intersection per pair is ~50x this cost.
     - **large vocabulary**: AllPairs/PPJoin prefix filtering (below).
-    """
+
+    ``strategy`` skips the probe job when the caller already knows the
+    corpus shape: ``"prefix"`` routes straight to the PPJoin path (no
+    driver collect at all — the right call for any real corpus),
+    ``"bitmask"`` forces the small-vocabulary encoding, ``"auto"``
+    (default) runs the bounded probe and picks."""
     toks = token_sets(docs, text_col, id_col)
+    if strategy == "prefix":
+        return _jaccard_prefix(toks, threshold, id_col)
     vocab = [
         r.tok
         for r in toks.select(F.explode("toks").alias("tok"))
@@ -72,7 +80,9 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
         .limit(64)
         .collect()
     ]
-    if len(vocab) <= 63:
+    if strategy == "bitmask" or len(vocab) <= 63:
+        if len(vocab) > 63:
+            raise ValueError("bitmask strategy needs a <=63-token vocabulary")
         return _jaccard_bitmask(toks, vocab, threshold, id_col)
     return _jaccard_prefix(toks, threshold, id_col)
 
@@ -231,12 +241,22 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_arrays(docs: DataFrame, shingle_n: int = 3,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle array) — the shared input of the signature and verify
+    stages; compute (and cache) it ONCE per dedup pass."""
+    return docs.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_perm: int = 32,
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """num_perm minhash values per doc via seeded xxhash64 over shingles.
 
@@ -247,11 +267,16 @@ def minhash_signatures(
     aggregates (map-side partial agg, narrow codegen).  The tempting
     alternative — num_perm × array_min(transform(...)) nested expressions —
     generates pathologically large Janino code (~90 s for 500 docs) and
-    would fall out of whole-stage codegen at scale."""
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    would fall out of whole-stage codegen at scale.
+
+    ``shingle_df`` lets the caller pass a (cached) :func:`shingle_arrays`
+    frame so the shingling scan is shared with the verify stage."""
+    sh_arr = (
+        shingle_df
+        if shingle_df is not None
+        else shingle_arrays(docs, shingle_n, text_col, id_col)
     )
+    sh = sh_arr.select(F.col(id_col), F.explode("sh").alias("shingle"))
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_perm)
@@ -273,6 +298,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Banded LSH: equal band-slice -> candidate pair.
 
@@ -281,7 +307,9 @@ def minhash_lsh_candidates(
     bucket cardinality, no cross join anywhere."""
     assert num_perm % bands == 0
     r = num_perm // bands
-    sig = minhash_signatures(docs, num_perm, shingle_n, text_col, id_col)
+    sig = minhash_signatures(
+        docs, num_perm, shingle_n, text_col, id_col, shingle_df=shingle_df
+    )
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -320,11 +348,19 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard (two-phase:
-    cheap candidate join, exact check only on candidates)."""
+    cheap candidate join, exact check only on candidates).
+
+    The shingle frame is computed once, cached, and shared between the
+    signature stage and the two verify sides — without the cache the
+    shingling scan (split + transform + distinct per doc) runs three
+    times and the verify joins recompute it under the shuffle.  The cache
+    is scoped to this plan's first materialization and LRU-evicted; at
+    100 TB the same role is played by materializing shingle arrays to a
+    staging table once per corpus pass."""
+    sh = shingle_arrays(docs, shingle_n, text_col, id_col).persist()
     cands = minhash_lsh_candidates(
-        docs, num_perm, bands, shingle_n, text_col, id_col
+        docs, num_perm, bands, shingle_n, text_col, id_col, shingle_df=sh
     )
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
     a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
     joined = cands.join(a, "a_id").join(b, "b_id")

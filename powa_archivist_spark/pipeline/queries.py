@@ -179,10 +179,16 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The decode stage is CPU-bound Python — repartition the (single-file)
     input so every core gets a batch; at scale the landing table is
-    already many files and this is a no-op choice."""
+    already many files and this is a no-op choice.  Only (id, payload)
+    cross the Arrow seam: shipping the text/lang/source columns through
+    Python would double the batch bytes for nothing (column pruning must
+    be applied BEFORE a python stage — Catalyst can't prune through
+    mapInPandas)."""
     docs = multimodal.with_payload(t(spark, sf_dir, "documents"))
     return multimodal.extract_meta(
-        docs.repartition(spark.sparkContext.defaultParallelism)
+        docs.select("doc_id", "payload").repartition(
+            spark.sparkContext.defaultParallelism
+        )
     )
 
 
@@ -200,10 +206,14 @@ FROM documents
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: multi-row-per-payload mapInPandas expansion."""
+    """Frame sampling: multi-row-per-payload mapInPandas expansion.
+    Same manual pruning as multimodal_meta: only (id, payload) enter
+    the python stage."""
     docs = multimodal.with_payload(t(spark, sf_dir, "documents"))
     return multimodal.sample_frames(
-        docs.repartition(spark.sparkContext.defaultParallelism)
+        docs.select("doc_id", "payload").repartition(
+            spark.sparkContext.defaultParallelism
+        )
     )
 
 

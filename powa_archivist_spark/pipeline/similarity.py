@@ -94,9 +94,13 @@ def ivf_assign(
     iterative k-means).  Returns (centroids, assignments).
 
     Assignment = argmax dot(centroid, vec) over the broadcast centroid
-    table — one pass over the corpus, no shuffle except the rank window
-    partitioned by vec.  At scale the cell id becomes a partition column
-    so a probe touches only its cells' files."""
+    table, picked with a ``max_by`` aggregation keyed on
+    ``(dot_c, -cell_id)`` — map-side combinable partial aggregation, no
+    window sort and no K-times data amplification through a shuffle (the
+    scored rows collapse to one per vector before any exchange).  Ties
+    resolve to the smallest cell id, same as the reference ordering.  At
+    scale the cell id becomes a partition column so a probe touches only
+    its cells' files."""
     cents = emb.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("cell_id"), quantized(F.col(vec_col)).alias("cv")
     )
@@ -104,11 +108,14 @@ def ivf_assign(
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         id_col, "v", "cell_id", int_dot(F.col("v"), F.col("cv")).alias("dot_c")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("dot_c"), F.asc("cell_id"))
+    best = F.max_by(
+        F.struct(F.col("cell_id"), F.col("v")),
+        F.struct(F.col("dot_c"), (-F.col("cell_id")).alias("neg_cell")),
+    ).alias("best")
     assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "cell_id", "v")
+        scored.groupBy(id_col)
+        .agg(best)
+        .select(id_col, "best.cell_id", "best.v")
     )
     return cents, assign
 
@@ -131,12 +138,29 @@ def knn_ivf(
     qc = q.crossJoin(F.broadcast(cents)).select(
         "query_id", "qv", "cell_id", int_dot(F.col("qv"), F.col("cv")).alias("dot_c")
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("dot_c"), F.asc("cell_id"))
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cell_id")
+    # top-nprobe cells per query via sort_array over a collected struct
+    # list — one groupBy, no window (same aggregation-not-window shape as
+    # ivf_assign; the list is centroid-count bounded, sorted desc by
+    # (dot_c, -cell_id) so ties resolve to the smallest cell id)
+    top_cells = qc.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("dot_c"),
+                        (-F.col("cell_id")).alias("neg_cell"),
+                        F.col("cell_id"),
+                    )
+                ),
+                asc=False,
+            ),
+            1,
+            nprobe,
+        ).alias("top")
     )
+    probes = top_cells.select(
+        "query_id", F.explode("top.cell_id").alias("cell_id")
+    ).join(F.broadcast(q), "query_id")
     cand = probes.join(
         assign.select(F.col(id_col).alias("neighbor_id"), "cell_id", "v"),
         "cell_id",
@@ -168,42 +192,81 @@ def embedding_near_dup_pairs_blocked(
     min_dot_q: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """Blocked-matmul variant of :func:`embedding_near_dup_pairs`:
-    the corpus matrix is broadcast once; each partition multiplies its
-    BLOCK against the whole corpus with one int64 numpy matmul
-    (Arrow-batched mapInPandas) — identical results, ~an order of
-    magnitude faster than per-pair array expressions, and the shape that
-    scales: blocks stream, the broadcast is one corpus-sized buffer."""
+    """Grid-blocked variant of :func:`embedding_near_dup_pairs` — the
+    shape that scales, with NO driver-side collect and NO full-corpus
+    broadcast.
+
+    Rows hash into ``B`` blocks; every unordered block pair ``(i <= j)``
+    is one grid cell.  Each row is replicated to its B cells (an explode,
+    factor B), the cells are shuffled together (``groupBy(ci, cj)``), and
+    one task multiplies the two blocks with a single int64 numpy matmul
+    (Arrow-batched applyInPandas).  A task holds at most two blocks of
+    ~N/B rows — at 100 TB pick ``B ~ sqrt(2 x cores)`` and every
+    executor stays at a bounded, tunable memory footprint while the
+    driver never sees a vector.  Each unordered pair lands in exactly one
+    cell, so results are bitwise-identical to the all-pairs baseline
+    (same quantization grid)."""
     import numpy as np
     import pandas as pd
 
-    corpus = emb.select(id_col, vec_col).toPandas()
-    c_ids = corpus[id_col].to_numpy().astype("int64")
-    c_mat = _quantize_np(corpus[vec_col])
-    bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat))
+    sc = emb.sparkSession.sparkContext
+    B = num_blocks or max(2, int(round((2 * sc.defaultParallelism) ** 0.5)))
 
-    def fn(batches):
-        ids_c, Vc = bc.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy().astype("int64")
-            A = _quantize_np(pdf[vec_col])
-            D = A @ Vc.T
-            ai, ci = np.where(D >= min_dot_q)
-            l_id, r_id = a_ids[ai], ids_c[ci]
-            keep = l_id < r_id
-            yield pd.DataFrame(
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    )
+    cells = base.select(
+        "vid",
+        "vec",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("other"),
+    ).select(
+        "vid",
+        "vec",
+        "blk",
+        F.least("blk", "other").alias("ci"),
+        F.greatest("blk", "other").alias("cj"),
+    )
+
+    def cell_fn(key, pdf):
+        ci, cj = key
+        ids = pdf["vid"].to_numpy().astype("int64")
+        M = _quantize_np(pdf["vec"])
+        if ci == cj:
+            D = M @ M.T
+            ai, bi = np.where(D >= min_dot_q)
+            keep = ids[ai] < ids[bi]
+            return pd.DataFrame(
                 {
-                    "a_id": l_id[keep],
-                    "b_id": r_id[keep],
-                    "dot_q": D[ai[keep], ci[keep]],
+                    "a_id": ids[ai[keep]],
+                    "b_id": ids[bi[keep]],
+                    "dot_q": D[ai[keep], bi[keep]],
                 }
             )
+        left = pdf["blk"].to_numpy() == ci
+        ids_l, ids_r = ids[left], ids[~left]
+        if len(ids_l) == 0 or len(ids_r) == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "dot_q": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "dot_q": "int64"}
+            )
+        D = M[left] @ M[~left].T
+        li, ri = np.where(D >= min_dot_q)
+        l_id, r_id = ids_l[li], ids_r[ri]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(l_id, r_id),
+                "b_id": np.maximum(l_id, r_id),
+                "dot_q": D[li, ri],
+            }
+        )
 
-    blocks = emb.select(id_col, vec_col).repartition(
-        emb.sparkSession.sparkContext.defaultParallelism
+    return cells.groupBy("ci", "cj").applyInPandas(
+        cell_fn, "a_id long, b_id long, dot_q long"
     )
-    return blocks.mapInPandas(fn, "a_id long, b_id long, dot_q long")
 
 
 def knn_bruteforce_blocked(
@@ -212,12 +275,26 @@ def knn_bruteforce_blocked(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    min_corpus_rows: int = 20_000,
 ) -> DataFrame:
-    """Blocked exact kNN: queries broadcast, each corpus block emits its
-    LOCAL top-k per query (argpartition), the final window ranks only
-    queries x k x blocks rows.  Same results as :func:`knn_bruteforce`."""
+    """Blocked exact kNN: queries broadcast (queries ONLY — the corpus
+    streams through executors), each corpus block emits its LOCAL top-k
+    per query, the final window ranks only queries x k x blocks rows.
+    Same results as :func:`knn_bruteforce`.
+
+    Adaptive crossover (same idea as ``dedup.jaccard_pairs``): below
+    ``min_corpus_rows`` the Python-worker + Arrow fan-out overhead of
+    mapInPandas dominates the Catalyst expression path, so small corpora
+    route to :func:`knn_bruteforce`; the probe is a bounded
+    ``limit(n).count()``.  Pass ``min_corpus_rows=0`` to force the
+    blocked kernel (tests do)."""
     import numpy as np
     import pandas as pd
+
+    if min_corpus_rows > 0:
+        probe = emb.select(id_col).limit(min_corpus_rows).count()
+        if probe < min_corpus_rows:
+            return knn_bruteforce(emb, query_ids, k, id_col, vec_col)
 
     q = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).toPandas()
     q_ids = q[id_col].to_numpy().astype("int64")
@@ -237,7 +314,12 @@ def knn_bruteforce_blocked(
                 idx = np.nonzero(mask)[0]
                 if len(idx) == 0:
                     continue
-                top = idx[np.argsort(-d[idx], kind="stable")[:k]]
+                # block-local prune must use the GLOBAL tiebreak
+                # ((-dot, neighbor_id) — lexsort keys are last-first) or
+                # ties at the local k boundary could drop the neighbor
+                # the final window would keep
+                order = np.lexsort((n_ids[idx], -d[idx]))
+                top = idx[order[:k]]
                 out["query_id"].extend([ids_q[qi]] * len(top))
                 out["neighbor_id"].extend(n_ids[top])
                 out["dot_q"].extend(d[top])

@@ -84,15 +84,32 @@ def lang_id(docs: DataFrame, text_col: str = "text",
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
     """Winnowing-style fingerprint: min/max rolling xxhash64 over word
-    shingles — a compact per-document signature for fast prefiltering."""
+    shingles — a compact per-document signature for fast prefiltering.
+
+    Plan shape: explode the shingle INDEX sequence, hash one shingle per
+    exploded row, then a single groupBy with plain MIN/MAX aggregates
+    (map-side partial agg, narrow codegen) — the same trick
+    ``dedup.minhash_signatures`` uses.  The tempting alternative — a
+    nested ``array_min(transform(sequence, slice, xxhash64))`` expression
+    per row — materializes the whole hash array twice (once per
+    ``array_min``/``array_max``) and generates codegen-hostile nested
+    loops.  Hash inputs are unchanged, so fingerprints are stable across
+    both plans."""
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0)))
-    hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)))
-    )
-    return docs.select(
+    expl = docs.select(
         F.col(id_col),
-        F.array_min(hashes).alias("fp_min"),
-        F.array_max(hashes).alias("fp_max"),
+        toks.alias("toks"),
         F.xxhash64(F.concat_ws(" ", toks)).alias("fp_full"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0)))
+        ).alias("i"),
+    )
+    h = F.xxhash64(
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("i") + 1, shingle_n))
+    )
+    return (
+        expl.select(F.col(id_col), F.col("fp_full"), h.alias("h"))
+        .groupBy(id_col, "fp_full")
+        .agg(F.min("h").alias("fp_min"), F.max("h").alias("fp_max"))
+        .select(id_col, "fp_min", "fp_max", "fp_full")
     )

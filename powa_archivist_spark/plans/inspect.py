@@ -74,3 +74,9 @@ def codegen_span_count(df: DataFrame) -> int:
 
 def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in plan_string(df)
+
+
+def window_count(df: DataFrame) -> int:
+    """Window operator nodes (each is a full shuffle + per-partition sort
+    — an aggregation-shaped rewrite is usually cheaper at scale)."""
+    return _node_count(df, "Window")

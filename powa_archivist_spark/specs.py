@@ -121,6 +121,10 @@ class DatasourceSpec:
     # gate capture rows to (queryid, dbid, userid) triples present in the
     # statements dictionary (J2 semi-join, powa--5.2.0.sql:7119-7124)
     requires_statements: bool = False
+    # staging-only columns that never reach the history tables (e.g. the
+    # statements query text, consumed by the dictionary merge —
+    # powa_statements_src_tmp has `query text`, powa--5.2.0.sql:1987)
+    staging_extra: tuple[Key, ...] = ()
 
     # ---- derived schemas -------------------------------------------------
 
@@ -142,6 +146,8 @@ class DatasourceSpec:
             ]
             + self.key_fields
             + self.counter_fields
+            + [T.StructField(k.name, k.spark_type, True)
+               for k in self.staging_extra]
         )
 
     @property
@@ -271,6 +277,7 @@ STATEMENTS = DatasourceSpec(
     external=True,
     keys=(Key("queryid", "oid"), Key("dbid", "oid"), Key("toplevel", "boolean"),
           Key("userid", "oid")),
+    staging_extra=(Key("query", "text"),),
     counters=tuple(
         _c("calls")
         + [Counter("total_exec_time", "double", rate_name="runtime")]

@@ -6,8 +6,21 @@ micro-batches (powa.c:331-505), and remote collectors fill UNLOGGED
 (powa--5.2.0.sql:1980-2022, 4102-4104).  The Spark-native seam
 (SURVEY.md §2.10): the landing zone becomes a file-stream source and
 each micro-batch runs the SAME batch snapshot transform via
-``foreachBatch`` — giving exactly-once file-level ingest (checkpointed
-source offsets) and optional late-data tolerance the reference lacks.
+``foreachBatch`` — checkpointed source offsets plus optional late-data
+tolerance the reference lacks.
+
+Delivery semantics: **at-least-once with ts-level dedup**, not
+exactly-once — ``foreachBatch`` can replay a batch after a crash, and
+the snapshot operator's idempotency anti-join skips capture rows whose
+``ts`` already appears in the server's current slice.  The guard is
+keyed on whole ts values: a replayed batch whose ts only PARTIALLY
+appended before the crash (multi-file append interrupted mid-write) is
+skipped wholesale, so rows of that timestamp that never hit disk stay
+lost.  Closing that window needs an atomic per-(srvid, ts) commit —
+write-then-rename staging of each micro-batch append, or a
+transactional table format — which plain parquet appends can't express;
+at 5-minute snapshot cadence a lost partial tick is also visible in the
+metas errors ledger on the next pass.
 
 At scale: the landing dir is object storage partitioned by arrival;
 ``maxFilesPerTrigger`` bounds batch size; the snapshot transform itself

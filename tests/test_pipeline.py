@@ -210,8 +210,59 @@ def test_blocked_similarity_matches_expression_path(spark):
     k1 = {(r.query_id, r.rank): (r.neighbor_id, r.dot_q)
           for r in similarity.knn_bruteforce(emb, [0, 1], k=5).collect()}
     k2 = {(r.query_id, r.rank): (r.neighbor_id, r.dot_q)
-          for r in similarity.knn_bruteforce_blocked(emb, [0, 1], k=5).collect()}
+          for r in similarity.knn_bruteforce_blocked(
+              emb, [0, 1], k=5, min_corpus_rows=0).collect()}
     assert k1 == k2
+
+
+def test_blocked_knn_tiebreak_matches_global(spark):
+    """Block-local top-k pruning must use the global (-dot, neighbor_id)
+    tiebreak: a corpus of identical vectors ties every dot product, so
+    any block holding more than k rows would emit the wrong survivors if
+    it pruned by partition order instead of neighbor id."""
+    vec = [float(x) for x in np.eye(8, dtype="float32")[0]]
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(200)], "vec_id long, embedding array<float>"
+    )
+    plain = [(r.rank, r.neighbor_id)
+             for r in similarity.knn_bruteforce(emb, [0], k=3).collect()]
+    blocked = [(r.rank, r.neighbor_id)
+               for r in similarity.knn_bruteforce_blocked(
+                   emb, [0], k=3, min_corpus_rows=0).collect()]
+    assert sorted(plain) == sorted(blocked) == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_blocked_crossover_routes_small_corpus_to_plain(spark):
+    """Below min_corpus_rows the blocked kNN must return the Catalyst
+    plan (no mapInPandas python stage) — Arrow fan-out overhead loses on
+    small corpora."""
+    from powa_archivist_spark.plans import inspect as pi
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    df = similarity.knn_bruteforce_blocked(emb, [0], k=2, min_corpus_rows=100)
+    assert "MapInPandas" not in pi.plan_string(df)
+
+
+def test_grid_blocked_near_dup_runs_no_driver_job_on_construction(spark):
+    """The grid-blocked near-dup must be fully lazy: no toPandas /
+    collect of the corpus at plan-construction time (the round-1
+    scale-killer)."""
+    sc = spark.sparkContext
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    sc.setJobGroup("construct-probe", "construction must schedule no job")
+    try:
+        df = similarity.embedding_near_dup_pairs_blocked(emb, min_dot_q=0)
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    assert list(tracker.getJobIdsForGroup("construct-probe")) == []
+    assert df.schema.simpleString() == "struct<a_id:bigint,b_id:bigint,dot_q:bigint>"
 
 
 def test_multimodal_meta_and_frames(spark):

@@ -61,6 +61,39 @@ def test_packed_history_range_pushdown(spark, wh):
     assert "range_start" in pushed and "range_end" in pushed
 
 
+def test_ivf_assignment_is_aggregation_not_window(spark):
+    """IVF cell assignment must collapse the corpus x centroids scoring
+    with a map-side-combinable max_by aggregation — a row_number window
+    here shuffles and sorts K x the corpus (the round-1 anti-pattern)."""
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    _, assign = similarity.ivf_assign(emb)
+    assert pi.window_count(assign) == 0
+    assert not pi.has_cartesian(assign)
+
+
+def test_doc_fingerprint_single_shuffle(spark):
+    """explode -> min/max agg: one hash-aggregate shuffle, no nested
+    array_min/array_max double materialization."""
+    from powa_archivist_spark.pipeline import textstats
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    df = textstats.doc_fingerprint(docs)
+    assert pi.exchange_count(df) == 1
+
+
+def test_minhash_verify_reuses_cached_shingles(spark):
+    """The verify stage must read the shingle frame from cache, not
+    recompute the shingling scan per join side."""
+    from powa_archivist_spark.pipeline import dedup
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    df = dedup.minhash_dedup_pairs(docs)
+    plan = pi.plan_string(df)
+    assert "InMemoryTableScan" in plan
+
+
 def test_rollup_single_shuffle(spark):
     """Per-db rollup = exactly one hash shuffle (partial aggregation
     map-side); a second exchange would double network at scale."""

@@ -93,6 +93,54 @@ def test_qualstats_gated_to_known_statements(spark, wh):
     assert [r.qualid for r in kept] == [7]
 
 
+def test_statements_remote_path_populates_dictionary(spark, wh):
+    """The staging (remote) path must feed the dictionary merge from the
+    SAME capture the snapshot consumes: staging carries the `query` text
+    column (powa_statements_src_tmp, powa--5.2.0.sql:1987) that the
+    history tables drop, and the merge must happen against the staging
+    slice — not a re-read of the just-written current table."""
+    from powa_archivist_spark.operators import dictionary
+    from powa_archivist_spark.sources.readers import shim_to_schema
+    from powa_archivist_spark.specs import STATEMENTS
+
+    small = spark.createDataFrame(
+        [(1, ts(0), 100, 10, True, 5, "SELECT a", 3, 1.5),
+         (1, ts(0), 101, 10, True, 5, "SELECT b", 2, 0.5)],
+        "srvid int, ts timestamp, queryid long, dbid long, toplevel boolean, "
+        "userid long, query string, calls long, total_exec_time double",
+    )
+    staged = shim_to_schema(small, STATEMENTS.staging_schema)
+    wh.append(staged, Warehouse.src_tmp(STATEMENTS.name), partition_by=["srvid"])
+
+    orch = Orchestrator(wh, specs={STATEMENTS.name: STATEMENTS})
+    errs = orch.take_snapshot(ServerConfig(srvid=1), now=ts(0))
+    assert errs == 0, orch.read_metas(1)["errors"]
+    cur = wh.read(Warehouse.current(STATEMENTS.name))
+    assert cur.count() == 2 and "query" not in cur.columns
+    d = {r.queryid: r.query
+         for r in dictionary.read_statements(wh, 1).collect()}
+    assert d == {100: "SELECT a", 101: "SELECT b"}
+    # staging drained by the snapshot (powa--5.2.0.sql:4102-4104)
+    assert not wh.exists(Warehouse.src_tmp(STATEMENTS.name))
+
+
+def test_metas_df_surfaces_errors_ledger(spark, wh):
+    """powa_snapshot_metas as a DataFrame view: failed datasources must
+    surface in the errors array (powa--5.2.0.sql:908-918)."""
+    orch = Orchestrator(wh, specs={SPEC.name: SPEC})
+
+    class Boom:
+        def select(self, *a, **k):
+            raise RuntimeError("datasource exploded")
+
+    orch.take_snapshot(ServerConfig(srvid=2),
+                       captures={SPEC.name: Boom()}, now=ts(0))
+    row = orch.read_metas_df().filter(F.col("srvid") == 2).collect()[0]
+    assert row.coalesce_seq == 1
+    assert row.snapts is not None
+    assert any("pg_stat_bgwriter" in e for e in row.errors)
+
+
 def test_orchestrator_runs_databases_first_and_purges(spark, wh):
     orch = Orchestrator(wh, specs={SPEC.name: SPEC})
     server = ServerConfig(srvid=1, powa_coalesce=5)
