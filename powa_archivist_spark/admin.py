@@ -34,10 +34,12 @@ from .storage import Warehouse
 
 SERVERS_FILE = "powa_servers.json"
 
-# powa_configure_server whitelist (powa--5.2.0.sql:2773-2777)
+# powa_configure_server whitelist (powa--5.2.0.sql:2773-2777); `version`
+# is the collector-stamped pg version num (powa_servers.version, :132)
 CONFIGURABLE_KEYS = {
     "hostname", "alias", "port", "username", "password", "dbname",
     "frequency_s", "retention_s", "powa_coalesce", "allow_ui_connection",
+    "version",
 }
 
 MIN_FREQUENCY_S = 5      # powa_servers.frequency CHECK (powa--5.2.0.sql:128)
@@ -85,6 +87,15 @@ def _default_row(srvid: int, **over) -> dict:
         "allow_ui_connection": True,
         "active": True,
         "enabled_datasources": None,  # None = all registered
+        "version": None,  # pg version num, stamped by the collector
+        # powa_db_module_config rows (powa--5.2.0.sql:345-351): per
+        # db-module {enabled, dbnames}; dbnames None = all databases.
+        # Registering a server registers every default db module
+        # (mirrors sql/03_db_module.sql:4-6)
+        "db_module_config": {
+            name: {"enabled": True, "dbnames": None}
+            for name, s in ALL_SPECS.items() if s.kind == "db_module"
+        },
     }
     row.update(over)
     return row
@@ -179,6 +190,82 @@ def set_datasource_enabled(wh: Warehouse, srvid: int, name: str,
     _save(wh, servers)
 
 
+def _db_module_entry(servers: dict, srvid: int, name: str) -> dict:
+    if name not in ALL_SPECS or ALL_SPECS[name].kind != "db_module":
+        raise AdminError(f'db module "{name}" is not known')
+    if srvid not in servers:
+        raise AdminError(f"no server {srvid}")
+    return servers[srvid].setdefault("db_module_config", {})
+
+
+def activate_db_module(wh: Warehouse, srvid: int, name: str,
+                       databases: list[str] | None = None) -> bool:
+    """``powa_activate_db_module`` (powa--5.2.0.sql:2397-2455): enable the
+    db module for the server, scoped to ``databases`` (None = all).
+    Activating with a database list REPLACES the stored list — activating
+    'd2' on a {'d1'} config yields {'d2'}, not {'d1','d2'}
+    (sql/03_db_module.sql:16-18)."""
+    servers = load_servers(wh)
+    cfg = _db_module_entry(servers, srvid, name)
+    entry = cfg.get(name)
+    if entry is not None:
+        if entry["enabled"] and entry["dbnames"] == databases:
+            return True  # existing info already matches, bail out (:2436)
+        entry.update(enabled=True, dbnames=databases)
+    else:
+        cfg[name] = {"enabled": True, "dbnames": databases}
+    _save(wh, servers)
+    return True
+
+
+def deactivate_db_module(wh: Warehouse, srvid: int, name: str,
+                         databases: list[str] | None = None) -> bool:
+    """``powa_deactivate_db_module`` (powa--5.2.0.sql:2459-2567) — the
+    golden state machine of sql/03_db_module.sql:
+
+    - deactivating with no list disables the module and resets dbnames;
+    - deactivating specific dbs on an "all databases" (None) config is an
+      error (:2510-2513);
+    - deactivating dbs not currently activated is an error (:2515-2519);
+    - removing every remaining db disables the module (:2547-2553);
+    - deactivating an already-disabled module is a no-op (:2502-2506)."""
+    servers = load_servers(wh)
+    cfg = _db_module_entry(servers, srvid, name)
+    entry = cfg.get(name)
+    if entry is None:
+        raise AdminError(f'db module "{name}" is not configured')
+    if not entry["enabled"]:
+        return True  # noop; disabled entries carry no dbnames
+    if databases is not None:
+        if entry["dbnames"] is None:
+            raise AdminError(
+                "cannot deactivate a db module for a specific database "
+                "if no specific database is configured"
+            )
+        if not set(databases) <= set(entry["dbnames"]):
+            raise AdminError(
+                "cannot deactivate a db module for a specific database "
+                "if not already activated on that database"
+            )
+        remaining = sorted(set(entry["dbnames"]) - set(databases))
+        if remaining:
+            entry["dbnames"] = remaining
+        else:
+            entry.update(enabled=False, dbnames=None)
+    else:
+        entry.update(enabled=False, dbnames=None)
+    _save(wh, servers)
+    return True
+
+
+def db_module_config(wh: Warehouse, srvid: int) -> dict[str, dict]:
+    """The server's powa_db_module_config rows."""
+    servers = load_servers(wh)
+    if srvid not in servers:
+        raise AdminError(f"no server {srvid}")
+    return servers[srvid].get("db_module_config", {})
+
+
 def get_server_retention(wh: Warehouse, srvid: int) -> dt.timedelta:
     """Resolution chain: server override else engine default
     (powa--5.2.0.sql:2942-2990)."""
@@ -201,6 +288,8 @@ def server_config(wh: Warehouse, srvid: int) -> ServerConfig:
         retention=dt.timedelta(seconds=row["retention_s"]),
         powa_coalesce=row["powa_coalesce"],
         enabled=row["enabled_datasources"],
+        version=row.get("version"),
+        db_modules=row.get("db_module_config"),
     )
 
 

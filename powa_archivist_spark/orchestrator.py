@@ -55,6 +55,13 @@ class ServerConfig:
     powa_coalesce: int = DEFAULT_COALESCE
     # enabled datasources; None = all registered
     enabled: list[str] | None = None
+    # monitored server version, pg num format (powa_servers.version is
+    # text in the reference, stamped by the collector); None = unknown ->
+    # treat as newest (every datasource dispatched, newest layouts)
+    version: int | None = None
+    # powa_db_module_config rows: {name: {"enabled": bool,
+    # "dbnames": [...] | None}}; None = no per-db-module config (all on)
+    db_modules: dict | None = None
 
 
 class Orchestrator:
@@ -129,12 +136,24 @@ class Orchestrator:
     # ---- dispatch -------------------------------------------------------
 
     def _dispatch_order(self, server: ServerConfig) -> list[DatasourceSpec]:
-        """ORDER BY priority, name (powa--5.2.0.sql:3520)."""
+        """ORDER BY priority, name (powa--5.2.0.sql:3520), minus
+        datasources the monitored server is too old for — the
+        powa_functions view's ``server_version_num >= m.min_version``
+        filter (powa--5.2.0.sql:259-271)."""
         enabled = (
             self.specs.values()
             if server.enabled is None
             else [self.specs[n] for n in server.enabled if n in self.specs]
         )
+        if server.version is not None:
+            enabled = [s for s in enabled if s.min_version <= server.version]
+        if server.db_modules is not None:
+            # powa_db_module_config.enabled gate (powa--5.2.0.sql:345-351)
+            enabled = [
+                s for s in enabled
+                if s.kind != "db_module"
+                or server.db_modules.get(s.name, {"enabled": True})["enabled"]
+            ]
         return sorted(enabled, key=lambda s: (s.priority, s.name))
 
     def take_snapshot(
@@ -184,8 +203,29 @@ class Orchestrator:
         for spec in order:
             try:
                 cap = captures.get(spec.name)
+                if cap is None and server.version is not None:
+                    # resolve the server's layout epoch for this module
+                    # (the reference's version-branched *_src functions,
+                    # powa--5.2.0.sql:4315-5547)
+                    from .sources.readers import read_staging
+                    from .sources.versions import MODULE_SOURCES
+
+                    source = MODULE_SOURCES.get(spec.name)
+                    if source is not None:
+                        cap = read_staging(
+                            self.wh, spec, srvid,
+                            server_version=server.version, source=source,
+                        )
+                cap = self._apply_db_module_scope(server, spec, srvid, cap)
                 if spec.name == "statements":
                     self._statements_snapshot(spec, srvid, cap, now)
+                elif spec.name == "qualstats":
+                    # end-to-end wCTE pipeline: gate -> quals dedup ->
+                    # per-qual rollup -> constvalues
+                    # (powa--5.2.0.sql:7104-7184)
+                    from .operators.qualstats import qualstats_snapshot
+
+                    qualstats_snapshot(self.wh, srvid, capture=cap)
                 else:
                     snapshot(self.wh, spec, srvid, capture=cap)
             except Exception as e:  # per-function error trapping
@@ -226,6 +266,38 @@ class Orchestrator:
         self._write_metas(meta)
         return len(errors)
 
+    def _apply_db_module_scope(self, server: ServerConfig, spec, srvid: int,
+                               cap):
+        """Per-database db-module scoping: when powa_db_module_config
+        carries a dbnames array for this module, keep only capture rows
+        whose database resolves to one of those names (the reference's
+        collector iterates the dbnames and snapshots per database —
+        powa_db_functions.dbnames, powa--5.2.0.sql:402-426).  The name ->
+        oid resolution is a broadcast semi-join against the databases
+        dimension."""
+        if (
+            spec.kind != "db_module"
+            or server.db_modules is None
+            or spec.name not in server.db_modules
+            or server.db_modules[spec.name].get("dbnames") is None
+        ):
+            return cap
+        from pyspark.sql import functions as F
+
+        from .operators import databases
+
+        dbnames = server.db_modules[spec.name]["dbnames"]
+        if cap is None:
+            from .sources.readers import read_staging
+
+            cap = read_staging(self.wh, spec, srvid)
+        dim = (
+            databases.read_databases(self.wh, srvid)
+            .filter(F.col("datname").isin(dbnames))
+            .select(F.col("oid").alias(spec.dbid_col))
+        )
+        return cap.join(F.broadcast(dim), spec.dbid_col, "left_semi")
+
     def _statements_snapshot(self, spec, srvid: int, cap, now) -> int:
         """Statements pass: ONE capture feeds both the history append and
         the dictionary merge — the reference's wCTE reads the source once
@@ -258,6 +330,9 @@ class Orchestrator:
         """``powa_reset(srvid)`` (powa--5.2.0.sql:6359-6563)."""
         for spec in self._dispatch_order(server):
             reset(self.wh, spec, server.srvid)
+        from .operators.qualstats import reset_qualstats
+
+        reset_qualstats(self.wh, server.srvid)
         self.wh.drop_srvid(dictionary.TABLE, server.srvid)
         self.wh.drop_srvid(databases.TABLE, server.srvid)
         meta = self.read_metas(server.srvid)

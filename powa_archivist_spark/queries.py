@@ -1188,6 +1188,122 @@ FROM (
 # registry
 # ---------------------------------------------------------------------------
 
+def qualstats_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END ``powa_qualstats_snapshot`` (powa--5.2.0.sql:7104-7184),
+    running the REAL wired operator against a scratch warehouse:
+
+    - events rows mapped onto the qualstats src shape (plan-instance id,
+      qual id, counters, qual atoms);
+    - a customer-derived statements dictionary (the gate's EXISTS side);
+    - ``operators.qualstats.qualstats_snapshot``: gate -> quals-atom
+      dedup -> per-qual rollup -> constvalues -> staging drain;
+    - result = the per-qual rollup read back from the current table,
+      joined with the deduped atom count from the quals dictionary.
+
+    The AVG'd error estimates are constant within each rollup group
+    (derived from group-key columns), so the double averages are exact
+    and engine-portable."""
+    import tempfile
+
+    from .operators import dictionary
+    from .operators import qualstats as qs
+    from .storage import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="powa_qs_query_"))
+    ev = t(spark, sf_dir, "events")
+    src = ev.select(
+        F.lit(1).cast("int").alias("srvid"),
+        F.date_trunc("day", F.col("ts")).alias("ts"),
+        (F.col("event_id") % 3).alias("uniquequalnodeid"),
+        (F.col("user_id") % 5).alias("dbid"),
+        (F.col("user_id") % 7).alias("userid"),
+        (F.col("user_id") % 11).alias("qualnodeid"),
+        F.lit(1).cast("long").alias("occurences"),
+        (F.col("event_id") % 1000 + 1).alias("execution_count"),
+        cents(F.col("value")).alias("nbfiltered"),
+        (F.col("user_id") % 11).cast("double").alias("mean_err_estimate_ratio"),
+        (F.col("user_id") % 5).cast("double").alias("mean_err_estimate_num"),
+        (F.col("user_id") % 50).alias("queryid"),
+        F.array(F.col("user_id").cast("string")).alias("constvalues"),
+        F.array(
+            F.struct(
+                (F.col("user_id") % 50).alias("relid"),
+                (F.col("event_id") % 3).cast("int").alias("attnum"),
+                F.lit(96).cast("long").alias("opno"),
+                F.lit("f").alias("eval_type"),
+            )
+        ).alias("quals"),
+    )
+    wh.append(src, Warehouse.src_tmp(qs.QUALSTATS_SPEC.name),
+              partition_by=["srvid"])
+
+    stmts = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 750)
+        .select(
+            (F.col("c_custkey") % 50).alias("queryid"),
+            (F.col("c_custkey") % 5).alias("dbid"),
+            (F.col("c_custkey") % 7).alias("userid"),
+            F.concat(F.lit("q"), (F.col("c_custkey") % 50)).alias("query"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        )
+    )
+    dictionary.merge_statements(wh, 1, stmts)
+    qs.qualstats_snapshot(wh, 1)
+
+    keys = ["qualid", "queryid", "dbid", "userid"]
+    cur = wh.read(Warehouse.current(qs.QUALSTATS_SPEC.name)).select(
+        *keys, "ts", "occurences", "execution_count", "nbfiltered",
+        "mean_err_estimate_ratio", "mean_err_estimate_num",
+    )
+    atoms = qs.read_quals(wh, 1).select(
+        *keys, F.size("quals").alias("n_atoms")
+    )
+    return cur.join(atoms, keys)
+
+
+ORACLE_QUALSTATS_SNAPSHOT = """
+WITH src AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts,
+         user_id % 11 AS qualid,
+         user_id % 50 AS queryid,
+         user_id % 5 AS dbid,
+         user_id % 7 AS userid,
+         event_id % 3 AS inst,
+         1 AS occurences,
+         event_id % 1000 + 1 AS execution_count,
+         CAST(round(value * 100) AS BIGINT) AS nbfiltered,
+         CAST(user_id % 11 AS DOUBLE) AS ratio,
+         CAST(user_id % 5 AS DOUBLE) AS num
+  FROM events
+), gated AS (
+  SELECT s.* FROM src s
+  WHERE EXISTS (
+    SELECT 1 FROM customer c
+    WHERE c.c_custkey <= 750
+      AND c.c_custkey % 50 = s.queryid
+      AND c.c_custkey % 5 = s.dbid
+      AND c.c_custkey % 7 = s.userid)
+), rolled AS (
+  SELECT qualid, queryid, dbid, userid, ts,
+         CAST(SUM(occurences) AS BIGINT) AS occurences,
+         CAST(SUM(execution_count) AS BIGINT) AS execution_count,
+         CAST(SUM(nbfiltered) AS BIGINT) AS nbfiltered,
+         AVG(ratio) AS mean_err_estimate_ratio,
+         AVG(num) AS mean_err_estimate_num
+  FROM gated GROUP BY 1, 2, 3, 4, 5
+), atoms AS (
+  SELECT qualid, queryid, dbid, userid,
+         CAST(COUNT(DISTINCT inst) AS INT) AS n_atoms
+  FROM gated GROUP BY 1, 2, 3, 4
+)
+SELECT r.qualid, r.queryid, r.dbid, r.userid, r.ts, r.occurences,
+       r.execution_count, r.nbfiltered, r.mean_err_estimate_ratio,
+       r.mean_err_estimate_num, a.n_atoms
+FROM rolled r JOIN atoms a USING (qualid, queryid, dbid, userid)
+"""
+
+
 CORE_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q03_top_orders": (q03_top_orders, ORACLE_Q03),
@@ -1222,4 +1338,6 @@ CORE_QUERIES = {
     "events_sessionize": (events_sessionize, ORACLE_SESSIONIZE),
     "cheapest_supplier_per_part": (cheapest_supplier_per_part, ORACLE_CHEAPEST),
     "salted_rollup": (salted_rollup, ORACLE_SALTED),
+    "qualstats_snapshot_topk": (qualstats_snapshot_rollup,
+                                ORACLE_QUALSTATS_SNAPSHOT),
 }

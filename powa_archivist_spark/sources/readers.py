@@ -46,6 +46,41 @@ class VersionedVariant:
     payload: object   # query text / column map / reader fn — caller-defined
 
 
+@dataclass(frozen=True)
+class SourceLayout:
+    """One layout epoch of a module source: which staging columns the
+    monitored server's catalog provides at that version, under which
+    source-side names, plus literal defaults the reference injects for
+    not-yet-existing columns (``'apply' AS worker_type`` pre-pg17
+    powa--5.2.0.sql:5216, ``false AS two_phase`` pre-pg14 :4392,
+    ``0::bigint AS checksum_failures`` pre-pg12 :4773).  Columns in
+    neither set shim to NULL — the reference's ``NULL::pg_lsn`` /
+    ``NULL::bigint`` padding; 0/false paddings are always explicit
+    literals in the branches, so they are explicit ``defaults`` here."""
+
+    columns: tuple[str, ...]
+    renames: dict[str, str] = field(default_factory=dict)   # dst -> src name
+    defaults: dict[str, object] = field(default_factory=dict)  # dst -> literal
+
+    def project(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        present = set(df.columns)
+        cols = []
+        for f in schema.fields:
+            src = self.renames.get(f.name, f.name)
+            if f.name in ("srvid", "ts") and f.name in present:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            elif (f.name in self.columns or f.name in self.renames) \
+                    and src in present:
+                cols.append(F.col(src).cast(f.dataType).alias(f.name))
+            elif f.name in self.defaults:
+                cols.append(
+                    F.lit(self.defaults[f.name]).cast(f.dataType).alias(f.name)
+                )
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+
 @dataclass
 class VersionedSource:
     """``(name, min_version)``-keyed source registry entry."""
@@ -127,13 +162,23 @@ def read_staging(
         return wh.read(table, spec.staging_schema)  # empty, target schema
     df = wh.read(table)  # raw: columns are whatever the source version wrote
     if source is not None and server_version is not None:
-        colmap = resolve_versioned(source, server_version)
-        if isinstance(colmap, dict):
+        try:
+            payload = resolve_versioned(source, server_version)
+        except KeyError:
+            # server older than every layout epoch: the reference returns
+            # an empty dataset (``WHERE false`` branches, e.g. pg_stat_io
+            # on pg15-, powa--5.2.0.sql:4897-4918)
+            return wh.spark.createDataFrame([], spec.staging_schema)
+        if isinstance(payload, SourceLayout):
+            return payload.project(df, spec.staging_schema).filter(
+                F.col("srvid") == srvid
+            )
+        if isinstance(payload, dict):
             present = set(df.columns)
             df = df.select(
                 *[
                     F.col(src).alias(dst)
-                    for dst, src in colmap.items()
+                    for dst, src in payload.items()
                     if src in present
                 ]
             )

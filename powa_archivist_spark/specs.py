@@ -125,6 +125,10 @@ class DatasourceSpec:
     # statements query text, consumed by the dictionary merge —
     # powa_statements_src_tmp has `query text`, powa--5.2.0.sql:1987)
     staging_extra: tuple[Key, ...] = ()
+    # minimum monitored-server version supporting this datasource
+    # (powa_modules.min_version, powa--5.2.0.sql:1263 + registry calls
+    # 1656-1938); dispatch skips the datasource for older servers
+    min_version: int = 0
 
     # ---- derived schemas -------------------------------------------------
 
@@ -308,8 +312,10 @@ STATEMENTS = DatasourceSpec(
 )
 
 USER_FUNCTIONS = DatasourceSpec(
+    # pg_stat_user_functions is a DB module in the reference registry
+    # (powa_db_modules, powa--5.2.0.sql:319-326)
     name="user_functions",
-    kind="extension",
+    kind="db_module",
     priority=10,
     db_rollup=True,
     keys=(Key("dbid", "oid"), Key("funcid", "oid")),
@@ -357,21 +363,51 @@ MODULE_SPECS: dict[str, DatasourceSpec] = {}
 
 
 def _module(name: str, keys: tuple[Key, ...], counters: list[Counter],
-            priority: int = 10) -> DatasourceSpec:
+            priority: int = 10, min_version: int = 0) -> DatasourceSpec:
     spec = DatasourceSpec(
         name=name, kind="module", priority=priority, keys=keys,
-        counters=tuple(counters),
+        counters=tuple(counters), min_version=min_version,
     )
     MODULE_SPECS[name] = spec
     return spec
 
 
-PG_STAT_ACTIVITY = _module(
-    "pg_stat_activity",
-    keys=(Key("datid", "oid"), Key("pid", "integer"), Key("leader_pid", "integer"),
-          Key("usesysid", "oid"), Key("application_name", "text"),
-          Key("client_addr", "text"), Key("backend_type", "text")),
+PG_REPLICATION_SLOTS = _module(
+    # registry powa--5.2.0.sql:1656-1675; src variants 4315-4477
+    "pg_replication_slots",
+    keys=(Key("slot_name", "text"), Key("plugin", "text"),
+          Key("slot_type", "text"), Key("datoid", "oid"),
+          Key("temporary", "boolean")),
     counters=[
+        Counter("cur_txid", "xid"),
+        Counter("current_lsn", "pg_lsn"),
+        Counter("active", "boolean"),
+        Counter("active_pid", "integer"),
+        Counter("slot_xmin", "xid"),
+        Counter("catalog_xmin", "xid"),
+        Counter("restart_lsn", "pg_lsn"),
+        Counter("confirmed_flush_lsn", "pg_lsn"),
+        Counter("wal_status", "text"),
+        Counter("safe_wal_size"),
+        Counter("two_phase", "boolean"),
+        Counter("conflicting", "boolean"),
+    ],
+    min_version=130000,
+)
+
+PG_STAT_ACTIVITY = _module(
+    # registry powa--5.2.0.sql:1677-1694 — NO key columns: the activity
+    # sample is a flat per-server log, packed as one series per srvid
+    "pg_stat_activity",
+    keys=(),
+    counters=[
+        Counter("cur_txid", "xid"),
+        Counter("datid", "oid"),
+        Counter("pid", "integer"),
+        Counter("leader_pid", "integer"),
+        Counter("usesysid", "oid"),
+        Counter("application_name", "text"),
+        Counter("client_addr", "inet"),
         Counter("backend_start", "timestamptz"),
         Counter("xact_start", "timestamptz"),
         Counter("query_start", "timestamptz"),
@@ -380,6 +416,8 @@ PG_STAT_ACTIVITY = _module(
         Counter("backend_xid", "xid"),
         Counter("backend_xmin", "xid"),
         Counter("query_id", "bigint"),
+        Counter("backend_type", "text"),
+        Counter("clock_ts", "timestamptz"),
     ],
 )
 
@@ -405,15 +443,18 @@ PG_STAT_BGWRITER = _module(
 )
 
 PG_STAT_CHECKPOINTER = _module(
+    # registry powa--5.2.0.sql:1716-1721; pre-pg17 the collector reads the
+    # same five counters off pg_stat_bgwriter's checkpoint_* columns
+    # (src 4666-4701)
     "pg_stat_checkpointer",
     keys=(),
-    counters=_c("num_timed num_requested num_done restartpoints_timed "
-                "restartpoints_req restartpoints_done")
+    counters=_c("num_timed num_requested")
     + _c("write_time sync_time", "double")
-    + _c("buffers_written slru_written"),
+    + _c("buffers_written"),
 )
 
 PG_STAT_DATABASE = _module(
+    # registry powa--5.2.0.sql:1723-1746; src variants 4704-4799
     "pg_stat_database",
     keys=(Key("datid", "oid"),),
     counters=_c("numbackends", "integer")
@@ -423,7 +464,8 @@ PG_STAT_DATABASE = _module(
     + [Counter("checksum_last_failure", "timestamptz")]
     + _c("blk_read_time blk_write_time session_time active_time "
          "idle_in_transaction_time", "double")
-    + _c("sessions sessions_abandoned sessions_fatal sessions_killed"),
+    + _c("sessions sessions_abandoned sessions_fatal sessions_killed")
+    + [Counter("stats_reset", "timestamptz")],
 )
 
 PG_STAT_DATABASE_CONFLICTS = _module(
@@ -434,6 +476,8 @@ PG_STAT_DATABASE_CONFLICTS = _module(
 )
 
 PG_STAT_IO = _module(
+    # registry powa--5.2.0.sql:1758-1775; view introduced pg16, op_bytes
+    # split into {read,write,extend}_bytes in pg18 (src 4840-4928)
     "pg_stat_io",
     keys=(Key("backend_type", "text"), Key("object", "text"), Key("context", "text")),
     counters=_c("reads")
@@ -445,31 +489,48 @@ PG_STAT_IO = _module(
     + _c("extends")
     + _c("extend_time", "double")
     + _c("op_bytes hits evictions reuses fsyncs")
-    + _c("fsync_time", "double"),
+    + _c("fsync_time", "double")
+    + [Counter("stats_reset", "timestamptz"),
+       Counter("read_bytes", "numeric"), Counter("write_bytes", "numeric"),
+       Counter("extend_bytes", "numeric")],
 )
 
 PG_STAT_SLRU = _module(
+    # registry powa--5.2.0.sql:1831-1840; view introduced pg13 (src 5136)
     "pg_stat_slru",
     keys=(Key("name", "text"),),
     counters=_c("blks_zeroed blks_hit blks_read blks_written blks_exists "
-                "flushes truncates"),
+                "flushes truncates")
+    + [Counter("stats_reset", "timestamptz")],
 )
 
 PG_STAT_WAL = _module(
+    # registry powa--5.2.0.sql:1881-1887; view introduced pg14, IO
+    # counters moved to pg_stat_io in pg18 (src 5371-5423)
     "pg_stat_wal",
     keys=(),
     counters=_c("wal_records wal_fpi")
     + [Counter("wal_bytes", "numeric")]
     + _c("wal_buffers_full wal_write wal_sync")
-    + _c("wal_write_time wal_sync_time", "double"),
+    + _c("wal_write_time wal_sync_time", "double")
+    + [Counter("stats_reset", "timestamptz")],
 )
 
 PG_STAT_REPLICATION = _module(
+    # registry powa--5.2.0.sql:1811-1829 — keyless: one all-NULL row is
+    # kept even with no walsenders so the UI can graph connection loss
+    # (src 5036-5134); pg_lsn aggregates need pg13 -> min_version
     "pg_stat_replication",
-    keys=(Key("pid", "integer"), Key("usesysid", "oid"),
-          Key("application_name", "text"), Key("client_addr", "text"),
-          Key("state", "text"), Key("sync_state", "text")),
+    keys=(),
     counters=[
+        Counter("current_lsn", "pg_lsn"),
+        Counter("pid", "integer"),
+        Counter("usename", "text"),
+        Counter("application_name", "text"),
+        Counter("client_addr", "inet"),
+        Counter("backend_start", "timestamptz"),
+        Counter("backend_xmin", "xid"),
+        Counter("state", "text"),
         Counter("sent_lsn", "pg_lsn"),
         Counter("write_lsn", "pg_lsn"),
         Counter("flush_lsn", "pg_lsn"),
@@ -477,61 +538,94 @@ PG_STAT_REPLICATION = _module(
         Counter("write_lag", "interval"),
         Counter("flush_lag", "interval"),
         Counter("replay_lag", "interval"),
+        Counter("sync_priority", "integer"),
+        Counter("sync_state", "text"),
         Counter("reply_time", "timestamptz"),
     ],
-)
-
-PG_STAT_REPLICATION_SLOTS = _module(
-    "pg_stat_replication_slots",
-    keys=(Key("slot_name", "text"),),
-    counters=_c("spill_txns spill_count spill_bytes stream_txns stream_count "
-                "stream_bytes total_txns total_bytes"),
+    min_version=130000,
 )
 
 PG_STAT_SUBSCRIPTION = _module(
+    # registry powa--5.2.0.sql:1842-1858; src variants 5193-5255
     "pg_stat_subscription",
-    keys=(Key("subid", "oid"), Key("subname", "text"), Key("pid", "integer"),
-          Key("relid", "oid")),
+    keys=(Key("subid", "oid"), Key("subname", "name")),
     counters=[
+        Counter("worker_type", "text"),
+        Counter("pid", "integer"),
+        Counter("leader_pid", "integer"),
+        Counter("relid", "oid"),
         Counter("received_lsn", "pg_lsn"),
         Counter("last_msg_send_time", "timestamptz"),
         Counter("last_msg_receipt_time", "timestamptz"),
         Counter("latest_end_lsn", "pg_lsn"),
         Counter("latest_end_time", "timestamptz"),
     ],
+    min_version=130000,
 )
 
 PG_STAT_SUBSCRIPTION_STATS = _module(
+    # registry powa--5.2.0.sql:1860-1879 (subname resolvable via
+    # pg_stat_subscription, so not stored); src variants 5258-5369
     "pg_stat_subscription_stats",
-    keys=(Key("subid", "oid"), Key("subname", "text")),
-    counters=_c("apply_error_count sync_error_count"),
+    keys=(Key("subid", "oid"),),
+    counters=_c("apply_error_count sync_table_error_count")
+    + [Counter("stats_reset", "timestamptz")]
+    + _c("sync_seq_error_count confl_insert_exists "
+         "confl_update_origin_differs confl_update_exists "
+         "confl_update_deleted confl_update_missing "
+         "confl_delete_origin_differs confl_delete_missing "
+         "confl_multiple_unique_conflicts"),
 )
 
 PG_STAT_WAL_RECEIVER = _module(
+    # registry powa--5.2.0.sql:1889-1905; src variants 5426-5547
     "pg_stat_wal_receiver",
-    keys=(Key("slot_name", "text"),),
+    keys=(Key("slot_name", "text"), Key("sender_host", "text"),
+          Key("sender_port", "integer")),
     counters=[
+        Counter("pid", "integer"),
+        Counter("status", "text"),
         Counter("receive_start_lsn", "pg_lsn"),
+        Counter("receive_start_tli", "integer"),
+        Counter("last_received_lsn", "pg_lsn"),
         Counter("written_lsn", "pg_lsn"),
         Counter("flushed_lsn", "pg_lsn"),
+        Counter("received_tli", "integer"),
         Counter("last_msg_send_time", "timestamptz"),
         Counter("last_msg_receipt_time", "timestamptz"),
         Counter("latest_end_lsn", "pg_lsn"),
         Counter("latest_end_time", "timestamptz"),
+        Counter("conninfo", "text"),
     ],
+    min_version=130000,
 )
 
-PG_STAT_RECOVERY_PREFETCH = _module(
-    "pg_stat_recovery_prefetch",
+PG_STAT_RECOVERY = _module(
+    # registry powa--5.2.0.sql:1793-1809 — pg_stat_recovery only exists
+    # on pg19+ (src 4976-5034)
+    "pg_stat_recovery",
     keys=(),
-    counters=_c("prefetch hit skip_init skip_new skip_fpw skip_rep "
-                "wal_distance block_distance io_depth"),
+    counters=[
+        Counter("last_replayed_read_lsn", "pg_lsn"),
+        Counter("last_replayed_end_lsn", "pg_lsn"),
+        Counter("last_replayed_tli", "integer"),
+        Counter("replay_end_lsn", "pg_lsn"),
+        Counter("replay_end_tli", "integer"),
+        Counter("recovery_last_xact_time", "timestamptz"),
+        Counter("current_chunk_start_time", "timestamptz"),
+        Counter("pause_state", "text"),
+    ],
+    min_version=190000,
 )
 
 PG_STAT_LOCK = _module(
+    # registry powa--5.2.0.sql:1777-1791 — pg_stat_lock only exists on
+    # pg19+ (src 4930-4974)
     "pg_stat_lock",
-    keys=(Key("datid", "oid"), Key("locktype", "text"), Key("mode", "text")),
-    counters=_c("count granted_count waiting_count"),
+    keys=(Key("locktype", "text"),),
+    counters=_c("waits wait_time fastpath_exceeded")
+    + [Counter("stats_reset", "timestamptz")],
+    min_version=190000,
 )
 
 # --- remote-only db modules (powa--5.2.0.sql:2034-2086) --------------------

@@ -55,6 +55,118 @@ def test_datasource_activation_roundtrip(wh):
         admin.set_datasource_enabled(wh, srvid, "nope", True)
 
 
+def test_db_module_activation_state_machine(wh):
+    """Mirror of the reference golden sql/03_db_module.sql:1-45 on the
+    powa_activate/deactivate_db_module state machine
+    (powa--5.2.0.sql:2397-2567)."""
+    srvid = admin.register_server(wh, "db1.example.net")
+    mod = "user_functions"
+
+    # registering a server registers all default db modules, enabled,
+    # all-databases (03_db_module.sql:4-6)
+    cfg = admin.db_module_config(wh, srvid)
+    assert {"user_functions", "all_tables", "all_indexes"} <= set(cfg)
+    assert cfg[mod] == {"enabled": True, "dbnames": None}
+
+    # can't deactivate a specific db on an "all databases" config (:9-10)
+    with pytest.raises(admin.AdminError, match="no specific database"):
+        admin.deactivate_db_module(wh, srvid, mod, ["test"])
+
+    # activating a specific db on an "all databases" config switches to
+    # that db only (:13-14)
+    admin.activate_db_module(wh, srvid, mod, ["d1"])
+    assert admin.db_module_config(wh, srvid)[mod] == \
+        {"enabled": True, "dbnames": ["d1"]}
+
+    # activating another db REPLACES the list (:17-18)
+    admin.activate_db_module(wh, srvid, mod, ["d2"])
+    assert admin.db_module_config(wh, srvid)[mod]["dbnames"] == ["d2"]
+
+    # deactivating without a list switches back to all-db, disabled (:21-22)
+    admin.deactivate_db_module(wh, srvid, mod)
+    assert admin.db_module_config(wh, srvid)[mod] == \
+        {"enabled": False, "dbnames": None}
+
+    # activating with multiple dbs re-enables with those dbs (:25-26)
+    admin.activate_db_module(wh, srvid, mod, ["d1", "d3", "d4"])
+    assert admin.db_module_config(wh, srvid)[mod] == \
+        {"enabled": True, "dbnames": ["d1", "d3", "d4"]}
+
+    # deactivating one specific db just removes it (:29-30)
+    admin.deactivate_db_module(wh, srvid, mod, ["d3"])
+    assert admin.db_module_config(wh, srvid)[mod]["dbnames"] == ["d1", "d4"]
+
+    # can't deactivate a db that isn't activated (:33-34)
+    with pytest.raises(admin.AdminError, match="not already activated"):
+        admin.deactivate_db_module(wh, srvid, mod, ["d3"])
+
+    # removing every remaining db disables the module (:37-38)
+    admin.deactivate_db_module(wh, srvid, mod, ["d1", "d4"])
+    assert admin.db_module_config(wh, srvid)[mod] == \
+        {"enabled": False, "dbnames": None}
+
+    # deactivating a deactivated module is a noop (:41-42)
+    assert admin.deactivate_db_module(wh, srvid, mod, None)
+
+    # unknown module raises (:44-45 analog)
+    with pytest.raises(admin.AdminError, match="not known"):
+        admin.deactivate_db_module(wh, srvid, "pg_stat_bgwriter")
+
+
+def test_db_module_dbnames_scope_filters_capture(spark, wh):
+    """A dbnames-scoped db module only captures rows whose database
+    resolves to one of the configured names (powa_db_functions.dbnames
+    drive the collector's per-db iteration, powa--5.2.0.sql:402-426)."""
+    from powa_archivist_spark.operators import databases as dbs
+    from powa_archivist_spark.specs import USER_FUNCTIONS
+
+    srvid = admin.register_server(wh, "db1.example.net", powa_coalesce=5)
+    admin.activate_db_module(wh, srvid, "user_functions", ["keep_me"])
+    server = admin.server_config(wh, srvid)
+    orch = Orchestrator(wh, specs={USER_FUNCTIONS.name: USER_FUNCTIONS})
+
+    dbdim = spark.createDataFrame(
+        [(10, "keep_me"), (11, "drop_me")], "oid long, datname string"
+    )
+    cap = spark.createDataFrame(
+        [(srvid, ts(0), 10, 500, 3, 1.0, 0.5),
+         (srvid, ts(0), 11, 501, 9, 2.0, 1.0)],
+        USER_FUNCTIONS.staging_schema,
+    )
+    errs = orch.take_snapshot(
+        server, captures={"databases": dbdim, USER_FUNCTIONS.name: cap},
+        now=ts(0),
+    )
+    assert errs == 0, orch.read_metas(srvid)["errors"]
+    kept = wh.read(Warehouse.current(USER_FUNCTIONS.name)).collect()
+    assert [r.dbid for r in kept] == [10]
+
+    # disabling the module drops it from dispatch entirely
+    admin.deactivate_db_module(wh, srvid, "user_functions")
+    server = admin.server_config(wh, srvid)
+    assert all(s.name != "user_functions"
+               for s in orch._dispatch_order(server))
+
+
+def test_version_gates_dispatch(wh):
+    """powa_functions filters datasources by module min_version
+    (powa--5.2.0.sql:259-271): a pg12 server must not dispatch pg13+
+    modules like pg_stat_replication or pg_replication_slots."""
+    from powa_archivist_spark.specs import ALL_SPECS
+
+    srvid = admin.register_server(wh, "db1.example.net")
+    admin.configure_server(wh, srvid, {"version": 120012})
+    orch = Orchestrator(wh, specs=dict(ALL_SPECS))
+    names = {s.name for s in orch._dispatch_order(admin.server_config(wh, srvid))}
+    assert "pg_stat_replication" not in names
+    assert "pg_replication_slots" not in names
+    assert "pg_stat_lock" not in names
+    assert "pg_stat_bgwriter" in names
+    admin.configure_server(wh, srvid, {"version": 190000})
+    names = {s.name for s in orch._dispatch_order(admin.server_config(wh, srvid))}
+    assert "pg_stat_lock" in names and "pg_stat_recovery" in names
+
+
 def test_registered_server_lifecycle_and_delete(spark, wh):
     srvid = admin.register_server(
         wh, "db1.example.net", powa_coalesce=5,

@@ -124,6 +124,61 @@ def test_statements_remote_path_populates_dictionary(spark, wh):
     assert not wh.exists(Warehouse.src_tmp(STATEMENTS.name))
 
 
+def test_qualstats_end_to_end_snapshot(spark, wh):
+    """The wired powa_qualstats_snapshot pipeline
+    (powa--5.2.0.sql:7104-7184): staging -> statements gate -> quals-atom
+    dedup -> per-qual rollup -> constvalues, then staging drain
+    (pattern of sql/02_remote_api.sql:11-21)."""
+    from powa_archivist_spark.operators import dictionary
+    from powa_archivist_spark.operators import qualstats as qs
+    from powa_archivist_spark.specs import QUALSTATS_SPEC
+
+    cap = spark.createDataFrame(
+        [(100, 10, 5, "SELECT a", ts(0))],
+        "queryid long, dbid long, userid long, query string, ts timestamp",
+    )
+    dictionary.merge_statements(wh, 1, cap, now=ts(0))
+
+    rows = [
+        # two plan instances (uniquequalnodeid) of the same qual 70
+        (1, ts(0), 7001, 10, 5, 70, 2, 10, 4, 1.5, 2.0, 100,
+         ["42"], [(1259, 1, 96, "f"), (1259, 2, 97, "f")]),
+        (1, ts(0), 7002, 10, 5, 70, 3, 20, 6, 1.5, 2.0, 100,
+         ["43"], [(1259, 1, 96, "f")]),
+        # unknown queryid 999 -> dropped by the statements gate
+        (1, ts(0), 8001, 10, 5, 80, 1, 5, 1, 9.0, 9.0, 999,
+         ["x"], [(1259, 3, 96, "f")]),
+    ]
+    staged = spark.createDataFrame(rows, qs.SRC_SCHEMA)
+    wh.append(staged, Warehouse.src_tmp(QUALSTATS_SPEC.name),
+              partition_by=["srvid"])
+
+    assert qs.qualstats_snapshot(wh, 1) == 2  # gate dropped the third row
+
+    # quals dictionary: one row, atoms deduped across plan instances
+    quals = qs.read_quals(wh, 1).collect()
+    assert len(quals) == 1
+    q = quals[0]
+    assert (q.qualid, q.queryid, q.dbid, q.userid) == (70, 100, 10, 5)
+    assert sorted((a.attnum, a.opno) for a in q.quals) == [(1, 96), (2, 97)]
+
+    # per-qual rollup: SUM counters, AVG estimates (:7148-7152)
+    cur = wh.read(Warehouse.current(QUALSTATS_SPEC.name)).collect()
+    assert len(cur) == 1
+    r = cur[0]
+    assert (r.occurences, r.execution_count, r.nbfiltered) == (5, 30, 10)
+    assert (r.mean_err_estimate_ratio, r.mean_err_estimate_num) == (1.5, 2.0)
+
+    # raw constvalues land per plan instance (:7156-7166)
+    assert qs.constvalues_current(wh, 1).count() == 2
+
+    # staging drained; replay ingests nothing
+    assert qs.qualstats_snapshot(wh, 1) == 0
+
+    qs.reset_qualstats(wh, 1)
+    assert qs.read_quals(wh, 1).count() == 0
+
+
 def test_metas_df_surfaces_errors_ledger(spark, wh):
     """powa_snapshot_metas as a DataFrame view: failed datasources must
     surface in the errors array (powa--5.2.0.sql:908-918)."""

@@ -102,6 +102,151 @@ def test_read_staging_versioned_full_path(spark, wh):
     assert r.buffers_alloc == 0  # shimmed counter default
 
 
+def test_module_layouts_cover_all_16_modules():
+    """Every generic module has registered version-layout data
+    (powa--5.2.0.sql:4315-5547), and every layout only references
+    staging-schema columns."""
+    from powa_archivist_spark.sources.versions import MODULE_SOURCES
+    from powa_archivist_spark.specs import MODULE_SPECS
+
+    assert set(MODULE_SOURCES) == set(MODULE_SPECS)
+    for name, src in MODULE_SOURCES.items():
+        spec = MODULE_SPECS[name]
+        staging = {f.name for f in spec.staging_schema.fields}
+        assert src.variants, name
+        for v in src.variants:
+            lay = v.payload
+            assert set(lay.columns) <= staging, (name, set(lay.columns) - staging)
+            assert set(lay.renames) <= staging, name
+            assert set(lay.defaults) <= staging, name
+
+
+# the 03_db_module.sql golden pair generalized: (module, version) ->
+# columns that must be NATIVE (read off the monitored catalog, possibly
+# renamed), provided as LITERAL defaults (the reference's explicit
+# 0/false/'apply' paddings), or NULL-shimmed (column truly absent)
+VERSION_PICK_GOLDENS = [
+    # powa_db_functions(1, 130001) vs (1, 120012) analog pairs
+    ("pg_stat_database", 130001, ["checksum_failures"], [], ["session_time"]),
+    ("pg_stat_database", 120012, ["checksum_failures"], [], ["session_time"]),
+    # pre-pg12: checksum_failures is the literal 0 of powa--5.2.0.sql:4773
+    ("pg_stat_database", 110000, [], ["checksum_failures"],
+     ["checksum_last_failure", "session_time"]),
+    ("pg_stat_database", 140000, ["checksum_failures", "session_time"], [], []),
+    ("pg_stat_activity", 130001, ["leader_pid"], [], ["query_id"]),
+    ("pg_stat_activity", 120012, [], [], ["leader_pid", "query_id"]),
+    ("pg_stat_activity", 140000, ["leader_pid", "query_id"], [], []),
+    # two_phase/conflicting are literal false until native
+    # (powa--5.2.0.sql:4392,4404)
+    ("pg_replication_slots", 120000, ["temporary"],
+     ["two_phase", "conflicting"], ["wal_status", "safe_wal_size"]),
+    ("pg_replication_slots", 130001, ["wal_status", "safe_wal_size"],
+     ["two_phase", "conflicting"], []),
+    ("pg_replication_slots", 90500, ["active_pid"], ["temporary"],
+     ["confirmed_flush_lsn", "wal_status"]),
+    ("pg_replication_slots", 160000, ["two_phase", "conflicting"], [], []),
+    ("pg_stat_io", 170000, ["op_bytes"],
+     ["read_bytes", "write_bytes", "extend_bytes"], []),
+    ("pg_stat_io", 180000, ["read_bytes", "write_bytes"], ["op_bytes"], []),
+    ("pg_stat_wal", 170000, ["wal_write", "wal_sync"], [], []),
+    ("pg_stat_wal", 180000, ["wal_records"], ["wal_write", "wal_sync"], []),
+    ("pg_stat_database_conflicts", 150000, ["confl_deadlock"],
+     ["confl_active_logicalslot"], []),
+    ("pg_stat_database_conflicts", 160000,
+     ["confl_active_logicalslot"], [], []),
+    # worker_type: native on pg17+, the literal 'apply' before
+    # (powa--5.2.0.sql:5216)
+    ("pg_stat_subscription", 150000, [], ["worker_type"], ["leader_pid"]),
+    ("pg_stat_subscription", 160000, ["leader_pid"], ["worker_type"], []),
+    ("pg_stat_subscription", 170000, ["leader_pid", "worker_type"], [], []),
+    # checkpointer pre-17 is a pure rename map off pg_stat_bgwriter
+    ("pg_stat_checkpointer", 160000, ["num_timed", "buffers_written"], [], []),
+    ("pg_stat_subscription_stats", 170000, ["sync_table_error_count"],
+     ["sync_seq_error_count", "confl_insert_exists"], []),
+    ("pg_stat_subscription_stats", 190000,
+     ["sync_seq_error_count", "confl_update_deleted"], [], []),
+    ("pg_stat_wal_receiver", 120000, ["flushed_lsn", "sender_host"], [],
+     ["written_lsn"]),
+    ("pg_stat_wal_receiver", 130001, ["written_lsn", "flushed_lsn"], [], []),
+]
+
+
+@pytest.mark.parametrize("name,version,native,defaulted,nulled",
+                         VERSION_PICK_GOLDENS)
+def test_module_version_pick_golden(name, version, native, defaulted, nulled):
+    """Version resolution picks the newest layout not newer than the
+    server (03_db_module.sql:55-60 semantics, applied to every module)."""
+    from powa_archivist_spark.sources.versions import MODULE_SOURCES
+
+    lay = resolve_versioned(MODULE_SOURCES[name], version)
+    native_cols = set(lay.columns) | set(lay.renames)
+    for col in native:
+        assert col in native_cols, (name, version, col)
+    for col in defaulted:
+        assert col in lay.defaults, (name, version, col)
+    for col in nulled:
+        assert col not in native_cols and col not in lay.defaults, \
+            (name, version, col)
+
+
+def test_too_old_server_yields_empty_capture(spark, wh):
+    """A server older than every layout epoch gets an EMPTY capture, not
+    an error — pg_stat_io on pg15- (powa--5.2.0.sql:4897-4918)."""
+    from powa_archivist_spark.sources.readers import read_staging
+    from powa_archivist_spark.sources.versions import MODULE_SOURCES
+    from powa_archivist_spark.specs import MODULE_SPECS
+    from powa_archivist_spark.storage import Warehouse
+
+    spec = MODULE_SPECS["pg_stat_io"]
+    staged = spark.createDataFrame(
+        [(1, ts(0), "client backend", "relation", "normal")],
+        "srvid int, ts timestamp, backend_type string, object string, "
+        "context string",
+    )
+    wh.append(staged, Warehouse.src_tmp(spec.name), partition_by=["srvid"])
+    out = read_staging(wh, spec, srvid=1, server_version=150004,
+                       source=MODULE_SOURCES[spec.name])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == \
+        [f.name for f in spec.staging_schema.fields]
+
+
+def test_layout_renames_and_defaults(spark, wh):
+    """pg_stat_wal_receiver pg11 layout: received_lsn feeds flushed_lsn
+    (rename, powa--5.2.0.sql:5487), written_lsn shimmed NULL;
+    pg_stat_subscription pg10-16 layouts inject 'apply' AS worker_type
+    (powa--5.2.0.sql:5216)."""
+    from powa_archivist_spark.sources.readers import read_staging
+    from powa_archivist_spark.sources.versions import MODULE_SOURCES
+    from powa_archivist_spark.specs import MODULE_SPECS
+    from powa_archivist_spark.storage import Warehouse
+
+    wr = MODULE_SPECS["pg_stat_wal_receiver"]
+    staged = spark.createDataFrame(
+        [(1, ts(0), "slot1", "h1", 5432, 77, "streaming", 1234)],
+        "srvid int, ts timestamp, slot_name string, sender_host string, "
+        "sender_port int, pid int, status string, received_lsn long",
+    )
+    wh.append(staged, Warehouse.src_tmp(wr.name), partition_by=["srvid"])
+    out = read_staging(wh, wr, srvid=1, server_version=110000,
+                       source=MODULE_SOURCES[wr.name]).collect()[0]
+    assert out.flushed_lsn == 1234      # rename received_lsn -> flushed_lsn
+    assert out.written_lsn is None      # not split yet on pg11
+    assert out.sender_host == "h1"      # pg11+ native
+
+    sub = MODULE_SPECS["pg_stat_subscription"]
+    staged = spark.createDataFrame(
+        [(1, ts(0), 16385, "mysub", 99, 0)],
+        "srvid int, ts timestamp, subid long, subname string, pid int, "
+        "relid long",
+    )
+    wh.append(staged, Warehouse.src_tmp(sub.name), partition_by=["srvid"])
+    out = read_staging(wh, sub, srvid=1, server_version=150000,
+                       source=MODULE_SOURCES[sub.name]).collect()[0]
+    assert out.worker_type == "apply"   # literal default pre-pg17
+    assert out.leader_pid is None       # pg16+ only
+
+
 CAT_SCHEMA = "srvid int, dbid long, oid long, relname string"
 
 
