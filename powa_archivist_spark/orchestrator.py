@@ -216,6 +216,17 @@ class Orchestrator:
                             self.wh, spec, srvid,
                             server_version=server.version, source=source,
                         )
+                if (
+                    spec.name == "wait_sampling"
+                    and cap is not None
+                    and "dbid" not in cap.columns
+                ):
+                    # local-path raw profile samples: resolve dbid via
+                    # the statements dictionary (J8,
+                    # powa--5.2.0.sql:7315-7334)
+                    from .operators.wait_sampling import resolve_wait_sampling
+
+                    cap = resolve_wait_sampling(self.wh, srvid, cap)
                 cap = self._apply_db_module_scope(server, spec, srvid, cap)
                 if spec.name == "statements":
                     self._statements_snapshot(spec, srvid, cap, now)

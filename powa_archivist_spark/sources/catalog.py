@@ -21,8 +21,10 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..storage import Warehouse
+from .readers import SourceLayout, VersionedSource, resolve_versioned
 
 # ORDER BY priority: pg_class last — it stamps last_refresh
 CATALOGS: list[tuple[str, int]] = [
@@ -34,6 +36,215 @@ CATALOGS: list[tuple[str, int]] = [
     ("pg_attribute", 6),
     ("pg_class", 99),
 ]
+
+
+def _schema(spec: str) -> T.StructType:
+    """Compact `name:type` DSL -> StructType, with the (srvid, dbid)
+    collector context columns prefixed (powa_catalog_* tables all key on
+    them, powa--5.2.0.sql:699-723)."""
+    fields = [
+        T.StructField("srvid", T.IntegerType(), False),
+        T.StructField("dbid", T.LongType(), False),
+    ]
+    for part in spec.split():
+        name, dtype = part.split(":")
+        fields.append(T.StructField(name, {
+            "long": T.LongType(), "int": T.IntegerType(),
+            "double": T.DoubleType(), "bool": T.BooleanType(),
+            "string": T.StringType(),
+            "strings": T.ArrayType(T.StringType()),
+            "longs": T.ArrayType(T.LongType()),
+        }[dtype], True))
+    return T.StructType(fields)
+
+
+#: mirrored-catalog column surfaces (the SELECT lists of
+#: powa_catalog_src_queries, powa--5.2.0.sql:457-687)
+CATALOG_SCHEMAS: dict[str, T.StructType] = {
+    "pg_class": _schema(
+        "oid:long relname:string relnamespace:long relpages:int "
+        "reltuples:double reltoastrelid:long relisshared:bool "
+        "relpersistence:string relkind:string relnatts:int "
+        "relrowsecurity:bool relforcerowsecurity:bool relreplident:string "
+        "relispartition:bool reloptions:strings relpartbound:string"),
+    "pg_attribute": _schema(
+        "attrelid:long attname:string atttypid:long attlen:int attnum:int "
+        "attcompression:string attnotnull:bool atthasdef:bool "
+        "atthasmissing:bool attidentity:string attgenerated:string "
+        "attstattarget:int attcollation:long attoptions:strings "
+        "attfdwoptions:strings"),
+    "pg_namespace": _schema("oid:long nspname:string"),
+    "pg_type": _schema(
+        "oid:long typname:string typnamespace:long typlen:int typbyval:bool "
+        "typtype:string typcategory:string typispreferred:bool "
+        "typisdefined:bool typdelim:string typrelid:long typelem:long "
+        "typarray:long typalign:string typstorage:string typnotnull:bool "
+        "typbasetype:long typtypmod:int typndims:int typcollation:long "
+        "typdefault:string"),
+    "pg_collation": _schema(
+        "oid:long collname:string collnamespace:long collprovider:string "
+        "collisdeterministic:bool collencoding:string collcollate:string "
+        "collctype:string colllocale:string collicurules:string "
+        "collversion:string"),
+    "pg_proc": _schema(
+        "oid:long proname:string regprocedure:string pronamespace:long "
+        "prolang:long procost:double prorows:double provariadic:long "
+        "prokind:string prosecdef:bool proleakproof:bool proisstrict:bool "
+        "proretset:bool provolatile:string proparallel:string pronargs:int "
+        "prorettype:long proargtypes:longs prosrc:string proconfig:strings"),
+    "pg_language": _schema(
+        "oid:long lanname:string lanispl:bool lanpltrusted:bool"),
+}
+
+
+def _cat_vs(name: str, *variants: tuple[int, SourceLayout]) -> VersionedSource:
+    src = VersionedSource(name)
+    for mv, lay in variants:
+        src.add(mv, lay)
+    return src
+
+
+_CLASS_BASE = (
+    "oid relname relnamespace relpages reltuples reltoastrelid relisshared "
+    "relpersistence relkind relnatts relreplident reloptions"
+)
+_ATTR_BASE = (
+    "attrelid attname atttypid attlen attnum attnotnull atthasdef "
+    "attstattarget attcollation attoptions attfdwoptions"
+)
+_COLL_BASE = "oid collname collnamespace collencoding collcollate collctype"
+_PROC_BASE = (
+    "oid proname regprocedure pronamespace prolang procost prorows "
+    "provariadic prosecdef proleakproof proisstrict proretset provolatile "
+    "pronargs prorettype proargtypes prosrc proconfig"
+)
+
+#: versioned catalog source layouts — the powa_catalog_src_queries
+#: registry (powa--5.2.0.sql:467-687) as config data.  Computed columns
+#: the reference derives in SQL (pre-10 collprovider CASE :574, pre-11
+#: prokind CASE :634-638) can't be recomputed engine-side from landed
+#: data and shim to NULL on those epochs.
+CATALOG_SOURCES: dict[str, VersionedSource] = {
+    "pg_class": _cat_vs(
+        "pg_class",
+        # base (:471-477): rowsecurity/partition fields are literal false
+        (0, SourceLayout(tuple(_CLASS_BASE.split()), defaults={
+            "relrowsecurity": False, "relforcerowsecurity": False,
+            "relispartition": False})),
+        # 9.5 (:480-487): relrowsecurity + relforcerowsecurity added
+        (90500, SourceLayout(
+            tuple((_CLASS_BASE + " relrowsecurity relforcerowsecurity")
+                  .split()),
+            defaults={"relispartition": False})),
+        # pg10 (:490-497): relispartition + relpartbound added
+        (100000, SourceLayout(tuple(
+            (_CLASS_BASE + " relrowsecurity relforcerowsecurity "
+             "relispartition relpartbound").split()))),
+    ),
+    "pg_attribute": _cat_vs(
+        "pg_attribute",
+        # base (:500-509): identity/generated/compression are literal ''
+        (0, SourceLayout(tuple(_ATTR_BASE.split()), defaults={
+            "attcompression": "", "atthasmissing": False,
+            "attidentity": "", "attgenerated": ""})),
+        # pg10 (:512-521): attidentity added
+        (100000, SourceLayout(tuple((_ATTR_BASE + " attidentity").split()),
+                              defaults={"attcompression": "",
+                                        "atthasmissing": False,
+                                        "attgenerated": ""})),
+        # pg11 (:524-533): atthasmissing added
+        (110000, SourceLayout(
+            tuple((_ATTR_BASE + " attidentity atthasmissing").split()),
+            defaults={"attcompression": "", "attgenerated": ""})),
+        # pg12 (:536-545): attgenerated added
+        (120000, SourceLayout(
+            tuple((_ATTR_BASE + " attidentity atthasmissing attgenerated")
+                  .split()),
+            defaults={"attcompression": ""})),
+        # pg14 (:548-557): attcompression added — full layout
+        (140000, SourceLayout(tuple(
+            (_ATTR_BASE + " attidentity atthasmissing attgenerated "
+             "attcompression").split()))),
+    ),
+    "pg_namespace": _cat_vs(
+        "pg_namespace",
+        (0, SourceLayout(("oid", "nspname"))),  # :561-563
+    ),
+    "pg_type": _cat_vs(
+        "pg_type",
+        (0, SourceLayout(tuple(  # :565-570, version-stable
+            "oid typname typnamespace typlen typbyval typtype typcategory "
+            "typispreferred typisdefined typdelim typrelid typelem typarray "
+            "typalign typstorage typnotnull typbasetype typtypmod typndims "
+            "typcollation typdefault".split()))),
+    ),
+    "pg_collation": _cat_vs(
+        "pg_collation",
+        # base (:572-580): collprovider is a SQL CASE -> NULL here;
+        # collisdeterministic literal true
+        (0, SourceLayout(tuple(_COLL_BASE.split()),
+                         defaults={"collisdeterministic": True})),
+        # pg10 (:583-590): collprovider + collversion added
+        (100000, SourceLayout(
+            tuple((_COLL_BASE + " collprovider collversion").split()),
+            defaults={"collisdeterministic": True})),
+        # pg12 (:593-600): collisdeterministic added
+        (120000, SourceLayout(tuple(
+            (_COLL_BASE + " collprovider collversion collisdeterministic")
+            .split()))),
+        # pg15 (:603-610): colliculocale added (exposed as colllocale)
+        (150000, SourceLayout(
+            tuple((_COLL_BASE + " collprovider collversion "
+                   "collisdeterministic").split()),
+            renames={"colllocale": "colliculocale"})),
+        # pg16 (:613-620): collicurules added
+        (160000, SourceLayout(
+            tuple((_COLL_BASE + " collprovider collversion "
+                   "collisdeterministic collicurules").split()),
+            renames={"colllocale": "colliculocale"})),
+        # pg17 (:623-630): colliculocale renamed to colllocale — full
+        (170000, SourceLayout(tuple(
+            (_COLL_BASE + " collprovider collversion collisdeterministic "
+             "collicurules colllocale").split()))),
+    ),
+    "pg_proc": _cat_vs(
+        "pg_proc",
+        # base (:632-643): proparallel literal 'u'; prokind is a SQL CASE
+        # over proisagg/proiswindow -> NULL here
+        (0, SourceLayout(tuple(_PROC_BASE.split()),
+                         defaults={"proparallel": "u"})),
+        # 9.6 (:646-656): proparallel added
+        (90600, SourceLayout(tuple((_PROC_BASE + " proparallel").split()))),
+        # pg11 (:659-668): prokind added (replaces proisagg/proiswindow)
+        (110000, SourceLayout(
+            tuple((_PROC_BASE + " proparallel prokind").split()))),
+        # pg14 (:671-683): prosrc derived via pg_get_function_sqlbody for
+        # SQL-body functions — same column surface
+        (140000, SourceLayout(
+            tuple((_PROC_BASE + " proparallel prokind").split()))),
+    ),
+    "pg_language": _cat_vs(
+        "pg_language",
+        (0, SourceLayout(  # :685-687
+            ("oid", "lanname", "lanispl", "lanpltrusted"))),
+    ),
+}
+
+
+def catalog_src_layout(catname: str, server_version: int) -> SourceLayout:
+    """``powa_catalog_src_query(_catname, _server_version_num)``
+    (powa--5.2.0.sql:689-699): newest layout not newer than the server."""
+    return resolve_versioned(CATALOG_SOURCES[catname], server_version)
+
+
+def stage_catalog(df: DataFrame, catname: str,
+                  server_version: int) -> DataFrame:
+    """Project a collector-landed catalog batch through the server's
+    layout epoch onto the mirror schema (renames applied, literal
+    defaults injected, absent columns NULL)."""
+    return catalog_src_layout(catname, server_version).project(
+        df, CATALOG_SCHEMAS[catname]
+    )
 
 DEFAULT_REFRESH_INTERVAL = dt.timedelta(days=365)  # powa--5.2.0.sql:726
 
@@ -135,14 +346,20 @@ def catalog_snapshot_all(
     srvid: int,
     staged_by_cat: dict[str, DataFrame],
     now: dt.datetime,
+    server_version: int | None = None,
 ) -> dict[str, int]:
-    """Run all staged catalogs in priority order (pg_class last)."""
+    """Run all staged catalogs in priority order (pg_class last).
+
+    With ``server_version``, each batch is first projected through the
+    server's layout epoch (powa_catalog_src_query resolution,
+    powa--5.2.0.sql:689-699) onto the mirror schema."""
     counts = {}
     for catname, _prio in sorted(CATALOGS, key=lambda c: c[1]):
         if catname in staged_by_cat:
-            counts[catname] = catalog_snapshot(
-                wh, srvid, catname, staged_by_cat[catname], now
-            )
+            staged = staged_by_cat[catname]
+            if server_version is not None:
+                staged = stage_catalog(staged, catname, server_version)
+            counts[catname] = catalog_snapshot(wh, srvid, catname, staged, now)
     return counts
 
 

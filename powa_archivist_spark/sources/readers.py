@@ -67,7 +67,9 @@ class SourceLayout:
         cols = []
         for f in schema.fields:
             src = self.renames.get(f.name, f.name)
-            if f.name in ("srvid", "ts") and f.name in present:
+            # context columns stamped by the collector, never versioned:
+            # srvid/ts on module staging, dbid on catalog staging
+            if f.name in ("srvid", "ts", "dbid") and f.name in present:
                 cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
             elif (f.name in self.columns or f.name in self.renames) \
                     and src in present:

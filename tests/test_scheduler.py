@@ -179,6 +179,50 @@ def test_qualstats_end_to_end_snapshot(spark, wh):
     assert qs.read_quals(wh, 1).count() == 0
 
 
+def test_wait_sampling_dbid_resolution(spark, wh):
+    """J8 wired into the wait_sampling snapshot path: raw per-pid
+    samples carry no dbid; it resolves via DISTINCT (dbid, queryid) off
+    the statements dictionary, unknown -> 0, dropped dbs excluded,
+    counts pre-summed (powa--5.2.0.sql:7315-7334)."""
+    from powa_archivist_spark.operators import databases as dbs
+    from powa_archivist_spark.operators import dictionary
+    from powa_archivist_spark.specs import WAIT_SAMPLING
+
+    # statements dictionary: queryid 100 in db 10 (two users -> the
+    # DISTINCT matters), queryid 200 in dropped db 66
+    cap = spark.createDataFrame(
+        [(100, 10, 5, "SELECT a", ts(0)), (100, 10, 6, "SELECT a", ts(0)),
+         (200, 66, 5, "SELECT b", ts(0))],
+        "queryid long, dbid long, userid long, query string, ts timestamp",
+    )
+    dictionary.merge_statements(wh, 1, cap, now=ts(0))
+    dbs.databases_snapshot(wh, 1, spark.createDataFrame(
+        [(10, "app"), (66, "legacy")], "oid long, datname string"), now=ts(0))
+    dbs.databases_snapshot(wh, 1, spark.createDataFrame(
+        [(10, "app")], "oid long, datname string"), now=ts(5))  # 66 dropped
+
+    samples = spark.createDataFrame(
+        [(ts(5), "LWLock", "WALWriteLock", 100, 3),
+         (ts(5), "LWLock", "WALWriteLock", 100, 4),   # same key -> summed
+         (ts(5), "IO", "DataFileRead", 999, 7),       # unknown -> dbid 0
+         (ts(5), "IO", "DataFileRead", 200, 5),       # dropped db -> excluded
+         (ts(5), None, "x", 100, 1)],                 # NULL event_type -> out
+        "ts timestamp, event_type string, event string, queryid long, "
+        "count long",
+    )
+    orch = Orchestrator(wh, specs={WAIT_SAMPLING.name: WAIT_SAMPLING})
+    errs = orch.take_snapshot(ServerConfig(srvid=1, powa_coalesce=5),
+                              captures={WAIT_SAMPLING.name: samples},
+                              now=ts(5))
+    assert errs == 0, orch.read_metas(1)["errors"]
+    rows = {(r.dbid, r.event_type, r.event, r.queryid): int(r["count"])
+            for r in wh.read(Warehouse.current(WAIT_SAMPLING.name)).collect()}
+    assert rows == {
+        (10, "LWLock", "WALWriteLock", 100): 7,
+        (0, "IO", "DataFileRead", 999): 7,
+    }
+
+
 def test_metas_df_surfaces_errors_ledger(spark, wh):
     """powa_snapshot_metas as a DataFrame view: failed datasources must
     surface in the errors array (powa--5.2.0.sql:908-918)."""

@@ -287,6 +287,87 @@ def test_catalog_snapshot_replace_and_refresh_gating(spark, wh):
     assert cat.last_refresh(wh, 1, 10) is None
 
 
+def test_catalog_layout_registry_covers_all_catalogs():
+    """Every mirrored catalog has versioned layout data
+    (powa_catalog_src_queries, powa--5.2.0.sql:457-687), consistent with
+    its mirror schema."""
+    for catname, _ in cat.CATALOGS:
+        assert catname in cat.CATALOG_SOURCES
+        schema_cols = {f.name for f in cat.CATALOG_SCHEMAS[catname].fields}
+        for v in cat.CATALOG_SOURCES[catname].variants:
+            lay = v.payload
+            assert set(lay.columns) <= schema_cols, (catname, v.min_version)
+            assert set(lay.renames) <= schema_cols
+            assert set(lay.defaults) <= schema_cols
+
+
+@pytest.mark.parametrize("catname,version,native,defaulted,nulled", [
+    # powa_catalog_src_query(_catname, version) resolution goldens
+    ("pg_class", 90400, ["relreplident"],
+     ["relrowsecurity", "relispartition"], ["relpartbound"]),
+    ("pg_class", 90600, ["relrowsecurity"], ["relispartition"],
+     ["relpartbound"]),
+    ("pg_class", 130000, ["relispartition", "relpartbound"], [], []),
+    ("pg_attribute", 90600, ["attnotnull"],
+     ["attidentity", "atthasmissing", "attgenerated", "attcompression"], []),
+    ("pg_attribute", 110000, ["attidentity", "atthasmissing"],
+     ["attgenerated", "attcompression"], []),
+    ("pg_attribute", 140000, ["attcompression", "attgenerated"], [], []),
+    ("pg_collation", 90400, ["collencoding"], ["collisdeterministic"],
+     ["collprovider", "collversion", "colllocale"]),
+    ("pg_collation", 110000, ["collprovider", "collversion"],
+     ["collisdeterministic"], ["colllocale"]),
+    ("pg_collation", 150000, ["colllocale"], [], ["collicurules"]),
+    ("pg_collation", 170000, ["colllocale", "collicurules"], [], []),
+    ("pg_proc", 90400, ["provolatile"], ["proparallel"], ["prokind"]),
+    ("pg_proc", 100000, ["proparallel"], [], ["prokind"]),
+    ("pg_proc", 120000, ["prokind", "proparallel"], [], []),
+])
+def test_catalog_version_pick_golden(catname, version, native, defaulted,
+                                     nulled):
+    lay = cat.catalog_src_layout(catname, version)
+    native_cols = set(lay.columns) | set(lay.renames)
+    for col in native:
+        assert col in native_cols, (catname, version, col)
+    for col in defaulted:
+        assert col in lay.defaults, (catname, version, col)
+    for col in nulled:
+        assert col not in native_cols and col not in lay.defaults, \
+            (catname, version, col)
+
+
+def test_catalog_staging_projection(spark, wh):
+    """End-to-end: a pg15 collation batch lands with colliculocale, the
+    layout renames it to colllocale (powa--5.2.0.sql:603-610); a pg9.6
+    attribute batch gets the literal '' identity/generated paddings
+    (:500-509)."""
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    coll = spark.createDataFrame(
+        [(1, 10, 100, "my_coll", 11, "c", True, "UTF8", "C", "C",
+          "en-US-u-x", "1.2")],
+        "srvid int, dbid long, oid long, collname string, collnamespace long, "
+        "collprovider string, collisdeterministic boolean, collencoding "
+        "string, collcollate string, collctype string, colliculocale string, "
+        "collversion string",
+    )
+    counts = cat.catalog_snapshot_all(wh, 1, {"pg_collation": coll}, now=t0,
+                                      server_version=150004)
+    assert counts == {"pg_collation": 1}
+    row = wh.read(cat.catalog_table("pg_collation")).collect()[0]
+    assert row.colllocale == "en-US-u-x"   # renamed from colliculocale
+    assert row.collicurules is None        # pg16+ only
+
+    attr = spark.createDataFrame(
+        [(1, 10, 100, "col_a", 23, 4, 1, False, False, -1, 0)],
+        "srvid int, dbid long, attrelid long, attname string, atttypid long, "
+        "attlen int, attnum int, attnotnull boolean, atthasdef boolean, "
+        "attstattarget int, attcollation long",
+    )
+    out = cat.stage_catalog(attr, "pg_attribute", 90600).collect()[0]
+    assert out.attidentity == "" and out.attgenerated == ""
+    assert out.atthasmissing is False and out.attcompression == ""
+
+
 def test_catalog_priority_order(spark, wh):
     """pg_class runs last so last_refresh is stamped only after the other
     catalogs landed (powa--5.2.0.sql:445-448)."""
