@@ -1304,6 +1304,128 @@ FROM rolled r JOIN atoms a USING (qualid, queryid, dbid, userid)
 """
 
 
+def snapshot_lifecycle_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+A2+P8 END-TO-END on the real engine jobs: events-derived
+    per-day counter samples appended via ``operators.snapshot``, packed
+    into history via ``operators.aggregate`` (ts-ordered record arrays +
+    min/max sketches + current drain), then range-read back through the
+    two-phase ``unpack`` — all against a scratch warehouse.  The output
+    joins the unpacked rows with the per-entity packing sketch, so the
+    oracle checks the whole chain round-trips losslessly."""
+    import tempfile
+
+    from .operators.aggregate import aggregate
+    from .operators.snapshot import snapshot as snapshot_job
+    from .storage import Warehouse
+
+    spec = DatasourceSpec(
+        name="ev_lifecycle", kind="module",
+        keys=(Key("user_id", "oid"),),
+        counters=(Counter("n_events"), Counter("value_cents")),
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="powa_life_query_"))
+    ev = t(spark, sf_dir, "events")
+    cap = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("ts"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(F.lit(1).cast("int").alias("srvid"), "user_id", "ts",
+                "n_events", "value_cents")
+    )
+    snapshot_job(wh, spec, 1, capture=cap, drop_staging=False)
+    aggregate(wh, spec, 1)
+
+    hist = wh.read(Warehouse.history(spec.name), spec.history_schema)
+    lo = F.to_timestamp(F.lit("2024-01-05 00:00:00"))
+    hi = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    rows = unpack(hist, spec, lo, hi)
+    sketch = hist.select(
+        "user_id",
+        F.size("records").alias("n_records"),
+        F.col("mins_in_range.value_cents").alias("min_cents"),
+        F.col("maxs_in_range.value_cents").alias("max_cents"),
+    )
+    return rows.join(sketch, "user_id").select(
+        "user_id", "ts", "n_events", "value_cents",
+        "n_records", "min_cents", "max_cents",
+    )
+
+
+ORACLE_LIFECYCLE_UNPACK = """
+WITH rolled AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1, 2
+), sketch AS (
+  SELECT user_id, CAST(COUNT(*) AS INT) AS n_records,
+         MIN(value_cents) AS min_cents, MAX(value_cents) AS max_cents
+  FROM rolled GROUP BY user_id
+)
+SELECT r.user_id, r.ts, r.n_events, r.value_cents,
+       s.n_records, s.min_cents, s.max_cents
+FROM rolled r JOIN sketch s USING (user_id)
+WHERE r.ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND r.ts <= TIMESTAMP '2024-01-15 00:00:00'
+"""
+
+
+def versioned_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/P6 as an oracle-checked query, on the REAL registered layouts:
+    events-derived rows land in pg_stat_database staging carrying a
+    pg14-only column (session_time), and the read resolves the pg12
+    layout epoch (powa--5.2.0.sql:4751-4766) — native columns projected,
+    the too-new column DROPPED to NULL, absent columns NULL-shimmed.
+    The oracle replays the projection the layout mandates."""
+    import tempfile
+
+    from .sources.readers import read_staging
+    from .sources.versions import MODULE_SOURCES
+    from .specs import MODULE_SPECS
+    from .storage import Warehouse
+
+    spec = MODULE_SPECS["pg_stat_database"]
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="powa_vlr_query_"))
+    ev = t(spark, sf_dir, "events")
+    raw = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("ts"),
+            (F.col("user_id") % 5 + 16384).alias("datid"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("xact_commit"),
+            F.sum(cents(F.col("value"))).alias("blks_read"),
+            F.max("user_id").alias("checksum_failures"),
+        )
+        .withColumn("srvid", F.lit(1).cast("int"))
+        # a column the pg12 layout must NOT pass through (pg14+ only)
+        .withColumn("session_time", F.lit(42.0))
+    )
+    wh.append(raw, Warehouse.src_tmp(spec.name), partition_by=["srvid"])
+    out = read_staging(wh, spec, srvid=1, server_version=120012,
+                       source=MODULE_SOURCES[spec.name])
+    return out.select(
+        "datid", "ts", "xact_commit", "blks_read", "checksum_failures",
+        "session_time", "sessions", "tup_returned",
+    )
+
+
+ORACLE_VERSIONED_LAYOUT = """
+SELECT user_id % 5 + 16384 AS datid,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts,
+       CAST(COUNT(*) AS BIGINT) AS xact_commit,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS blks_read,
+       CAST(MAX(user_id) AS BIGINT) AS checksum_failures,
+       CAST(NULL AS DOUBLE) AS session_time,
+       CAST(NULL AS BIGINT) AS sessions,
+       CAST(NULL AS BIGINT) AS tup_returned
+FROM events GROUP BY 1, 2
+"""
+
+
 CORE_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q03_top_orders": (q03_top_orders, ORACLE_Q03),
@@ -1340,4 +1462,8 @@ CORE_QUERIES = {
     "salted_rollup": (salted_rollup, ORACLE_SALTED),
     "qualstats_snapshot_topk": (qualstats_snapshot_rollup,
                                 ORACLE_QUALSTATS_SNAPSHOT),
+    "snapshot_lifecycle_unpack": (snapshot_lifecycle_unpack,
+                                  ORACLE_LIFECYCLE_UNPACK),
+    "versioned_layout_read": (versioned_layout_read,
+                              ORACLE_VERSIONED_LAYOUT),
 }

@@ -9,18 +9,24 @@ each micro-batch runs the SAME batch snapshot transform via
 ``foreachBatch`` — checkpointed source offsets plus optional late-data
 tolerance the reference lacks.
 
-Delivery semantics: **at-least-once with ts-level dedup**, not
-exactly-once — ``foreachBatch`` can replay a batch after a crash, and
-the snapshot operator's idempotency anti-join skips capture rows whose
-``ts`` already appears in the server's current slice.  The guard is
-keyed on whole ts values: a replayed batch whose ts only PARTIALLY
-appended before the crash (multi-file append interrupted mid-write) is
-skipped wholesale, so rows of that timestamp that never hit disk stay
-lost.  Closing that window needs an atomic per-(srvid, ts) commit —
-write-then-rename staging of each micro-batch append, or a
-transactional table format — which plain parquet appends can't express;
-at 5-minute snapshot cadence a lost partial tick is also visible in the
-metas errors ledger on the next pass.
+Delivery semantics: **replay-convergent** (effective exactly-once at
+rest).  ``foreachBatch`` is at-least-once — a batch can replay after a
+crash — so each batch application is made idempotent by construction
+rather than by trusting a single append:
+
+- a committed batch leaves a marker file (named by ``epoch_id``) in the
+  checkpoint dir; a replay that finds the marker is a no-op;
+- a replay WITHOUT a marker first deletes the batch's own (srvid, ts)
+  slice from the current tables (a bounded rewrite of the small
+  between-coalesce slice), then re-appends the whole batch.
+
+Every crash point converges: crash before the delete or between delete
+and append -> the replay deletes nothing/partial rows and re-appends
+everything; crash after append but before the marker -> the replay
+deletes the full slice and re-appends identically.  Plain parquet can't
+do an atomic append, so idempotent-apply + marker is the lakehouse-
+standard substitute (a transactional table format would collapse this
+into one txn).
 
 At scale: the landing dir is object storage partitioned by arrival;
 ``maxFilesPerTrigger`` bounds batch size; the snapshot transform itself
@@ -30,6 +36,7 @@ is unchanged batch code (one code path for both modes).
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,6 +44,49 @@ from pyspark.sql import functions as F
 from ..operators.snapshot import snapshot
 from ..specs import DatasourceSpec
 from ..storage import Warehouse
+
+
+def process_staged_batch(
+    wh: Warehouse,
+    spec: DatasourceSpec,
+    batch: DataFrame,
+    epoch_id: int,
+    marker_dir: str,
+) -> None:
+    """Apply one micro-batch idempotently (see module docstring):
+    marker check -> per-srvid slice delete -> append -> marker commit.
+    The delete is a :meth:`Warehouse.rewrite_srvid_partition` of the
+    current slice minus the batch's own ts values — bounded by the
+    between-coalesce row count, never a history rewrite."""
+    marker = os.path.join(marker_dir, f"epoch-{epoch_id}.done")
+    if os.path.exists(marker):
+        return
+    batch = batch.cache()
+    try:
+        keys = batch.select("srvid", "ts").distinct().collect()
+        for srvid in sorted({r.srvid for r in keys}):
+            ts_vals = [r.ts for r in keys if r.srvid == srvid]
+            for table, schema in (
+                (Warehouse.current(spec.name), spec.current_schema),
+                (Warehouse.current_db(spec.name), None),
+            ):
+                if not wh.exists(table):
+                    continue
+                cur = wh.read(table, schema).filter(F.col("srvid") == srvid)
+                kept = cur.filter(~F.col("ts").isin(ts_vals))
+                wh.rewrite_srvid_partition(kept, table, schema, srvid)
+            snapshot(
+                wh, spec, srvid,
+                capture=batch.filter(F.col("srvid") == srvid),
+                drop_staging=False, idempotent=False,
+            )
+        os.makedirs(marker_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("committed")
+        os.replace(tmp, marker)
+    finally:
+        batch.unpersist()
 
 
 def ingest_stream(
@@ -63,20 +113,10 @@ def ingest_stream(
     if watermark:
         stream = stream.withWatermark("ts", watermark)
 
+    marker_dir = os.path.join(checkpoint_dir, "epoch_markers")
+
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
-        batch = batch.cache()
-        try:
-            srvids = [r.srvid for r in batch.select("srvid").distinct().collect()]
-            for srvid in sorted(srvids):
-                snapshot(
-                    wh,
-                    spec,
-                    srvid,
-                    capture=batch.filter(F.col("srvid") == srvid),
-                    drop_staging=False,
-                )
-        finally:
-            batch.unpersist()
+        process_staged_batch(wh, spec, batch, epoch_id, marker_dir)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

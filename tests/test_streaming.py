@@ -122,6 +122,47 @@ def test_stateful_sessionize_across_batches(spark):
     assert rows == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
 
 
+def test_batch_replay_converges(spark, wh):
+    """Replay-convergent apply: a replayed epoch with a committed marker
+    is a no-op; a replay after a PARTIAL append (crash between append
+    and marker — the round-1 loss window) deletes its own slice and
+    re-appends, landing on exactly the batch's rows."""
+    import tempfile
+
+    from powa_archivist_spark.streaming.ingest import process_staged_batch
+
+    marker_dir = tempfile.mkdtemp(prefix="markers_")
+    batch = spark.createDataFrame(
+        [(1, ts(0), 110, 50, 105, 10, 200),
+         (1, ts(0), 111, 51, 106, 11, 201)],
+        SPEC.staging_schema,
+    )
+    # simulate the crash window: HALF the batch already appended for this
+    # ts, no marker written
+    partial = spark.createDataFrame(
+        [(1, ts(0), 110, 50, 105, 10, 200)], SPEC.staging_schema
+    )
+    wh.append(partial.select("srvid", "ts", *[c.name for c in SPEC.counters]),
+              Warehouse.current(SPEC.name), partition_by=["srvid"])
+
+    process_staged_batch(wh, SPEC, batch, epoch_id=7, marker_dir=marker_dir)
+    cur = wh.read(Warehouse.current(SPEC.name)).collect()
+    # the ts-level idempotency anti-join alone would have SKIPPED the
+    # replay and lost row 111; the convergent apply recovers both rows
+    assert sorted(r.buffers_clean for r in cur) == [110, 111]
+
+    # marker committed -> replaying the same epoch changes nothing
+    process_staged_batch(wh, SPEC, batch, epoch_id=7, marker_dir=marker_dir)
+    assert wh.read(Warehouse.current(SPEC.name)).count() == 2
+
+    # a NEW epoch with a later ts appends normally
+    b2 = spark.createDataFrame(
+        [(1, ts(5), 120, 55, 110, 12, 220)], SPEC.staging_schema
+    )
+    process_staged_batch(wh, SPEC, b2, epoch_id=8, marker_dir=marker_dir)
+    assert wh.read(Warehouse.current(SPEC.name)).count() == 3
+
+
 def test_stream_ingest_exactly_once(spark, wh):
     landing = tempfile.mkdtemp(prefix="landing_")
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
