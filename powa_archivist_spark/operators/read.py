@@ -65,6 +65,48 @@ def stat_get_rates(
     )
 
 
+def stat_get_sample(
+    wh: Warehouse,
+    spec: DatasourceSpec,
+    srvid: int,
+    ts_from: dt.datetime,
+    ts_to: dt.datetime,
+    n_samples: int = 100,
+    clamp_resets: bool = True,
+) -> DataFrame:
+    """Downsampled rate series — the powa-web plot query shape
+    (powa-web powa/sql: ``row_number() % (total/samples + 1) = 0`` over
+    the unpack-read, THEN diff/rate between the **kept** points so each
+    plotted sample smooths the skipped interval instead of dropping it).
+
+    One shuffle: ``row_number`` and the per-entity ``count`` share the
+    same partition keys, so Catalyst evaluates both window frames over a
+    single exchange+sort; the rate ``lag`` then reuses that
+    partitioning.  At 100 TB the range filter prunes partitions before
+    the exchange and each entity's series is tiny — the shuffle is keyed
+    on (srvid, entity), never on ts.
+    """
+    from pyspark.sql import Window
+
+    series = stat_get_history(wh, spec, srvid, ts_from, ts_to)
+    keys = ["srvid", *spec.key_names]
+    w_ord = Window.partitionBy(*keys).orderBy("ts")
+    w_all = Window.partitionBy(*keys)
+    sampled = (
+        series.withColumn("number", F.row_number().over(w_ord))
+        .withColumn("total", F.count(F.lit(1)).over(w_all))
+        .filter(
+            F.col("number")
+            % (F.floor(F.col("total") / F.lit(n_samples)) + F.lit(1))
+            == 0
+        )
+        .drop("number", "total")
+    )
+    return with_rate(sampled, spec, clamp_resets=clamp_resets).filter(
+        F.col("sec").isNotNull()
+    )
+
+
 def stat_get_diffs(
     wh: Warehouse,
     spec: DatasourceSpec,

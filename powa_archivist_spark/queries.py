@@ -1426,6 +1426,73 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_sampled_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The powa-web PLOT query shape (§3.4 read surface, mirrored by
+    operators.read.stat_get_sample): downsample each entity's counter
+    series to ~N points with the ``row_number % (total/N + 1) = 0``
+    pattern, THEN rate between the KEPT points — each plotted sample
+    smooths the skipped interval rather than dropping its delta.
+
+    Both window frames share one partitioning (user_id), so the whole
+    query is a single exchange+sort; the range filter would prune
+    partitions before the shuffle on a ts-partitioned table."""
+    n_samples = 20
+    ev = _events_as_series(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    sampled = (
+        ev.withColumn("number", F.row_number().over(w_ord))
+        .withColumn("total", F.count(F.lit(1)).over(w_all))
+        .filter(
+            F.col("number")
+            % (F.floor(F.col("total") / F.lit(float(n_samples))).cast("long")
+               + F.lit(1))
+            == 0
+        )
+    )
+    epoch = F.col("ts").cast("double")
+    prev_epoch = F.lag(epoch).over(w_ord)
+    delta = F.col("value_cents") - F.lag("value_cents").over(w_ord)
+    sec = epoch - prev_epoch
+    clamped = F.when(sec < 1.0, F.lit(1.0)).otherwise(sec)
+    return (
+        sampled.select(
+            "user_id",
+            "ts",
+            F.col("number").alias("sample_no"),
+            delta.alias("delta_cents"),
+            (delta.cast("double") / 100 / clamped).alias("rate_per_sec"),
+        )
+        .filter(F.col("delta_cents").isNotNull())
+    )
+
+
+ORACLE_SAMPLED_RATES = """
+WITH series AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS number,
+         COUNT(*) OVER (PARTITION BY user_id) AS total
+  FROM events
+), sampled AS (
+  SELECT * FROM series
+  WHERE number % (CAST(floor(total / 20.0) AS BIGINT) + 1) = 0
+), stepped AS (
+  SELECT user_id, ts, number AS sample_no,
+         value_cents - LAG(value_cents) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents,
+         epoch(ts) - LAG(epoch(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS sec
+  FROM sampled
+)
+SELECT user_id, ts, sample_no, delta_cents,
+       CAST(delta_cents AS DOUBLE) / 100 /
+         (CASE WHEN sec < 1.0 THEN 1.0 ELSE sec END) AS rate_per_sec
+FROM stepped WHERE delta_cents IS NOT NULL
+"""
+
+
 CORE_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q03_top_orders": (q03_top_orders, ORACLE_Q03),
@@ -1466,4 +1533,5 @@ CORE_QUERIES = {
                                   ORACLE_LIFECYCLE_UNPACK),
     "versioned_layout_read": (versioned_layout_read,
                               ORACLE_VERSIONED_LAYOUT),
+    "events_sampled_rates": (events_sampled_rates, ORACLE_SAMPLED_RATES),
 }

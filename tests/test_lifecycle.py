@@ -142,3 +142,30 @@ def test_smear_offsets_coalesce(spark, wh):
         server, captures={SPEC.name: bgwriter_rows(spark, 3, ts(5), 2)}, now=ts(5)
     )
     assert orch.read_metas(3)["aggts"] is not None
+
+
+def test_stat_get_sample_downsamples_rates(spark, wh, orch):
+    """powa-web plot read (operators.read.stat_get_sample): 12 snapshots
+    sampled to <= 4 points; rates smooth the skipped intervals (each
+    kept point's delta spans the gap back to the previous KEPT point)."""
+    from powa_archivist_spark.operators.read import (
+        stat_get_rates, stat_get_sample,
+    )
+
+    server = ServerConfig(srvid=0, powa_coalesce=5)
+    for i in range(12):
+        orch.take_snapshot(
+            server,
+            captures={SPEC.name: bgwriter_rows(spark, 0, ts(i * 5), 100 + i * 6)},
+            now=ts(i * 5),
+        )
+    lo, hi = ts(0), ts(0) + dt.timedelta(hours=2)
+    full = stat_get_rates(wh, SPEC, 0, lo, hi)
+    samp = stat_get_sample(wh, SPEC, 0, lo, hi, n_samples=4)
+    assert full.count() == 11
+    rows = samp.orderBy("ts").collect()
+    # 12 points, N=4 -> keep number % 4 == 0 -> 3 kept -> 2 rate rows
+    assert len(rows) == 2
+    # counters grow 6 per 5-min tick; each kept step spans 4 ticks ->
+    # delta 24 over 1200s
+    assert all(abs(r.buffers_clean_per_sec - 24 / 1200) < 1e-9 for r in rows)
