@@ -27,6 +27,31 @@ def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+def cross_engine_hash64(*cols: Column) -> Column:
+    """Deterministic 60-bit hash with an exact DuckDB twin:
+
+        Spark:  conv(substring(md5(concat_ws(':', cols)), 1, 15), 16, 10)
+        DuckDB: ('0x' || substring(md5(a || ':' || b), 1, 15))::BIGINT
+
+    Costlier than ``xxhash64`` (cryptographic digest vs 64-bit mix), so
+    the hash family of every sketch operator is pluggable: production
+    defaults to ``xxhash64``; the declared query surface uses this one so
+    the ENTIRE minhash/simhash/winnowing chain is replayable by the SQL
+    oracle instead of rows-only checked."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *cols)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _hash64(fn: str, *cols: Column) -> Column:
+    """Seeded 64-bit hash in the chosen family (`xxhash64` | `md5`)."""
+    if fn == "xxhash64":
+        return F.xxhash64(*cols)
+    if fn == "md5":
+        return cross_engine_hash64(*cols)
+    raise ValueError(f"unknown hash family: {fn!r}")
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """One row per distinct normalized text: representative id (min) +
@@ -257,11 +282,14 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_df: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """num_perm minhash values per doc via seeded xxhash64 over shingles.
+    """num_perm minhash values per doc via seeded hashes over shingles.
 
-    h_i(doc) = min over shingles of xxhash64(seed_i, shingle) — a standard
+    h_i(doc) = min over shingles of hash(seed_i, shingle) — a standard
     tabulation-style permutation family, entirely JVM-side (no UDFs).
+    ``hash_fn`` picks the family: ``xxhash64`` (prod default) or ``md5``
+    (cross-engine, SQL-oracle replayable — :func:`cross_engine_hash64`).
 
     Plan shape: explode shingles → one groupBy with num_perm plain MIN
     aggregates (map-side partial agg, narrow codegen).  The tempting
@@ -278,7 +306,7 @@ def minhash_signatures(
     )
     sh = sh_arr.select(F.col(id_col), F.explode("sh").alias("shingle"))
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(_hash64(hash_fn, F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_perm)
     ]
     return (
@@ -299,6 +327,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_df: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Banded LSH: equal band-slice -> candidate pair.
 
@@ -307,8 +336,20 @@ def minhash_lsh_candidates(
     bucket cardinality, no cross join anywhere."""
     assert num_perm % bands == 0
     r = num_perm // bands
+
+    def bucket(b: int) -> Column:
+        sl = F.slice("sig", b * r + 1, r)
+        if hash_fn == "xxhash64":
+            return F.xxhash64(sl)
+        # cross-engine: hash the '|'-joined decimal band slice (DuckDB
+        # twin: md5(array_to_string(sig[b*r+1 : b*r+r], '|')))
+        return cross_engine_hash64(
+            F.concat_ws("|", F.transform(sl, lambda x: x.cast("string")))
+        )
+
     sig = minhash_signatures(
-        docs, num_perm, shingle_n, text_col, id_col, shingle_df=shingle_df
+        docs, num_perm, shingle_n, text_col, id_col,
+        shingle_df=shingle_df, hash_fn=hash_fn,
     )
     banded = sig.select(
         F.col(id_col),
@@ -317,7 +358,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bucket"),
+                        bucket(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -346,6 +387,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard (two-phase:
     cheap candidate join, exact check only on candidates).
@@ -359,7 +401,8 @@ def minhash_dedup_pairs(
     staging table once per corpus pass."""
     sh = shingle_arrays(docs, shingle_n, text_col, id_col).persist()
     cands = minhash_lsh_candidates(
-        docs, num_perm, bands, shingle_n, text_col, id_col, shingle_df=sh
+        docs, num_perm, bands, shingle_n, text_col, id_col,
+        shingle_df=sh, hash_fn=hash_fn,
     )
     a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
@@ -391,17 +434,22 @@ def near_dup_keep(docs: DataFrame, threshold: float = 0.8,
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+            id_col: str = "doc_id", bits: int = 64,
+            hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash fingerprint: per-bit majority vote over token hashes.
 
     Vote for bit k = sum over tokens of (hash>>k & 1 ? +1 : -1); the
     fingerprint sets bit k if the vote is positive.
 
-    Plan shape: explode distinct tokens → one groupBy with 64 plain SUM
-    aggregates over the shared token hash, then a single projection
-    assembling the fingerprint.  (64 nested F.aggregate array traversals
-    compile to enormous generated code — ~40 s for 500 docs.)  Tokenless
-    docs are kept via explode_outer with vote 0 → fingerprint 0."""
+    Plan shape: explode distinct tokens → one groupBy with `bits` plain
+    SUM aggregates over the shared token hash, then a single projection
+    assembling the fingerprint.  (Nested F.aggregate array traversals per
+    bit compile to enormous generated code — ~40 s for 500 docs.)
+    Tokenless docs are kept via explode_outer with vote 0 → fingerprint 0.
+
+    With ``hash_fn='md5'`` the token hash is the 60-bit cross-engine
+    family (:func:`cross_engine_hash64`) — pass ``bits=60`` so every vote
+    bit is hash-bearing and the SQL oracle can replay the fingerprint."""
     def mask(k: int) -> int:
         # bit 63 of a signed 64-bit mask is the sign bit
         return (1 << k) if k < 63 else -(1 << 63)
@@ -412,7 +460,7 @@ def simhash(docs: DataFrame, text_col: str = "text",
             "tok"
         ),
     )
-    h = F.xxhash64("tok")
+    h = _hash64(hash_fn, F.col("tok"))
     votes = [
         F.sum(
             F.when(F.col("tok").isNull(), 0)
@@ -437,16 +485,17 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Candidate generation: split the 64-bit fingerprint into
-    (max_hamming + 1) bands — by pigeonhole, any pair within the distance
-    budget collides on at least one full band; the join is equi on
-    (band, band_value)."""
+    Candidate generation: split the fingerprint into (max_hamming + 1)
+    bands — by pigeonhole, any pair within the distance budget collides
+    on at least one full band; the join is equi on (band, band_value)."""
     n_bands = max_hamming + 1
-    width = 64 // n_bands
-    fps = simhash(docs, text_col, id_col)
+    bits = 60 if hash_fn == "md5" else 64
+    width = bits // n_bands
+    fps = simhash(docs, text_col, id_col, bits=bits, hash_fn=hash_fn)
     banded = fps.select(
         F.col(id_col),
         F.col("simhash"),

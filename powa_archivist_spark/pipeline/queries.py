@@ -70,18 +70,110 @@ WHERE doc_id NOT IN (
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No SQL oracle (xxhash64 permutations are engine-specific) — driver
-    records rows-only; recall vs exact jaccard is pytest-verified."""
+    """Full MinHash+LSH chain in the cross-engine md5 hash family
+    (dedup.cross_engine_hash64), so the DuckDB oracle replays the ENTIRE
+    pipeline — shingles, 32 seeded permutations, 8-band buckets,
+    candidate join, exact-jaccard verify — not just a rows-only check.
+    Production keeps hash_fn='xxhash64' (same plan, cheaper hash)."""
     return dedup.minhash_dedup_pairs(
-        t(spark, sf_dir, "documents"), threshold=0.8
+        t(spark, sf_dir, "documents"), threshold=0.8, hash_fn="md5"
     ).orderBy("a_id", "b_id")
+
+
+# the md5 twin of every stage, CTE by CTE (num_perm=32, bands=8, r=4,
+# shingle_n=3, threshold=0.8)
+ORACLE_MINHASH_LSH = """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           list_distinct([
+             array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             for i in generate_series(1, len(string_split(text, ' ')) - 2)
+           ])
+         ELSE [] END AS sh
+  FROM documents
+), exploded AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), seeds AS (
+  SELECT unnest(generate_series(0, 31)) AS seed
+), mins AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substring(md5(seed::VARCHAR || ':' || shingle), 1, 15))
+             ::BIGINT) AS h
+  FROM exploded CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), sigs AS (
+  SELECT doc_id, list(h ORDER BY seed) AS sig FROM mins GROUP BY doc_id
+), bands AS (
+  SELECT unnest(generate_series(0, 7)) AS band
+), banded AS (
+  SELECT doc_id, band,
+         ('0x' || substring(
+            md5(array_to_string(sig[band*4+1 : band*4+4], '|')), 1, 15)
+         )::BIGINT AS bucket
+  FROM sigs CROSS JOIN bands
+), cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         AS jaccard
+FROM cands
+JOIN sh sa ON sa.doc_id = a_id
+JOIN sh sb ON sb.doc_id = b_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+ORDER BY a_id, b_id
+"""
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No SQL oracle (bit-vote over xxhash64) — rows-only check."""
+    """SimHash near-dup pairs in the cross-engine 60-bit md5 family —
+    the DuckDB oracle replays token hashes, the per-bit majority vote,
+    the pigeonhole banding, and the hamming verify exactly.  Production
+    keeps hash_fn='xxhash64' (64-bit, cheaper)."""
     return dedup.simhash_near_dup_pairs(
-        t(spark, sf_dir, "documents"), max_hamming=3
+        t(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5"
     ).orderBy("a_id", "b_id")
+
+
+# 60-bit md5 simhash, 4 bands x 15 bits, hamming <= 3
+ORACLE_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+  FROM toks
+), ks AS (
+  SELECT unnest(generate_series(0, 59)) AS k
+), votes AS (
+  SELECT doc_id, k,
+         SUM(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN ks GROUP BY doc_id, k
+), fps AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::BIGINT << k) ELSE 0::BIGINT END) AS fp
+  FROM votes GROUP BY doc_id
+), bands AS (
+  SELECT unnest(generate_series(0, 3)) AS band
+), banded AS (
+  SELECT doc_id, fp, band, (fp >> (band * 15)) & 32767 AS val
+  FROM fps CROSS JOIN bands
+), cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                  a.fp AS a_fp, b.fp AS b_fp
+  FROM banded a JOIN banded b USING (band, val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(a_fp, b_fp)) AS INT) AS hamming
+FROM cands
+WHERE bit_count(xor(a_fp, b_fp)) <= 3
+ORDER BY a_id, b_id
+"""
 
 
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,17 +206,69 @@ WHERE rank <= 10
 """
 
 
-def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (rows-only; recall vs brute force pytest-verified).
-    Hyperplanes are fixed pseudo-random (seeded) so results are stable."""
+def _int_planes(n_planes: int = 4, dim: int = 64,
+                scale: int = 1000) -> list[list[int]]:
+    """Seeded gaussian hyperplanes quantized to integers: the projection
+    of a quantized vector onto them is exact int64 arithmetic, so the
+    bucket sign bits — and the whole LSH result — are replayable by the
+    DuckDB oracle.  Sign distribution is unchanged by the scaling."""
     import random
 
     rng = random.Random(42)
-    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    return [
+        [int(round(rng.gauss(0, 1) * scale)) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+LSH_PLANES = _int_planes()
+
+
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with integer planes: the oracle replays bucket
+    assignment (exact integer projections), the bucket equi-join, and the
+    quantized rescoring bit-for-bit."""
     return similarity.knn_lsh(
         t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4],
-        planes=planes, k=10,
+        planes=LSH_PLANES, k=10,
     )
+
+
+def _plane_sql(p: list[int]) -> str:
+    return "[" + ", ".join(str(x) for x in p) + "]"
+
+
+ORACLE_KNN_LSH = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v,
+    {" + ".join(
+        f'''(CASE WHEN list_sum(list_transform(list_zip(v, {_plane_sql(p)}),
+             x -> x[1] * CAST(x[2] AS BIGINT))) >= 0
+           THEN {1 << i} ELSE 0 END)'''
+        for i, p in enumerate(LSH_PLANES)
+    )} AS bucket
+  FROM e
+)
+SELECT query_id, neighbor_id, dot_q, rank
+FROM (
+  SELECT query_id, neighbor_id, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(q.v, c.v),
+             x -> x[1] * x[2])) AS BIGINT) AS dot_q
+    FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+    WHERE q.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id != q.vec_id
+  ) s
+) r
+WHERE rank <= 10
+"""
 
 
 MIN_DOT_Q = 350_000_000_000  # cosine 0.35 x QUANT^2 on unit vectors
@@ -167,10 +311,55 @@ def knn_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (rows-only; recall vs brute force pytest-verified)."""
+    """IVF ANN — every stage is exact integer arithmetic (deterministic
+    centroid sampling, quantized dots, argmax with (dot desc, cell asc)
+    tiebreak), so the DuckDB oracle replays assignment, cell probing and
+    rescoring exactly."""
     return similarity.knn_ivf(
         t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
     ).orderBy("query_id", "rank")
+
+
+# centroid_mod=97, nprobe=2, k=10 — the knn_ivf defaults
+ORACLE_KNN_IVF = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 97 = 0
+), scored AS (
+  SELECT e.vec_id, e.v, c.cell_id,
+         CAST(list_sum(list_transform(list_zip(e.v, c.cv),
+           x -> x[1] * x[2])) AS BIGINT) AS dot_c,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY CAST(list_sum(list_transform(
+                              list_zip(e.v, c.cv), x -> x[1] * x[2]))
+                              AS BIGINT) DESC, c.cell_id ASC) AS rn
+  FROM e CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, v, cell_id FROM scored WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, cell_id
+  FROM scored WHERE rn <= 2 AND vec_id IN (0, 1, 2, 3, 4)
+), rescored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(p.qv, a.v),
+           x -> x[1] * x[2])) AS BIGINT) AS dot_q
+  FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, dot_q, rank
+FROM (
+  SELECT query_id, neighbor_id, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM rescored
+) r
+WHERE rank <= 10
+ORDER BY query_id, rank
+"""
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,19 +483,46 @@ FROM (
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No SQL oracle (xxhash64) — rows-only check."""
-    return textstats.doc_fingerprint(t(spark, sf_dir, "documents"))
+    """Winnowing fingerprints in the cross-engine md5 family — min/max
+    rolling shingle hash + whole-text hash, replayed exactly by the
+    DuckDB oracle.  Production keeps hash_fn='xxhash64'."""
+    return textstats.doc_fingerprint(
+        t(spark, sf_dir, "documents"), hash_fn="md5"
+    )
+
+
+# rolling 5-word shingle hashes + whole-text hash, md5 60-bit family
+ORACLE_FINGERPRINTS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), e AS (
+  SELECT doc_id,
+         unnest(generate_series(0, greatest(len(toks) - 5, 0))) AS i
+  FROM t
+), h AS (
+  SELECT e.doc_id,
+         ('0x' || substring(
+            md5(array_to_string(t.toks[e.i+1 : e.i+5], ' ')), 1, 15)
+         )::BIGINT AS h
+  FROM e JOIN t ON e.doc_id = t.doc_id
+)
+SELECT h.doc_id, MIN(h.h) AS fp_min, MAX(h.h) AS fp_max,
+       ('0x' || substring(md5(array_to_string(t.toks, ' ')), 1, 15))::BIGINT
+         AS fp_full
+FROM h JOIN t ON h.doc_id = t.doc_id
+GROUP BY h.doc_id, fp_full
+"""
 
 
 PIPELINE_QUERIES = {
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
     "dedup_keep_list": (dedup_keep_list, ORACLE_KEEP_LIST),
-    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, ORACLE_MINHASH_LSH),
+    "dedup_simhash": (dedup_simhash, ORACLE_SIMHASH),
     "knn_cosine_topk": (knn_cosine_topk, ORACLE_KNN),
-    "knn_cosine_lsh": (knn_cosine_lsh, None),
-    "knn_ivf_topk": (knn_ivf_topk, None),
+    "knn_cosine_lsh": (knn_cosine_lsh, ORACLE_KNN_LSH),
+    "knn_ivf_topk": (knn_ivf_topk, ORACLE_KNN_IVF),
     "emb_near_dup": (emb_near_dup, ORACLE_EMB_NEAR_DUP),
     "emb_near_dup_blocked": (emb_near_dup_blocked, ORACLE_EMB_NEAR_DUP),
     "knn_cosine_blocked": (knn_cosine_blocked, ORACLE_KNN),
@@ -315,5 +531,5 @@ PIPELINE_QUERIES = {
     "text_quality": (text_quality, ORACLE_TEXT_QUALITY),
     "token_counts": (token_counts, ORACLE_TOKEN_COUNTS),
     "lang_id": (lang_id_heuristic, ORACLE_LANG_ID),
-    "doc_fingerprints": (doc_fingerprints, None),
+    "doc_fingerprints": (doc_fingerprints, ORACLE_FINGERPRINTS),
 }

@@ -338,18 +338,36 @@ def knn_bruteforce_blocked(
 
 
 def lsh_bucket(vec, planes: list[list[float]]):
-    """Sign-of-projection bucket id for a list of hyperplanes."""
+    """Sign-of-projection bucket id for a list of hyperplanes.
+
+    With all-integer planes the projection is computed on the quantized
+    integer grid — exact int64 arithmetic, so the sign bit (and therefore
+    every bucket id) is reproducible by any engine, making the LSH chain
+    SQL-oracle replayable.  Float planes keep the double path (cheaper to
+    generate, but sums near zero are engine-rounding sensitive)."""
+    exact = all(isinstance(x, int) for p in planes for x in p)
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        if exact:
+            proj = F.aggregate(
+                F.zip_with(
+                    quantized(vec),
+                    F.array(*[F.lit(x).cast("long") for x in p]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        else:
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         bucket = bucket.bitwiseOR(
             F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")

@@ -82,9 +82,12 @@ def lang_id(docs: DataFrame, text_col: str = "text",
 
 
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
-    """Winnowing-style fingerprint: min/max rolling xxhash64 over word
+                    id_col: str = "doc_id", shingle_n: int = 5,
+                    hash_fn: str = "xxhash64") -> DataFrame:
+    """Winnowing-style fingerprint: min/max rolling hash over word
     shingles — a compact per-document signature for fast prefiltering.
+    ``hash_fn='md5'`` switches to the cross-engine 60-bit family
+    (``dedup.cross_engine_hash64``) so a SQL oracle can replay it.
 
     Plan shape: explode the shingle INDEX sequence, hash one shingle per
     exploded row, then a single groupBy with plain MIN/MAX aggregates
@@ -95,17 +98,20 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
     ``array_min``/``array_max``) and generates codegen-hostile nested
     loops.  Hash inputs are unchanged, so fingerprints are stable across
     both plans."""
+    from .dedup import _hash64
+
     toks = F.split(F.col(text_col), " ")
     expl = docs.select(
         F.col(id_col),
         toks.alias("toks"),
-        F.xxhash64(F.concat_ws(" ", toks)).alias("fp_full"),
+        _hash64(hash_fn, F.concat_ws(" ", toks)).alias("fp_full"),
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0)))
         ).alias("i"),
     )
-    h = F.xxhash64(
-        F.concat_ws(" ", F.slice(F.col("toks"), F.col("i") + 1, shingle_n))
+    h = _hash64(
+        hash_fn,
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("i") + 1, shingle_n)),
     )
     return (
         expl.select(F.col(id_col), F.col("fp_full"), h.alias("h"))
