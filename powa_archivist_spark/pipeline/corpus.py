@@ -1,0 +1,180 @@
+"""Corpus-preparation operators — the end-to-end shapes an LLM
+training-data pipeline runs over a document table at 100 TB:
+
+- :func:`corpus_prep` — the canonical prep funnel: language gate ->
+  quality gate -> exact dedup -> near-dup dedup, composed from the
+  individually-tested operators so the whole funnel stays one Catalyst
+  plan (filters push into the scan; each dedup stage only sees the
+  survivors of the previous one);
+- :func:`pack_sequences` — concat-and-chunk sequence packing: documents
+  are concatenated in deterministic order per shard and cut into
+  fixed-token-budget bins (the standard "group texts" step before
+  tokenized training shards are written);
+- :func:`stratified_sample` — deterministic hash-based per-group
+  sampling for data mixing (rates per language/source), reproducible
+  across engines and runs (no RNG state);
+- :func:`token_length_stats` — per-group token-length distribution
+  (count/sum/mean + exact p50/p90/p99).
+
+Scale notes: the funnel's gates are plain filters (pushed down);
+packing windows partition by shard (never a global sort); sampling is a
+stateless filter; the exact percentile is the oracle path — at 100 TB
+swap ``exact=False`` for ``approx_percentile`` (t-digest, one pass,
+map-side combinable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import (
+    cross_engine_hash64,
+    exact_dedup,
+    near_dup_keep,
+    normalized_text,
+)
+
+
+def corpus_prep(
+    docs: DataFrame,
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 25,
+    min_distinct_ratio: float = 0.3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The prep funnel, cheapest gate first:
+
+    1. language gate (metadata filter — prunes at the scan),
+    2. quality gate (token count + distinct-token ratio),
+    3. exact dedup (keep the min-id representative of each normalized
+       text),
+    4. near-dup dedup (token-Jaccard keep list over the survivors).
+
+    Returns kept documents with their quality stats.  Every stage only
+    processes the previous stage's survivors, so the expensive jaccard
+    self-join runs on the smallest possible set."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    gated = (
+        docs.filter(F.col(lang_col).isin(*langs))
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("distinct_ratio", distinct_ratio)
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("distinct_ratio") >= min_distinct_ratio)
+        )
+    )
+    reps = exact_dedup(gated, text_col, id_col).select(id_col)
+    uniq = gated.join(reps, id_col, "left_semi")
+    kept = near_dup_keep(uniq, threshold, text_col, id_col)
+    return (
+        uniq.join(kept, id_col, "left_semi")
+        .select(id_col, lang_col, "n_tokens", "distinct_ratio")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    shard_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing: per shard, documents are concatenated in
+    id order and cut into ``seq_len``-token bins; a document belongs to
+    the bin its FIRST token lands in (the standard "group texts then
+    chunk" approximation — straddling docs spill into the next bin's
+    window, they are not split here).
+
+    Output: one row per (shard, bin) with document count, token sum and
+    the id range — the manifest a shard writer consumes.
+
+    The window partitions by shard, so no global sort exists anywhere:
+    each shard's running offset is an independent partition of the single
+    shuffle, and shards scale out with the data (at 100 TB shard =
+    (source, date-bucket), thousands of partitions)."""
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    with_off = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+    ).withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    binned = with_off.withColumn(
+        "bin_id", F.floor(F.col("start_off") / seq_len)
+    )
+    return binned.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-group subsampling for data mixing: keep a row
+    iff ``hash(id) % denom < rate(group) * denom``, with the cross-engine
+    md5 hash — the same ids are kept on every engine and every run, and
+    the sample is a pure filter (no shuffle, no RNG, trivially
+    re-runnable on appended data).  Groups absent from ``rates`` are
+    dropped (rate 0)."""
+    rate_map = F.create_map(
+        *[x for g, r in sorted(rates.items())
+          for x in (F.lit(g), F.lit(float(r)))]
+    )
+    h = F.pmod(cross_engine_hash64(F.col(id_col).cast("string")), F.lit(denom))
+    return (
+        docs.withColumn("_rate", rate_map[F.col(group_col)])
+        .filter(F.col("_rate").isNotNull())
+        .filter(h < F.col("_rate") * denom)
+        .drop("_rate")
+    )
+
+
+def token_length_stats(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group token-length distribution: count, token sum, mean, and
+    p50/p90/p99.  ``exact=True`` uses the exact interpolated percentile
+    (matches DuckDB ``quantile_cont`` — the oracle path; requires a
+    per-group sort).  ``exact=False`` uses ``approx_percentile``
+    (t-digest sketch, single pass, map-side combinable — the 100 TB
+    path, where a per-group exact sort of billions of lengths is the
+    wrong plan)."""
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = docs.select(F.col(group_col).alias("grp"), n_tok.alias("n"))
+    pct = (
+        F.percentile(F.col("n"), F.lit([0.5, 0.9, 0.99]))
+        if exact
+        else F.approx_percentile(F.col("n"), F.lit([0.5, 0.9, 0.99]), F.lit(10_000))
+    )
+    return base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+        F.avg(F.col("n").cast("double")).alias("mean_tokens"),
+        pct.alias("pct"),
+    ).select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        "mean_tokens",
+        F.col("pct")[0].alias("p50"),
+        F.col("pct")[1].alias("p90"),
+        F.col("pct")[2].alias("p99"),
+    )

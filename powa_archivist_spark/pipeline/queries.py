@@ -514,6 +514,120 @@ GROUP BY h.doc_id, fp_full
 """
 
 
+def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep: lang gate -> quality gate -> exact dedup
+    -> near-dup dedup, as one composed plan (pipeline/corpus.py)."""
+    from . import corpus
+
+    return corpus.corpus_prep(
+        t(spark, sf_dir, "documents"),
+        langs=("en",), min_tokens=25, min_distinct_ratio=0.3, threshold=0.8,
+    )
+
+
+ORACLE_CORPUS_PREP = r"""
+WITH gated AS (
+  SELECT doc_id, lang, text,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+              AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\s+')) AS distinct_ratio
+  FROM documents
+  WHERE lang = 'en'
+), q AS (
+  SELECT * FROM gated WHERE n_tokens >= 25 AND distinct_ratio >= 0.3
+), reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM q
+  GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+), uniq AS (
+  SELECT q.* FROM q JOIN reps USING (doc_id)
+), toksets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM uniq
+), dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM toksets a JOIN toksets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+)
+SELECT doc_id, lang, n_tokens, distinct_ratio FROM uniq
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest (per-lang shards,
+    1024-token bins)."""
+    from . import corpus
+
+    return corpus.pack_sequences(
+        t(spark, sf_dir, "documents"), seq_len=1024
+    )
+
+
+ORACLE_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT lang AS shard, doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), off AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+           - n_tokens AS start_off
+  FROM t
+)
+SELECT shard, CAST(floor(start_off / 1024.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM off GROUP BY shard, bin_id
+"""
+
+
+MIX_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based data-mixing sample (zh rate 0 -> dropped);
+    the md5 hash makes the kept set engine-independent."""
+    from . import corpus
+
+    return corpus.stratified_sample(
+        t(spark, sf_dir, "documents"), rates=MIX_RATES
+    ).select("doc_id", "lang")
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE lang IN ({", ".join(repr(k) for k in sorted(MIX_RATES))})
+  AND (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000)
+      < (CASE lang {" ".join(
+          f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES.items())
+      )} END) * 1000000
+"""
+
+
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length distribution with exact interpolated
+    percentiles (the oracle path; exact=False is the 100 TB t-digest
+    path)."""
+    from . import corpus
+
+    return corpus.token_length_stats(t(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKEN_STATS = r"""
+SELECT lang AS grp, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       AVG(CAST(n AS DOUBLE)) AS mean_tokens,
+       quantile_cont(n, 0.5) AS p50,
+       quantile_cont(n, 0.9) AS p90,
+       quantile_cont(n, 0.99) AS p99
+FROM (
+  SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents
+) GROUP BY lang
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
@@ -532,4 +646,9 @@ PIPELINE_QUERIES = {
     "token_counts": (token_counts, ORACLE_TOKEN_COUNTS),
     "lang_id": (lang_id_heuristic, ORACLE_LANG_ID),
     "doc_fingerprints": (doc_fingerprints, ORACLE_FINGERPRINTS),
+    "corpus_prep_funnel": (corpus_prep_funnel, ORACLE_CORPUS_PREP),
+    "corpus_pack_sequences": (corpus_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "corpus_stratified_sample": (corpus_stratified_sample,
+                                 ORACLE_STRATIFIED_SAMPLE),
+    "corpus_token_stats": (corpus_token_stats, ORACLE_TOKEN_STATS),
 }

@@ -336,3 +336,78 @@ def test_doc_fingerprint_deterministic(spark):
            for r in textstats.doc_fingerprint(docs).collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+# ---------------------------------------------------------------------------
+# corpus-prep operators (pipeline/corpus.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus_docs(spark):
+    long_en = " ".join(f"w{i % 19} t{i % 7}" for i in range(20))  # 40 toks
+    rows = [
+        (0, long_en, "en"),
+        (1, long_en, "en"),                      # exact dup of 0 -> dropped
+        (2, long_en + " tail", "en"),            # near dup of 0 -> dropped
+        (3, " ".join(f"u{i}" for i in range(40)), "en"),  # unique, kept
+        (4, "too short", "en"),                  # fails min_tokens
+        (5, " ".join(["same"] * 40), "en"),      # fails distinct ratio
+        (6, " ".join(f"d{i}" for i in range(40)), "de"),  # wrong lang
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_corpus_prep_funnel_stages(spark, corpus_docs):
+    from powa_archivist_spark.pipeline import corpus
+
+    kept = corpus.corpus_prep(
+        corpus_docs, langs=("en",), min_tokens=10, min_distinct_ratio=0.3,
+        threshold=0.8,
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {0, 3}  # 1 exact-dup, 2 near-dup, 4/5 quality, 6 lang
+    row = {r.doc_id: r for r in kept.collect()}[0]
+    assert row.n_tokens == 40 and 0 < row.distinct_ratio < 1
+
+
+def test_pack_sequences_bins(spark):
+    from powa_archivist_spark.pipeline import corpus
+
+    # 6 docs x 30 tokens in one shard; seq_len 100 -> starts at 0,30,60,
+    # 90,120,150 -> bins 0,0,0,0,1,1
+    rows = [(i, " ".join(["t"] * 30), "en") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        (r.shard, r.bin_id): r
+        for r in corpus.pack_sequences(docs, seq_len=100).collect()
+    }
+    assert out[("en", 0)].n_docs == 4 and out[("en", 0)].n_tokens == 120
+    assert out[("en", 1)].n_docs == 2
+    assert out[("en", 0)].first_doc == 0 and out[("en", 1)].first_doc == 4
+
+
+def test_stratified_sample_rates_and_determinism(spark, corpus_docs):
+    from powa_archivist_spark.pipeline import corpus
+
+    all_en = corpus.stratified_sample(corpus_docs, {"en": 1.0})
+    assert {r.doc_id for r in all_en.collect()} == {0, 1, 2, 3, 4, 5}
+    none = corpus.stratified_sample(corpus_docs, {"en": 0.0})
+    assert none.count() == 0
+    a = {r.doc_id for r in corpus.stratified_sample(corpus_docs, {"en": 0.5}).collect()}
+    b = {r.doc_id for r in corpus.stratified_sample(corpus_docs, {"en": 0.5}).collect()}
+    assert a == b  # deterministic, no RNG state
+
+
+def test_token_length_stats_exact_and_approx(spark, corpus_docs):
+    from powa_archivist_spark.pipeline import corpus
+
+    exact = {r.grp: r for r in corpus.token_length_stats(corpus_docs).collect()}
+    assert exact["de"].n_docs == 1 and exact["de"].n_tokens == 40
+    assert exact["de"].p50 == 40.0
+    approx = {
+        r.grp: r
+        for r in corpus.token_length_stats(corpus_docs, exact=False).collect()
+    }
+    # t-digest on tiny groups is exact
+    assert approx["de"].p50 == exact["de"].p50
