@@ -104,3 +104,47 @@ def test_rollup_single_shuffle(spark):
     assert pi.exchange_count(rollup) == 1
     # map-side combine before the shuffle (partial aggregation)
     assert "partial_sum" in pi.plan_string(rollup)
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Window (shard partitioning) + per-bin groupBy share ONE shuffle:
+    HashPartitioning(shard) satisfies the (shard, bin_id) clustering, so
+    the aggregation runs partition-local after the window."""
+    from powa_archivist_spark.pipeline.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = pack_sequences(docs, seq_len=1024)
+    assert pi.exchange_count(df) == 1
+    (schema,) = pi.read_schemas(df)
+    assert set(schema) == {"doc_id", "text", "lang"}  # pruned scan
+
+
+def test_corpus_prep_lang_filter_pushed(spark):
+    """The funnel's cheapest gate (lang) reaches the parquet scan."""
+    from powa_archivist_spark.pipeline.corpus import corpus_prep
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = corpus_prep(docs)
+    pushed = " ".join(pi.pushed_filters(df))
+    assert "lang" in pushed
+    assert not pi.has_cartesian(df)
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Hash-based sampling is a pure filter: zero exchanges, zero
+    windows — re-runnable on appended data without touching the rest."""
+    from powa_archivist_spark.pipeline.corpus import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = stratified_sample(docs, {"en": 0.5})
+    assert pi.exchange_count(df) == 0
+    assert pi.window_count(df) == 0
+
+
+def test_stat_get_sample_single_window_shuffle(spark, wh):
+    """row_number + count + lag all share the per-entity partitioning:
+    exactly one exchange in the sampled-rates read."""
+    from powa_archivist_spark.queries import events_sampled_rates
+
+    df = events_sampled_rates(spark, SF)
+    assert pi.exchange_count(df) == 1
