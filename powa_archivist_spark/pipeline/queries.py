@@ -514,6 +514,44 @@ GROUP BY h.doc_id, fp_full
 """
 
 
+def ivf_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of IVF centroid refinement on the quantized
+    integer grid — iterative k-means expressed as exact DataFrame
+    aggregations, replayed bit-for-bit by the oracle (int64 sums are
+    order-independent; the per-dimension mean divides two exact ints in
+    IEEE double on both engines)."""
+    return similarity.ivf_refine(
+        t(spark, sf_dir, "embeddings"), iters=1
+    ).select(
+        "cell_id", F.posexplode("cv").alias("dim", "cx")
+    )
+
+
+ORACLE_IVF_REFINE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), cents0 AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 97 = 0
+), scored AS (
+  SELECT e.vec_id, e.v, c.cell_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY CAST(list_sum(list_transform(
+                              list_zip(e.v, c.cv), x -> x[1] * x[2]))
+                              AS BIGINT) DESC, c.cell_id ASC) AS rn
+  FROM e CROSS JOIN cents0 c
+), assign AS (
+  SELECT vec_id, v, cell_id FROM scored WHERE rn = 1
+)
+SELECT cell_id, i - 1 AS dim,
+       CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+FROM assign, (SELECT unnest(generate_series(1, 64)) AS i)
+GROUP BY cell_id, i
+"""
+
+
 def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus prep: lang gate -> quality gate -> exact dedup
     -> near-dup dedup, as one composed plan (pipeline/corpus.py)."""
@@ -651,4 +689,5 @@ PIPELINE_QUERIES = {
     "corpus_stratified_sample": (corpus_stratified_sample,
                                  ORACLE_STRATIFIED_SAMPLE),
     "corpus_token_stats": (corpus_token_stats, ORACLE_TOKEN_STATS),
+    "ivf_refined_centroids": (ivf_refined_centroids, ORACLE_IVF_REFINE),
 }

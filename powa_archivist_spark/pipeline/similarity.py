@@ -120,6 +120,74 @@ def ivf_assign(
     return cents, assign
 
 
+def ivf_refine(
+    emb: DataFrame,
+    iters: int = 1,
+    centroid_mod: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined IVF centroids — the iterative-algorithm shape in
+    pure DataFrame ops, deterministic to the bit:
+
+    each iteration re-assigns every vector to its argmax-dot centroid
+    (:func:`ivf_assign` semantics) and recomputes each cell's centroid
+    as the dimension-wise mean of its members ON THE QUANTIZED INTEGER
+    GRID — int64 sums (exact, order-independent) divided per dimension
+    and floored, so unlike float k-means the result does not depend on
+    aggregation order and a SQL oracle can replay every iteration.
+
+    Plan per iteration: one broadcast-scored max_by assignment (no
+    window) + one posexplode -> (cell, dim) SUM/COUNT groupBy -> one
+    sorted collect_list reassembling the centroid vectors.  Shuffle keys
+    are (vec) then (cell, dim) — both bounded, no skew amplification:
+    at 100 TB each iteration is two map-side-combinable aggregations.
+
+    Returns (cell_id, cv) like the ``cents`` frame of :func:`ivf_assign`;
+    empty cells drop out (their members re-home next iteration)."""
+    cents = emb.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cell_id"), quantized(F.col(vec_col)).alias("cv")
+    )
+    vecs = emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            id_col, "v", "cell_id",
+            int_dot(F.col("v"), F.col("cv")).alias("dot_c"),
+        )
+        assign = (
+            scored.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cell_id"), F.col("v")),
+                    F.struct(
+                        F.col("dot_c"), (-F.col("cell_id")).alias("neg_cell")
+                    ),
+                ).alias("best")
+            )
+            .select("best.cell_id", "best.v")
+        )
+        by_dim = assign.select(
+            "cell_id", F.posexplode("v").alias("dim", "x")
+        ).groupBy("cell_id", "dim").agg(
+            F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+        )
+        cents = (
+            by_dim.withColumn(
+                "cx", F.floor(F.col("sx") / F.col("n")).cast("long")
+            )
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("dim"), F.col("cx")))
+                    ),
+                    lambda s: s.getField("cx"),
+                ).alias("cv")
+            )
+        )
+    return cents
+
+
 def knn_ivf(
     emb: DataFrame,
     query_ids: list[int],

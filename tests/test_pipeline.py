@@ -411,3 +411,55 @@ def test_token_length_stats_exact_and_approx(spark, corpus_docs):
     }
     # t-digest on tiny groups is exact
     assert approx["de"].p50 == exact["de"].p50
+
+
+def test_ivf_refine_deterministic_and_improves(spark):
+    from powa_archivist_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(7)
+    # two well-separated clusters of unit vectors
+    a, b = rng.normal(size=64), rng.normal(size=64)
+    a, b = a / np.linalg.norm(a), b / np.linalg.norm(b)
+    rows = []
+    for i in range(40):
+        base = a if i % 2 == 0 else b
+        v = base + rng.normal(scale=0.05, size=64)
+        rows.append((i, (v / np.linalg.norm(v)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from pyspark.sql import functions as F
+
+    r1 = sim.ivf_refine(emb, iters=1, centroid_mod=7)
+    r1_rows = {r.cell_id: list(r.cv) for r in r1.collect()}
+    r1_again = {r.cell_id: list(r.cv) for r in sim.ivf_refine(
+        emb, iters=1, centroid_mod=7).collect()}
+    assert r1_rows == r1_again  # bit-deterministic
+    assert all(len(v) == 64 for v in r1_rows.values())
+
+    def assignment(cents_df):
+        cents = cents_df.select(
+            F.col("cell_id").alias("c2"), F.col("cv").alias("cv2")
+        )
+        scored = emb.select(
+            F.col("vec_id"), sim.quantized(F.col("embedding")).alias("v")
+        ).crossJoin(F.broadcast(cents)).select(
+            "vec_id", "c2", sim.int_dot(F.col("v"), F.col("cv2")).alias("d")
+        ).groupBy("vec_id").agg(
+            F.max_by("c2", F.struct(F.col("d"), (-F.col("c2")))).alias("cell")
+        )
+        return {r.vec_id: r.cell for r in scored.collect()}
+
+    # the two true clusters (even/odd ids) were separated by the initial
+    # sampled centroids; a Lloyd step must PRESERVE that purity — no cell
+    # may contain members of both clusters (mean-of-members centroids
+    # drift toward their dominant cluster, never across the gap)
+    amap = assignment(r1)
+    even_cells = {amap[i] for i in amap if i % 2 == 0}
+    odd_cells = {amap[i] for i in amap if i % 2 == 1}
+    assert not (even_cells & odd_cells)
+
+    # and a second iteration keeps it stable
+    r2 = sim.ivf_refine(emb, iters=2, centroid_mod=7)
+    amap2 = assignment(r2)
+    assert not ({amap2[i] for i in amap2 if i % 2 == 0}
+                & {amap2[i] for i in amap2 if i % 2 == 1})
