@@ -194,3 +194,75 @@ def test_stream_ingest_exactly_once(spark, wh):
     # per-srvid series intact and usable by the read operators
     s1 = cur.filter(F.col("srvid") == 1).orderBy("ts").collect()
     assert [r.buffers_alloc for r in s1] == [200, 220]
+
+
+def test_stream_exact_dedup_ledger(spark, wh):
+    """Cross-batch exact dedup via the digest ledger: batch 2's replica
+    of a batch-1 doc is dropped; in-batch dups resolve to min id; a new
+    text passes.  Matches pipeline.dedup.exact_dedup's keep-set."""
+    from powa_archivist_spark.streaming.dedup import (
+        stream_exact_dedup_ledger,
+    )
+
+    schema = "doc_id long, ts timestamp, text string"
+    landing = tempfile.mkdtemp(prefix="dlanding_")
+    ckpt = tempfile.mkdtemp(prefix="dckpt_")
+
+    b1 = spark.createDataFrame(
+        [(0, ts(0), "alpha beta gamma"),
+         (1, ts(1), "ALPHA  beta gamma"),   # normalized dup of 0, same batch
+         (2, ts(2), "wholly different text")],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(os.path.join(landing, "b1"))
+    q = stream_exact_dedup_ledger(
+        spark, landing + "/*", b1.schema, ckpt, wh, sink_table="corpus_docs"
+    )
+    q.awaitTermination(60)
+    kept = sorted(r.doc_id for r in wh.read("corpus_docs").collect())
+    assert kept == [0, 2]
+
+    b2 = spark.createDataFrame(
+        [(3, ts(3), "alpha beta gamma"),    # cross-batch dup -> dropped
+         (4, ts(4), "fresh new content")],
+        schema,
+    )
+    b2.coalesce(1).write.parquet(os.path.join(landing, "b2"))
+    q = stream_exact_dedup_ledger(
+        spark, landing + "/*", b1.schema, ckpt, wh, sink_table="corpus_docs"
+    )
+    q.awaitTermination(60)
+    kept = sorted(r.doc_id for r in wh.read("corpus_docs").collect())
+    assert kept == [0, 2, 4]
+
+
+def test_stream_exact_dedup_watermark(spark):
+    """dropDuplicatesWithinWatermark form: one stateful operator, dups
+    within the horizon suppressed (batch-mode smoke via availableNow)."""
+    from powa_archivist_spark.streaming.dedup import stream_exact_dedup
+
+    schema = "doc_id long, ts timestamp, text string"
+    landing = tempfile.mkdtemp(prefix="wdlanding_")
+    ckpt = tempfile.mkdtemp(prefix="wdckpt_")
+    out = tempfile.mkdtemp(prefix="wdout_")
+    df = spark.createDataFrame(
+        [(0, ts(0), "one two three"),
+         (1, ts(1), "one  TWO three"),      # dup within horizon
+         (2, ts(2), "other words here")],
+        schema,
+    )
+    df.coalesce(1).write.parquet(os.path.join(landing, "b0"))
+    stream = (
+        spark.readStream.schema(df.schema).parquet(landing + "/*")
+    )
+    q = (
+        stream_exact_dedup(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert len(got) == 2 and 2 in got  # one survivor of {0,1}, plus 2
