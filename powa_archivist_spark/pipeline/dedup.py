@@ -52,6 +52,36 @@ def _hash64(fn: str, *cols: Column) -> Column:
     raise ValueError(f"unknown hash family: {fn!r}")
 
 
+# universal-hash permutation family for cross-engine minhash: ONE md5 per
+# shingle, then h_i = (a1*hi + a2*lo + b) mod P over its 30-bit halves —
+# pure int64 arithmetic (products < 2^60, sum < 2^62, no overflow),
+# identical in Spark and any SQL engine.  P is the Mersenne prime 2^61-1.
+MINHASH_P = (1 << 61) - 1
+_HALF_MASK = (1 << 30) - 1
+
+
+def _perm_constants(num_perm: int) -> list[tuple[int, int, int]]:
+    import random
+
+    rng = random.Random(0x9E3779B9)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(1, 1 << 30),
+         rng.randrange(0, MINHASH_P))
+        for _ in range(num_perm)
+    ]
+
+
+def permuted_hash(h: Column, a1: int, a2: int, b: int) -> Column:
+    """(a1 * (h >> 30) + a2 * (h & 2^30-1) + b) mod P — SQL twin:
+    ``(a1*(h>>30) + a2*(h&1073741823) + b) % 2305843009213693951``."""
+    hi = F.shiftrightunsigned(h, 30)
+    lo = h.bitwiseAND(F.lit(_HALF_MASK))
+    return (
+        (F.lit(a1).cast("long") * hi + F.lit(a2).cast("long") * lo
+         + F.lit(b).cast("long")) % F.lit(MINHASH_P)
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """One row per distinct normalized text: representative id (min) +
@@ -305,10 +335,23 @@ def minhash_signatures(
         else shingle_arrays(docs, shingle_n, text_col, id_col)
     )
     sh = sh_arr.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    mins = [
-        F.min(_hash64(hash_fn, F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
+    if hash_fn == "md5":
+        # one digest per shingle, then num_perm universal-hash
+        # permutations over it — int64-only, so the md5 cost does not
+        # scale with num_perm and the SQL oracle replays it verbatim
+        consts = _perm_constants(num_perm)
+        sh = sh.select(
+            F.col(id_col), cross_engine_hash64(F.col("shingle")).alias("h")
+        )
+        mins = [
+            F.min(permuted_hash(F.col("h"), *consts[i])).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
     return (
         sh.groupBy(id_col)
         .agg(*mins)
@@ -460,16 +503,23 @@ def simhash(docs: DataFrame, text_col: str = "text",
             "tok"
         ),
     )
-    h = _hash64(hash_fn, F.col("tok"))
+    # materialize the token hash ONCE in a projection: the `bits` vote
+    # aggregates each reference it, and aggregate-expression CSE is not
+    # guaranteed — inlining the digest re-computes it per bit (~2.5x)
+    hashed = toks.select(
+        F.col(id_col),
+        F.col("tok").isNull().alias("isnull"),
+        _hash64(hash_fn, F.col("tok")).alias("h"),
+    )
     votes = [
         F.sum(
-            F.when(F.col("tok").isNull(), 0)
-            .when(h.bitwiseAND(F.lit(mask(k))) != 0, 1)
+            F.when(F.col("isnull"), 0)
+            .when(F.col("h").bitwiseAND(F.lit(mask(k))) != 0, 1)
             .otherwise(-1)
         ).alias(f"v{k}")
         for k in range(bits)
     ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    agg = hashed.groupBy(id_col).agg(*votes)
     fp = F.lit(0).cast("long")
     for k in range(bits):
         fp = fp.bitwiseOR(

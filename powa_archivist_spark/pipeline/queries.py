@@ -81,8 +81,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the md5 twin of every stage, CTE by CTE (num_perm=32, bands=8, r=4,
-# shingle_n=3, threshold=0.8)
-ORACLE_MINHASH_LSH = """
+# shingle_n=3, threshold=0.8); permutations are the universal-hash family
+# over ONE md5 digest per shingle (dedup.permuted_hash)
+_PERMS = dedup._perm_constants(32)
+ORACLE_MINHASH_LSH = f"""
 WITH sh AS (
   SELECT doc_id,
          CASE WHEN len(string_split(text, ' ')) >= 3 THEN
@@ -93,13 +95,16 @@ WITH sh AS (
          ELSE [] END AS sh
   FROM documents
 ), exploded AS (
-  SELECT doc_id, unnest(sh) AS shingle FROM sh
-), seeds AS (
-  SELECT unnest(generate_series(0, 31)) AS seed
+  SELECT doc_id,
+         ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS h
+  FROM sh
+), seeds(seed, a1, a2, b) AS (
+  VALUES {", ".join(f"({i}, {a1}, {a2}, {b})"
+                    for i, (a1, a2, b) in enumerate(_PERMS))}
 ), mins AS (
   SELECT doc_id, seed,
-         MIN(('0x' || substring(md5(seed::VARCHAR || ':' || shingle), 1, 15))
-             ::BIGINT) AS h
+         MIN((a1 * (h >> 30) + a2 * (h & 1073741823) + b)
+             % {dedup.MINHASH_P}) AS h
   FROM exploded CROSS JOIN seeds
   GROUP BY doc_id, seed
 ), sigs AS (
