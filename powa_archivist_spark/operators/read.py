@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.diff_rate import with_diff, with_rate
@@ -104,6 +104,48 @@ def stat_get_sample(
     )
     return with_rate(sampled, spec, clamp_resets=clamp_resets).filter(
         F.col("sec").isNotNull()
+    )
+
+
+def top_consumers(
+    wh: Warehouse,
+    spec: DatasourceSpec,
+    srvid: int,
+    ts_from: dt.datetime,
+    ts_to: dt.datetime,
+    metric: str,
+    k: int = 20,
+    clamp_resets: bool = True,
+) -> DataFrame:
+    """The powa-web landing-page read: top-K entities by a counter's
+    consumption over a range — per entity, consumption = sum of positive
+    deltas between consecutive snapshots (reset-aware, like the `-`
+    operator with the clamp), ranked descending with the entity key as
+    tiebreak.
+
+    Plan: unpack-read -> one per-entity window pass for the lag deltas ->
+    one groupBy summing them -> global top-K (rank over a single ordered
+    partition of K-bounded pre-aggregated rows — at 100 TB the groupBy
+    output is one row per entity, so the final sort is tiny)."""
+    if metric not in spec.counter_names:
+        raise KeyError(f"{metric!r} is not a counter of {spec.name}")
+    series = stat_get_history(wh, spec, srvid, ts_from, ts_to)
+    diffed = with_diff(series, spec, clamp_resets=clamp_resets)
+    consumed = (
+        diffed.filter(F.col("intvl").isNotNull())
+        .groupBy("srvid", *spec.key_names)
+        .agg(
+            F.sum(metric).alias("consumed"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    w = (
+        Window.partitionBy("srvid")
+        .orderBy(F.desc("consumed"), *[F.asc(c) for c in spec.key_names])
+    )
+    return (
+        consumed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -169,3 +169,52 @@ def test_stat_get_sample_downsamples_rates(spark, wh, orch):
     # counters grow 6 per 5-min tick; each kept step spans 4 ticks ->
     # delta 24 over 1200s
     assert all(abs(r.buffers_clean_per_sec - 24 / 1200) < 1e-9 for r in rows)
+
+
+def test_top_consumers_ranks_by_delta(spark, wh):
+    """powa-web landing read (operators.read.top_consumers): per-entity
+    positive-delta consumption over the range, ranked; a counter RESET
+    mid-range is clamped to 0 consumption, not a huge negative."""
+    from powa_archivist_spark.operators.read import top_consumers
+    from powa_archivist_spark.operators.snapshot import snapshot
+    from powa_archivist_spark.specs import get_spec
+
+    spec = get_spec("pg_stat_database")
+    def zero(c):
+        if c.dtype == "timestamptz":
+            return None
+        return 0.0 if c.dtype == "double" else 0
+
+    base = {c.name: zero(c) for c in spec.counters}
+
+    def cap(t, rows):
+        data = []
+        for datid, xc in rows:
+            r = dict(base, xact_commit=xc)
+            data.append((1, t, datid, *[r[c.name] for c in spec.counters]))
+        return spark.createDataFrame(data, spec.staging_schema)
+
+    # datid 1: 100 -> 350 (consumes 250); datid 2: 500 -> 520 (20);
+    # datid 3: 900 -> RESET to 10 (clamped: 10-900 counts as 0, then +5)
+    snaps = [
+        (ts(0), [(1, 100), (2, 500), (3, 900)]),
+        (ts(10), [(1, 200), (2, 510), (3, 10)]),
+        (ts(20), [(1, 350), (2, 520), (3, 15)]),
+    ]
+    for t, rows in snaps:
+        snapshot(wh, spec, 1, capture=cap(t, rows))
+
+    out = top_consumers(
+        wh, spec, 1, ts(0), ts(30), metric="xact_commit", k=2
+    ).collect()
+    ranked = [(r.datid, r.consumed, r.rank) for r in
+              sorted(out, key=lambda r: r.rank)]
+    assert ranked == [(1, 250, 1), (2, 20, 2)]
+
+    # without the clamp the reset dominates negatively
+    raw = top_consumers(
+        wh, spec, 1, ts(0), ts(30), metric="xact_commit", k=3,
+        clamp_resets=False,
+    ).collect()
+    vals = {r.datid: r.consumed for r in raw}
+    assert vals[3] == (10 - 900) + 5
