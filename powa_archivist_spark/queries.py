@@ -1493,6 +1493,77 @@ FROM stepped WHERE delta_cents IS NOT NULL
 """
 
 
+def events_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over (event_type, user bucket): per-bucket,
+    per-type subtotals and the grand total in ONE aggregation pass —
+    Spark plans a single shuffle with an Expand (3 grouping sets), the
+    same shape a reporting layer needs instead of 3 separate queries.
+    Null grouping keys are sentinel-coalesced so both engines agree on
+    dtypes."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 10).alias("user_bucket"),
+        cents(F.col("value")).alias("value_cents"),
+    )
+    agg = ev.rollup("event_type", "user_bucket").agg(
+        (F.grouping("event_type") * 2 + F.grouping("user_bucket"))
+        .cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("sum_cents"),
+    )
+    return agg.select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce("user_bucket", F.lit(-1)).alias("user_bucket"),
+        "gid",
+        "n_events",
+        "sum_cents",
+    )
+
+
+ORACLE_ROLLUP_SETS = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(user_bucket, -1) AS user_bucket,
+       CAST(GROUPING(event_type) * 2 + GROUPING(user_bucket) AS INT) AS gid,
+       COUNT(*) AS n_events,
+       CAST(SUM(value_cents) AS BIGINT) AS sum_cents
+FROM (
+  SELECT event_type, user_id % 10 AS user_bucket,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+)
+GROUP BY ROLLUP (event_type, user_bucket)
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user-bucket event counts spread into one column per
+    event type (explicit value list — at scale an implicit pivot would
+    add a distinct-values job).  Catalyst compiles this to conditional
+    aggregation: one shuffle, no join."""
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("user_bucket"), "event_type"
+    )
+    return (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+ORACLE_PIVOT_COUNTS = f"""
+SELECT user_id % 10 AS user_bucket,
+       {", ".join(
+           f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}"
+           for t in EVENT_TYPES
+       )}
+FROM events GROUP BY user_id % 10
+"""
+
+
 CORE_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q03_top_orders": (q03_top_orders, ORACLE_Q03),
@@ -1534,4 +1605,6 @@ CORE_QUERIES = {
     "versioned_layout_read": (versioned_layout_read,
                               ORACLE_VERSIONED_LAYOUT),
     "events_sampled_rates": (events_sampled_rates, ORACLE_SAMPLED_RATES),
+    "events_rollup_sets": (events_rollup_sets, ORACLE_ROLLUP_SETS),
+    "events_pivot_counts": (events_pivot_counts, ORACLE_PIVOT_COUNTS),
 }
