@@ -163,8 +163,9 @@ doc_strategy = st.lists(
 @given(docs=doc_strategy, seq_len=st.integers(min_value=5, max_value=60))
 def test_pack_sequences_conserves_tokens(spark, docs, seq_len):
     """Packing invariants on generated corpora: token totals conserved
-    per shard, bins are contiguous from 0, every bin but the last holds
-    >= 1 doc and bins except the last start before the budget edge."""
+    per shard; bin ids start at 0 and never exceed total//seq_len (a bin
+    fully covered by a straddling doc has no manifest row — no doc
+    STARTS in it); every emitted bin holds >= 1 doc."""
     from powa_archivist_spark.pipeline.corpus import pack_sequences
 
     df = spark.createDataFrame(
@@ -182,7 +183,8 @@ def test_pack_sequences_conserves_tokens(spark, docs, seq_len):
     for shard, rows in by_shard.items():
         assert sum(r.n_tokens for r in rows) == totals[shard]
         bins = sorted(r.bin_id for r in rows)
-        assert bins == list(range(len(bins)))  # contiguous from 0
+        assert bins[0] == 0 and len(set(bins)) == len(bins)
+        assert bins[-1] <= totals[shard] // seq_len
         assert all(r.n_docs >= 1 for r in rows)
 
 
