@@ -362,7 +362,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_bands(
     docs: DataFrame,
     num_perm: int = 32,
     bands: int = 8,
@@ -372,11 +372,9 @@ def minhash_lsh_candidates(
     shingle_df: DataFrame | None = None,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Banded LSH: equal band-slice -> candidate pair.
-
-    rows-per-band r = num_perm/bands; collision probability for similarity
-    s is 1-(1-s^r)^bands.  Shuffle key = (band, hash(slice)) — bounded
-    bucket cardinality, no cross join anywhere."""
+    """(id, band, bucket) rows — the banded LSH key material, shared by
+    the batch candidate join and the streaming near-dup ledger (which
+    persists these rows per kept corpus doc)."""
     assert num_perm % bands == 0
     r = num_perm // bands
 
@@ -394,7 +392,7 @@ def minhash_lsh_candidates(
         docs, num_perm, shingle_n, text_col, id_col,
         shingle_df=shingle_df, hash_fn=hash_fn,
     )
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -408,6 +406,27 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_df: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Banded LSH: equal band-slice -> candidate pair.
+
+    rows-per-band r = num_perm/bands; collision probability for similarity
+    s is 1-(1-s^r)^bands.  Shuffle key = (band, hash(slice)) — bounded
+    bucket cardinality, no cross join anywhere."""
+    banded = minhash_bands(
+        docs, num_perm, bands, shingle_n, text_col, id_col,
+        shingle_df=shingle_df, hash_fn=hash_fn,
+    )
     a = banded.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("a_id")
     )

@@ -80,6 +80,140 @@ def process_dedup_batch(
         firsts.unpersist()
 
 
+BANDS_TABLE = "corpus_minhash_bands"
+SHINGLE_TABLE = "corpus_shingles"
+
+
+def process_near_dup_batch(
+    wh: Warehouse,
+    batch: DataFrame,
+    sink_table: str,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One near-dup ledger pass (cross-batch MinHash LSH dedup):
+
+    1. in-batch: minhash_dedup_pairs over the batch, min-id keeps;
+    2. cross-batch: survivors' band buckets equi-join the bands ledger
+       (the SAME join shape as the batch operator, with the ledger as
+       the other side), exact-jaccard verify against the kept docs'
+       persisted shingle arrays;
+    3. survivors append to the sink, their bands + shingles to the
+       ledgers.
+
+    The ledgers grow with the KEPT corpus only; both joins shuffle on
+    (band, bucket) / doc id — bounded keys, no cross join.  At 100 TB
+    the bands ledger is bucket-partitioned so a batch touches only its
+    colliding buckets' files."""
+    from ..pipeline.dedup import (
+        minhash_bands,
+        minhash_dedup_pairs,
+        shingle_arrays,
+    )
+
+    sh_b = shingle_arrays(batch, shingle_n, text_col, id_col).persist()
+    in_batch_drops = (
+        minhash_dedup_pairs(
+            batch, threshold, num_perm, bands, shingle_n, text_col, id_col
+        )
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    survivors = batch.join(in_batch_drops, id_col, "left_anti")
+
+    if wh.exists(BANDS_TABLE):
+        new_bands = minhash_bands(
+            survivors, num_perm, bands, shingle_n, text_col, id_col,
+            shingle_df=sh_b.join(
+                survivors.select(id_col), id_col, "left_semi"
+            ),
+        )
+        ledger = wh.read(BANDS_TABLE)
+        cands = (
+            new_bands.select(
+                "band", "bucket", F.col(id_col).alias("new_id")
+            )
+            .join(
+                ledger.select(
+                    "band", "bucket", F.col(id_col).alias("old_id")
+                ),
+                ["band", "bucket"],
+            )
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        a = sh_b.select(F.col(id_col).alias("new_id"), F.col("sh").alias("a_sh"))
+        b = wh.read(SHINGLE_TABLE).select(
+            F.col(id_col).alias("old_id"), F.col("sh").alias("b_sh")
+        )
+        inter = F.size(F.array_intersect("a_sh", "b_sh"))
+        union = F.size("a_sh") + F.size("b_sh") - inter
+        cross_drops = (
+            cands.join(a, "new_id")
+            .join(b, "old_id")
+            .filter((inter / union) >= threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        survivors = survivors.join(cross_drops, id_col, "left_anti")
+
+    survivors = survivors.cache()
+    try:
+        if survivors.count() == 0:
+            return
+        wh.append(survivors, sink_table)
+        wh.append(
+            minhash_bands(
+                survivors, num_perm, bands, shingle_n, text_col, id_col,
+                shingle_df=sh_b.join(
+                    survivors.select(id_col), id_col, "left_semi"
+                ),
+            ),
+            BANDS_TABLE,
+        )
+        wh.append(
+            sh_b.join(survivors.select(id_col), id_col, "left_semi"),
+            SHINGLE_TABLE,
+        )
+    finally:
+        survivors.unpersist()
+        sh_b.unpersist()
+
+
+def stream_near_dup_ledger(
+    spark,
+    landing_glob: str,
+    schema,
+    checkpoint_dir: str,
+    wh: Warehouse,
+    sink_table: str = "corpus_docs_neardup",
+    threshold: float = 0.8,
+    max_files_per_trigger: int = 16,
+):
+    """Streaming near-duplicate corpus builder: each micro-batch dedups
+    in-batch AND against everything kept so far (LSH bands + shingle
+    verify ledgers)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_glob)
+    )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        process_near_dup_batch(wh, batch, sink_table, threshold)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_exact_dedup_ledger(
     spark,
     landing_glob: str,

@@ -266,3 +266,41 @@ def test_stream_exact_dedup_watermark(spark):
     q.awaitTermination(60)
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert len(got) == 2 and 2 in got  # one survivor of {0,1}, plus 2
+
+
+def test_stream_near_dup_ledger(spark, wh):
+    """Cross-batch NEAR-dup dedup: batch 2 carries (a) a near-dup of a
+    kept batch-1 doc -> dropped via the bands ledger + shingle verify,
+    (b) a genuinely new doc -> kept; in-batch near-dups resolve min-id."""
+    from powa_archivist_spark.streaming.dedup import stream_near_dup_ledger
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different words entirely unrelated content here now ok"
+    schema = "doc_id long, ts timestamp, text string"
+    landing = tempfile.mkdtemp(prefix="ndlanding_")
+    ckpt = tempfile.mkdtemp(prefix="ndckpt_")
+
+    b1 = spark.createDataFrame(
+        [(0, ts(0), base),
+         (1, ts(1), base + " x"),   # in-batch near dup of 0 -> dropped
+         (2, ts(2), other)],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(os.path.join(landing, "b1"))
+    q = stream_near_dup_ledger(
+        spark, landing + "/*", b1.schema, ckpt, wh, sink_table="nd_docs"
+    )
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in wh.read("nd_docs").collect()) == [0, 2]
+
+    b2 = spark.createDataFrame(
+        [(3, ts(3), base + " y"),   # near dup of KEPT 0 (jaccard 10/11)
+         (4, ts(4), "fresh content that matches nothing else at all yes")],
+        schema,
+    )
+    b2.coalesce(1).write.parquet(os.path.join(landing, "b2"))
+    q = stream_near_dup_ledger(
+        spark, landing + "/*", b1.schema, ckpt, wh, sink_table="nd_docs"
+    )
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in wh.read("nd_docs").collect()) == [0, 2, 4]
