@@ -1493,6 +1493,50 @@ FROM stepped WHERE delta_cents IS NOT NULL
 """
 
 
+def events_top_consumers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query twin of operators.read.top_consumers (powa-web landing
+    page): per-entity sum of positive counter deltas over the range,
+    reset-clamped, global top-20 with id tiebreak."""
+    ev = _events_as_series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value_cents") - F.lag("value_cents").over(w)
+    clamped = F.when(delta < 0, F.lit(0)).otherwise(delta)
+    consumed = (
+        ev.select("user_id", clamped.alias("d"))
+        .filter(F.col("d").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum("d").alias("consumed"), F.count(F.lit(1)).alias("n_samples"))
+    )
+    w_rank = Window.orderBy(F.desc("consumed"), F.asc("user_id"))
+    return (
+        consumed.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+ORACLE_TOP_CONSUMERS = """
+WITH deltas AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT)
+           - LAG(CAST(round(value * 100) AS BIGINT)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS d
+  FROM events
+), clamped AS (
+  SELECT user_id, CASE WHEN d < 0 THEN 0 ELSE d END AS d
+  FROM deltas WHERE d IS NOT NULL
+), consumed AS (
+  SELECT user_id, CAST(SUM(d) AS BIGINT) AS consumed,
+         COUNT(*) AS n_samples
+  FROM clamped GROUP BY user_id
+)
+SELECT user_id, consumed, n_samples,
+       CAST(ROW_NUMBER() OVER (ORDER BY consumed DESC, user_id) AS INT)
+         AS rank
+FROM consumed
+QUALIFY rank <= 20
+"""
+
+
 def events_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over (event_type, user bucket): per-bucket,
     per-type subtotals and the grand total in ONE aggregation pass —
@@ -1606,5 +1650,6 @@ CORE_QUERIES = {
                               ORACLE_VERSIONED_LAYOUT),
     "events_sampled_rates": (events_sampled_rates, ORACLE_SAMPLED_RATES),
     "events_rollup_sets": (events_rollup_sets, ORACLE_ROLLUP_SETS),
+    "events_top_consumers": (events_top_consumers, ORACLE_TOP_CONSUMERS),
     "events_pivot_counts": (events_pivot_counts, ORACLE_PIVOT_COUNTS),
 }
