@@ -218,3 +218,33 @@ def test_top_consumers_ranks_by_delta(spark, wh):
     ).collect()
     vals = {r.datid: r.consumed for r in raw}
     assert vals[3] == (10 - 900) + 5
+
+
+def test_concurrent_snapshot_rejected_per_srvid(spark, wh, orch):
+    """powa_prevent_concurrent_snapshot (powa--5.2.0.sql:3424-3427): a
+    second snapshot of the SAME srvid while one is in flight raises;
+    a different srvid is unaffected."""
+    server0 = ServerConfig(srvid=0)
+    lock = orch._lock(0)
+    assert lock.acquire(blocking=False)
+    try:
+        with pytest.raises(RuntimeError, match="in progress"):
+            orch.take_snapshot(
+                server0,
+                captures={SPEC.name: bgwriter_rows(spark, 0, ts(0), 1)},
+                now=ts(0),
+            )
+        # another server proceeds normally
+        errs = orch.take_snapshot(
+            ServerConfig(srvid=1),
+            captures={SPEC.name: bgwriter_rows(spark, 1, ts(0), 1)},
+            now=ts(0),
+        )
+        assert errs == 0
+    finally:
+        lock.release()
+    # released -> srvid 0 snapshots fine
+    assert orch.take_snapshot(
+        server0, captures={SPEC.name: bgwriter_rows(spark, 0, ts(5), 2)},
+        now=ts(5),
+    ) == 0
