@@ -118,6 +118,53 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_len: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG/embedding-prep shape):
+    chunks start every ``chunk_len - overlap`` tokens; the final window
+    keeps its tail even when shorter.  One row per (doc, chunk) with the
+    reconstructed chunk text.
+
+    Pure per-row expression work (sequence -> explode -> slice/concat):
+    embarrassingly parallel, no shuffle at all — chunking 100 TB is a
+    map-only job whose output partitioning follows the input."""
+    if overlap >= chunk_len:
+        raise ValueError("overlap must be smaller than chunk_len")
+    step = chunk_len - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # start offsets 0, step, 2*step, ..., L where L is the smallest
+    # stride multiple whose window reaches the doc end — every token is
+    # covered and no chunk consists purely of overlap
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((n - chunk_len) / F.lit(step)).cast("int"), F.lit(0)
+        ) * step,
+        F.lit(step),
+    )
+    chunked = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_id", "start_tok"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("start_tok") + 1, chunk_len)
+    return chunked.select(
+        F.col(id_col),
+        "chunk_id",
+        "start_tok",
+        F.least(F.col("_n") - F.col("start_tok"), F.lit(chunk_len))
+        .cast("int").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],

@@ -649,6 +649,37 @@ WHERE lang IN ({", ".join(repr(k) for k in sorted(MIX_RATES))})
 """
 
 
+def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk_len=32, overlap=8 —
+    RAG/embedding prep); map-only, no shuffle."""
+    from . import corpus
+
+    return corpus.chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_len=32, overlap=8
+    )
+
+
+ORACLE_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents
+), e AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(
+           0, greatest(CAST(ceil((n - 32) / 24.0) AS BIGINT), 0) * 24, 24
+         )) AS start_tok
+  FROM t
+)
+SELECT doc_id, CAST(start_tok // 24 AS INT) AS chunk_id,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(least(n - start_tok, 32) AS INT) AS n_tokens,
+       array_to_string(toks[start_tok + 1 : start_tok + 32], ' ')
+         AS chunk_text
+FROM e
+"""
+
+
 def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-length distribution with exact interpolated
     percentiles (the oracle path; exact=False is the 100 TB t-digest
@@ -694,5 +725,6 @@ PIPELINE_QUERIES = {
     "corpus_stratified_sample": (corpus_stratified_sample,
                                  ORACLE_STRATIFIED_SAMPLE),
     "corpus_token_stats": (corpus_token_stats, ORACLE_TOKEN_STATS),
+    "corpus_chunks": (corpus_chunks, ORACLE_CHUNKS),
     "ivf_refined_centroids": (ivf_refined_centroids, ORACLE_IVF_REFINE),
 }

@@ -463,3 +463,27 @@ def test_ivf_refine_deterministic_and_improves(spark):
     amap2 = assignment(r2)
     assert not ({amap2[i] for i in amap2 if i % 2 == 0}
                 & {amap2[i] for i in amap2 if i % 2 == 1})
+
+
+def test_chunk_documents_windows(spark):
+    from powa_archivist_spark.pipeline.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))),   # 10 toks
+         (1, "single"),                               # 1 tok
+         (2, " ".join(f"u{i}" for i in range(5)))],   # exactly chunk_len
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.chunk_id): r for r in
+           chunk_documents(docs, chunk_len=5, overlap=2).collect()}
+    # doc 0: step 3, last start = smallest stride multiple reaching the
+    # end -> starts 0,3,6; tail chunk holds the remaining 4 tokens
+    assert [out[(0, i)].start_tok for i in range(3)] == [0, 3, 6]
+    assert (0, 3) not in out
+    assert out[(0, 0)].chunk_text == "t0 t1 t2 t3 t4"
+    assert out[(0, 2)].n_tokens == 4 and out[(0, 2)].chunk_text == "t6 t7 t8 t9"
+    # doc 1: one 1-token chunk; doc 2: one full chunk
+    assert out[(1, 0)].n_tokens == 1
+    assert out[(2, 0)].n_tokens == 5 and (2, 1) not in out
+    # overlap: chunk 1 of doc 0 re-covers tokens 3,4
+    assert out[(0, 1)].chunk_text.split()[:2] == ["t3", "t4"]
