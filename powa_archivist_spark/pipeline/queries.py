@@ -276,6 +276,54 @@ WHERE rank <= 10
 """
 
 
+def knn_cosine_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH: the query also probes every Hamming-1
+    bucket (flip one plane's sign), replicating only the query side.
+    Integer planes keep every probed bucket exact, so the oracle replays
+    probe generation, the bucket join, and the rescoring."""
+    return similarity.knn_lsh(
+        t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4],
+        planes=LSH_PLANES, k=10, multiprobe=True,
+    )
+
+
+ORACLE_KNN_LSH_MULTIPROBE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v,
+    {" + ".join(
+        f'''(CASE WHEN list_sum(list_transform(list_zip(v, {_plane_sql(p)}),
+             x -> x[1] * CAST(x[2] AS BIGINT))) >= 0
+           THEN {1 << i} ELSE 0 END)'''
+        for i, p in enumerate(LSH_PLANES)
+    )} AS bucket
+  FROM e
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, xor(bucket, flip) AS bucket
+  FROM bucketed, (SELECT unnest([0, 1, 2, 4, 8]) AS flip)
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+)
+SELECT query_id, neighbor_id, dot_q, rank
+FROM (
+  SELECT query_id, neighbor_id, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM (
+    SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(q.qv, c.v),
+             x -> x[1] * x[2])) AS BIGINT) AS dot_q
+    FROM probes q JOIN bucketed c ON q.bucket = c.bucket
+    WHERE c.vec_id != q.query_id
+  ) s
+) r
+WHERE rank <= 10
+"""
+
+
 MIN_DOT_Q = 350_000_000_000  # cosine 0.35 x QUANT^2 on unit vectors
 
 
@@ -710,6 +758,8 @@ PIPELINE_QUERIES = {
     "dedup_simhash": (dedup_simhash, ORACLE_SIMHASH),
     "knn_cosine_topk": (knn_cosine_topk, ORACLE_KNN),
     "knn_cosine_lsh": (knn_cosine_lsh, ORACLE_KNN_LSH),
+    "knn_cosine_lsh_multiprobe": (knn_cosine_lsh_multiprobe,
+                                  ORACLE_KNN_LSH_MULTIPROBE),
     "knn_ivf_topk": (knn_ivf_topk, ORACLE_KNN_IVF),
     "emb_near_dup": (emb_near_dup, ORACLE_EMB_NEAR_DUP),
     "emb_near_dup_blocked": (emb_near_dup_blocked, ORACLE_EMB_NEAR_DUP),

@@ -451,11 +451,18 @@ def knn_lsh(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket equi-join, exact
     quantized rescoring inside buckets.  At scale the corpus is
     pre-bucketed (one extra column, partition key), so a query touches
-    only its bucket's partitions."""
+    only its bucket's partitions.
+
+    ``multiprobe=True`` additionally probes every Hamming-1 neighbor of
+    the query's bucket (flip each plane's sign bit): recall approaches
+    the union of n_planes+1 independent tables at the cost of replicating
+    only the QUERY side (still an equi-join; the corpus is hashed
+    once)."""
     bucketed = emb.select(
         F.col(id_col),
         quantized(F.col(vec_col)).alias("v"),
@@ -466,6 +473,16 @@ def knn_lsh(
         F.col("v").alias("qv"),
         F.col("bucket"),
     )
+    if multiprobe:
+        flips = F.array(
+            F.lit(0), *[F.lit(1 << i) for i in range(len(planes))]
+        )
+        q = q.select(
+            "query_id", "qv",
+            F.explode(
+                F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))
+            ).alias("bucket"),
+        )
     c = bucketed.select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("bucket")
     )
@@ -475,6 +492,10 @@ def knn_lsh(
     scored = pairs.select(
         "query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("dot_q")
     )
+    if multiprobe:
+        # a pair can collide in several probed buckets; dot_q is
+        # deterministic so the distinct collapses exact duplicates
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

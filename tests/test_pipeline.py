@@ -487,3 +487,33 @@ def test_chunk_documents_windows(spark):
     assert out[(2, 0)].n_tokens == 5 and (2, 1) not in out
     # overlap: chunk 1 of doc 0 re-covers tokens 3,4
     assert out[(0, 1)].chunk_text.split()[:2] == ["t3", "t4"]
+
+
+def test_knn_lsh_multiprobe_recall_dominates(spark):
+    """Multi-probe candidates are a superset of single-probe (flip set
+    includes 0), so recall vs brute force can only improve."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(120):
+        v = rng.normal(size=16)
+        rows.append((i, (v / np.linalg.norm(v)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = [[int(round(x * 1000)) for x in rng.normal(size=16)]
+              for _ in range(4)]
+    qids = [0, 1, 2]
+
+    def result_set(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = result_set(similarity.knn_bruteforce(emb, qids, k=5))
+    single = result_set(similarity.knn_lsh(emb, qids, planes, k=5))
+    multi = result_set(
+        similarity.knn_lsh(emb, qids, planes, k=5, multiprobe=True)
+    )
+    assert len(multi & exact) >= len(single & exact)
+    # scores of returned rows are exact (re-check one against numpy)
+    rowsm = similarity.knn_lsh(emb, qids, planes, k=5, multiprobe=True).collect()
+    vq = {i: np.round(np.array(v) * similarity.QUANT).astype("int64")
+          for i, v in rows}
+    for r in rowsm[:5]:
+        assert r.dot_q == int(vq[r.query_id] @ vq[r.neighbor_id])
