@@ -188,6 +188,110 @@ def ivf_refine(
     return cents
 
 
+ANN_CELLS_TABLE = "ann_ivf_cells"
+ANN_CENTROIDS_TABLE = "ann_ivf_centroids"
+
+
+def ivf_build(
+    wh,
+    emb: DataFrame,
+    centroid_mod: int = 97,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index AT REST: the assignment table is
+    partitioned BY CELL, so a probe's scan prunes to its cells' files —
+    the parquet analog of an inverted-file index (this is the '100 TB
+    path' the in-memory :func:`knn_ivf` docstring promises).
+
+    ``refine_iters`` Lloyd-refines the sampled centroids first
+    (:func:`ivf_refine`)."""
+    if refine_iters > 0:
+        cents = ivf_refine(emb, refine_iters, centroid_mod, id_col, vec_col)
+    else:
+        cents, _ = ivf_assign(emb, centroid_mod, id_col, vec_col)
+    vecs = emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col, "v", "cell_id", int_dot(F.col("v"), F.col("cv")).alias("dot_c")
+    )
+    assign = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("cell_id"), F.col("v")),
+                F.struct(F.col("dot_c"), (-F.col("cell_id")).alias("neg")),
+            ).alias("best")
+        )
+        .select(F.col("best.cell_id").alias("cell_id"), id_col, "best.v")
+    )
+    wh.overwrite(assign, ANN_CELLS_TABLE, partition_by=["cell_id"])
+    wh.overwrite(cents, ANN_CENTROIDS_TABLE)
+
+
+def ivf_probe(
+    wh,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the at-rest IVF index: pick each query's nprobe best cells
+    against the (tiny, broadcast) centroid table, then scan ONLY those
+    cells' partitions of the assignment table.
+
+    The probed cell ids are collected to build the partition predicate —
+    bounded by queries x nprobe, never by the corpus."""
+    cents = wh.read(ANN_CENTROIDS_TABLE)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cell_id",
+        int_dot(F.col("qv"), F.col("cv")).alias("dot_c"),
+    )
+    top_cells = qc.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("dot_c"),
+                        (-F.col("cell_id")).alias("neg_cell"),
+                        F.col("cell_id"),
+                    )
+                ),
+                asc=False,
+            ),
+            1,
+            nprobe,
+        ).alias("top")
+    )
+    probes = top_cells.select(
+        "query_id", F.explode("top.cell_id").alias("cell_id")
+    )
+    cell_ids = sorted({r.cell_id for r in probes.distinct().collect()})
+    cells = wh.read(ANN_CELLS_TABLE).filter(F.col("cell_id").isin(cell_ids))
+    cand = (
+        F.broadcast(probes.join(q, "query_id"))
+        .join(cells, "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        int_dot(F.col("qv"), F.col("v")).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
 def knn_ivf(
     emb: DataFrame,
     query_ids: list[int],

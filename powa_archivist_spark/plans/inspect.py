@@ -36,6 +36,17 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Partition-pruning predicates at each scan
+    (``PartitionFilters: [...]``)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan_string(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
 def read_schemas(df: DataFrame) -> list[list[str]]:
     """Column sets actually read from each parquet scan (column pruning)."""
     out = []

@@ -517,3 +517,31 @@ def test_knn_lsh_multiprobe_recall_dominates(spark):
           for i, v in rows}
     for r in rowsm[:5]:
         assert r.dot_q == int(vq[r.query_id] @ vq[r.neighbor_id])
+
+
+def test_ivf_at_rest_matches_in_memory_and_prunes(spark, wh):
+    """ivf_build + ivf_probe: the at-rest index returns the SAME rows as
+    the in-memory knn_ivf (same centroids, tiebreaks, quantization), and
+    the probe scan partition-prunes to the probed cells only."""
+    from powa_archivist_spark.plans import inspect as pi
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(150):
+        v = rng.normal(size=16)
+        rows.append((i, (v / np.linalg.norm(v)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 1, 2]
+
+    similarity.ivf_build(wh, emb, centroid_mod=31)
+    probe = similarity.ivf_probe(
+        wh, emb.filter(emb.vec_id.isin(qids)), k=5, nprobe=2
+    )
+    # inspect BEFORE executing: after collect, AQE's explain moves node
+    # details under the Initial Plan section that plan_string strips
+    assert any("cell_id" in f for f in pi.partition_filters(probe))
+
+    mem = similarity.knn_ivf(emb, qids, k=5, nprobe=2, centroid_mod=31)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in probe.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in mem.collect()}
+    assert got == want
