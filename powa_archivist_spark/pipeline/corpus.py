@@ -71,7 +71,9 @@ def corpus_prep(
     )
     reps = exact_dedup(gated, text_col, id_col).select(id_col)
     uniq = gated.join(reps, id_col, "left_semi")
-    kept = near_dup_keep(uniq, threshold, text_col, id_col)
+    # prefix strategy: no vocabulary-probe job inside the composed funnel
+    kept = near_dup_keep(uniq, threshold, text_col, id_col,
+                         strategy="prefix")
     return (
         uniq.join(kept, id_col, "left_semi")
         .select(id_col, lang_col, "n_tokens", "distinct_ratio")

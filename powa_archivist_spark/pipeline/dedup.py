@@ -479,16 +479,18 @@ def minhash_dedup_pairs(
 
 
 def near_dup_keep(docs: DataFrame, threshold: float = 0.8,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  strategy: str = "auto") -> DataFrame:
     """The keep/drop decision a pipeline consumes: greedy min-id rule —
     a document is DROPPED iff it has a near-duplicate partner with a
     smaller id (so every near-dup pair keeps exactly its smaller member;
     cluster-transitive cases keep the component minimum or a superset).
 
     One anti-join from the pair list; the pair list itself comes from the
-    adaptive jaccard path."""
+    adaptive jaccard path (``strategy`` passes through — composed
+    pipelines pass ``"prefix"`` to skip the vocabulary probe job)."""
     dropped = (
-        jaccard_pairs(docs, threshold, text_col, id_col)
+        jaccard_pairs(docs, threshold, text_col, id_col, strategy=strategy)
         .select(F.col("b_id").alias(id_col))
         .distinct()
     )
