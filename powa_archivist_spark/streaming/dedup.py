@@ -19,6 +19,13 @@ Both keep the batch operator's semantics (first arrival wins by
 normalized text) so a corpus built from the stream equals the batch
 :func:`pipeline.dedup.exact_dedup` keep-set over the same data, modulo
 arrival order inside one micro-batch (resolved min-id like the batch op).
+
+Delivery: the ledger variants are **at-least-once on crash** — sink and
+ledger appends are two separate parquet writes, so a crash between them
+replays the batch with an incomplete ledger and can re-append sink rows
+(never lose them: the sink is written first).  A downstream exact dedup
+on (id) absorbs this, or wrap the appends with the epoch-marker pattern
+from :mod:`.ingest` (or a transactional table format) for exactly-once.
 """
 
 from __future__ import annotations
