@@ -71,9 +71,10 @@ def corpus_prep(
     )
     reps = exact_dedup(gated, text_col, id_col).select(id_col)
     uniq = gated.join(reps, id_col, "left_semi")
-    # prefix strategy: no vocabulary-probe job inside the composed funnel
-    kept = near_dup_keep(uniq, threshold, text_col, id_col,
-                         strategy="prefix")
+    # adaptive strategy: the bounded vocabulary probe picks bitmask for
+    # small shared vocabularies (where prefix filtering degenerates —
+    # every token is high-frequency) and the PPJoin prefix path otherwise
+    kept = near_dup_keep(uniq, threshold, text_col, id_col)
     return (
         uniq.join(kept, id_col, "left_semi")
         .select(id_col, lang_col, "n_tokens", "distinct_ratio")
