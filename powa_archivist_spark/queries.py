@@ -20,6 +20,8 @@ Determinism contract with the oracle (the driver hash-compares values):
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1304,6 +1306,108 @@ FROM rolled r JOIN atoms a USING (qualid, queryid, dbid, userid)
 """
 
 
+def wait_sampling_snapshot_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END wait_sampling ingest (powa--5.2.0.sql:7297-7341) on the
+    real wired operators against a scratch warehouse:
+
+    - statements dictionary from customer (queryid -> several dbids: the
+      DISTINCT projection MULTIPLIES samples per executing db, exactly
+      the reference's join semantics);
+    - databases dimension with one db soft-DELETED (P3: its samples are
+      excluded);
+    - raw per-pid profile samples from events (no dbid) resolved via
+      ``operators.wait_sampling.resolve_wait_sampling`` (J8; unknown
+      queryids fall back to dbid 0), then ``operators.snapshot`` with the
+      engine's per-db rollup;
+    - result = the current slice joined with the engine-written db
+      rollup."""
+    import tempfile
+
+    from .operators import dictionary
+    from .operators.databases import databases_snapshot
+    from .operators.snapshot import snapshot as snapshot_job
+    from .operators.wait_sampling import resolve_wait_sampling
+    from .specs import WAIT_SAMPLING
+    from .storage import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="powa_ws_query_"))
+    stmts = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 750)
+        .select(
+            (F.col("c_custkey") % 50).alias("queryid"),
+            (F.col("c_custkey") % 3).alias("dbid"),
+            (F.col("c_custkey") % 7).alias("userid"),
+            F.concat(F.lit("q"), (F.col("c_custkey") % 50)).alias("query"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        )
+    )
+    dictionary.merge_statements(wh, 1, stmts)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    databases_snapshot(
+        wh, 1,
+        spark.createDataFrame(
+            [(0, "db0"), (1, "db1"), (2, "db2")], "oid long, datname string"
+        ),
+        now=t0,
+    )
+    databases_snapshot(  # db2 disappears -> soft-deleted (dropped)
+        wh, 1,
+        spark.createDataFrame([(0, "db0"), (1, "db1")],
+                              "oid long, datname string"),
+        now=t0 + dt.timedelta(hours=1),
+    )
+    ev = t(spark, sf_dir, "events")
+    samples = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("ts"),
+        F.concat(F.lit("et"), (F.col("event_id") % 3)).alias("event_type"),
+        F.concat(F.lit("ev"), (F.col("user_id") % 13)).alias("event"),
+        (F.col("user_id") % 60).alias("queryid"),
+        F.lit(1).cast("decimal(38,0)").alias("count"),
+    )
+    cap = resolve_wait_sampling(wh, 1, samples)
+    snapshot_job(wh, WAIT_SAMPLING, 1, capture=cap, drop_staging=False)
+
+    cur = wh.read(
+        Warehouse.current(WAIT_SAMPLING.name), WAIT_SAMPLING.current_schema
+    ).select(
+        "dbid", "event_type", "event", "queryid", "ts",
+        F.col("count").cast("long").alias("count"),
+    )
+    roll = wh.read(Warehouse.current_db(WAIT_SAMPLING.name)).select(
+        "dbid", "ts", F.col("count").cast("long").alias("db_count")
+    )
+    return cur.join(roll, ["dbid", "ts"])
+
+
+ORACLE_WAIT_SAMPLING = """
+WITH dict AS (
+  SELECT DISTINCT c_custkey % 50 AS queryid, c_custkey % 3 AS dbid
+  FROM customer WHERE c_custkey <= 750
+), samples AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts,
+         'et' || CAST(event_id % 3 AS VARCHAR) AS event_type,
+         'ev' || CAST(user_id % 13 AS VARCHAR) AS event,
+         user_id % 60 AS queryid, 1 AS cnt
+  FROM events
+), resolved AS (
+  SELECT s.ts, s.event_type, s.event, s.queryid,
+         COALESCE(d.dbid, 0) AS dbid, s.cnt
+  FROM samples s LEFT JOIN dict d USING (queryid)
+  WHERE COALESCE(d.dbid, 0) != 2
+), agg AS (
+  SELECT dbid, event_type, event, queryid, ts,
+         CAST(SUM(cnt) AS BIGINT) AS count
+  FROM resolved GROUP BY 1, 2, 3, 4, 5
+), roll AS (
+  SELECT dbid, ts, CAST(SUM(count) AS BIGINT) AS db_count
+  FROM agg GROUP BY dbid, ts
+)
+SELECT a.dbid, a.event_type, a.event, a.queryid, a.ts, a.count, r.db_count
+FROM agg a JOIN roll r USING (dbid, ts)
+"""
+
+
 def snapshot_lifecycle_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7+A2+P8 END-TO-END on the real engine jobs: events-derived
     per-day counter samples appended via ``operators.snapshot``, packed
@@ -1644,6 +1748,8 @@ CORE_QUERIES = {
     "salted_rollup": (salted_rollup, ORACLE_SALTED),
     "qualstats_snapshot_topk": (qualstats_snapshot_rollup,
                                 ORACLE_QUALSTATS_SNAPSHOT),
+    "wait_sampling_snapshot_resolved": (wait_sampling_snapshot_resolved,
+                                        ORACLE_WAIT_SAMPLING),
     "snapshot_lifecycle_unpack": (snapshot_lifecycle_unpack,
                                   ORACLE_LIFECYCLE_UNPACK),
     "versioned_layout_read": (versioned_layout_read,
