@@ -13,6 +13,8 @@ training-data pipeline runs over a document table at 100 TB:
 - :func:`stratified_sample` — deterministic hash-based per-group
   sampling for data mixing (rates per language/source), reproducible
   across engines and runs (no RNG state);
+- :func:`chunk_documents` — overlapping token-window chunking
+  (RAG/embedding prep), a map-only job;
 - :func:`token_length_stats` — per-group token-length distribution
   (count/sum/mean + exact p50/p90/p99).
 
@@ -28,12 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import (
-    cross_engine_hash64,
-    exact_dedup,
-    near_dup_keep,
-    normalized_text,
-)
+from .dedup import cross_engine_hash64, exact_dedup, near_dup_keep
 
 
 def corpus_prep(
