@@ -535,6 +535,28 @@ FROM (
 """
 
 
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over documents (patterns confined to
+    the Java-regex/RE2 common subset so the oracle matches them
+    identically)."""
+    return textstats.pii_scrub(t(spark, sf_dir, "documents"))
+
+
+ORACLE_PII_SCRUB = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+       len(regexp_extract_all(text,
+         '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         'https?://[^\s]+', '<URL>', 'g'),
+         '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+FROM documents
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints in the cross-engine md5 family — min/max
     rolling shingle hash + whole-text hash, replayed exactly by the
@@ -770,6 +792,7 @@ PIPELINE_QUERIES = {
     "token_counts": (token_counts, ORACLE_TOKEN_COUNTS),
     "lang_id": (lang_id_heuristic, ORACLE_LANG_ID),
     "doc_fingerprints": (doc_fingerprints, ORACLE_FINGERPRINTS),
+    "pii_scrub_stats": (pii_scrub_stats, ORACLE_PII_SCRUB),
     "corpus_prep_funnel": (corpus_prep_funnel, ORACLE_CORPUS_PREP),
     "corpus_pack_sequences": (corpus_pack_sequences, ORACLE_PACK_SEQUENCES),
     "corpus_stratified_sample": (corpus_stratified_sample,

@@ -81,6 +81,33 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     )
 
 
+# PII-ish patterns kept in the common Java-regex/RE2 subset (no
+# backrefs, no lookaround) so the SQL oracle matches them identically
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII detection + redaction — the standard pre-training scrub pass:
+    per-doc match counts for each pattern class plus the text with every
+    match replaced by a ``<CLASS>`` placeholder (emails first, then
+    URLs, then phone-ish digit runs — order matters, a URL may contain
+    digits).  Pure Catalyst regex work: map-only, no shuffle."""
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    scrubbed = text
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return docs.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", shingle_n: int = 5,
                     hash_fn: str = "xxhash64") -> DataFrame:

@@ -545,3 +545,19 @@ def test_ivf_at_rest_matches_in_memory_and_prunes(spark, wh):
     got = {(r.query_id, r.rank): r.neighbor_id for r in probe.collect()}
     want = {(r.query_id, r.rank): r.neighbor_id for r in mem.collect()}
     assert got == want
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [(0, "contact bob.smith+x@corp.example.com or https://ex.org/a?b=1 now"),
+         (1, "call +1 (555) 123-4567 twice"),
+         (2, "nothing sensitive here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.pii_scrub(docs).collect()}
+    assert out[0].n_email == 1 and out[0].n_url == 1 and out[0].n_phone == 0
+    assert out[0].scrubbed == "contact <EMAIL> or <URL> now"
+    assert out[1].n_phone == 1 and "<PHONE>" in out[1].scrubbed
+    assert "555" not in out[1].scrubbed
+    assert out[2].scrubbed == "nothing sensitive here"
+    assert (out[2].n_email, out[2].n_url, out[2].n_phone) == (0, 0, 0)
