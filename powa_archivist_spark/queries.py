@@ -1712,6 +1712,65 @@ FROM events GROUP BY user_id % 10
 """
 
 
+def catalog_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 as an oracle-checked query on the REAL registered catalog
+    layouts: a part-derived pg_attribute batch staged as a pg11 server
+    would send it is projected through ``sources.catalog.stage_catalog``
+    — pg11-native columns pass (attidentity, atthasmissing), the too-new
+    attcompression is REPLACED by the epoch's literal default (''), the
+    pg12+ attgenerated shims to its literal default (''), and a
+    never-staged native column (attfdwoptions) lands NULL.  The oracle replays the exact
+    projection powa_catalog_src_query(110000) mandates
+    (powa--5.2.0.sql:524-533)."""
+    from .sources.catalog import stage_catalog
+
+    part = t(spark, sf_dir, "part")
+    staged = part.select(
+        F.lit(1).cast("int").alias("srvid"),
+        (F.col("p_partkey") % 3 + 16384).cast("long").alias("dbid"),
+        F.col("p_partkey").alias("attrelid"),
+        F.col("p_name").alias("attname"),
+        (F.col("p_size") + 20).cast("long").alias("atttypid"),
+        F.col("p_size").cast("int").alias("attlen"),
+        (F.col("p_partkey") % 16).cast("int").alias("attnum"),
+        (F.col("p_size") % 2 == 0).alias("attnotnull"),
+        F.lit(False).alias("atthasdef"),
+        F.lit(-1).cast("int").alias("attstattarget"),
+        F.lit(0).cast("long").alias("attcollation"),
+        F.array(F.col("p_brand")).alias("attoptions"),
+        F.when(F.col("p_size") % 5 == 0, F.lit("a")).otherwise(F.lit(""))
+        .alias("attidentity"),
+        (F.col("p_size") % 3 == 0).alias("atthasmissing"),
+        # a pg14+ column the pg11 layout must NOT pass through
+        F.lit("pglz").alias("attcompression"),
+    )
+    out = stage_catalog(staged, "pg_attribute", server_version=110000)
+    # string-array cells are flattened for the comparator (numpy dtype
+    # reprs differ between the two pandas paths); NULL-shimmed arrays
+    # compare as their nullness
+    return out.select(
+        "dbid", "attrelid", "attname", "attnum", "attidentity",
+        "atthasmissing", "attgenerated", "attcompression",
+        F.concat_ws(",", "attoptions").alias("attoptions_csv"),
+        F.col("attfdwoptions").isNull().alias("attfdwoptions_is_null"),
+    )
+
+
+ORACLE_CATALOG_LAYOUT = """
+SELECT p_partkey % 3 + 16384 AS dbid,
+       p_partkey AS attrelid,
+       p_name AS attname,
+       CAST(p_partkey % 16 AS INT) AS attnum,
+       CASE WHEN p_size % 5 = 0 THEN 'a' ELSE '' END AS attidentity,
+       p_size % 3 = 0 AS atthasmissing,
+       '' AS attgenerated,
+       '' AS attcompression,
+       p_brand AS attoptions_csv,
+       TRUE AS attfdwoptions_is_null
+FROM part
+"""
+
+
 CORE_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q03_top_orders": (q03_top_orders, ORACLE_Q03),
@@ -1754,6 +1813,7 @@ CORE_QUERIES = {
                                   ORACLE_LIFECYCLE_UNPACK),
     "versioned_layout_read": (versioned_layout_read,
                               ORACLE_VERSIONED_LAYOUT),
+    "catalog_layout_read": (catalog_layout_read, ORACLE_CATALOG_LAYOUT),
     "events_sampled_rates": (events_sampled_rates, ORACLE_SAMPLED_RATES),
     "events_rollup_sets": (events_rollup_sets, ORACLE_ROLLUP_SETS),
     "events_top_consumers": (events_top_consumers, ORACLE_TOP_CONSUMERS),
