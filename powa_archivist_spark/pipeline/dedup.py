@@ -497,6 +497,91 @@ def near_dup_keep(docs: DataFrame, threshold: float = 0.8,
     return docs.select(id_col).join(dropped, id_col, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph by iterative
+    min-label propagation: every node's label converges to the smallest
+    id reachable from it (the component's canonical representative).
+
+    The greedy pair rule (:func:`near_dup_keep`) can over-keep on
+    transitive chains (b~a dropped, c~b kept because c's only partner b
+    is gone); component labeling makes dedup CLUSTER-canonical: keep
+    exactly one doc (the min id) per component.
+
+    Plan per iteration: (1) neighbor-min — symmetric-edge join against
+    current labels + min-aggregation, (2) pointer jump — labels joined
+    with themselves so every node adopts its label's own label.  The
+    jump doubles propagation distance each round, so convergence is
+    O(log diameter) iterations, not O(diameter).  Each round ends in
+    ``localCheckpoint`` — mandatory for iterative DataFrame algorithms:
+    without it the logical plan nests one full copy of itself per
+    iteration and Catalyst planning alone blows the driver heap long
+    before the data does.  All joins/aggs are keyed on node id (bounded
+    shuffles); the driver holds only the one-row convergence probe.
+
+    Returns (id, component) for EVERY node in ``nodes`` (singletons map
+    to themselves)."""
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = labels.join(
+            neighbor_min, labels.node == neighbor_min.dst, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nmin", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: adopt the label's own label (label values are
+        # node ids, so the inner self-join always hits)
+        jumped = (
+            updated.alias("a")
+            .join(
+                updated.select(
+                    F.col("node").alias("p_node"),
+                    F.col("label").alias("p_label"),
+                ),
+                F.col("a.label") == F.col("p_node"),
+            )
+            .select(F.col("a.node").alias("node"),
+                    F.col("p_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("component")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 64,
             hash_fn: str = "xxhash64") -> DataFrame:

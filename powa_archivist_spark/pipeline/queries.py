@@ -69,6 +69,44 @@ WHERE doc_id NOT IN (
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-canonical dedup: connected components over the jaccard
+    near-dup pair graph by iterative min-label propagation; keep exactly
+    the min-id doc per component.  The oracle replays the transitive
+    closure with a recursive CTE."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
+    comp = dedup.connected_components(pairs, docs)
+    return comp.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).alias("is_kept"),
+    )
+
+
+ORACLE_COMPONENTS = """
+WITH RECURSIVE toksets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM toksets a JOIN toksets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+), edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+), walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, MIN(label) AS component,
+       node = MIN(label) AS is_kept
+FROM walk GROUP BY node
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH chain in the cross-engine md5 hash family
     (dedup.cross_engine_hash64), so the DuckDB oracle replays the ENTIRE
@@ -776,6 +814,7 @@ PIPELINE_QUERIES = {
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
     "dedup_keep_list": (dedup_keep_list, ORACLE_KEEP_LIST),
+    "dedup_components": (dedup_components, ORACLE_COMPONENTS),
     "dedup_minhash_lsh": (dedup_minhash_lsh, ORACLE_MINHASH_LSH),
     "dedup_simhash": (dedup_simhash, ORACLE_SIMHASH),
     "knn_cosine_topk": (knn_cosine_topk, ORACLE_KNN),

@@ -561,3 +561,27 @@ def test_pii_scrub_detects_and_redacts(spark):
     assert "555" not in out[1].scrubbed
     assert out[2].scrubbed == "nothing sensitive here"
     assert (out[2].n_email, out[2].n_url, out[2].n_phone) == (0, 0, 0)
+
+
+def test_connected_components_transitive_chain(spark):
+    """a~b and b~c but NOT a~c: components must merge all three (the
+    greedy pair rule would re-keep c after dropping b); singletons label
+    themselves."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "a_id long, b_id long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    comp = {r.doc_id: r.component for r in
+            dedup.connected_components(pairs, nodes).collect()}
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[5] == comp[6] == 5
+    assert comp[3] == 3 and comp[4] == 4 and comp[7] == 7
+
+    # a long path exercises multi-iteration convergence
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "a_id long, b_id long"
+    )
+    cnodes = spark.createDataFrame([(i,) for i in range(21)], "doc_id long")
+    comp2 = {r.doc_id: r.component for r in
+             dedup.connected_components(chain, cnodes).collect()}
+    assert set(comp2.values()) == {0}
