@@ -225,3 +225,52 @@ def token_length_stats(
         F.col("pct")[1].alias("p90"),
         F.col("pct")[2].alias("p99"),
     )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one exact word n-gram with a held-out evaluation set (the
+    standard pre-training hygiene pass; n=13 is the commonly published
+    window, any n works).
+
+    Plan: both sides explode into (id, gram) rows; the eval side is
+    distinct-ed and **broadcast** — eval benchmarks are tiny next to a
+    100 TB corpus, so the contamination probe is a map-side hash join
+    against the corpus gram stream (no corpus shuffle), followed by one
+    aggregation keyed on doc id.  Returns one row per corpus doc:
+    ``n_hit_ngrams`` (distinct eval grams it contains) and the
+    ``is_contaminated`` flag."""
+
+    def grams_of(df: DataFrame, out: str) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col).alias(out), F.explode(g).alias("gram"))
+
+    eval_grams = grams_of(eval_docs, "eval_id").select("gram").distinct()
+    hits = (
+        grams_of(docs, id_col)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("n_hit_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )

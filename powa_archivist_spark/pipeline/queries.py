@@ -810,6 +810,86 @@ FROM (
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate 2/3-gram fractions
+    (map-only expressions) + top-token fraction (explode + two map-side
+    combinable aggs)."""
+    return textstats.repetition_stats(t(spark, sf_dir, "documents"))
+
+
+ORACLE_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 2 THEN
+           list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         ELSE [] END AS g2,
+         CASE WHEN len(tk) >= 3 THEN
+           list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         ELSE [] END AS g3
+  FROM toks
+), fracs AS (
+  SELECT doc_id,
+         CASE WHEN len(g2) > 0 THEN
+           1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+         ELSE 0.0 END AS dup_2gram_frac,
+         CASE WHEN len(g3) > 0 THEN
+           1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+         ELSE 0.0 END AS dup_3gram_frac
+  FROM grams
+), top AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM toks, UNNEST(tk) AS u(tok)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT f.doc_id, dup_2gram_frac, dup_3gram_frac, top_token_frac
+FROM fracs f JOIN top USING (doc_id)
+"""
+
+
+def corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th doc plays the held-out eval
+    set; the rest of the corpus is probed for exact 3-gram overlap via a
+    broadcast of the eval gram dictionary (pipeline/corpus.py)."""
+    from . import corpus
+
+    docs = t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    corp = docs.filter(F.col("doc_id") % 20 != 0)
+    return corpus.ngram_decontaminate(corp, ev, n=3)
+
+
+ORACLE_DECONTAM = """
+WITH ev AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE doc_id % 20 = 0
+), corp AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE doc_id % 20 <> 0
+), evg AS (
+  SELECT DISTINCT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM ev, UNNEST(range(1, len(tk) - 1)) AS r(i)
+  WHERE len(tk) >= 3
+), cg AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM corp, UNNEST(range(1, len(tk) - 1)) AS r(i)
+  WHERE len(tk) >= 3
+), hits AS (
+  SELECT doc_id, COUNT(DISTINCT gram) AS n_hit_ngrams
+  FROM cg JOIN evg USING (gram) GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+       COALESCE(h.n_hit_ngrams, 0) > 0 AS is_contaminated
+FROM corp c LEFT JOIN hits h USING (doc_id)
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
@@ -837,6 +917,8 @@ PIPELINE_QUERIES = {
     "corpus_stratified_sample": (corpus_stratified_sample,
                                  ORACLE_STRATIFIED_SAMPLE),
     "corpus_token_stats": (corpus_token_stats, ORACLE_TOKEN_STATS),
+    "text_repetition": (text_repetition, ORACLE_REPETITION),
+    "corpus_decontam": (corpus_decontam, ORACLE_DECONTAM),
     "corpus_chunks": (corpus_chunks, ORACLE_CHUNKS),
     "ivf_refined_centroids": (ivf_refined_centroids, ORACLE_IVF_REFINE),
 }

@@ -81,6 +81,61 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Repetition / boilerplate signals (the Gopher-rules family): per
+    doc, the duplicate-n-gram fraction for each n in ``ns`` (how much of
+    the doc is self-repeating) and the top-token fraction (how dominated
+    the doc is by its single most frequent token).  High values on any
+    of these are the standard auto-generated/boilerplate reject signal
+    in a pre-training quality gate.
+
+    Plan: the n-gram fractions are pure per-row Catalyst expressions
+    (map-only, no shuffle); the top-token fraction explodes tokens and
+    double-aggregates on (doc, token) then (doc) — both map-side
+    combinable, keyed on doc id, so the operator is one narrow join of
+    two bounded aggregations at any scale."""
+    toks = F.split(F.col(text_col), " ")
+
+    # NB: the transform lambda must take exactly ONE parameter — PySpark
+    # dispatches a two-parameter lambda as (element, index), so binding
+    # n via a default argument silently feeds it the array index
+    def gram_at(n):
+        return lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+
+    gram_cols = []
+    for n in ns:
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram_at(n)),
+        ).otherwise(F.array().cast("array<string>"))
+        gram_cols.append(
+            F.when(F.size(grams) > 0,
+                   F.lit(1.0) - F.size(F.array_distinct(grams))
+                   .cast("double") / F.size(grams))
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_{n}gram_frac")
+        )
+    base = docs.select(F.col(id_col), *gram_cols)
+    tok_counts = (
+        docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.max("count").alias("top_cnt"),
+            F.sum("count").alias("n_toks"),
+        )
+    )
+    return base.join(tok_counts, id_col).select(
+        id_col,
+        *[f"dup_{n}gram_frac" for n in ns],
+        (F.col("top_cnt").cast("double") / F.col("n_toks"))
+        .alias("top_token_frac"),
+    )
+
+
 # PII-ish patterns kept in the common Java-regex/RE2 subset (no
 # backrefs, no lookaround) so the SQL oracle matches them identically
 PII_PATTERNS: dict[str, str] = {

@@ -585,3 +585,47 @@ def test_connected_components_transitive_chain(spark):
     comp2 = {r.doc_id: r.component for r in
              dedup.connected_components(chain, cnodes).collect()}
     assert set(comp2.values()) == {0}
+
+
+def test_repetition_stats_flags_self_repeating_doc(spark):
+    """'a a a a' repeats its single 2-gram (dup frac 2/3) and is fully
+    dominated by one token; an all-distinct doc scores 0 duplication."""
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "w x y z")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textstats.repetition_stats(docs).collect()}
+    assert abs(out[0].dup_2gram_frac - 2 / 3) < 1e-12
+    assert abs(out[0].dup_3gram_frac - 1 / 2) < 1e-12
+    assert out[0].top_token_frac == 1.0
+    assert out[1].dup_2gram_frac == 0.0
+    assert out[1].top_token_frac == 0.25
+
+
+def test_repetition_stats_short_doc_zero_not_error(spark):
+    """Docs shorter than n must yield 0.0, not a negative-length
+    sequence error."""
+    docs = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
+    row = textstats.repetition_stats(docs).collect()[0]
+    assert row.dup_2gram_frac == 0.0 and row.dup_3gram_frac == 0.0
+    assert row.top_token_frac == 1.0
+
+
+def test_ngram_decontaminate_flags_eval_overlap(spark):
+    """A corpus doc sharing a 3-gram with the eval set is contaminated;
+    a disjoint doc is kept clean; short docs never match."""
+    from powa_archivist_spark.pipeline import corpus
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(0, "well the quick brown dog"),   # shares 'the quick brown'
+         (1, "completely different words here"),
+         (2, "so")],                         # shorter than n
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           corpus.ngram_decontaminate(docs, ev, n=3).collect()}
+    assert out[0].is_contaminated and out[0].n_hit_ngrams == 1
+    assert not out[1].is_contaminated and out[1].n_hit_ngrams == 0
+    assert not out[2].is_contaminated
