@@ -274,3 +274,36 @@ def ngram_decontaminate(
             (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("is_contaminated"),
         )
     )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every doc gets a
+    (shard, pos) from a seeded hash of its id — the standard "shuffle
+    once, read shards sequentially" layout for training runs, fully
+    reproducible across engines and re-runs (no RNG state).
+
+    Plan: shard assignment is a map-only ``pmod(hash, n_shards)``; the
+    within-shard position is a ``row_number`` partitioned BY SHARD — each
+    shard sorts independently (bounded by corpus/n_shards), never a
+    global total-order sort.  At 100 TB pick n_shards so a shard's
+    (id, hash) pairs fit a task's sort buffer; the doc payload itself is
+    never carried through the sort — join it back on id at write time."""
+    from .dedup import _hash64
+
+    h = _hash64(hash_fn, F.lit(seed), F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        docs.select(F.col(id_col), h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)))
+        .select(
+            id_col,
+            "shard",
+            F.row_number().over(w).alias("pos"),
+        )
+    )

@@ -890,6 +890,61 @@ FROM corp c LEFT JOIN hits h USING (doc_id)
 """
 
 
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: seeded-hash (shard, pos) assignment
+    in the cross-engine md5 family (pipeline/corpus.py) — per-shard
+    row_number, never a global sort."""
+    from . import corpus
+
+    return corpus.shuffle_shards(
+        t(spark, sf_dir, "documents"), n_shards=16, hash_fn="md5"
+    )
+
+
+ORACLE_SHUFFLE_SHARDS = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substring(
+            md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM documents
+)
+SELECT doc_id, hv % 16 AS shard,
+       ROW_NUMBER() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS pos
+FROM h
+"""
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 keywords per doc, rational-idf variant so the score
+    arithmetic is engine-portable (pipeline/textstats.py)."""
+    return textstats.tfidf_topk(t(spark, sf_dir, "documents"), k=3)
+
+
+ORACLE_TFIDF = """
+WITH term AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dlen, tok, COUNT(*) AS c
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+  GROUP BY doc_id, dlen, tok
+), docfreq AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM term GROUP BY tok
+), totals AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, tok,
+         (CAST(c AS DOUBLE) / dlen)
+           * ((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+           AS score
+  FROM term JOIN docfreq USING (tok) CROSS JOIN totals
+)
+SELECT doc_id, rank, tok, score FROM (
+  SELECT doc_id, tok, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
@@ -919,6 +974,8 @@ PIPELINE_QUERIES = {
     "corpus_token_stats": (corpus_token_stats, ORACLE_TOKEN_STATS),
     "text_repetition": (text_repetition, ORACLE_REPETITION),
     "corpus_decontam": (corpus_decontam, ORACLE_DECONTAM),
+    "corpus_shuffle_shards": (corpus_shuffle_shards, ORACLE_SHUFFLE_SHARDS),
+    "text_tfidf_topk": (text_tfidf_topk, ORACLE_TFIDF),
     "corpus_chunks": (corpus_chunks, ORACLE_CHUNKS),
     "ivf_refined_centroids": (ivf_refined_centroids, ORACLE_IVF_REFINE),
 }

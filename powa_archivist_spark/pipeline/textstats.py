@@ -201,3 +201,56 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
         .agg(F.min("h").alias("fp_min"), F.max("h").alias("fp_max"))
         .select(id_col, "fp_min", "fp_max", "fp_full")
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """TF-IDF keyword extraction: top-k highest-scoring tokens per doc.
+    Uses the rational idf variant ``(N+1)/(df+1)`` instead of the log
+    form — same ranking (log is monotone), but pure IEEE division, so
+    the score is bit-identical across engines (a SQL oracle can replay
+    it; transcendental ``ln`` implementations are not guaranteed to
+    match to the last ulp).
+
+    Plan: one explode + (doc, token) count (map-side combinable), a
+    token-keyed doc-frequency aggregation joined back on token, the
+    corpus size via the cross-join-one-row-aggregate pattern (no driver
+    count), and a per-doc top-k window.  Every shuffle is keyed on doc
+    id or token — no global sort, no driver data."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    term = (
+        docs.select(
+            F.col(id_col), F.size(toks).alias("dlen"),
+            F.explode(toks).alias("tok"),
+        )
+        .groupBy(id_col, "dlen", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    docfreq = term.groupBy("tok").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    totals = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        term.join(docfreq, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col), F.col("tok"),
+            (
+                (F.col("c").cast("double") / F.col("dlen"))
+                * (
+                    (F.col("n_docs").cast("double") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "tok", "score")
+    )

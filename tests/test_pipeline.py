@@ -629,3 +629,41 @@ def test_ngram_decontaminate_flags_eval_overlap(spark):
     assert out[0].is_contaminated and out[0].n_hit_ngrams == 1
     assert not out[1].is_contaminated and out[1].n_hit_ngrams == 0
     assert not out[2].is_contaminated
+
+
+def test_shuffle_shards_deterministic_dense_positions(spark):
+    """Every doc lands in [0, n_shards); positions are dense 1..len per
+    shard; the assignment is reproducible across invocations."""
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    out = corpus.shuffle_shards(docs, n_shards=4).collect()
+    assert len(out) == 40
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = corpus.shuffle_shards(docs, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different seed produces a different permutation
+    other = corpus.shuffle_shards(docs, n_shards=4, seed="other").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_tfidf_topk_ranks_rare_tokens_first(spark):
+    """A token unique to one doc outscores one shared by every doc; ranks
+    are 1..k with the alphabetical tiebreak."""
+    docs = spark.createDataFrame(
+        [(0, "common rare"), (1, "common common common"),
+         (2, "common zeta")],
+        "doc_id long, text string",
+    )
+    rows = textstats.tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.tok, r.score))
+    assert [t for _, t, _ in sorted(by_doc[0])] == ["rare", "common"]
+    assert by_doc[1] == [(1, "common", pytest.approx(3 / 3 * 4 / 4))]
+    assert [t for _, t, _ in sorted(by_doc[2])] == ["zeta", "common"]
