@@ -1771,7 +1771,47 @@ FROM part
 """
 
 
+def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every purchase event matched to
+    the same user's most recent click at-or-before it — the union-window
+    shape (one keyed shuffle, no range-join amplification); ties at the
+    same click ts resolve to the largest event_id.  The oracle is
+    DuckDB's native ASOF LEFT JOIN over a tie-deduped click side."""
+    from .operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("value_cents")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        purchases, clicks, ["user_id"], "ts",
+        payload_cols=["event_id"], right_seq_col="event_id",
+    )
+
+
+ORACLE_ASOF_CLICK = """
+WITH p AS (
+  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+)
+SELECT p.user_id, p.ts, p.event_id, p.value_cents,
+       c.ts AS asof_ts, c.event_id AS asof_event_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 CORE_QUERIES = {
+    "events_asof_click": (events_asof_click, ORACLE_ASOF_CLICK),
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q03_top_orders": (q03_top_orders, ORACLE_Q03),
     "q05_nation_volume": (q05_nation_volume, ORACLE_Q05),
