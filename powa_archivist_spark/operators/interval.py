@@ -1,0 +1,78 @@
+"""Interval-overlap join — the bin (bucketized) range join.
+
+J11's read path (``coalesce_range && tstzrange(from, to)``,
+powa--5.2.0.sql:7784-7786) overlaps stored ranges against ONE scalar
+range — a plain pushed predicate (functions/packing.py).  Joining two
+interval SETS against each other has no Catalyst primitive in OSS
+Spark: written naively it's a cross join with an overlap filter —
+O(|L|·|R|) per key.
+
+The bin join makes it an equi-join: every interval explodes into the
+coarse time bins it covers, the two sides equi-join on (key, bin) —
+hash-partitionable, AQE-skew-splittable — the exact overlap predicate
+refines the candidates, and duplicate pairs (intervals meeting in more
+than one bin) collapse with one distinct.
+
+Cost: shuffle of bins keyed on (key, bin).  Bin count per interval =
+span/bin_width + 1, so pick ``bin_width`` near the median interval
+span: too fine multiplies rows, too coarse multiplies false candidates.
+A long-tail interval (span >> bin_width) fans out proportionally —
+cap/split outliers upstream if the span distribution is heavy-tailed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bins(start: Column, end: Column, bin_width_s: int) -> Column:
+    """The bin ids [floor(start/w) .. floor(end/w)] an interval covers."""
+    w = F.lit(bin_width_s)
+    lo = F.floor(start.cast("double") / w).cast("long")
+    hi = F.floor(end.cast("double") / w).cast("long")
+    return F.sequence(lo, hi)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "start",
+    r_end: str = "end",
+    bin_width_s: int = 300,
+    how: str = "inner",
+) -> DataFrame:
+    """All (left, right) pairs with equal keys whose closed intervals
+    overlap: ``l_start <= r_end AND r_start <= l_end``.  Interval bounds
+    are timestamp (or numeric-seconds) columns; left columns keep their
+    names, right columns are suffixed ``_r`` where they collide.
+
+    ``how='inner'`` only — the bin fan-out makes outer semantics
+    ambiguous; anti/semi gates compose from the inner result."""
+    if how != "inner":
+        raise ValueError("interval_join supports how='inner' only")
+
+    collide = set(left.columns) & set(right.columns)
+    r = right.select(
+        *[
+            F.col(c).alias(f"{c}_r") if c in collide and c not in key_cols
+            else F.col(c)
+            for c in right.columns
+        ]
+    )
+    rs = f"{r_start}_r" if r_start in collide and r_start not in key_cols else r_start
+    re_ = f"{r_end}_r" if r_end in collide and r_end not in key_cols else r_end
+
+    le = left.withColumn(
+        "_bin", F.explode(_bins(F.col(l_start), F.col(l_end), bin_width_s))
+    )
+    re = r.withColumn(
+        "_bin", F.explode(_bins(F.col(rs), F.col(re_), bin_width_s))
+    )
+    joined = le.join(re, [*key_cols, "_bin"]).filter(
+        (F.col(l_start) <= F.col(re_)) & (F.col(rs) <= F.col(l_end))
+    )
+    return joined.drop("_bin").distinct()

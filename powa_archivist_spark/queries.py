@@ -1810,8 +1810,51 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-set overlap join (operators/interval.py, J11 extended to
+    range × range): clicks falling inside each view's 60-minute window,
+    per user, via the bin equi-join (no cross join; candidates refined
+    by the exact overlap predicate)."""
+    from .operators.interval import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_start"),
+        (F.col("ts") + F.expr("INTERVAL 60 MINUTES")).alias("v_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return interval_join(
+        views, clicks, ["user_id"],
+        l_start="v_start", l_end="v_end",
+        r_start="c_ts", r_end="c_ts",
+        bin_width_s=3600,
+    ).select("user_id", "view_id", "v_start", "v_end", "click_id", "c_ts")
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS v_start,
+         ts + INTERVAL 60 MINUTE AS v_end
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.user_id, view_id, v_start, v_end, click_id, c_ts
+FROM v JOIN c ON v.user_id = c.user_id
+             AND v_start <= c_ts AND c_ts <= v_end
+"""
+
+
 CORE_QUERIES = {
     "events_asof_click": (events_asof_click, ORACLE_ASOF_CLICK),
+    "events_interval_join": (events_interval_join, ORACLE_INTERVAL_JOIN),
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q03_top_orders": (q03_top_orders, ORACLE_Q03),
     "q05_nation_volume": (q05_nation_volume, ORACLE_Q05),
