@@ -5,6 +5,7 @@ file-level semantics (a second availableNow run reprocesses nothing).
 
 from __future__ import annotations
 
+import datetime
 import os
 import tempfile
 
@@ -304,3 +305,44 @@ def test_stream_near_dup_ledger(spark, wh):
     )
     q.awaitTermination(120)
     assert sorted(r.doc_id for r in wh.read("nd_docs").collect()) == [0, 2, 4]
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """Stream-stream range join: the live path emits exactly the pairs
+    the batch twin computes, and only pairs inside the attribution
+    window; both sides' watermarks bound state."""
+    from powa_archivist_spark.streaming.joins import (
+        interval_join_streams,
+        stream_interval_join,
+    )
+
+    def tm(minutes: int):
+        return ts(0) + datetime.timedelta(minutes=minutes)
+
+    schema = "user_id long, event_id long, ts timestamp"
+    views = [(1, 10, tm(0)), (1, 11, tm(40)), (2, 12, tm(0))]
+    clicks = [
+        (1, 20, tm(5)),     # inside view 10's hour
+        (1, 21, tm(45)),    # inside BOTH 10 and 11
+        (2, 22, tm(70)),    # outside view 12's hour -> no pair
+    ]
+    vdf = spark.createDataFrame(views, schema)
+    cdf = spark.createDataFrame(clicks, schema)
+
+    expected = {(r.view_id, r.click_id) for r in
+                interval_join_streams(vdf, cdf).collect()}
+    assert expected == {(10, 20), (10, 21), (11, 21)}
+
+    vdir = tempfile.mkdtemp(prefix="sj_v_")
+    cdir = tempfile.mkdtemp(prefix="sj_c_")
+    out = tempfile.mkdtemp(prefix="sj_out_")
+    ckpt = tempfile.mkdtemp(prefix="sj_ck_")
+    vdf.coalesce(1).write.mode("overwrite").parquet(vdir + "/b0")
+    cdf.coalesce(1).write.mode("overwrite").parquet(cdir + "/b0")
+    q = stream_interval_join(
+        spark, vdir + "/*", cdir + "/*",
+        spark.createDataFrame([], schema).schema, ckpt, out,
+    )
+    q.awaitTermination(300)
+    got = {(r.view_id, r.click_id) for r in spark.read.parquet(out).collect()}
+    assert got == expected
