@@ -1852,7 +1852,258 @@ FROM v JOIN c ON v.user_id = c.user_id
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase, computed in
+    ONE keyed shuffle: a running ``min(when(...))`` window carries each
+    user's first view timestamp to every later row, a second window pass
+    over the SAME sort order (no extra exchange) carries the first
+    qualifying click, and a final per-user aggregate reduces to stage
+    flags.  The cascaded-min shape is the scalable alternative to the
+    classic three self-joins (which shuffle the events table three
+    times); at 100 TB the sort amortizes across both window passes."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = ev.withColumn(
+        "v_min",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    staged = staged.withColumn(
+        "c_min",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("v_min")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "did_view"
+        ),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("v_min")),
+                1,
+            ).otherwise(0)
+        ).alias("did_click"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("c_min")),
+                1,
+            ).otherwise(0)
+        ).alias("did_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("did_view").alias("n_view"),
+        F.sum("did_click").alias("n_view_click"),
+        F.sum("did_purchase").alias("n_view_click_purchase"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS vts
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS cts
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.vts
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.cts
+  WHERE e.event_type = 'purchase'
+)
+SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+"""
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; each later activity week counts toward (cohort_week,
+    week_offset).  Two keyed shuffles — first-seen per user, then the
+    distinct-user rollup — both on bounded keys (users, then cohort
+    cells); the events->first_seen join is a user-keyed equi join that
+    co-partitions with the first aggregate."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    first = first.select(
+        "user_id", F.date_trunc("week", "first_ts").alias("cohort_week")
+    )
+    joined = ev.join(first, "user_id")
+    return (
+        joined.select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.to_date("ts"), F.to_date("cohort_week"))
+                .cast("long") / F.lit(7)
+            ).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_COHORT = """
+WITH f AS (
+  SELECT user_id,
+         date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(datediff('day', CAST(cohort_week AS DATE), CAST(e.ts AS DATE)) // 7
+            AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def events_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame windows the reference never needed (it stores
+    whole-partition packs; powa-web does rolling reads client-side):
+    per-user 7-row moving sum (ROWS frame over a unique (ts, event_id)
+    order) and trailing-1-hour sum (RANGE frame over microsecond epoch —
+    peers at the same instant are included by both engines, so ties are
+    deterministic).  Both frames share one partition sort."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("value_cents")
+    )
+    us = F.unix_micros(F.col("ts"))
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(-6, 0)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value_cents",
+        F.sum("value_cents").over(w_rows).alias("roll7_cents"),
+        F.sum("value_cents").over(w_range).alias("hour_cents"),
+    )
+
+
+ORACLE_WINDOW_FRAMES = """
+SELECT user_id, event_id, ts,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS hour_cents
+FROM events
+"""
+
+
+def events_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one partition sort:
+    percent_rank / cume_dist on the value ordering (peers share ranks,
+    so ties are deterministic), ntile(4) and first/last_value over the
+    tie-broken (value_cents, event_id) total order.  Extends W1 (the
+    reference's 5-ranking constvalues job) to the rank functions the
+    reference happens not to use."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", cents(F.col("value")).alias("value_cents")
+    )
+    w_val = Window.partitionBy("event_type").orderBy("value_cents")
+    w_uni = Window.partitionBy("event_type").orderBy("value_cents", "event_id")
+    w_full = w_uni.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        "value_cents",
+        F.percent_rank().over(w_val).alias("pct_rank"),
+        F.cume_dist().over(w_val).alias("cume"),
+        F.ntile(4).over(w_uni).alias("quartile"),
+        F.first("event_id").over(w_full).alias("cheapest_event"),
+        F.last("event_id").over(w_full).alias("dearest_event"),
+    )
+
+
+ORACLE_RANK_DISTRIBUTION = """
+SELECT event_type, event_id,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       percent_rank() OVER w_val AS pct_rank,
+       cume_dist() OVER w_val AS cume,
+       CAST(ntile(4) OVER w_uni AS INTEGER) AS quartile,
+       first_value(event_id) OVER w_full AS cheapest_event,
+       last_value(event_id) OVER w_full AS dearest_event
+FROM events
+WINDOW
+  w_val AS (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT)),
+  w_uni AS (PARTITION BY event_type
+            ORDER BY CAST(round(value * 100) AS BIGINT), event_id),
+  w_full AS (PARTITION BY event_type
+             ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event_type: bin = floor(value / 5) —
+    single map-side-combinable aggregation (the distribution analog of
+    A1's rollup); bin edges are IEEE-deterministic per row."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(5.0)).alias("bin"),
+            cents(F.col("value")).alias("value_cents"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value_cents").alias("sum_cents"),
+            F.min("value_cents").alias("min_cents"),
+            F.max("value_cents").alias("max_cents"),
+        )
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = """
+SELECT event_type,
+       CAST(floor(value / 5.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+       max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 CORE_QUERIES = {
+    "events_funnel": (events_funnel, ORACLE_FUNNEL),
+    "events_cohort_retention": (events_cohort_retention, ORACLE_COHORT),
+    "events_window_frames": (events_window_frames, ORACLE_WINDOW_FRAMES),
+    "events_rank_distribution": (events_rank_distribution,
+                                 ORACLE_RANK_DISTRIBUTION),
+    "events_value_histogram": (events_value_histogram,
+                               ORACLE_VALUE_HISTOGRAM),
     "events_asof_click": (events_asof_click, ORACLE_ASOF_CLICK),
     "events_interval_join": (events_interval_join, ORACLE_INTERVAL_JOIN),
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
