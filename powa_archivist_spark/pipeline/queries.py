@@ -945,7 +945,68 @@ SELECT doc_id, rank, tok, score FROM (
 """
 
 
+def docs_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (> 1/30 of all tokens) via Misra-Gries
+    candidates + exact recount (pipeline/sketches.py): the oracle is the
+    naive exact SQL, the Spark plan never shuffles the full vocabulary."""
+    from . import sketches
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    return sketches.heavy_hitters(toks, "tok", 1, 30)
+
+
+ORACLE_HEAVY_TOKENS = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), tot AS (
+  SELECT count(*) AS total FROM toks
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(*) AS DOUBLE) / any_value(t.total) AS frac
+FROM toks, tot t
+GROUP BY tok
+HAVING count(*) * 30 > any_value(t.total) * 1
+"""
+
+
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event_type in the cross-engine
+    hash family (pipeline/sketches.py); the oracle replays the k-th
+    minimum hash and the estimate arithmetic exactly."""
+    from . import sketches
+
+    return sketches.kmv_distinct(
+        t(spark, sf_dir, "events"), "user_id", ["event_type"], k=64
+    )
+
+
+ORACLE_KMV_DISTINCT = """
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM hashed
+)
+SELECT event_type,
+       CAST(m AS BIGINT) AS n_exact,
+       CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+            ELSE 1152921504606846976.0 * 63 / CAST(h AS DOUBLE)
+       END AS est_distinct
+FROM ranked
+WHERE rn = least(m, 64)
+"""
+
+
 PIPELINE_QUERIES = {
+    "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
+    "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
     "dedup_keep_list": (dedup_keep_list, ORACLE_KEEP_LIST),

@@ -1,0 +1,168 @@
+"""Frequency / cardinality sketch operators for corpus-scale profiling.
+
+The reference keeps exact counters only (its per-entity cardinality is
+bounded by what PostgreSQL exposes); profiling a 100 TB token corpus
+needs sublinear summaries.  Two classic sketches, both engineered so the
+final answers stay EXACT or deterministic and therefore fully
+oracle-checkable:
+
+- :func:`heavy_hitters` — Misra-Gries candidate generation per
+  partition, then an exact recount of the (bounded) candidate union.
+  The pigeonhole guarantee makes the candidate set a superset of every
+  global heavy hitter, so the output is exactly the true answer while
+  the full-vocabulary shuffle is replaced by a broadcast semi-join.
+- :func:`kmv_distinct` — k-minimum-values cardinality estimate in the
+  cross-engine md5 hash family (`dedup.cross_engine_hash64`), so a SQL
+  oracle replays the estimate bit-for-bit; per-partition k-min buffers
+  bound the shuffle to partitions x k rows per group.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import cross_engine_hash64
+
+# 15 hex chars of md5 = 60-bit hash space
+_HASH_SPACE = float(2**60)
+
+
+def _mg_candidates(col: str, cap: int):
+    """Misra-Gries over one partition's Arrow batches: keep at most
+    ``cap`` counters; on overflow subtract the (cap+1)-th largest count
+    from every counter and drop the non-positive ones.  Each subtraction
+    round charges at least (cap+1) x d to the n_p items seen, so any
+    item with true partition count > n_p / (cap+1) survives — the
+    superset guarantee the exact recount relies on."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf[col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > cap:
+                vals = sorted(counters.values(), reverse=True)
+                d = vals[cap]  # (cap+1)-th largest
+                counters = {
+                    k: v - d for k, v in counters.items() if v - d > 0
+                }
+        yield pd.DataFrame({col: pd.Series(list(counters), dtype="object")})
+
+    return run
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold_num: int = 1,
+    threshold_den: int = 30,
+) -> DataFrame:
+    """EXACT items with frequency > threshold_num/threshold_den of all
+    rows, found without shuffling the full value distribution: per
+    partition Misra-Gries emits <= cap candidate values (cap =
+    ceil(den/num)), the bounded candidate union is broadcast back as a
+    semi-join filter, and only the candidates are recounted exactly.
+
+    At 100 TB the groupBy touches just candidate rows (<= cap distinct
+    keys after the semi-join), vs a full-vocabulary shuffle for the
+    naive groupBy-then-filter.  The threshold is a rational and the
+    boundary compare is integer (den*cnt > num*total), so results are
+    engine-exact.  Output: (value, cnt, frac)."""
+    cap = math.ceil(threshold_den / threshold_num)
+    cands = (
+        df.select(col)
+        .mapInPandas(_mg_candidates(col, cap), schema=f"{col} string")
+        .distinct()
+    )
+    total = df.groupBy().agg(F.count("*").alias("total"))
+    return (
+        df.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cnt") * threshold_den > F.col("total") * threshold_num
+        )
+        .select(
+            col,
+            "cnt",
+            (F.col("cnt") / F.col("total")).alias("frac"),
+        )
+    )
+
+
+def _kmv_local(group_cols: Sequence[str], k: int):
+    """Per-partition k-minimum distinct hashes per group — bounds the
+    shuffle to partitions x k rows per group."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if cur is None else pd.concat([cur, pdf])
+            cur = (
+                cur.drop_duplicates()
+                .sort_values("h")
+                .groupby(list(group_cols), as_index=False)
+                .head(k)
+            )
+        if cur is not None:
+            yield cur
+
+    return run
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate per group: hash the key
+    into the 60-bit cross-engine family, keep the k smallest distinct
+    hashes per group, estimate |D| = (k-1) * 2^60 / h_(k) (exact count
+    when fewer than k distinct hashes exist).
+
+    Both stages are bounded: the local stage never holds more than k
+    rows per (group, partition); the merge aggregates partitions x k
+    rows per group through ``collect_list`` of bounded arrays.  Output:
+    (group..., n_exact, est_distinct) — n_exact is the true distinct
+    hash count, kept here so the estimate's error is visible; at real
+    scale you would drop it and keep only the sketch."""
+    h: Column = cross_engine_hash64(F.col(key_col))
+    hashed = df.select(*group_cols, h.alias("h"))
+    # no global distinct before the local stage: the per-partition
+    # buffer dedupes locally and ``array_distinct`` below handles
+    # cross-partition duplicates — the only full-data exchange avoided
+    local = hashed.mapInPandas(
+        _kmv_local(group_cols, k),
+        schema=hashed.schema,
+    )
+    merged = local.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k
+        ).alias("mins")
+    )
+    n_exact = hashed.distinct().groupBy(*group_cols).agg(
+        F.count("*").alias("n_exact")
+    )
+    m = F.size("mins")
+    # least() keeps the index in range for ANSI mode; the < k branch
+    # never reads it
+    kth = F.element_at("mins", F.least(m, F.lit(k)))
+    return (
+        merged.join(n_exact, list(group_cols))
+        .select(
+            *group_cols,
+            "n_exact",
+            F.when(m < k, m.cast("double"))
+            .otherwise(
+                F.lit(_HASH_SPACE) * (k - 1) / kth.cast("double")
+            )
+            .alias("est_distinct"),
+        )
+    )

@@ -667,3 +667,48 @@ def test_tfidf_topk_ranks_rare_tokens_first(spark):
     assert [t for _, t, _ in sorted(by_doc[0])] == ["rare", "common"]
     assert by_doc[1] == [(1, "common", pytest.approx(3 / 3 * 4 / 4))]
     assert [t for _, t, _ in sorted(by_doc[2])] == ["zeta", "common"]
+
+
+def test_heavy_hitters_exact_with_pruning(spark):
+    """Vocabulary far exceeds the Misra-Gries capacity, so per-partition
+    pruning really fires — yet the output is EXACTLY the true > n/3
+    items (candidate union is a superset; the recount is exact)."""
+    from powa_archivist_spark.pipeline import sketches
+
+    # 120 x 'hot', 50 x 'warm', 200 singletons -> n = 370
+    rows = (
+        [("hot",)] * 120 + [("warm",)] * 50
+        + [(f"rare_{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+    out = {r.tok: (r.cnt, r.frac) for r in
+           sketches.heavy_hitters(df, "tok", 1, 3).collect()}
+    # only 'hot' clears 370/3 ≈ 123.3 -> none? 120*3=360 < 370 -> no hits
+    assert out == {}
+    out2 = {r.tok: r.cnt for r in
+            sketches.heavy_hitters(df, "tok", 1, 4).collect()}
+    # > 92.5: only 'hot'
+    assert out2 == {"hot": 120}
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    """Groups with fewer than k distinct keys report the exact count;
+    bigger groups get a positive estimate in the right ballpark; the
+    sketch is deterministic across partitionings."""
+    from powa_archivist_spark.pipeline import sketches
+
+    rows = [("small", i) for i in range(10)] * 3 + [
+        ("big", i) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {r.g: r for r in
+           sketches.kmv_distinct(df, "k", ["g"], k=32).collect()}
+    assert out["small"].n_exact == 10
+    assert out["small"].est_distinct == 10.0
+    assert out["big"].n_exact == 500
+    assert 250 < out["big"].est_distinct < 1000
+    # repartitioning must not change the sketch (order-independent)
+    out2 = {r.g: r.est_distinct for r in
+            sketches.kmv_distinct(df.repartition(13), "k", ["g"], k=32)
+            .collect()}
+    assert out2["big"] == out["big"].est_distinct
