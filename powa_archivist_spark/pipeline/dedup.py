@@ -524,7 +524,12 @@ def connected_components(
     shuffles); the driver holds only the one-row convergence probe.
 
     Returns (id, component) for EVERY node in ``nodes`` (singletons map
-    to themselves)."""
+    to themselves).
+
+    Only nodes that appear in a pair enter the iteration — singletons
+    (the overwhelming majority of a real corpus) are labeled by a single
+    anti-join at the end and never touch the loop, so per-iteration
+    shuffles are sized by the near-dup subgraph, not the corpus."""
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(
@@ -535,8 +540,9 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    touched = edges.select("src").distinct()
+    labels = touched.select(
+        F.col("src").alias("node"), F.col("src").alias("label")
     ).localCheckpoint(eager=False)
     for _ in range(max_iters):
         neighbor_min = (
@@ -577,7 +583,10 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
-    return labels.select(
+    singletons = nodes.select(F.col(id_col).alias("node")).join(
+        labels.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("label"))
+    return labels.unionByName(singletons).select(
         F.col("node").alias(id_col), F.col("label").alias("component")
     )
 
