@@ -2063,6 +2063,43 @@ WINDOW
 """
 
 
+def events_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 per event_type
+    (operators/quantiles.py): one window sort + conditional aggregation,
+    integer-only target ranks — bit-identical across engines, unlike
+    interpolated/approx percentile built-ins."""
+    from .operators.quantiles import grouped_quantiles
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", cents(F.col("value")).alias("value_cents")
+    )
+    return grouped_quantiles(
+        ev, ["event_type"], "value_cents", "event_id", (50, 90, 99)
+    )
+
+
+ORACLE_GROUPED_QUANTILES = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       min(value_cents) AS min_v,
+       max(value_cents) AS max_v,
+       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value_cents END) AS p50,
+       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN value_cents END) AS p90,
+       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value_cents END) AS p99
+FROM ranked
+GROUP BY event_type
+"""
+
+
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram per event_type: bin = floor(value / 5) —
     single map-side-combinable aggregation (the distribution analog of
@@ -2104,6 +2141,8 @@ CORE_QUERIES = {
                                  ORACLE_RANK_DISTRIBUTION),
     "events_value_histogram": (events_value_histogram,
                                ORACLE_VALUE_HISTOGRAM),
+    "events_grouped_quantiles": (events_grouped_quantiles,
+                                 ORACLE_GROUPED_QUANTILES),
     "events_asof_click": (events_asof_click, ORACLE_ASOF_CLICK),
     "events_interval_join": (events_interval_join, ORACLE_INTERVAL_JOIN),
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),

@@ -112,3 +112,21 @@ def test_window_frames_rows_vs_range(spark, tmp_sf):
     assert got[3].hour_cents == 1400
     assert got[4].roll7_cents == 1500
     assert got[4].hour_cents == 1400
+
+
+def test_grouped_quantiles_nearest_rank(spark):
+    """Nearest-rank semantics: rank = ceil(p*n/100); single-row groups
+    return that row for every percentile; duplicate values stay
+    deterministic through the tiebreak column."""
+    from powa_archivist_spark.operators.quantiles import grouped_quantiles
+
+    rows = [("a", i, v) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])]
+    rows += [("b", 0, 7)]
+    rows += [("c", i, 5) for i in range(4)]  # all-equal values
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = {r.g: r for r in
+           grouped_quantiles(df, ["g"], "v", "id", (50, 90, 99)).collect()}
+    # n=10: p50 -> rank 5 (=50), p90 -> rank 9 (=90), p99 -> rank 10 (=100)
+    assert (out["a"].p50, out["a"].p90, out["a"].p99) == (50, 90, 100)
+    assert (out["b"].n, out["b"].p50, out["b"].p99) == (1, 7, 7)
+    assert (out["c"].p50, out["c"].p90, out["c"].p99) == (5, 5, 5)
