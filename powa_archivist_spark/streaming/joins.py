@@ -25,14 +25,22 @@ def interval_join_streams(
     clicks: DataFrame,
     join_window: str = "60 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join of two (possibly streaming) event frames: each click
+    """Join of two (possibly streaming) event frames: each click
     matched to every view of the same user with ``v_ts <= c_ts <=
     v_ts + join_window``.  Both inputs need (user_id, event_id, ts);
     output is one row per qualifying (view, click) pair.
 
     ``watermark`` bounds how late either side may arrive; buffered join
-    state for rows older than watermark + join_window is dropped."""
+    state for rows older than watermark + join_window is dropped.
+
+    ``how='left_outer'`` additionally emits every view that attracted NO
+    click inside its window, with null click columns — in streaming mode
+    such rows surface only once the watermark passes the end of their
+    window (Spark must be sure no matching click can still arrive), so
+    an outer result for the stream's final window needs a later event to
+    push the watermark (or query teardown)."""
     v = views.select(
         "user_id",
         F.col("event_id").alias("view_id"),
@@ -48,7 +56,7 @@ def interval_join_streams(
         & (c.c_ts >= v.v_ts)
         & (c.c_ts <= v.v_ts + F.expr(f"INTERVAL {join_window}"))
     )
-    return v.join(c, cond).select(
+    return v.join(c, cond, how).select(
         "user_id", "view_id", "v_ts", "click_id", "c_ts"
     )
 
@@ -63,12 +71,22 @@ def stream_interval_join(
     join_window: str = "60 minutes",
     watermark: str = "30 minutes",
     available_now: bool = True,
+    how: str = "inner",
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming form: two parquet landing dirs -> watermarked interval
-    join -> append-mode parquet sink."""
-    views = spark.readStream.schema(schema).parquet(views_dir)
-    clicks = spark.readStream.schema(schema).parquet(clicks_dir)
-    joined = interval_join_streams(views, clicks, join_window, watermark)
+    join -> append-mode parquet sink.  ``max_files_per_trigger`` splits
+    the backlog into several micro-batches — required for outer joins
+    under ``availableNow`` so the watermark advances mid-run and
+    unmatched rows actually flush before the query stops."""
+    views = spark.readStream.schema(schema)
+    clicks = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        views = views.option("maxFilesPerTrigger", max_files_per_trigger)
+        clicks = clicks.option("maxFilesPerTrigger", max_files_per_trigger)
+    views = views.parquet(views_dir)
+    clicks = clicks.parquet(clicks_dir)
+    joined = interval_join_streams(views, clicks, join_window, watermark, how)
     writer = (
         joined.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)

@@ -346,3 +346,48 @@ def test_stream_interval_join_matches_batch(spark):
     q.awaitTermination(300)
     got = {(r.view_id, r.click_id) for r in spark.read.parquet(out).collect()}
     assert got == expected
+
+
+def test_stream_interval_left_outer_flushes_unmatched(spark):
+    """Left-outer stream-stream join: views with no click in their
+    window emit null-click rows once the watermark passes the window
+    end; a sentinel batch far in the future pushes the watermark so the
+    flush happens before the query stops."""
+    from powa_archivist_spark.streaming.joins import (
+        interval_join_streams,
+        stream_interval_join,
+    )
+
+    def tm(minutes: int):
+        return ts(0) + datetime.timedelta(minutes=minutes)
+
+    schema = "user_id long, event_id long, ts timestamp"
+    views = [(1, 10, tm(0)), (2, 12, tm(0))]
+    clicks = [(1, 20, tm(5))]          # user 2's view never converts
+    vdf = spark.createDataFrame(views, schema)
+    cdf = spark.createDataFrame(clicks, schema)
+
+    batch = {(r.view_id, r.click_id) for r in
+             interval_join_streams(vdf, cdf, how="left_outer").collect()}
+    assert batch == {(10, 20), (12, None)}
+
+    vdir = tempfile.mkdtemp(prefix="soj_v_")
+    cdir = tempfile.mkdtemp(prefix="soj_c_")
+    out = tempfile.mkdtemp(prefix="soj_out_")
+    ckpt = tempfile.mkdtemp(prefix="soj_ck_")
+    vdf.coalesce(1).write.parquet(vdir + "/b0")
+    cdf.coalesce(1).write.parquet(cdir + "/b0")
+    # sentinel events 10 hours on: advance both watermarks past the
+    # b0 windows in a SECOND micro-batch (maxFilesPerTrigger=1)
+    spark.createDataFrame([(9, 98, tm(600))], schema) \
+        .coalesce(1).write.parquet(vdir + "/b1")
+    spark.createDataFrame([(9, 99, tm(600))], schema) \
+        .coalesce(1).write.parquet(cdir + "/b1")
+    q = stream_interval_join(
+        spark, vdir + "/*", cdir + "/*",
+        spark.createDataFrame([], schema).schema, ckpt, out,
+        how="left_outer", max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    got = {(r.view_id, r.click_id) for r in spark.read.parquet(out).collect()}
+    assert {(10, 20), (12, None)} <= got
