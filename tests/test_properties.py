@@ -213,3 +213,59 @@ def test_stratified_sample_is_consistent_subset(spark, docs, rate_pm):
     again = {r.doc_id for r in stratified_sample(
         df, {"en": rate, "de": rate}).collect()}
     assert kept == again
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SLOW
+def test_grouped_quantiles_match_numpy_nearest_rank(spark, vals):
+    """grouped_quantiles == the ceil(p*n/100)-th order statistic."""
+    from powa_archivist_spark.operators.quantiles import grouped_quantiles
+
+    rows = [(g, i, v) for i, (g, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = {r.g: r for r in
+           grouped_quantiles(df, ["g"], "v", "id", (50, 90, 99)).collect()}
+    by_g: dict = {}
+    for g, _i, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        vs = sorted(vs)
+        n = len(vs)
+        for p in (50, 90, 99):
+            expect = vs[(n * p + 99) // 100 - 1]
+            assert getattr(out[g], f"p{p}") == expect, (g, p, vs)
+        assert out[g].n == n and out[g].min_v == vs[0] and out[g].max_v == vs[-1]
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(["x", "y", "z"] + [f"r{i}" for i in range(30)]),
+        min_size=1,
+        max_size=120,
+    ),
+    den=st.sampled_from([3, 5, 8]),
+)
+@SLOW
+def test_heavy_hitters_exact_on_random_streams(spark, toks, den):
+    """Output == the true > 1/den items regardless of partitioning (the
+    Misra-Gries candidate stage must never drop a true heavy hitter)."""
+    from collections import Counter
+
+    from powa_archivist_spark.pipeline import sketches
+
+    df = spark.createDataFrame([(t,) for t in toks], "tok string") \
+        .repartition(5)
+    got = {r.tok: r.cnt for r in
+           sketches.heavy_hitters(df, "tok", 1, den).collect()}
+    counts = Counter(toks)
+    expect = {t: c for t, c in counts.items() if c * den > len(toks)}
+    assert got == expect
