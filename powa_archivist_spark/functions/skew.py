@@ -50,3 +50,31 @@ def salted_agg(
         for out, (op, _col) in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi join for the big x medium case where the
+    medium side is too large to broadcast and one join key is hot
+    enough to stall a sort-merge task.
+
+    The big side gets a random salt in [0, salt); the medium side is
+    replicated ``salt`` times (explode of a literal range) so every
+    (key, salt) pair finds its match.  A hot key's rows then spread
+    over ``salt`` reducers instead of one.  Result is exactly
+    ``big.join(small, keys)`` — the salt never changes which rows
+    match, only where they meet.
+
+    This is the manual form of what AQE skew-join splitting does at
+    runtime; explicit salting still wins when the skew is known ahead
+    (no runtime re-plan, stable task sizing) or when AQE's per-shuffle
+    statistics miss it (many moderately-hot keys)."""
+    b = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return b.join(s, keys + ["__salt"]).drop("__salt")

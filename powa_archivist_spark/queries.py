@@ -729,6 +729,45 @@ GROUP BY COALESCE(c_nationkey, 0)
 """
 
 
+def salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant big x medium equi join (functions/skew.py
+    salted_join): big side salted, dim side replicated salt times so a
+    hot key's rows spread over salt reducers.  The result — and the
+    oracle — is exactly the unsalted join; only the physical row routing
+    differs.  Broadcast is disabled for the dim here on purpose: the
+    pattern targets dims too big to broadcast."""
+    from .functions.skew import salted_join
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"),
+        cents(F.col("value")).alias("value_cents"),
+    )
+    dim = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .distinct()
+    )
+    return (
+        salted_join(ev, dim, ["c_custkey"], salt=8)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT c_nationkey,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+JOIN (SELECT DISTINCT c_custkey, c_nationkey FROM customer) c
+  ON user_id = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 REF_CONTAINERS = ["ECONOMY", "PROMO", "TURBO"]
 
 
@@ -2178,6 +2217,7 @@ CORE_QUERIES = {
     "events_sessionize": (events_sessionize, ORACLE_SESSIONIZE),
     "cheapest_supplier_per_part": (cheapest_supplier_per_part, ORACLE_CHEAPEST),
     "salted_rollup": (salted_rollup, ORACLE_SALTED),
+    "salted_join_rollup": (salted_join_rollup, ORACLE_SALTED_JOIN),
     "qualstats_snapshot_topk": (qualstats_snapshot_rollup,
                                 ORACLE_QUALSTATS_SNAPSHOT),
     "wait_sampling_snapshot_resolved": (wait_sampling_snapshot_resolved,

@@ -130,3 +130,22 @@ def test_grouped_quantiles_nearest_rank(spark):
     assert (out["a"].p50, out["a"].p90, out["a"].p99) == (50, 90, 100)
     assert (out["b"].n, out["b"].p50, out["b"].p99) == (1, 7, 7)
     assert (out["c"].p50, out["c"].p90, out["c"].p99) == (5, 5, 5)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must never change the result set, only the routing —
+    including duplicate keys on BOTH sides and keys missing from the
+    dim (inner-join drops them)."""
+    from powa_archivist_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30), (9, 99)], "k long, v long"
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b2"), (3, "c")], "k long, d string"
+    )
+    got = sorted(
+        map(tuple, salted_join(big, dim, ["k"], salt=4).collect())
+    )
+    want = sorted(map(tuple, big.join(dim, ["k"]).collect()))
+    assert got == want
