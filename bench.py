@@ -56,13 +56,44 @@ def main() -> int:
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(json.dumps({
-        "metric": "total_query_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }))
+
+    # The driver parses the final JSON line out of a bounded (2000-char)
+    # output tail, so the line MUST stay under that budget no matter how
+    # many queries are declared.  Emit slowest-first with compact floats;
+    # if the full dict would overflow, fold the fastest remainder into a
+    # single "_rest(N)" sum.  Full per-query detail goes to BENCH_FULL.json.
+    budget = 1800
+
+    def fmt(v: float) -> float:
+        return round(v, 2) if v < 10 else round(v, 1)
+
+    ordered = sorted(timings.items(), key=lambda kv: -kv[1])
+    with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as f:
+        json.dump({"total_sec": total, "sf": sf, "queries": timings}, f, indent=1)
+
+    def line_for(n_keep: int) -> str:
+        q = {k: fmt(v) for k, v in ordered[:n_keep]}
+        rest = ordered[n_keep:]
+        if rest:
+            q[f"_rest({len(rest)})"] = fmt(sum(v for _, v in rest))
+        return json.dumps({
+            "metric": "total_query_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+        }, separators=(",", ":"))
+
+    n_keep = len(ordered)
+    out = line_for(n_keep)
+    while len(out) > budget and n_keep > 1:
+        n_keep -= max(1, (len(out) - budget) // 30)
+        out = line_for(n_keep)
+    if n_keep < len(ordered):
+        print(f"bench: JSON line folds {len(ordered) - n_keep} fastest "
+              f"queries into _rest; full detail in BENCH_FULL.json",
+              file=sys.stderr, flush=True)
+    print(out)
     return 0
 
 
