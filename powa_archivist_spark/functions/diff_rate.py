@@ -23,6 +23,25 @@ from pyspark.sql import functions as F
 from ..specs import DatasourceSpec
 
 
+def epoch_seconds(col: Column | str) -> Column:
+    """Fractional-second epoch of a timestamp column, tolerant of every
+    encoding the landing zone produces (TIMESTAMP_LTZ *and* TIMESTAMP_NTZ).
+
+    ``cast(ts as double)`` throws ``DATATYPE_MISMATCH`` on TIMESTAMP_NTZ;
+    casting through (LTZ) ``timestamp`` first is legal for both types and,
+    under the engine's pinned-UTC session, a microsecond identity — so
+    oracle hashes are unchanged.  Microseconds are exactly representable
+    in a double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
+def epoch_micros(col: Column | str) -> Column:
+    """Integer-microsecond epoch, NTZ-safe (see :func:`epoch_seconds`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def entity_window(spec: DatasourceSpec, order_cols: list[str] | None = None) -> Window:
     """Per-entity time ordering: partition by (srvid, keys), order by ts."""
     return Window.partitionBy("srvid", *spec.key_names).orderBy(
@@ -48,12 +67,8 @@ def diff_exprs(
     aggregatable counter.  Rows with no predecessor get NULLs (the reference
     simply has no output pair for them).
     """
-    prev_ts = F.lag("ts").over(w)
-    out = [
-        (
-            F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
-        ).cast("double").alias("intvl")
-    ]
+    ts_s = F.unix_timestamp(F.col("ts").cast("timestamp"))  # NTZ-safe
+    out = [(ts_s - F.lag(ts_s).over(w)).cast("double").alias("intvl")]
     for c in spec.agg_counters:
         out.append(
             _delta(F.col(c.name), F.lag(c.name).over(w), clamp_resets)
@@ -73,8 +88,8 @@ def rate_exprs(
     clamps `CASE WHEN sec = 0 THEN 1`); per-sec fields are
     ``(a.f - b.f) / sec`` as double (numeric stays decimal).
     """
-    prev_ts = F.lag("ts").over(w)
-    raw_sec = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    ts_s = F.unix_timestamp(F.col("ts").cast("timestamp"))  # NTZ-safe
+    raw_sec = ts_s - F.lag(ts_s).over(w)
     sec = F.when(raw_sec < 1, F.lit(1)).otherwise(raw_sec)
     out = [raw_sec.cast("long").alias("sec")]
     for c in spec.agg_counters:

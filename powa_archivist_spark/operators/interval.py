@@ -25,12 +25,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.diff_rate import epoch_seconds
+
+
+def _epoch(col: Column) -> Column:
+    """Interval bounds may be timestamp (LTZ *or* NTZ — callers pass raw
+    frames that bypass the loader shims) or already numeric seconds."""
+    return epoch_seconds(col)
+
 
 def _bins(start: Column, end: Column, bin_width_s: int) -> Column:
     """The bin ids [floor(start/w) .. floor(end/w)] an interval covers."""
     w = F.lit(bin_width_s)
-    lo = F.floor(start.cast("double") / w).cast("long")
-    hi = F.floor(end.cast("double") / w).cast("long")
+    lo = F.floor(_epoch(start) / w).cast("long")
+    hi = F.floor(_epoch(end) / w).cast("long")
     return F.sequence(lo, hi)
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .specs import Counter, DatasourceSpec, Key
 from .functions.packing import pack, unpack
-from .functions.diff_rate import rate_exprs
+from .functions.diff_rate import epoch_micros, epoch_seconds, rate_exprs
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -35,17 +35,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reference's versioned ``*_src`` readers that pad/convert columns per
     source version (powa--5.2.0.sql:3798-4004, S1/S4).
 
-    events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read nanos as long and truncate to micros (integer ``div`` —
-    double arithmetic would round half the microseconds up, diverging from
-    the oracle's truncation)."""
+    Handled encodings (the landing zone has shipped all three):
+    - TIMESTAMP(NANOS): Spark's parquet reader rejects it; read nanos as
+      long and truncate to micros (integer ``div`` — double arithmetic
+      would round half the microseconds up, diverging from the oracle's
+      truncation);
+    - TIMESTAMP_NTZ (``timestamp[us]`` with no timezone): legal to read
+      but illegal in epoch arithmetic (``cast as double`` /
+      ``unix_micros``); normalize to TIMESTAMP_LTZ, a microsecond
+      identity under the pinned-UTC session (DuckDB reads the same naive
+      micros, so oracle hashes are unchanged);
+    - TIMESTAMP_LTZ: passed through."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col, dtype in df.dtypes:
+        if dtype == "bigint" and col == "ts" and name == "events":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def cents(col: Column, scale: int = 100) -> Column:
@@ -253,7 +262,7 @@ def events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (powa--5.2.0.sql:1205-1213)."""
     ev = _events_as_series(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("double")
+    epoch = epoch_seconds("ts")
     prev_epoch = F.lag(epoch).over(w)
     delta = F.col("value_cents") - F.lag("value_cents").over(w)
     sec = epoch - prev_epoch
@@ -533,7 +542,7 @@ def events_history_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_slice.select("srvid", "user_id", "ts", "event_id", "value_cents")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("double")
+    epoch = epoch_seconds("ts")
     delta = F.col("value_cents") - F.lag("value_cents").over(w)
     sec = epoch - F.lag(epoch).over(w)
     clamped = F.when(sec < 1.0, F.lit(1.0)).otherwise(sec)
@@ -552,7 +561,7 @@ def events_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag deltas + the covered interval in seconds."""
     ev = _events_as_series(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("double")
+    epoch = epoch_seconds("ts")
     return (
         ev.select(
             "user_id",
@@ -1593,7 +1602,7 @@ def events_sampled_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
     )
-    epoch = F.col("ts").cast("double")
+    epoch = epoch_seconds("ts")
     prev_epoch = F.lag(epoch).over(w_ord)
     delta = F.col("value_cents") - F.lag("value_cents").over(w_ord)
     sec = epoch - prev_epoch
@@ -2021,7 +2030,7 @@ def events_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", cents(F.col("value")).alias("value_cents")
     )
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_micros("ts")
     w_rows = (
         Window.partitionBy("user_id")
         .orderBy(us, "event_id")

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.diff_rate import epoch_seconds
+
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long"
@@ -38,10 +40,9 @@ def sessionize_batch(
 ) -> DataFrame:
     """lag -> new-session flag -> running sum = session index -> groupBy."""
     w = Window.partitionBy(entity_col).orderBy("ts", order_col)
-    prev = F.lag(F.col("ts").cast("double")).over(w)
-    is_new = F.when(
-        prev.isNull() | (F.col("ts").cast("double") - prev > gap_s), 1
-    ).otherwise(0)
+    epoch = epoch_seconds("ts")  # NTZ-safe: callers pass raw frames
+    prev = F.lag(epoch).over(w)
+    is_new = F.when(prev.isNull() | (epoch - prev > gap_s), 1).otherwise(0)
     with_idx = events.withColumn(
         "session_idx", F.sum(is_new).over(w).cast("long")
     )
