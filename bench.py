@@ -67,22 +67,35 @@ def main() -> int:
     def fmt(v: float) -> float:
         return round(v, 2) if v < 10 else round(v, 1)
 
-    ordered = sorted(timings.items(), key=lambda kv: -kv[1])
+    # -1.0 sentinels mark errored queries; they are NOT times — keep them
+    # out of the slowest-first sort and the _rest fold (summing them once
+    # produced a nonsense negative "_rest" in a recorded bench line).
+    errored = sorted(k for k, v in timings.items() if v < 0)
+    ordered = sorted(
+        ((k, v) for k, v in timings.items() if v >= 0), key=lambda kv: -kv[1]
+    )
+    if errored:
+        print(f"bench: {len(errored)} errored queries: {errored}",
+              file=sys.stderr, flush=True)
     with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as f:
-        json.dump({"total_sec": total, "sf": sf, "queries": timings}, f, indent=1)
+        json.dump({"total_sec": total, "sf": sf, "errors": errored,
+                   "queries": timings}, f, indent=1)
 
     def line_for(n_keep: int) -> str:
         q = {k: fmt(v) for k, v in ordered[:n_keep]}
         rest = ordered[n_keep:]
         if rest:
             q[f"_rest({len(rest)})"] = fmt(sum(v for _, v in rest))
-        return json.dumps({
+        payload = {
             "metric": "total_query_sec",
             "value": total,
             "unit": "sec",
             "queries": q,
             "sf": sf,
-        }, separators=(",", ":"))
+        }
+        if errored:
+            payload["_errors"] = len(errored)
+        return json.dumps(payload, separators=(",", ":"))
 
     n_keep = len(ordered)
     out = line_for(n_keep)

@@ -521,7 +521,36 @@ def connected_components(
     without it the logical plan nests one full copy of itself per
     iteration and Catalyst planning alone blows the driver heap long
     before the data does.  All joins/aggs are keyed on node id (bounded
-    shuffles); the driver holds only the one-row convergence probe.
+    shuffles); the driver holds only a one-value convergence probe.
+
+    Two properties keep the loop lean:
+
+    - The symmetric edge table is built with ONE scan of ``pairs`` (an
+      explode of both orientations), not a self-union — a union scans
+      the upstream pair plan twice, and when ``pairs`` is an expensive
+      unmaterialized similarity join that doubles its cost.  Duplicate
+      input pairs are tolerated (they only feed a min-agg), so no
+      ``distinct`` shuffle is spent on them.
+    - Labels are element-wise non-increasing (least() with neighbors,
+      then adopting the label's own label — both bounded above by the
+      current value), so sum(label) strictly decreases until the fixed
+      point.  The convergence probe is therefore a plain aggregate scan
+      of the just-checkpointed two-column label table — no join, one
+      cheap job per round, and the loop still exits the first round
+      after convergence.
+
+    A hook/contract pre-pass (Shiloach-Vishkin hooking) runs before the
+    loop: every node is merged into ``min(self, min neighbor)`` and the
+    edge set is rewritten between those supernodes.  Identifying each
+    node with an adjacent node preserves components exactly (the merged
+    group is internally connected through the shared hook target, and
+    every original edge survives as a supernode edge), and near-dup
+    graphs are clique-heavy — a clique contracts to a single supernode
+    with NO surviving edges — so the iteration usually runs on a graph
+    orders of magnitude smaller than the input instead of paying
+    O(log d) full-edge-set joins.  Two bounded-shuffle passes over the
+    edges buy that: a min-neighbor aggregation and a double
+    supernode-resolution join.
 
     Returns (id, component) for EVERY node in ``nodes`` (singletons map
     to themselves).
@@ -531,22 +560,56 @@ def connected_components(
     anti-join at the end and never touch the loop, so per-iteration
     shuffles are sized by the near-dup subgraph, not the corpus."""
     edges = (
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=False)
+    )
+    # hook: node -> min(self, min neighbor); edges are symmetric so every
+    # endpoint appears as src and gets a supernode
+    sup = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nm"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("nm")).alias("sup"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cedges = (
+        edges.join(
+            sup.select(F.col("node").alias("src"), F.col("sup").alias("csrc")),
+            "src",
+        )
+        .join(
+            sup.select(F.col("node").alias("dst"), F.col("sup").alias("cdst")),
+            "dst",
+        )
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    touched = edges.select("src").distinct()
-    labels = touched.select(
-        F.col("src").alias("node"), F.col("src").alias("label")
-    ).localCheckpoint(eager=False)
+    labels = (
+        cedges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = None
     for _ in range(max_iters):
         neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
+            cedges.join(labels, cedges.src == labels.node)
             .groupBy("dst")
             .agg(F.min("label").alias("nmin"))
         )
@@ -573,20 +636,33 @@ def connected_components(
                     F.col("p_label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = jumped
-        if changed == 0:
+        # decimal(38,0): no overflow for any realistic sum of int64 ids
+        cur_sum = jumped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
+    # contracted components: loop labels + supernodes whose edges all
+    # vanished in the contraction (fully-collapsed cliques)
+    c_single = (
+        sup.select(F.col("sup").alias("node"))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("label"))
+    )
+    comp_sup = labels.unionByName(c_single).select(
+        F.col("node").alias("sup"), F.col("label")
+    )
+    # expand supernode components back to the original hooked nodes; the
+    # component id is the min ORIGINAL id (the component's min m hooks to
+    # itself, so m is a supernode and wins the min-label loop)
+    hooked = sup.join(comp_sup, "sup").select("node", "label")
     singletons = nodes.select(F.col(id_col).alias("node")).join(
-        labels.select("node"), "node", "left_anti"
+        hooked.select("node"), "node", "left_anti"
     ).select("node", F.col("node").alias("label"))
-    return labels.unionByName(singletons).select(
+    return hooked.unionByName(singletons).select(
         F.col("node").alias(id_col), F.col("label").alias("component")
     )
 

@@ -67,12 +67,33 @@ def embedding_near_dup_pairs(
     min_dot_q: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
+    allpairs_max_rows: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: quantized dot >= min_dot_q
-    (cosine threshold x QUANT^2 for unit vectors).  Exact all-pairs
-    baseline; the LSH/IVF variants are the scale path.
+    (cosine threshold x QUANT^2 for unit vectors).
 
-    The corpus side is broadcast once; the pair loop never shuffles."""
+    Adaptive physical strategy, same shape as ``dedup.jaccard_pairs``:
+
+    - ``allpairs``: broadcast cross-join baseline — O(n^2) comparisons
+      but zero shuffle; right for tiny corpora and as the oracle
+      reference shape.
+    - ``blocked``: grid-blocked numpy matmul
+      (:func:`embedding_near_dup_pairs_blocked`) — bitwise-identical
+      output, bounded per-task memory, the 100 TB path.
+    - ``auto``: a bounded ``limit(K+1).count()`` probe (scans at most
+      K+1 rows, never the corpus) picks allpairs iff the corpus fits
+      under ``allpairs_max_rows``.  Pass an explicit strategy to skip
+      the probe job when the caller already knows the corpus size."""
+    if strategy == "auto":
+        n = emb.select(id_col).limit(allpairs_max_rows + 1).count()
+        strategy = "allpairs" if n <= allpairs_max_rows else "blocked"
+    if strategy == "blocked":
+        return embedding_near_dup_pairs_blocked(
+            emb, min_dot_q, id_col=id_col, vec_col=vec_col
+        )
+    if strategy != "allpairs":
+        raise ValueError(f"unknown strategy {strategy!r}")
     a = emb.select(F.col(id_col).alias("a_id"), quantized(F.col(vec_col)).alias("av"))
     b = emb.select(F.col(id_col).alias("b_id"), quantized(F.col(vec_col)).alias("bv"))
     return (
