@@ -72,6 +72,10 @@ QUALS_SCHEMA = T.StructType([
 #: powa_qualstats_constvalues_history_current (powa--5.2.0.sql:3183-3199)
 CONSTVALUES_TABLE = "powa_qualstats_constvalues_history_current"
 
+#: powa_qualstats_constvalues_history (powa--5.2.0.sql:3166-3182): one
+#: row per qual per coalesce window, six ranked qual_values[] arrays
+CONSTVALUES_HISTORY_TABLE = "powa_qualstats_constvalues_history"
+
 QUAL_KEYS = ["srvid", "qualid", "queryid", "dbid", "userid"]
 
 
@@ -174,6 +178,76 @@ def _append_constvalues(wh: Warehouse, capture: DataFrame) -> None:
     wh.append(rows, CONSTVALUES_TABLE, partition_by=["srvid"])
 
 
+def qualstats_aggregate(wh: Warehouse, srvid: int) -> int:
+    """``powa_qualstats_aggregate``, constvalues half (powa--5.2.0.sql:
+    7193-7233, via ``powa_qualstats_aggregate_constvalues_current``
+    :6924-6982): collapse one server's per-snapshot constvalues rows
+    into ONE history row per qual carrying six ranked top-20
+    ``qual_values[]`` arrays plus the covered coalesce range, then
+    drain the current table.  Returns the packed row count.
+
+    The quals half of the reference function (records array +
+    mins/maxs, :7210-7224) flows through the generic spec machinery
+    (operators/aggregate.py) — same packing as every other module.
+
+    Spark shape: one groupBy pre-agg per distinct (qual, constvalues)
+    — map-side combinable — then the shared 6-ranking window job
+    (operators/topk.py, one shuffle for all six orders).  History is
+    partitioned (srvid, range_day) like every packed table so the
+    generic purge's partition-drop fast path applies."""
+    from .topk import qualstats_constvalues_topk
+
+    if not wh.exists(CONSTVALUES_TABLE):
+        return 0
+    cur = constvalues_current(wh, srvid)
+    pre = cur.groupBy(*QUAL_KEYS, "constvalues").agg(
+        F.min("ts").alias("mints"),
+        F.max("ts").alias("maxts"),
+        F.sum("occurences").alias("sum_occurences"),
+        F.sum("nbfiltered").alias("sum_nbfiltered"),
+        F.sum("execution_count").alias("sum_execution_count"),
+        F.avg("mean_err_estimate_ratio").alias("mean_err_estimate_ratio"),
+        F.avg("mean_err_estimate_num").alias("mean_err_estimate_num"),
+    )
+    packed = qualstats_constvalues_topk(pre, k=20)
+    out = packed.select(
+        *QUAL_KEYS,
+        F.col("mints").alias("range_start"),
+        F.col("maxts").alias("range_end"),
+        "most_used", "most_filtering", "least_filtering",
+        "most_executed", "most_errestim_ratio", "most_errestim_num",
+    ).withColumn("range_day", F.to_date("range_end"))
+    n = out.count()
+    if n > 0:
+        wh.append(out, CONSTVALUES_HISTORY_TABLE,
+                  partition_by=["srvid", "range_day"])
+    wh.drop_srvid(CONSTVALUES_TABLE, srvid)
+    return n
+
+
+def purge_constvalues_history(
+    wh: Warehouse,
+    srvid: int,
+    retention: dt.timedelta,
+    now: dt.datetime | None = None,
+) -> None:
+    """``powa_qualstats_purge`` (powa--5.2.0.sql:7238-7260): drop packed
+    constvalues history whose range fell out of retention (the reference
+    only bothers with already-coalesced data)."""
+    from .purge import _purge_table
+
+    now = now or dt.datetime.now(dt.timezone.utc)
+    _purge_table(wh, CONSTVALUES_HISTORY_TABLE, srvid, now - retention)
+
+
+def constvalues_history(wh: Warehouse,
+                        srvid: int | None = None) -> DataFrame:
+    df = wh.read(CONSTVALUES_HISTORY_TABLE)
+    if srvid is not None:
+        df = df.filter(F.col("srvid") == srvid)
+    return df
+
+
 def read_quals(wh: Warehouse, srvid: int | None = None) -> DataFrame:
     df = wh.read(QUALS_TABLE, QUALS_SCHEMA)
     if srvid is not None:
@@ -204,3 +278,4 @@ def reset_qualstats(wh: Warehouse, srvid: int) -> None:
     cascade with the generic reset (powa--5.2.0.sql:6506-6539)."""
     wh.drop_srvid(QUALS_TABLE, srvid)
     wh.drop_srvid(CONSTVALUES_TABLE, srvid)
+    wh.drop_srvid(CONSTVALUES_HISTORY_TABLE, srvid)

@@ -248,6 +248,12 @@ class Orchestrator:
             for spec in order:
                 try:
                     aggregate(self.wh, spec, srvid)
+                    if spec.name == "qualstats":
+                        # constvalues half of powa_qualstats_aggregate
+                        # (powa--5.2.0.sql:7193-7233): six ranked arrays
+                        from .operators.qualstats import qualstats_aggregate
+
+                        qualstats_aggregate(self.wh, srvid)
                 except Exception as e:
                     errors.append(f"powa_{spec.name}_aggregate: {e}")
             meta["aggts"] = now
@@ -256,6 +262,14 @@ class Orchestrator:
             for spec in order:
                 try:
                     purge(self.wh, spec, srvid, retention=server.retention, now=now)
+                    if spec.name == "qualstats":
+                        from .operators.qualstats import (
+                            purge_constvalues_history,
+                        )
+
+                        purge_constvalues_history(
+                            self.wh, srvid, server.retention, now=now
+                        )
                 except Exception as e:
                     errors.append(f"powa_{spec.name}_purge: {e}")
             try:

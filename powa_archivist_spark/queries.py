@@ -983,6 +983,118 @@ GROUP BY qualid
 """
 
 
+def constvalues_history_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END ``powa_qualstats_aggregate`` constvalues half
+    (powa--5.2.0.sql:7193-7233 via :6924-6982), running the REAL wired
+    operator against a scratch warehouse: events rows mapped onto the
+    constvalues_history_current shape, ``qualstats_aggregate`` packs
+    them into one six-ranked-array history row per qual, and the packed
+    table is read back with the arrays CSV-serialized for a
+    representation-stable compare.
+
+    The err-estimate fields are constant within each (qual, constvalue)
+    group (derived from user_id), so the double AVGs are exact and
+    engine-portable."""
+    import tempfile
+
+    from .operators import qualstats as qs
+    from .storage import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="powa_cvh_query_"))
+    ev = t(spark, sf_dir, "events")
+    cur = ev.select(
+        F.lit(1).cast("int").alias("srvid"),
+        (F.col("user_id") % 5).alias("qualid"),
+        F.lit(0).cast("long").alias("queryid"),
+        F.lit(0).cast("long").alias("dbid"),
+        F.lit(0).cast("long").alias("userid"),
+        F.col("ts"),
+        F.lit(1).cast("long").alias("occurences"),
+        (F.col("event_id") % 1000 + 1).alias("execution_count"),
+        cents(F.col("value")).alias("nbfiltered"),
+        (F.col("user_id") % 7).cast("double").alias("mean_err_estimate_ratio"),
+        (F.col("user_id") % 3).cast("double").alias("mean_err_estimate_num"),
+        F.array(F.col("user_id").cast("string")).alias("constvalues"),
+    )
+    wh.append(cur, qs.CONSTVALUES_TABLE, partition_by=["srvid"])
+    qs.qualstats_aggregate(wh, 1)
+    hist = qs.constvalues_history(wh, 1)
+    csv = lambda c: F.concat_ws(  # noqa: E731
+        ",", F.transform(F.col(c), lambda x: F.array_join(x["constvalues"], "|"))
+    ).alias(c)
+    return hist.select(
+        "qualid",
+        csv("most_used"),
+        csv("most_filtering"),
+        csv("least_filtering"),
+        csv("most_executed"),
+        csv("most_errestim_ratio"),
+        csv("most_errestim_num"),
+        "range_start",
+        "range_end",
+    )
+
+
+ORACLE_CONSTVALUES_HISTORY_PACK = """
+WITH src AS (
+  SELECT user_id % 5 AS qualid,
+         CAST(user_id AS VARCHAR) AS cv,
+         ts,
+         1 AS occ,
+         event_id % 1000 + 1 AS exec_c,
+         CAST(round(value * 100) AS BIGINT) AS filt,
+         CAST(user_id % 7 AS DOUBLE) AS e_ratio,
+         CAST(user_id % 3 AS DOUBLE) AS e_num
+  FROM events
+), pre AS (
+  SELECT qualid, cv,
+         MIN(ts) AS mints, MAX(ts) AS maxts,
+         SUM(occ) AS n_occ,
+         SUM(filt) AS n_filt,
+         SUM(exec_c) AS n_exec,
+         AVG(e_ratio) AS e_ratio,
+         AVG(e_num) AS e_num
+  FROM src GROUP BY qualid, cv
+), calc AS (
+  SELECT *,
+         CASE WHEN n_exec = 0 THEN 0.0
+              ELSE CAST(n_filt AS DOUBLE) / n_exec END AS fr
+  FROM pre
+), ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY qualid
+      ORDER BY n_occ DESC, cv) AS r_used,
+    ROW_NUMBER() OVER (PARTITION BY qualid
+      ORDER BY fr DESC, cv) AS r_filt,
+    ROW_NUMBER() OVER (PARTITION BY qualid
+      ORDER BY fr ASC, cv) AS r_least,
+    ROW_NUMBER() OVER (PARTITION BY qualid
+      ORDER BY n_exec DESC, cv) AS r_exec,
+    ROW_NUMBER() OVER (PARTITION BY qualid
+      ORDER BY e_ratio DESC, cv) AS r_erat,
+    ROW_NUMBER() OVER (PARTITION BY qualid
+      ORDER BY e_num DESC, cv) AS r_enum
+  FROM calc
+)
+SELECT qualid,
+  string_agg(cv, ',' ORDER BY r_used)
+    FILTER (WHERE r_used <= 20) AS most_used,
+  string_agg(cv, ',' ORDER BY r_filt)
+    FILTER (WHERE r_filt <= 20) AS most_filtering,
+  string_agg(cv, ',' ORDER BY r_least)
+    FILTER (WHERE r_least <= 20) AS least_filtering,
+  string_agg(cv, ',' ORDER BY r_exec)
+    FILTER (WHERE r_exec <= 20) AS most_executed,
+  string_agg(cv, ',' ORDER BY r_erat)
+    FILTER (WHERE r_erat <= 20) AS most_errestim_ratio,
+  string_agg(cv, ',' ORDER BY r_enum)
+    FILTER (WHERE r_enum <= 20) AS most_errestim_num,
+  MIN(mints) AS range_start, MAX(maxts) AS range_end
+FROM ranked
+GROUP BY qualid
+"""
+
+
 def price_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: CROSS JOIN against a 1-row global aggregate (the bgwriter pg17
     shim pattern, powa--5.2.0.sql:4639-4645) — every row compared to a
@@ -2218,6 +2330,8 @@ CORE_QUERIES = {
     "lineitem_xor_case": (lineitem_xor_case, ORACLE_XOR_CASE),
     "events_two_level_rollup": (events_two_level_rollup, ORACLE_TWO_LEVEL),
     "constvalues_topk": (constvalues_topk, ORACLE_CONSTVALUES_TOPK),
+    "constvalues_history_pack": (constvalues_history_pack,
+                                 ORACLE_CONSTVALUES_HISTORY_PACK),
     "events_history_rates": (events_history_rates, ORACLE_EVENTS_RATE),
     "price_above_global_avg": (price_above_global_avg, ORACLE_ABOVE_AVG),
     "union_dictionary_join": (union_dictionary_join, ORACLE_UNION_DICT),

@@ -179,6 +179,59 @@ def test_qualstats_end_to_end_snapshot(spark, wh):
     assert qs.read_quals(wh, 1).count() == 0
 
 
+def test_qualstats_aggregate_packs_constvalues(spark, wh):
+    """powa_qualstats_aggregate constvalues half (powa--5.2.0.sql:
+    7193-7233 via :6924-6982): the per-snapshot constvalues rows
+    collapse into ONE history row per qual with six ranked arrays and
+    the covered range, and the current table drains."""
+    from powa_archivist_spark.operators import qualstats as qs
+
+    def cv_row(t, cv, occ, execc, filt):
+        return (1, 70, 100, 10, 5, t, occ, execc, filt, 1.5, 2.0, [cv])
+
+    schema = (
+        "srvid int, qualid long, queryid long, dbid long, userid long, "
+        "ts timestamp, occurences long, execution_count long, "
+        "nbfiltered long, mean_err_estimate_ratio double, "
+        "mean_err_estimate_num double, constvalues array<string>"
+    )
+    rows = [
+        # constvalue "42": seen twice, most occurences, lowest
+        # filtered ratio (6/40)
+        cv_row(ts(0), "42", 4, 30, 4),
+        cv_row(ts(5), "42", 3, 10, 2),
+        # constvalue "43": fewer occurences, highest ratio (9/10)
+        cv_row(ts(5), "43", 2, 10, 9),
+    ]
+    wh.append(spark.createDataFrame(rows, schema), qs.CONSTVALUES_TABLE,
+              partition_by=["srvid"])
+
+    assert qs.qualstats_aggregate(wh, 1) == 1
+
+    hist = qs.constvalues_history(wh, 1).collect()
+    assert len(hist) == 1
+    h = hist[0]
+    assert (h.qualid, h.queryid, h.dbid, h.userid) == (70, 100, 10, 5)
+    # range spans the two snapshots, inclusive
+    assert h.range_start == ts(0).replace(tzinfo=None) or h.range_start == ts(0)
+    assert h.range_end == ts(5).replace(tzinfo=None) or h.range_end == ts(5)
+    # pre-agg summed per constvalue, rankings ordered correctly
+    used = [(r.constvalues, r.sum_occurences) for r in h.most_used]
+    assert used == [(["42"], 7), (["43"], 2)]
+    filt = [r.constvalues for r in h.most_filtering]
+    assert filt == [["43"], ["42"]]          # 0.9 > 6/40
+    assert [r.constvalues for r in h.least_filtering] == [["42"], ["43"]]
+    # current drained (DELETE FROM ..._current WHERE srvid, :7230)
+    assert qs.constvalues_current(wh, 1).count() == 0
+    # idempotent on empty current
+    assert qs.qualstats_aggregate(wh, 1) == 0
+
+    qs.reset_qualstats(wh, 1)
+    assert not wh.exists(qs.CONSTVALUES_HISTORY_TABLE) or (
+        qs.constvalues_history(wh, 1).count() == 0
+    )
+
+
 def test_wait_sampling_dbid_resolution(spark, wh):
     """J8 wired into the wait_sampling snapshot path: raw per-pid
     samples carry no dbid; it resolves via DISTINCT (dbid, queryid) off
