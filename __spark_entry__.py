@@ -2,9 +2,13 @@
 
 ``queries()`` exposes the implemented operator inventory (SURVEY.md §2 +
 the LLM-pipeline operators); ``oracle_sql()`` the matching DuckDB SQL.
-Operators whose arithmetic is engine-specific (xxhash64-based minhash /
-simhash / fingerprints, LSH ANN) have no oracle entry — the driver records
-a rows-only check; their semantics are pytest-verified instead.
+EVERY declared query has an oracle entry — the engine-specific hash
+families (xxhash64 minhash / simhash / fingerprints, LSH ANN) gained
+exact cross-engine oracles in round 2 by pinning a shared hash spec on
+both sides.  ``tools/check_oracles.py`` replays the full surface
+(row count + column set + order-insensitive value hash per query)
+against any sf dir; the committed ``ORACLE_FULL.txt`` is its latest
+all-query run.
 """
 
 from __future__ import annotations

@@ -237,6 +237,70 @@ def catalog_src_layout(catname: str, server_version: int) -> SourceLayout:
     return resolve_versioned(CATALOG_SOURCES[catname], server_version)
 
 
+#: collector-side FROM/WHERE fragments.  Temporary objects are excluded
+#: ("unlikely to be helpful and might bloat the underlying tables",
+#: powa--5.2.0.sql:467-468); pg_attribute needs the pg_class join to
+#: apply the same persistence filter (:504-509).
+_CATALOG_FROM: dict[str, tuple[str, str | None]] = {
+    "pg_class": ("pg_catalog.pg_class", "relpersistence != 't'"),
+    "pg_attribute": (
+        "pg_catalog.pg_attribute a"
+        " JOIN pg_catalog.pg_class c ON c.oid = a.attrelid",
+        "a.attnum > 0 AND NOT attisdropped AND c.relpersistence != 't'",
+    ),
+}
+
+
+def _sql_literal(v: object) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def catalog_src_query(catname: str, server_version: int) -> str:
+    """Collector-side capture SQL for one catalog at one server version —
+    the ``powa_catalog_src_queries`` payloads (powa--5.2.0.sql:457-687)
+    as a RENDERING of the versioned layout config rather than stored
+    strings, resolved the way ``powa_catalog_src_query`` does (:689-699).
+
+    The engine never executes these (Spark has no pg_catalog); a remote
+    collector asks the engine what to run on the monitored server and
+    ships the rows into the catalog staging tables (:5714-5787 ingest).
+    Columns the target version lacks are padded in the query itself —
+    literal defaults where the reference injects them, NULL otherwise —
+    so every epoch lands the full staging schema."""
+    layout = catalog_src_layout(catname, server_version)
+    cols: list[str] = []
+    for f in CATALOG_SCHEMAS[catname].fields:
+        if f.name in ("srvid", "dbid"):
+            continue  # collector context, stamped on ingest
+        src = layout.renames.get(f.name, f.name)
+        if f.name in layout.columns or f.name in layout.renames:
+            cols.append(src if src == f.name else f"{src} AS {f.name}")
+        elif f.name in layout.defaults:
+            cols.append(f"{_sql_literal(layout.defaults[f.name])} AS {f.name}")
+        else:
+            cols.append(f"NULL AS {f.name}")
+    from_clause, where = _CATALOG_FROM.get(
+        catname, (f"pg_catalog.{catname}", None)
+    )
+    sql = f"SELECT {', '.join(cols)} FROM {from_clause}"
+    if where:
+        sql += f" WHERE {where}"
+    return sql
+
+
+def catalog_src_queries(server_version: int) -> dict[str, str]:
+    """All catalogs' capture SQL for one server version, in snapshot
+    priority order (pg_class last, it stamps last_refresh)."""
+    return {
+        name: catalog_src_query(name, server_version)
+        for name, _prio in sorted(CATALOGS, key=lambda c: c[1])
+    }
+
+
 def stage_catalog(df: DataFrame, catname: str,
                   server_version: int) -> DataFrame:
     """Project a collector-landed catalog batch through the server's

@@ -336,6 +336,47 @@ def test_catalog_version_pick_golden(catname, version, native, defaulted,
             (catname, version, col)
 
 
+@pytest.mark.parametrize("version", [90400, 110000, 170000])
+def test_catalog_src_query_rendering(version):
+    """The collector-side capture SQL payloads (powa_catalog_src_queries,
+    powa--5.2.0.sql:457-687) render from the layout config: native
+    columns pass through, renames alias, reference literals inject, and
+    missing columns pad to NULL, so every epoch lands the full staging
+    schema."""
+    qs = cat.catalog_src_queries(version)
+    assert list(qs) == [n for n, _ in sorted(cat.CATALOGS,
+                                             key=lambda c: c[1])]
+    for catname, sql in qs.items():
+        assert sql.startswith("SELECT ")
+        assert f"pg_catalog.{catname}" in sql
+        # every non-context staging column appears exactly once
+        for f in cat.CATALOG_SCHEMAS[catname].fields:
+            if f.name not in ("srvid", "dbid"):
+                assert f" {f.name}" in sql or sql.count(f.name), \
+                    (catname, f.name)
+    # temp-object exclusion (:467-470, :504-509)
+    assert "relpersistence != 't'" in qs["pg_class"]
+    assert "NOT attisdropped" in qs["pg_attribute"]
+
+
+def test_catalog_src_query_version_goldens():
+    # pre-9.5 pg_class: rowsecurity cols are literal false, partbound NULL
+    old = cat.catalog_src_query("pg_class", 90400)
+    assert "false AS relrowsecurity" in old
+    assert "NULL AS relpartbound" in old
+    # pg10+: native
+    new = cat.catalog_src_query("pg_class", 130000)
+    assert "relispartition" in new and "false AS relispartition" not in new
+    # pg15 collation: colliculocale renamed to the colllocale surface
+    coll = cat.catalog_src_query("pg_collation", 150000)
+    assert "colliculocale AS colllocale" in coll
+    # pg17: native colllocale, no alias
+    coll17 = cat.catalog_src_query("pg_collation", 170000)
+    assert "colliculocale" not in coll17 and "colllocale" in coll17
+    # pre-9.6 proc: proparallel literal 'u'
+    assert "'u' AS proparallel" in cat.catalog_src_query("pg_proc", 90400)
+
+
 def test_catalog_staging_projection(spark, wh):
     """End-to-end: a pg15 collation batch lands with colliculocale, the
     layout renames it to colllocale (powa--5.2.0.sql:603-610); a pg9.6
