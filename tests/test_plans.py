@@ -148,3 +148,64 @@ def test_stat_get_sample_single_window_shuffle(spark, wh):
 
     df = events_sampled_rates(spark, SF)
     assert pi.exchange_count(df) == 1
+
+
+def test_constvalues_pack_shares_one_ranking_shuffle(spark, wh):
+    """The six constvalues rankings all partition on the same qual key:
+    the window stage adds exactly ONE exchange over the pre-agg (plus
+    the pre-agg's own), and nothing goes cartesian."""
+    from powa_archivist_spark.operators import qualstats as qs
+
+    rows = [(1, 70, 100, 10, 5, dt.datetime(2026, 1, 1, 12, 0),
+             1, 10, 4, 1.5, 2.0, ["42"]),
+            (1, 70, 100, 10, 5, dt.datetime(2026, 1, 1, 12, 5),
+             2, 20, 6, 1.5, 2.0, ["43"])]
+    schema = (
+        "srvid int, qualid long, queryid long, dbid long, userid long, "
+        "ts timestamp, occurences long, execution_count long, "
+        "nbfiltered long, mean_err_estimate_ratio double, "
+        "mean_err_estimate_num double, constvalues array<string>"
+    )
+    wh.append(spark.createDataFrame(rows, schema), qs.CONSTVALUES_TABLE,
+              partition_by=["srvid"])
+    qs.qualstats_aggregate(wh, 1)
+    hist = qs.constvalues_history(wh, 1)
+    assert not pi.has_cartesian(hist)
+    # six ranked arrays present on one row
+    row = hist.collect()[0]
+    assert [r.constvalues for r in row.most_used] == [["43"], ["42"]]
+
+
+def test_connected_components_clique_contracts_to_zero_iters(spark):
+    """The hook/contract pre-pass alone solves clique graphs — the
+    min-label loop must not even be needed (max_iters=0 stays exact).
+    Near-dup graphs are clique-heavy, so at scale this is the difference
+    between two bounded passes and O(log d) full-edge joins."""
+    from powa_archivist_spark.pipeline.dedup import connected_components
+
+    # two cliques {1,2,3} and {10,11}, plus singleton 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11)], "a_id long, b_id long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20]],
+                                  "doc_id long")
+    out = connected_components(pairs, nodes, max_iters=0)
+    got = {(r.doc_id, r.component) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)}
+
+
+def test_connected_components_path_graph_converges(spark):
+    """A path needs the loop (contraction halves it, pointer jumping
+    finishes in O(log n)); labels must reach the global min."""
+    from powa_archivist_spark.pipeline.dedup import connected_components
+
+    n = 9
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "a_id long, b_id long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)],
+                                  "doc_id long")
+    out = connected_components(pairs, nodes)
+    assert {(r.doc_id, r.component) for r in out.collect()} == {
+        (i, 1) for i in range(1, n + 1)
+    }
