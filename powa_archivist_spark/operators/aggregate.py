@@ -57,9 +57,16 @@ def _aggregate_one(
         packed = pack(cur, _db_subspec(spec))
 
     packed = packed.withColumn("range_day", F.to_date("range_end"))
-    n = packed.count()
-    if n > 0:
-        wh.append(packed, history_table, partition_by=["srvid", "range_day"])
+    # cache the packed output (~coalesce:1 smaller than current) so the
+    # count and the write don't each re-run the pack groupBy
+    packed = packed.persist()
+    try:
+        n = packed.count()
+        if n > 0:
+            wh.append(packed, history_table,
+                      partition_by=["srvid", "range_day"])
+    finally:
+        packed.unpersist()
     # drain the current partition (DELETE FROM *_current WHERE srvid —
     # powa--5.2.0.sql:6051-6056)
     wh.drop_srvid(current_table, srvid)

@@ -24,22 +24,30 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.diff_rate import epoch_seconds
 
 
-def _epoch(col: Column) -> Column:
-    """Interval bounds may be timestamp (LTZ *or* NTZ — callers pass raw
-    frames that bypass the loader shims) or already numeric seconds."""
-    return epoch_seconds(col)
+def _epoch(df: DataFrame, name: str) -> Column:
+    """Epoch-seconds of an interval bound.  Bounds may be timestamp
+    (LTZ *or* NTZ — callers pass raw frames that bypass the loader
+    shims) or already numeric seconds; the dtype decides, because
+    routing numerics through a timestamp cast would truncate to
+    microseconds and saturate for values past the timestamp range."""
+    dt = df.schema[name].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return epoch_seconds(F.col(name))
+    return F.col(name).cast("double")
 
 
-def _bins(start: Column, end: Column, bin_width_s: int) -> Column:
-    """The bin ids [floor(start/w) .. floor(end/w)] an interval covers."""
+def _bins(lo_s: Column, hi_s: Column, bin_width_s: int) -> Column:
+    """The bin ids [floor(lo/w) .. floor(hi/w)] an interval covers;
+    inputs are epoch seconds (see :func:`_epoch`)."""
     w = F.lit(bin_width_s)
-    lo = F.floor(_epoch(start) / w).cast("long")
-    hi = F.floor(_epoch(end) / w).cast("long")
-    return F.sequence(lo, hi)
+    return F.sequence(
+        F.floor(lo_s / w).cast("long"), F.floor(hi_s / w).cast("long")
+    )
 
 
 def interval_join(
@@ -75,10 +83,13 @@ def interval_join(
     re_ = f"{r_end}_r" if r_end in collide and r_end not in key_cols else r_end
 
     le = left.withColumn(
-        "_bin", F.explode(_bins(F.col(l_start), F.col(l_end), bin_width_s))
+        "_bin",
+        F.explode(_bins(_epoch(left, l_start), _epoch(left, l_end),
+                        bin_width_s)),
     )
     re = r.withColumn(
-        "_bin", F.explode(_bins(F.col(rs), F.col(re_), bin_width_s))
+        "_bin",
+        F.explode(_bins(_epoch(r, rs), _epoch(r, re_), bin_width_s)),
     )
     joined = le.join(re, [*key_cols, "_bin"]).filter(
         (F.col(l_start) <= F.col(re_)) & (F.col(rs) <= F.col(l_end))

@@ -217,10 +217,16 @@ def qualstats_aggregate(wh: Warehouse, srvid: int) -> int:
         "most_used", "most_filtering", "least_filtering",
         "most_executed", "most_errestim_ratio", "most_errestim_num",
     ).withColumn("range_day", F.to_date("range_end"))
-    n = out.count()
-    if n > 0:
-        wh.append(out, CONSTVALUES_HISTORY_TABLE,
-                  partition_by=["srvid", "range_day"])
+    # cache the packed output (small: <= one row per qual) so the count
+    # and the write don't each re-run the 6-ranking window job
+    out = out.persist()
+    try:
+        n = out.count()
+        if n > 0:
+            wh.append(out, CONSTVALUES_HISTORY_TABLE,
+                      partition_by=["srvid", "range_day"])
+    finally:
+        out.unpersist()
     wh.drop_srvid(CONSTVALUES_TABLE, srvid)
     return n
 

@@ -92,8 +92,13 @@ def qualstats_constvalues_topk(df: DataFrame, k: int = TOP_K) -> DataFrame:
         "most_filtering": filtered_ratio.desc(),
         "least_filtering": filtered_ratio.asc(),
         "most_executed": F.desc("sum_execution_count"),
-        "most_errestim_ratio": F.desc("mean_err_estimate_ratio"),
-        "most_errestim_num": F.desc("mean_err_estimate_num"),
+        # the err-estimate fields are nullable (SRC allows NULL, AVG of
+        # all-NULL groups stays NULL); Postgres DESC is NULLS FIRST, so
+        # the reference ranks NULL estimates at the top
+        # (powa--5.2.0.sql:6959-6960) — match it, Spark desc defaults
+        # NULLS LAST
+        "most_errestim_ratio": F.desc_nulls_first("mean_err_estimate_ratio"),
+        "most_errestim_num": F.desc_nulls_first("mean_err_estimate_num"),
     }
     payload = [
         "constvalues",

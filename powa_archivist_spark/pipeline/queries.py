@@ -366,6 +366,10 @@ MIN_DOT_Q = 350_000_000_000  # cosine 0.35 x QUANT^2 on unit vectors
 
 
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive entry: the size probe picks allpairs at sf0.01 (500
+    vectors — the oracle gate exercises the Catalyst baseline) and the
+    blocked matmul at sf0.1+ (the bench exercises the scale path);
+    outputs are bitwise-identical either way."""
     return similarity.embedding_near_dup_pairs(
         t(spark, sf_dir, "embeddings"), min_dot_q=MIN_DOT_Q
     )

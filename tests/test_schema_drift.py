@@ -98,6 +98,26 @@ def test_interval_join_accepts_both_timestamp_types(spark, ts_type):
     assert out.count() == 1  # only the overlapping pair
 
 
+def test_interval_join_numeric_bounds_pass_through(spark):
+    """Numeric-seconds interval bounds must NOT route through a
+    timestamp cast (it truncates to micros and saturates past the
+    timestamp range) — large epoch-like numerics still bin exactly."""
+    big = 9.3e12  # past the LTZ-representable seconds range
+    left = spark.createDataFrame(
+        [(10, big, big + 600.0)], "user_id long, start double, stop double"
+    )
+    right = spark.createDataFrame(
+        [(10, big + 500.0, big + 900.0),      # overlaps
+         (10, big + 4000.0, big + 5000.0)],   # disjoint
+        "user_id long, start double, stop double",
+    )
+    out = interval_join(
+        left, right, ["user_id"], "start", "stop", "start", "stop",
+        bin_width_s=300,
+    )
+    assert out.count() == 1
+
+
 @pytest.mark.parametrize("ts_type", ["timestamp", "timestamp_ntz"])
 def test_sessionize_batch_accepts_both_timestamp_types(spark, ts_type):
     T = dt.datetime
