@@ -269,3 +269,92 @@ def test_heavy_hitters_exact_on_random_streams(spark, toks, den):
     counts = Counter(toks)
     expect = {t: c for t, c in counts.items() if c * den > len(toks)}
     assert got == expect
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+    ),
+    min_size=0,
+    max_size=18,
+)
+
+
+def _union_find_components(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    # canonical representative = min node id of the component
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+@given(raw=edges_strategy)
+@SLOW
+def test_connected_components_matches_union_find(spark, raw):
+    """The hook/contract + min-label loop must agree with a Python
+    union-find on arbitrary graphs — including self-loops, duplicate and
+    reversed pairs, and nodes absent from any pair."""
+    pairs = [(a, b) for a, b in raw if a != b]
+    nodes = list(range(1, 13))
+    pdf = spark.createDataFrame(
+        pairs or [(None, None)], "a_id long, b_id long"
+    ).filter(F.col("a_id").isNotNull())
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    out = dedup.connected_components(pdf, ndf)
+    got = {r.doc_id: r.component for r in out.collect()}
+    assert got == _union_find_components(pairs, nodes)
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),       # key
+        st.integers(min_value=0, max_value=5_000),   # start offset s
+        st.integers(min_value=0, max_value=1_200),   # span s
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(l=intervals_strategy, r=intervals_strategy)
+@SLOW
+def test_interval_join_matches_bruteforce(spark, l, r):
+    """Bin fan-out + exact refine + distinct == the naive all-pairs
+    closed-interval overlap, for any bin/interval alignment."""
+    from powa_archivist_spark.operators.interval import interval_join
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (k, i, BASE + dt.timedelta(seconds=s),
+                 BASE + dt.timedelta(seconds=s + span))
+                for i, (k, s, span) in enumerate(rows)
+            ],
+            "k long, iid long, start timestamp, stop timestamp",
+        )
+
+    ldf, rdf = mk(l), mk(r)
+    out = interval_join(
+        ldf, rdf.withColumnRenamed("iid", "rid"), ["k"],
+        "start", "stop", "start", "stop", bin_width_s=300,
+    )
+    got = {(row.iid, row.rid) for row in out.collect()}
+    want = {
+        (i, j)
+        for i, (lk, ls, lspan) in enumerate(l)
+        for j, (rk, rs, rspan) in enumerate(r)
+        if lk == rk and ls <= rs + rspan and rs <= ls + lspan
+    }
+    assert got == want
