@@ -93,3 +93,89 @@ def sample_frames(docs_with_payload: DataFrame,
             )
 
     return docs_with_payload.mapInPandas(fn, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, out_w int, out_h int, resized_len int, "
+    "resized_checksum long"
+)
+FEATURE_DIM = 16
+FEATURE_STRIDE = 7
+FEATURE_SCHEMA = "doc_id long, feat_csv string, feat_sum long"
+
+
+def resize_image_bytes(payload: bytes, w: int, h: int):  # pragma: no cover
+    """REAL resize seam — requires an image codec library; swap in
+    production.  The deterministic fake below keeps the Spark plumbing
+    (batch shape, schema, truncation arithmetic) oracle-checkable."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def resize_images(docs_with_payload: DataFrame,
+                  target_w: int = 64, target_h: int = 64,
+                  id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas resize: one output row per payload with the target
+    dims and a deterministic fake 'resized' blob summary — the
+    truncation-to-(w*h) stand-in for a decoded+scaled image buffer."""
+    cap = target_w * target_h
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # fake 'decode': the payload is UTF-8 by construction; work
+            # in codepoints so the oracle's char-based substr/ascii
+            # replays identically on non-ASCII corpora
+            trunc = pdf["payload"].apply(
+                lambda b: (b or b"").decode("utf-8")[:cap]
+            )
+            n = trunc.apply(len).astype("int64")
+            first = trunc.apply(lambda s: ord(s[0]) if s else 0).astype("int64")
+            last = trunc.apply(lambda s: ord(s[-1]) if s else 0).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "out_w": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "out_h": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "resized_len": n.astype("int32"),
+                    "resized_checksum": first * 256 + last,
+                }
+            )
+
+    return docs_with_payload.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def extract_features(docs_with_payload: DataFrame,
+                     dim: int = FEATURE_DIM,
+                     stride: int = FEATURE_STRIDE,
+                     id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction: a ``dim``-wide strided-byte
+    sample per payload — the deterministic stand-in for an image/audio
+    embedding model.  Features serialize to CSV (plus their sum) so the
+    cross-engine compare is representation-stable; the real seam swaps
+    the sampling for a model forward pass, everything else (pruned
+    input, Arrow batching, fixed-width output) is the production
+    shape."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def feats(b: bytes) -> list[int]:
+                # fake 'model': strided codepoint sample of the decoded
+                # payload (UTF-8 by construction) — char semantics match
+                # the oracle's substr/ascii on any corpus
+                s = (b or b"").decode("utf-8")
+                if not s:
+                    return [0] * dim
+                n = len(s)
+                return [ord(s[(k * stride) % n]) for k in range(dim)]
+
+            fl = pdf["payload"].apply(feats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "feat_csv": fl.apply(
+                        lambda v: ",".join(str(x) for x in v)
+                    ),
+                    "feat_sum": fl.apply(sum).astype("int64"),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(fn, FEATURE_SCHEMA)

@@ -515,6 +515,64 @@ FROM meta, unnest(range(n_bytes % 4 + 1)) AS u(f)
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage through the Arrow seam (fake decode: codepoint
+    truncation to w*h); same manual pruning as multimodal_meta."""
+    docs = multimodal.with_payload(t(spark, sf_dir, "documents"))
+    return multimodal.resize_images(
+        docs.select("doc_id", "payload").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        target_w=16, target_h=16,
+    )
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+SELECT doc_id,
+       CAST(16 AS INT) AS out_w,
+       CAST(16 AS INT) AS out_h,
+       CAST(LEAST(length(text), 256) AS INT) AS resized_len,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE ascii(text[1]) * 256
+                 + ascii(substr(text, LEAST(length(text), 256), 1))
+       END AS resized_checksum
+FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage through the Arrow seam (fake model:
+    16-wide strided codepoint sample, stride 7)."""
+    docs = multimodal.with_payload(t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(
+        docs.select("doc_id", "payload").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+
+
+ORACLE_MULTIMODAL_FEATURES = f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN length(text) = 0
+              THEN list_transform(range({multimodal.FEATURE_DIM}), k -> 0)
+              ELSE list_transform(
+                range({multimodal.FEATURE_DIM}),
+                k -> ascii(substr(
+                       text,
+                       1 + (k * {multimodal.FEATURE_STRIDE})
+                           % length(text),
+                       1)))
+         END AS feats
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(feats, ',') AS feat_csv,
+       CAST(list_sum(feats) AS BIGINT) AS feat_sum
+FROM f
+"""
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.text_stats(t(spark, sf_dir, "documents"))
 
@@ -1027,6 +1085,8 @@ PIPELINE_QUERIES = {
     "knn_cosine_blocked": (knn_cosine_blocked, ORACLE_KNN),
     "multimodal_meta": (multimodal_meta, ORACLE_MULTIMODAL_META),
     "multimodal_frames": (multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
+    "multimodal_resize": (multimodal_resize, ORACLE_MULTIMODAL_RESIZE),
+    "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL_FEATURES),
     "text_quality": (text_quality, ORACLE_TEXT_QUALITY),
     "token_counts": (token_counts, ORACLE_TOKEN_COUNTS),
     "lang_id": (lang_id_heuristic, ORACLE_LANG_ID),

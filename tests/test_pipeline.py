@@ -295,6 +295,35 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image_bytes(b"\x89PNG", 64, 64)
+
+
+def test_multimodal_resize_and_features(spark):
+    from powa_archivist_spark.pipeline import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (2, ""), (3, "é" * 10)],  # non-ASCII: codepoints
+        "doc_id long, text string",
+    )
+    wp = multimodal.with_payload(docs)
+    rs = {r.doc_id: r for r in
+          multimodal.resize_images(wp, target_w=2, target_h=2).collect()}
+    # cap = 4 codepoints: 'abcd' -> len 4, first 'a', last 'd'
+    assert rs[1].resized_len == 4
+    assert rs[1].resized_checksum == ord("a") * 256 + ord("d")
+    assert rs[2].resized_len == 0 and rs[2].resized_checksum == 0
+    # multi-byte chars counted as single codepoints, not bytes
+    assert rs[3].resized_len == 4
+    assert rs[3].resized_checksum == ord("é") * 256 + ord("é")
+
+    ft = {r.doc_id: r for r in multimodal.extract_features(wp).collect()}
+    # stride 7 over 'abcdef' (n=6): k*7 % 6 cycles a..f offset pattern
+    want = [ord("abcdef"[(k * 7) % 6]) for k in range(16)]
+    assert ft[1].feat_csv == ",".join(str(x) for x in want)
+    assert ft[1].feat_sum == sum(want)
+    assert ft[2].feat_csv == ",".join(["0"] * 16) and ft[2].feat_sum == 0
+    assert ft[3].feat_sum == 16 * ord("é")
 
 
 def test_text_stats_values(spark):
