@@ -87,6 +87,13 @@ def qualstats_constvalues_topk(df: DataFrame, k: int = TOP_K) -> DataFrame:
     filtered_ratio = F.when(
         F.col("sum_execution_count") == 0, F.lit(0.0)
     ).otherwise(F.col("sum_nbfiltered") / F.col("sum_execution_count"))
+    # least_filtering: the reference takes the TAIL of the descending
+    # ranking (`filtered_rank >= nb_lines - 20`, powa--5.2.0.sql:6947 —
+    # inclusive bound, so actually 21 rows when the group is large
+    # enough); this engine uses an independent ASC ranking of exactly k
+    # with deterministic payload tie-breaks.  Identical membership when
+    # ratios are distinct; under boundary ties the reference's pick is
+    # row_number-arbitrary anyway, ours is pinned (and oracle-replayed).
     rankings = {
         "most_used": F.desc("sum_occurences"),
         "most_filtering": filtered_ratio.desc(),
