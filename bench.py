@@ -39,6 +39,9 @@ def main() -> int:
         p = f"{sf_dir}/{name}.parquet"
         if os.path.exists(p):
             spark.read.parquet(p).count() if name == "region" else spark.read.parquet(p).limit(1).collect()
+    # spawn the Python/Arrow workers once so the first mapInPandas query
+    # doesn't absorb the ~5s interpreter fork into its own number
+    spark.range(2).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     t_all = time.time()
