@@ -66,6 +66,12 @@ def interval_join(
     are timestamp (or numeric-seconds) columns; left columns keep their
     names, right columns are suffixed ``_r`` where they collide.
 
+    PRECONDITION: rows must be distinct on each side (give intervals an
+    id column if they aren't) — the closing ``distinct()`` that
+    collapses bin-induced pair duplicates cannot tell a row that
+    matched in two bins from two identical input rows, so fully
+    duplicate rows would collapse to one output pair.
+
     ``how='inner'`` only — the bin fan-out makes outer semantics
     ambiguous; anti/semi gates compose from the inner result."""
     if how != "inner":

@@ -66,7 +66,12 @@ def compact(
             after_total += before
             continue
         df = wh.spark.read.parquet(dirpath)
-        tmp = dirpath + ".__compact__"
+        # dot-prefixed scratch next to the leaf: hidden to Spark readers
+        # and partition discovery, inert if a crash strands it
+        tmp = os.path.join(
+            os.path.dirname(dirpath),
+            f".__compact__{os.path.basename(dirpath)}",
+        )
         df.coalesce(want).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(dirpath)
         os.replace(tmp, dirpath)

@@ -74,7 +74,11 @@ def _purge_table(wh: Warehouse, table: str, srvid: int,
             n_all = df.count()
             if n_kept == n_all:
                 continue
-            tmp = p + ".__tmp__"
+            # dot-prefixed scratch: Spark readers treat it as hidden, the
+            # range_day= scan above skips it, and a crash between write
+            # and replace leaves an inert dir instead of a bogus
+            # partition that poisons every later read and purge pass
+            tmp = os.path.join(srv_path, f".__tmp__{entry}")
             if n_kept > 0:
                 kept.write.mode("overwrite").parquet(tmp)
                 shutil.rmtree(p)

@@ -62,11 +62,17 @@ def snapshot(
         staging = wh.read(Warehouse.src_tmp(spec.name), spec.staging_schema)
         capture = staging.filter(F.col("srvid") == srvid)
 
+    # cast EVERY column to the current-table schema, not just srvid: a
+    # caller-provided capture with off-spec dtypes (int32 keys, double
+    # counters, NTZ timestamps) would otherwise append mixed-type
+    # parquet files next to the spec-typed ones and break every later
+    # read of the partition
+    cur_types = {f.name: f.dataType for f in spec.current_schema.fields}
     capture = capture.select(
-        F.col("srvid").cast("int"),
-        *spec.key_names,
-        "ts",
-        *spec.counter_names,
+        *[
+            F.col(name).cast(cur_types[name]).alias(name)
+            for name in ["srvid", *spec.key_names, "ts", *spec.counter_names]
+        ]
     )
     if spec.requires_statements:
         from . import dictionary

@@ -26,6 +26,7 @@ def ranked_topk(
     rankings: dict[str, Column],
     k: int = TOP_K,
     payload_cols: list[str] | None = None,
+    carry_aggs: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Generic N-ranking top-K: one row per group, one ts-ordered packed
     array per ranking.
@@ -33,6 +34,13 @@ def ranked_topk(
     ``rankings`` maps output column name -> ORDER BY expression.  Ties are
     broken by the payload columns for determinism (Postgres row_number is
     arbitrary under ties; we pin it).
+
+    ``carry_aggs`` maps output column name -> aggregate expression
+    evaluated over the WHOLE group (before the top-k filter) — the
+    reference's ``min(mints) OVER (W)`` shape (powa--5.2.0.sql:6954).
+    Riding the existing window partitioning costs no extra scan or
+    join; every group keeps its rank-1 rows through the filter, so the
+    final groupBy already covers every input group.
     """
     payload_cols = payload_cols or [
         c for c in df.columns if c not in group_cols
@@ -44,6 +52,9 @@ def ranked_topk(
         ranked = ranked.withColumn(
             f"__rank_{name}", F.row_number().over(w.orderBy(order, *tiebreak))
         )
+    carry_aggs = carry_aggs or {}
+    for name, agg in carry_aggs.items():
+        ranked = ranked.withColumn(f"__carry_{name}", agg.over(w))
     any_kept = None
     for name in rankings:
         cond = F.col(f"__rank_{name}") <= k
@@ -70,9 +81,10 @@ def ranked_topk(
                 lambda x: x["payload"],
             ).alias(name)
         )
-    return df.select(*group_cols).distinct().join(
-        ranked.groupBy(*group_cols).agg(*aggs), group_cols, "left"
-    )
+    aggs += [
+        F.first(f"__carry_{name}").alias(name) for name in carry_aggs
+    ]
+    return ranked.groupBy(*group_cols).agg(*aggs)
 
 
 def qualstats_constvalues_topk(df: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -115,9 +127,9 @@ def qualstats_constvalues_topk(df: DataFrame, k: int = TOP_K) -> DataFrame:
         "mean_err_estimate_ratio",
         "mean_err_estimate_num",
     ]
-    out = ranked_topk(df, group, rankings, k=k, payload_cols=payload)
-    # window min/max of time bounds without collapsing rows (W2)
-    bounds = df.groupBy(*group).agg(
-        F.min("mints").alias("mints"), F.max("maxts").alias("maxts")
+    # time bounds ride the ranking window (W2, powa--5.2.0.sql:6954) —
+    # no separate bounds scan or join
+    return ranked_topk(
+        df, group, rankings, k=k, payload_cols=payload,
+        carry_aggs={"mints": F.min("mints"), "maxts": F.max("maxts")},
     )
-    return out.join(bounds, group)

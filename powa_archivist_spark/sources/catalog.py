@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 
 from ..storage import Warehouse
 from .readers import SourceLayout, VersionedSource, resolve_versioned
+from .versions import _vs as _cat_vs  # the same registry builder
 
 # ORDER BY priority: pg_class last — it stamps last_refresh
 CATALOGS: list[tuple[str, int]] = [
@@ -95,13 +96,6 @@ CATALOG_SCHEMAS: dict[str, T.StructType] = {
     "pg_language": _schema(
         "oid:long lanname:string lanispl:bool lanpltrusted:bool"),
 }
-
-
-def _cat_vs(name: str, *variants: tuple[int, SourceLayout]) -> VersionedSource:
-    src = VersionedSource(name)
-    for mv, lay in variants:
-        src.add(mv, lay)
-    return src
 
 
 _CLASS_BASE = (
@@ -388,13 +382,18 @@ def catalog_snapshot(
         table = catalog_table(catname)
         dbids = [r.dbid for r in staged.select("dbid").distinct().collect()]
         if wh.exists(table):
+            # scope the rewrite to THIS server's partition: the read
+            # prunes to srvid=N, and the per-srvid staged swap keeps
+            # concurrent snapshots of other servers untouched (a
+            # full-table overwrite both rewrote every server's mirror
+            # and lost concurrent updates through a shared tmp path)
             keep = wh.read(table).filter(
-                ~((F.col("srvid") == srvid) & F.col("dbid").isin(dbids))
+                (F.col("srvid") == srvid) & ~F.col("dbid").isin(dbids)
             )
             merged = keep.unionByName(staged, allowMissingColumns=True)
         else:
             merged = staged
-        wh.overwrite(merged, table, partition_by=["srvid"])
+        wh.rewrite_srvid_partition(merged, table, None, srvid)
         if catname == "pg_class":
             state = load_refresh(wh)
             for dbid in dbids:

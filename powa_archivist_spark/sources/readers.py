@@ -176,13 +176,24 @@ def read_staging(
                 F.col("srvid") == srvid
             )
         if isinstance(payload, dict):
+            # a rename map names only the versioned columns; the
+            # collector context columns (srvid/ts, dbid for catalog
+            # feeds) ride along implicitly — dropping them would NULL
+            # the shim's ts and empty the srvid filter below
             present = set(df.columns)
+            mapped_srcs = set(payload.values())
+            context = [
+                c for c in ("srvid", "ts", "dbid")
+                if c in present and c not in mapped_srcs
+                and c not in payload
+            ]
             df = df.select(
+                *context,
                 *[
                     F.col(src).alias(dst)
                     for dst, src in payload.items()
                     if src in present
-                ]
+                ],
             )
     return shim_to_schema(df, spec.staging_schema).filter(
         F.col("srvid") == srvid

@@ -75,18 +75,25 @@ class Warehouse:
             if schema is None:
                 raise FileNotFoundError(f"table {table} missing and no schema given")
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(self.path(table))
         if schema is not None:
-            # partition columns come back typed-by-inference; re-cast + order.
-            # Cast targets must be null-normalized: parquet reads are always
-            # nullable and casting to a NOT NULL nested field is invalid.
-            df = df.select(
-                *[
-                    F.col(f.name).cast(_nullable(f.dataType)).alias(f.name)
+            # give the READER the schema (null-normalized: parquet reads
+            # are always nullable and a NOT NULL nested field is invalid
+            # there): partition columns parse to the declared types
+            # instead of inference, and a table dir whose data files
+            # were all drained (purge/reset leaves the partition tree)
+            # reads as empty instead of failing schema inference
+            reader_schema = T.StructType(
+                [
+                    T.StructField(f.name, _nullable(f.dataType), True)
                     for f in schema.fields
                 ]
             )
-        return df
+            return (
+                self.spark.read.schema(reader_schema)
+                .parquet(self.path(table))
+                .select(*[f.name for f in schema.fields])
+            )
+        return self.spark.read.parquet(self.path(table))
 
     def append(self, df: DataFrame, table: str,
                partition_by: Optional[list[str]] = None) -> None:
@@ -126,8 +133,14 @@ class Warehouse:
         """Replace one srvid partition with ``df`` where ``df`` is derived
         from the partition being replaced: stage-then-swap via a scratch
         table (a direct overwrite would clobber its own input mid-read).
-        Stays distributed — no driver collect."""
-        scratch = f"{table}__rewrite"
+        Stays distributed — no driver collect.
+
+        The scratch name carries the srvid: the orchestrator lock is
+        per-srvid, so two servers' snapshots may rewrite the same table
+        concurrently, and a shared scratch would let one swap replace
+        the other's staged rows (server A drains its partition, then
+        appends server B's rows)."""
+        scratch = f"{table}__rewrite__srv{srvid}"
         self.overwrite(df, scratch)
         staged = self.read(scratch, schema)
         self.drop_srvid(table, srvid)

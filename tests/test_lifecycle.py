@@ -109,6 +109,41 @@ def test_purge_drops_expired_ranges(spark, wh, orch):
     assert wh.read(Warehouse.history(SPEC.name), SPEC.history_schema).count() == 0
 
 
+def test_stranded_purge_scratch_is_inert(spark, wh, orch):
+    """A crash between the boundary-day scratch write and the swap must
+    leave a dir that readers and later purge passes IGNORE — a scratch
+    named like a partition poisons partition discovery and makes every
+    later purge raise on date parsing."""
+    import os
+    import shutil
+
+    server = ServerConfig(srvid=0, powa_coalesce=2,
+                          retention=dt.timedelta(hours=1))
+    orch.take_snapshot(
+        server, captures={SPEC.name: bgwriter_rows(spark, 0, ts(0), 10)}, now=ts(0)
+    )
+    orch.take_snapshot(
+        server, captures={SPEC.name: bgwriter_rows(spark, 0, ts(5), 20)}, now=ts(5)
+    )
+    hist = Warehouse.history(SPEC.name)
+    n = wh.read(hist).count()
+    assert n == 1
+    # fake a stranded scratch: copy a real day dir to the scratch name
+    srv = os.path.join(wh.path(hist), "srvid=0")
+    (day,) = [e for e in os.listdir(srv) if e.startswith("range_day=")]
+    shutil.copytree(os.path.join(srv, day),
+                    os.path.join(srv, f".__tmp__{day}"))
+    # readers don't see it (dot-prefixed = hidden to Spark)
+    assert wh.read(hist).count() == n
+    # the purge pass neither raises nor counts it
+    late = ts(0) + dt.timedelta(days=2)
+    orch.take_snapshot(
+        server, captures={SPEC.name: bgwriter_rows(spark, 0, late, 30)}, now=late
+    )
+    assert orch.read_metas(0)["errors"] == []
+    assert wh.read(hist, SPEC.history_schema).count() == 0
+
+
 def test_error_isolation(spark, wh):
     """A failing datasource never aborts the pass (powa--5.2.0.sql:3530-3546)."""
     bad = get_spec("pg_stat_database")
