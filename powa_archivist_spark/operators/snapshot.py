@@ -50,10 +50,18 @@ def snapshot(
 
     ``idempotent``: replaying a staging batch must not double-count.  The
     reference gets this by truncating staging inside the same transaction
-    (powa--5.2.0.sql:4102-4104); without that atomicity, appends are keyed
-    by snapshot timestamp — capture rows whose ts already exists in the
-    server's current partition are skipped (the anti-join reads only the
-    small between-coalesce current slice).
+    (powa--5.2.0.sql:4102-4104); without that atomicity, capture rows
+    IDENTICAL to a row already in the server's current partition are
+    skipped (null-safe full-row anti-join against the small
+    between-coalesce current slice).  Staging rows are immutable
+    samples, so an exact duplicate can only be a replay; keying on
+    anything coarser (ts alone, or even (ts, entity keys) for keyless
+    modules) silently drops the remainder of a snapshot whose rows
+    arrive split across two batches (streaming epochs split on file
+    boundaries).  When a batch partially overlaps an existing snapshot
+    ts, the per-db rollup for the affected ts values is RECOMPUTED from
+    the updated current slice instead of appended — an appended partial
+    rollup would leave two half-sums for one (dbid, ts).
 
     Returns the number of captured rows (the reference's ``final`` count,
     powa--5.2.0.sql:4095-4100).
@@ -78,28 +86,71 @@ def snapshot(
         from . import dictionary
 
         capture = dictionary.gate_to_statements(wh, srvid, capture)
-    if idempotent and wh.exists(Warehouse.current(spec.name)):
-        seen_ts = (
-            wh.read(Warehouse.current(spec.name), spec.current_schema)
-            .filter(F.col("srvid") == srvid)
-            .select("ts")
-            .distinct()
-        )
-        capture = capture.join(F.broadcast(seen_ts), "ts", "left_anti")
     capture = capture.cache()
+    current_t = Warehouse.current(spec.name)
+    overlap_ts: list | None = None
+    new_rows = capture
     try:
-        n = capture.count()
+        if idempotent and wh.exists(current_t):
+            existing = (
+                wh.read(current_t, spec.current_schema)
+                .filter(F.col("srvid") == srvid)
+            )
+            cap_a, ex_a = capture.alias("c"), existing.alias("e")
+            same_row = None
+            for cname in capture.columns:
+                eq = F.col(f"c.{cname}").eqNullSafe(F.col(f"e.{cname}"))
+                same_row = eq if same_row is None else (same_row & eq)
+            new_rows = cap_a.join(
+                F.broadcast(ex_a), same_row, "left_anti"
+            ).cache()
+            n = new_rows.count()
+            if n > 0:
+                # snapshot timestamps this batch SHARES with committed
+                # rows: their rollups must be recomputed, not appended
+                overlap_ts = [
+                    r.ts
+                    for r in capture.select("ts").distinct()
+                    .join(existing.select("ts").distinct(), "ts", "left_semi")
+                    .collect()
+                ]
+        else:
+            new_rows = capture
+            n = capture.count()
         if n > 0:
-            wh.append(capture, Warehouse.current(spec.name), partition_by=["srvid"])
+            wh.append(new_rows, current_t, partition_by=["srvid"])
             if spec.db_rollup:
-                wh.append(
-                    db_rollup_agg(capture, spec),
-                    Warehouse.current_db(spec.name),
-                    partition_by=["srvid"],
-                )
+                db_t = Warehouse.current_db(spec.name)
+                if overlap_ts:
+                    updated = (
+                        wh.read(current_t, spec.current_schema)
+                        .filter(F.col("srvid") == srvid)
+                        .filter(F.col("ts").isin(overlap_ts))
+                    )
+                    fresh = db_rollup_agg(updated, spec).unionByName(
+                        db_rollup_agg(
+                            new_rows.filter(~F.col("ts").isin(overlap_ts)),
+                            spec,
+                        )
+                    )
+                    if wh.exists(db_t):
+                        kept = wh.read(db_t).filter(
+                            (F.col("srvid") == srvid)
+                            & ~F.col("ts").isin(overlap_ts)
+                        )
+                        fresh = kept.unionByName(fresh)
+                    wh.rewrite_srvid_partition(fresh, db_t, None, srvid)
+                else:
+                    wh.append(
+                        db_rollup_agg(new_rows, spec),
+                        db_t,
+                        partition_by=["srvid"],
+                    )
         if drop_staging and wh.exists(Warehouse.src_tmp(spec.name)):
             # staging truncate per srvid (powa--5.2.0.sql:4102-4104)
             wh.drop_srvid(Warehouse.src_tmp(spec.name), srvid)
         return n
     finally:
+        if new_rows is not capture:
+            new_rows.unpersist()
         capture.unpersist()

@@ -149,10 +149,14 @@ class Orchestrator:
             enabled = [s for s in enabled if s.min_version <= server.version]
         if server.db_modules is not None:
             # powa_db_module_config.enabled gate (powa--5.2.0.sql:345-351)
+            # .get("enabled", True): a config row may carry only dbnames
+            # (scope-only), which _apply_db_module_scope accepts — a bare
+            # index would raise OUTSIDE the per-datasource error trapping
+            # and abort the whole pass
             enabled = [
                 s for s in enabled
                 if s.kind != "db_module"
-                or server.db_modules.get(s.name, {"enabled": True})["enabled"]
+                or server.db_modules.get(s.name, {}).get("enabled", True)
             ]
         return sorted(enabled, key=lambda s: (s.priority, s.name))
 

@@ -450,6 +450,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard (two-phase:
     cheap candidate join, exact check only on candidates).
@@ -460,8 +461,16 @@ def minhash_dedup_pairs(
     times and the verify joins recompute it under the shuffle.  The cache
     is scoped to this plan's first materialization and LRU-evicted; at
     100 TB the same role is played by materializing shingle arrays to a
-    staging table once per corpus pass."""
-    sh = shingle_arrays(docs, shingle_n, text_col, id_col).persist()
+    staging table once per corpus pass.
+
+    Callers that already hold a (persisted) shingle frame pass it via
+    ``shingle_df`` — repeated invocations (a streaming loop) would
+    otherwise accumulate one internal persist per call."""
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingle_arrays(docs, shingle_n, text_col, id_col).persist()
+    )
     cands = minhash_lsh_candidates(
         docs, num_perm, bands, shingle_n, text_col, id_col,
         shingle_df=sh, hash_fn=hash_fn,

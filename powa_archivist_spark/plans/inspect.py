@@ -26,13 +26,50 @@ def plan_string(df: DataFrame, mode: str = "formatted") -> str:
     return s.split("== Initial Plan ==")[0]
 
 
+def _split_top_level(body: str) -> list[str]:
+    """Split a bracket body on commas OUTSIDE any (), [], <> nesting —
+    filter reprs like ``EqualTo(srvid,1)`` or ``In(x, [1,2])`` and
+    nested struct types must stay whole."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in body:
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return [p for p in parts if p]
+
+
+def _bracket_bodies(text: str, label: str) -> list[str]:
+    """The ``label: [...]`` bodies with balanced-bracket capture (a plain
+    ``[^\\]]*`` would truncate at the first ``]`` inside ``In(x, [..])``)."""
+    out = []
+    for m in re.finditer(rf"{label}: \[", text):
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text[i] == "[":
+                depth += 1
+            elif text[i] == "]":
+                depth -= 1
+            i += 1
+        out.append(text[m.end():i - 1])
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filters that reached the parquet scan (``PushedFilters: [...]``)."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan_string(df)):
-        body = m.group(1).strip()
-        if body:
-            out.extend(p.strip() for p in body.split(","))
+    for body in _bracket_bodies(plan_string(df), "PushedFilters"):
+        out.extend(_split_top_level(body))
     return out
 
 
@@ -40,19 +77,28 @@ def partition_filters(df: DataFrame) -> list[str]:
     """Partition-pruning predicates at each scan
     (``PartitionFilters: [...]``)."""
     out: list[str] = []
-    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan_string(df)):
-        body = m.group(1).strip()
-        if body:
-            out.extend(p.strip() for p in body.split(","))
+    for body in _bracket_bodies(plan_string(df), "PartitionFilters"):
+        out.extend(_split_top_level(body))
     return out
 
 
 def read_schemas(df: DataFrame) -> list[list[str]]:
-    """Column sets actually read from each parquet scan (column pruning)."""
+    """Column sets actually read from each parquet scan (column pruning).
+    The struct<> capture balances angle brackets — packed history
+    schemas nest ``array<struct<...>>`` and a first-``>`` stop would
+    truncate the column list."""
     out = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan_string(df)):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c]
-        out.append(cols)
+    text = plan_string(df)
+    for m in re.finditer(r"ReadSchema: struct<", text):
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text[i] == "<":
+                depth += 1
+            elif text[i] == ">":
+                depth -= 1
+            i += 1
+        body = text[m.end():i - 1]
+        out.append([c.split(":")[0].strip() for c in _split_top_level(body)])
     return out
 
 

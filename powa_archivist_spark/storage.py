@@ -25,11 +25,23 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: per-(root, table) write locks.  Concurrent Spark jobs appending to the
+#: SAME path share <path>/_temporary under FileOutputCommitter — the
+#: first job's commit cleanup deletes the other's in-flight task files,
+#: silently losing rows.  The orchestrator lock is per-srvid, so two
+#: servers' snapshots legitimately write one table concurrently; all
+#: writes within this process serialize here.  Cross-PROCESS writers
+#: need a transactional table format (Delta/Iceberg) — documented scale
+#: path; the engine's deployment shape is one orchestrator driver.
+_WRITE_LOCKS: dict[tuple[str, str], threading.Lock] = {}
+_WRITE_LOCKS_GUARD = threading.Lock()
 
 
 def _nullable(dtype: T.DataType) -> T.DataType:
@@ -95,37 +107,54 @@ class Warehouse:
             )
         return self.spark.read.parquet(self.path(table))
 
+    def _write_lock(self, table: str) -> threading.Lock:
+        key = (self.root, table)
+        with _WRITE_LOCKS_GUARD:
+            return _WRITE_LOCKS.setdefault(key, threading.Lock())
+
     def append(self, df: DataFrame, table: str,
                partition_by: Optional[list[str]] = None) -> None:
-        w = df.write.mode("append")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(self.path(table))
+        with self._write_lock(table):
+            w = df.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self.path(table))
 
     def overwrite_partitions(self, df: DataFrame, table: str,
                              partition_by: list[str]) -> None:
         """Dynamic partition overwrite: replace only the partitions present
         in ``df`` (spark.sql.sources.partitionOverwriteMode=dynamic)."""
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_by)
-            .parquet(self.path(table))
-        )
+        with self._write_lock(table):
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_by)
+                .parquet(self.path(table))
+            )
 
     def overwrite(self, df: DataFrame, table: str,
                   partition_by: Optional[list[str]] = None) -> None:
-        """Full-table overwrite via write-new-then-swap (safe against
-        readers of the old path mid-write in local mode)."""
-        tmp = self.path(table) + ".__tmp__"
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(tmp)
-        final = self.path(table)
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
+        """Full-table overwrite via write-new-then-swap.  The swap is two
+        renames (old aside, tmp in) rather than rmtree-then-rename: the
+        table-missing window shrinks from a recursive delete of the old
+        tree to two metadata operations, and a crash strands at worst an
+        inert ``.__old__``/``.__tmp__`` sibling instead of losing the
+        table mid-delete."""
+        with self._write_lock(table):
+            final = self.path(table)
+            tmp = final + ".__tmp__"
+            old = final + ".__old__"
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(tmp)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            if os.path.isdir(final):
+                os.replace(final, old)
+            os.replace(tmp, final)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
 
     def rewrite_srvid_partition(self, df: DataFrame, table: str,
                                 schema: Optional[T.StructType],

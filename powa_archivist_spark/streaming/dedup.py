@@ -125,20 +125,26 @@ def process_near_dup_batch(
     sh_b = shingle_arrays(batch, shingle_n, text_col, id_col).persist()
     in_batch_drops = (
         minhash_dedup_pairs(
-            batch, threshold, num_perm, bands, shingle_n, text_col, id_col
+            batch, threshold, num_perm, bands, shingle_n, text_col, id_col,
+            shingle_df=sh_b,  # one shingle pass per batch, no per-call persist
         )
         .select(F.col("b_id").alias(id_col))
         .distinct()
     )
     survivors = batch.join(in_batch_drops, id_col, "left_anti")
 
+    # band material for the in-batch survivors, computed ONCE: the
+    # cross-batch candidate join uses it and the ledger append reuses it
+    # (semi-joined to the final survivor set) instead of re-running the
+    # signature pipeline a third time
+    new_bands = minhash_bands(
+        survivors, num_perm, bands, shingle_n, text_col, id_col,
+        shingle_df=sh_b.join(
+            survivors.select(id_col), id_col, "left_semi"
+        ),
+    ).persist()
+
     if wh.exists(BANDS_TABLE):
-        new_bands = minhash_bands(
-            survivors, num_perm, bands, shingle_n, text_col, id_col,
-            shingle_df=sh_b.join(
-                survivors.select(id_col), id_col, "left_semi"
-            ),
-        )
         ledger = wh.read(BANDS_TABLE)
         cands = (
             new_bands.select(
@@ -174,12 +180,7 @@ def process_near_dup_batch(
             return
         wh.append(survivors, sink_table)
         wh.append(
-            minhash_bands(
-                survivors, num_perm, bands, shingle_n, text_col, id_col,
-                shingle_df=sh_b.join(
-                    survivors.select(id_col), id_col, "left_semi"
-                ),
-            ),
+            new_bands.join(survivors.select(id_col), id_col, "left_semi"),
             BANDS_TABLE,
         )
         wh.append(
@@ -188,6 +189,7 @@ def process_near_dup_batch(
         )
     finally:
         survivors.unpersist()
+        new_bands.unpersist()
         sh_b.unpersist()
 
 

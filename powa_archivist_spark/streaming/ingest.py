@@ -16,17 +16,22 @@ rather than by trusting a single append:
 
 - a committed batch leaves a marker file (named by ``epoch_id``) in the
   checkpoint dir; a replay that finds the marker is a no-op;
-- a replay WITHOUT a marker first deletes the batch's own (srvid, ts)
-  slice from the current tables (a bounded rewrite of the small
-  between-coalesce slice), then re-appends the whole batch.
+- a replay WITHOUT a marker runs the batch ``snapshot`` operator in
+  idempotent mode: rows are anti-joined against the current slice on
+  the natural key (ts, entity keys) before the append, and the per-db
+  rollup for any partially-present snapshot ts is recomputed from the
+  updated slice (operators/snapshot.py).
 
-Every crash point converges: crash before the delete or between delete
-and append -> the replay deletes nothing/partial rows and re-appends
-everything; crash after append but before the marker -> the replay
-deletes the full slice and re-appends identically.  Plain parquet can't
-do an atomic append, so idempotent-apply + marker is the lakehouse-
-standard substitute (a transactional table format would collapse this
-into one txn).
+Every crash point converges: crash mid-append -> the replay anti-joins
+the committed rows away and appends only the remainder; crash after the
+append but before the marker -> the replay appends nothing and the
+rollup recompute is a fixpoint.  Keying by the natural key (not ts
+alone, and never a delete of the batch's (srvid, ts) slice) also makes
+a snapshot whose rows arrive SPLIT across two micro-batches converge —
+a slice delete would discard the earlier epoch's committed half.  Plain
+parquet can't do an atomic append, so idempotent-apply + marker is the
+lakehouse-standard substitute (a transactional table format would
+collapse this into one txn).
 
 At scale: the landing dir is object storage partitioned by arrival;
 ``maxFilesPerTrigger`` bounds batch size; the snapshot transform itself
@@ -54,31 +59,23 @@ def process_staged_batch(
     marker_dir: str,
 ) -> None:
     """Apply one micro-batch idempotently (see module docstring):
-    marker check -> per-srvid slice delete -> append -> marker commit.
-    The delete is a :meth:`Warehouse.rewrite_srvid_partition` of the
-    current slice minus the batch's own ts values — bounded by the
-    between-coalesce row count, never a history rewrite."""
+    marker check -> per-srvid idempotent snapshot -> marker commit.
+    The snapshot operator's natural-key anti-join + rollup-slice
+    recompute make every replay and split-snapshot ordering converge;
+    the marker only short-circuits the common full-replay case."""
     marker = os.path.join(marker_dir, f"epoch-{epoch_id}.done")
     if os.path.exists(marker):
         return
     batch = batch.cache()
     try:
-        keys = batch.select("srvid", "ts").distinct().collect()
-        for srvid in sorted({r.srvid for r in keys}):
-            ts_vals = [r.ts for r in keys if r.srvid == srvid]
-            for table, schema in (
-                (Warehouse.current(spec.name), spec.current_schema),
-                (Warehouse.current_db(spec.name), None),
-            ):
-                if not wh.exists(table):
-                    continue
-                cur = wh.read(table, schema).filter(F.col("srvid") == srvid)
-                kept = cur.filter(~F.col("ts").isin(ts_vals))
-                wh.rewrite_srvid_partition(kept, table, schema, srvid)
+        srvids = sorted(
+            r.srvid for r in batch.select("srvid").distinct().collect()
+        )
+        for srvid in srvids:
             snapshot(
                 wh, spec, srvid,
                 capture=batch.filter(F.col("srvid") == srvid),
-                drop_staging=False, idempotent=False,
+                drop_staging=False, idempotent=True,
             )
         os.makedirs(marker_dir, exist_ok=True)
         tmp = marker + ".tmp"

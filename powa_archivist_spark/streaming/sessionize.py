@@ -59,13 +59,26 @@ def stateful_sessionize(
     entity_col: str = "user_id",
 ):
     """applyInPandasWithState sessionizer: emits CLOSED sessions; the open
-    session per entity lives in managed state across micro-batches."""
+    session per entity lives in managed state across micro-batches.
+
+    Late (out-of-order) events that reach the still-open session JOIN it
+    — its bounds extend with min/max and the gap rule only applies
+    forward, since inserting a point can only shrink gaps in the true
+    ordered sequence (moving ``last_ts`` backward would prematurely
+    split sessions and emit regressed ends).  An event older than an
+    already-EMITTED session cannot reopen it (append-mode streaming);
+    bound that staleness with a watermark upstream."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap = dt.timedelta(seconds=gap_s)
+    etype = stream.schema[entity_col].dataType.simpleString()
+    out_schema = (
+        f"{entity_col} {etype}, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
 
     def fn(key, pdfs, state: GroupState):
-        (user_id,) = key
+        (entity,) = key
         ts_list: list = []
         for pdf in pdfs:
             ts_list.extend(pdf["ts"].tolist())
@@ -83,14 +96,15 @@ def stateful_sessionize(
                 closed.append(cur)
                 cur = [ts, ts, 1]
             else:
-                cur[1] = ts
+                cur[0] = min(cur[0], ts)
+                cur[1] = max(cur[1], ts)
                 cur[2] += 1
         if cur is not None:
             state.update((cur[0], cur[1], cur[2]))
         if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(closed),
+                    entity_col: [entity] * len(closed),
                     "session_start": [c[0] for c in closed],
                     "session_end": [c[1] for c in closed],
                     "n_events": [c[2] for c in closed],
@@ -99,7 +113,7 @@ def stateful_sessionize(
 
     return stream.groupBy(entity_col).applyInPandasWithState(
         fn,
-        SESSION_OUT_SCHEMA,
+        out_schema,
         SESSION_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,

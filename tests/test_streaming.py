@@ -164,6 +164,46 @@ def test_batch_replay_converges(spark, wh):
     assert wh.read(Warehouse.current(SPEC.name)).count() == 3
 
 
+def test_split_snapshot_across_epochs_converges(spark, wh):
+    """One snapshot ts whose rows arrive in TWO micro-batches (file-split
+    epochs): the second epoch must append the remaining entities — a
+    slice delete or a ts-keyed anti-join would discard or skip the other
+    half — and the per-db rollup must hold ONE full sum per (dbid, ts),
+    not two half-sums."""
+    import tempfile
+
+    from powa_archivist_spark.specs import USER_FUNCTIONS
+    from powa_archivist_spark.streaming.ingest import process_staged_batch
+
+    marker_dir = tempfile.mkdtemp(prefix="markers_")
+    spec = USER_FUNCTIONS
+    # snapshot at ts(0): three functions in db 10, split 2 + 1
+    e0 = spark.createDataFrame(
+        [(1, ts(0), 10, 701, 5, 1.0, 0.5),
+         (1, ts(0), 10, 702, 7, 2.0, 1.0)],
+        spec.staging_schema,
+    )
+    e1 = spark.createDataFrame(
+        [(1, ts(0), 10, 703, 11, 4.0, 2.0)], spec.staging_schema
+    )
+    process_staged_batch(wh, spec, e0, epoch_id=0, marker_dir=marker_dir)
+    process_staged_batch(wh, spec, e1, epoch_id=1, marker_dir=marker_dir)
+
+    cur = wh.read(Warehouse.current(spec.name)).collect()
+    assert sorted(r.funcid for r in cur) == [701, 702, 703]
+    db = wh.read(Warehouse.current_db(spec.name)).collect()
+    assert len(db) == 1  # one rollup row, not two half-sums
+    assert db[0].calls == 5 + 7 + 11
+
+    # replay of the second epoch without its marker converges too
+    import os
+    os.remove(os.path.join(marker_dir, "epoch-1.done"))
+    process_staged_batch(wh, spec, e1, epoch_id=1, marker_dir=marker_dir)
+    assert wh.read(Warehouse.current(spec.name)).count() == 3
+    db = wh.read(Warehouse.current_db(spec.name)).collect()
+    assert len(db) == 1 and db[0].calls == 23
+
+
 def test_stream_ingest_exactly_once(spark, wh):
     landing = tempfile.mkdtemp(prefix="landing_")
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
