@@ -72,6 +72,24 @@ def _save(wh: Warehouse, servers: dict[int, dict]) -> None:
     os.replace(tmp, p)
 
 
+def _next_srvid(wh: Warehouse, servers: dict[int, dict]) -> int:
+    """Monotonic srvid assignment, like the reference's never-reused
+    sequence: a high-watermark file survives deletions, so deleting the
+    highest-id server can't hand its srvid (and any leftover partitions)
+    to the next registration."""
+    p = _servers_path(wh) + ".seq"
+    hwm = 0
+    if os.path.exists(p):
+        with open(p) as f:
+            hwm = int(f.read().strip() or 0)
+    nxt = max(max(servers) + 1, hwm + 1)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, p)
+    return nxt
+
+
 def _default_row(srvid: int, **over) -> dict:
     row = {
         "srvid": srvid,
@@ -120,13 +138,19 @@ def register_server(
         unknown = set(enabled_datasources) - set(ALL_SPECS)
         if unknown:
             raise AdminError(f"unknown datasources: {sorted(unknown)}")
+    # fail fast on unknown/misspelled kwargs (configure_server does the
+    # same) — a typo like frequency=60 would otherwise be stored as a
+    # junk key while the real knob silently keeps its default
+    bad = set(extra) - CONFIGURABLE_KEYS
+    if bad:
+        raise AdminError(f"unknown config keys: {sorted(bad)}")
     servers = load_servers(wh)
     if any(
         s.get("hostname") == hostname and s.get("port") == extra.get("port", 5432)
         for s in servers.values() if s["srvid"] != 0
     ):
         raise AdminError(f"server {hostname} already registered")
-    srvid = max(servers) + 1
+    srvid = _next_srvid(wh, servers)
     servers[srvid] = _default_row(
         srvid,
         hostname=hostname,
@@ -295,16 +319,22 @@ def server_config(wh: Warehouse, srvid: int) -> ServerConfig:
 
 def delete_and_purge_server(wh: Warehouse, srvid: int) -> None:
     """The FK-cascade server delete (powa--5.2.0.sql:2816-2893): drop the
-    server's partitions in every datasource table + dictionary, then the
-    registry row and metas."""
-    from .operators import dictionary
-    from .orchestrator import METAS_DIR
+    server's partitions in EVERY datasource table — generic specs
+    (reset also covers their staging), the statements dictionary, the
+    qualstats side tables, the databases dimension, and the catalog
+    mirrors — then the registry row and metas."""
+    from .operators import databases, dictionary
     from .operators.purge import reset
+    from .operators.qualstats import reset_qualstats
+    from .orchestrator import METAS_DIR
+    from .sources.catalog import catalog_reset
 
     for spec in ALL_SPECS.values():
         reset(wh, spec, srvid)
-        wh.drop_srvid(Warehouse.src_tmp(spec.name), srvid)
+    reset_qualstats(wh, srvid)
     wh.drop_srvid(dictionary.TABLE, srvid)
+    wh.drop_srvid(databases.TABLE, srvid)
+    catalog_reset(wh, srvid)
     servers = load_servers(wh)
     servers.pop(srvid, None)
     _save(wh, servers)

@@ -42,10 +42,15 @@ def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _fake_meta(payload: pd.Series) -> pd.DataFrame:
-    """Deterministic fake 'decode': metadata derived from raw bytes."""
+    """Deterministic fake 'decode': sizes from raw BYTES (matching the
+    oracle's octet_length), the checksum from first/last CODEPOINTS of
+    the decoded payload (matching the oracle's char-based ascii(text[i])
+    on non-ASCII corpora — a first-byte checksum diverges on any
+    multi-byte leading character)."""
     n = payload.apply(lambda b: len(b) if b is not None else 0).astype("int64")
-    first = payload.apply(lambda b: b[0] if b else 0).astype("int64")
-    last = payload.apply(lambda b: b[-1] if b else 0).astype("int64")
+    txt = payload.apply(lambda b: (b or b"").decode("utf-8"))
+    first = txt.apply(lambda s: ord(s[0]) if s else 0).astype("int64")
+    last = txt.apply(lambda s: ord(s[-1]) if s else 0).astype("int64")
     return pd.DataFrame(
         {
             "n_bytes": n.astype("int32"),

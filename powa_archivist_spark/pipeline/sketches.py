@@ -74,9 +74,12 @@ def heavy_hitters(
     boundary compare is integer (den*cnt > num*total), so results are
     engine-exact.  Output: (value, cnt, frac)."""
     cap = math.ceil(threshold_den / threshold_num)
+    # candidate schema follows the column's real type — a hardcoded
+    # string schema made every non-string column fail Arrow conversion
+    col_type = df.schema[col].dataType.simpleString()
     cands = (
         df.select(col)
-        .mapInPandas(_mg_candidates(col, cap), schema=f"{col} string")
+        .mapInPandas(_mg_candidates(col, cap), schema=f"{col} {col_type}")
         .distinct()
     )
     total = df.groupBy().agg(F.count("*").alias("total"))
@@ -107,7 +110,10 @@ def _kmv_local(group_cols: Sequence[str], k: int):
             cur = (
                 cur.drop_duplicates()
                 .sort_values("h")
-                .groupby(list(group_cols), as_index=False)
+                # dropna=False: a NULL group key is a real group (Spark's
+                # groupBy keeps it); pandas' default would silently drop
+                # its rows here and lose the group downstream
+                .groupby(list(group_cols), as_index=False, dropna=False)
                 .head(k)
             )
         if cur is not None:
@@ -154,10 +160,17 @@ def kmv_distinct(
     # least() keeps the index in range for ANSI mode; the < k branch
     # never reads it
     kth = F.element_at("mins", F.least(m, F.lit(k)))
+    # null-safe group join: a NULL group key must meet its own n_exact
+    # row, not vanish through an equality join
+    m_a, n_a = merged.alias("m"), n_exact.alias("n")
+    cond = None
+    for g in group_cols:
+        eq = F.col(f"m.{g}").eqNullSafe(F.col(f"n.{g}"))
+        cond = eq if cond is None else (cond & eq)
     return (
-        merged.join(n_exact, list(group_cols))
+        m_a.join(n_a, cond)
         .select(
-            *group_cols,
+            *[F.col(f"m.{g}").alias(g) for g in group_cols],
             "n_exact",
             F.when(m < k, m.cast("double"))
             .otherwise(

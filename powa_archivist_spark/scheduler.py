@@ -43,7 +43,13 @@ def run_loop(
     passes = 0
     while max_passes is None or passes < max_passes:
         starts.append(next_start)
-        now = dt.datetime.fromtimestamp(next_start, tz=dt.timezone.utc)
+        # stamp snapshots with the ACTUAL execution time, not the grid
+        # slot: the reference's powa_take_snapshot uses now() at
+        # execution, and diff/rate reads divide counter deltas by the
+        # ts interval — a pass catching up after an overrun samples
+        # near-now counters, so a grid-time stamp would warp every rate
+        # around the hiccup.  Only the WAKEUP schedule is drift-free.
+        now = dt.datetime.fromtimestamp(clock(), tz=dt.timezone.utc)
         captures = capture_fn() if capture_fn else {}
         n_err = orch.take_snapshot(server, captures=captures, now=now)
         if n_err and on_error:

@@ -190,3 +190,50 @@ def test_registered_server_lifecycle_and_delete(spark, wh):
     assert srvid not in admin.load_servers(wh)
     assert wh.read(Warehouse.current(SPEC.name), SPEC.current_schema).count() == 0
     assert orch.read_metas(srvid)["coalesce_seq"] == 0  # metas gone -> fresh
+
+
+def test_srvid_never_reused_and_delete_cascades_side_tables(spark, wh):
+    """powa_delete_and_purge_server's FK cascade covers the qualstats
+    side tables, databases dimension, and catalog mirrors; the srvid
+    sequence never hands a deleted id to a new registration."""
+    from powa_archivist_spark.operators import databases, qualstats as qs
+    from powa_archivist_spark.sources import catalog as cat
+
+    srvid = admin.register_server(wh, "cascade.example.net")
+    # plant side-table rows for the server
+    databases.databases_snapshot(
+        wh, srvid,
+        spark.createDataFrame([(1, "db1")], "oid long, datname string"),
+        now=ts(0),
+    )
+    wh.append(
+        spark.createDataFrame(
+            [(srvid, 70, 100, 10, 5, ts(0), 1, 10, 4, 1.5, 2.0, ["42"])],
+            "srvid int, qualid long, queryid long, dbid long, userid long, "
+            "ts timestamp, occurences long, execution_count long, "
+            "nbfiltered long, mean_err_estimate_ratio double, "
+            "mean_err_estimate_num double, constvalues array<string>",
+        ),
+        qs.CONSTVALUES_TABLE, partition_by=["srvid"],
+    )
+    staged = spark.createDataFrame(
+        [(srvid, 1, 2200, "pg_catalog")], "srvid int, dbid long, oid long, nspname string"
+    )
+    cat.catalog_snapshot(wh, srvid, "pg_namespace", staged, now=ts(0))
+
+    admin.delete_and_purge_server(wh, srvid)
+    assert databases.read_databases(wh, srvid).count() == 0
+    assert qs.constvalues_current(wh, srvid).count() == 0
+    assert (not wh.exists(cat.catalog_table("pg_namespace"))) or (
+        wh.read(cat.catalog_table("pg_namespace"))
+        .filter(f"srvid = {srvid}").count() == 0
+    )
+    # the freed id is NOT reassigned
+    assert admin.register_server(wh, "next.example.net") == srvid + 1
+
+
+def test_register_server_rejects_unknown_kwargs(wh):
+    import pytest
+
+    with pytest.raises(admin.AdminError):
+        admin.register_server(wh, "typo.example.net", frequency=60)

@@ -741,3 +741,39 @@ def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
             sketches.kmv_distinct(df.repartition(13), "k", ["g"], k=32)
             .collect()}
     assert out2["big"] == out["big"].est_distinct
+
+
+def test_heavy_hitters_typed_column(spark):
+    """The candidate schema follows the column dtype — a bigint column
+    must work, not just strings."""
+    from powa_archivist_spark.pipeline.sketches import heavy_hitters
+
+    rows = [(7,)] * 40 + [(i,) for i in range(60)]
+    df = spark.createDataFrame(rows, "user_id long")
+    out = {r.user_id: r.cnt for r in
+           heavy_hitters(df, "user_id", 1, 4).collect()}
+    assert out == {7: 41}  # 41/100 > 1/4; nothing else close
+
+
+def test_kmv_distinct_keeps_null_group(spark):
+    """A NULL group key is a real group: it must get its own estimate
+    (pandas' default dropna and an equality join both lost it)."""
+    from powa_archivist_spark.pipeline.sketches import kmv_distinct
+
+    rows = [("a", i) for i in range(10)] + [(None, i) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r.grp: r.n_exact for r in
+           kmv_distinct(df, "v", ["grp"], k=64).collect()}
+    assert out == {"a": 10, None: 5}
+
+
+def test_multimodal_meta_non_ascii_codepoints(spark):
+    """Checksums come from decoded CODEPOINTS (oracle: ascii(text[i])),
+    sizes from raw bytes (oracle: octet_length) — divergent only on
+    non-ASCII, which the fixture corpus never exercises."""
+    from powa_archivist_spark.pipeline import multimodal
+
+    docs = spark.createDataFrame([(1, "étage")], "doc_id long, text string")
+    meta = multimodal.extract_meta(multimodal.with_payload(docs)).collect()[0]
+    assert meta.n_bytes == 6            # 'é' is two bytes
+    assert meta.checksum == ord("é") * 256 + ord("e")

@@ -308,3 +308,28 @@ def test_orchestrator_runs_databases_first_and_purges(spark, wh):
     # reset clears the dimension too
     orch.reset_server(server)
     assert wh.read(dbs.TABLE, dbs.SCHEMA).count() == 0
+
+
+def test_overrun_pass_stamps_execution_time(spark, wh):
+    """Snapshots are stamped with the actual execution clock (reference
+    powa_take_snapshot uses now()), not the scheduled grid slot: after
+    an overrun, a catch-up pass samples near-now counters, and a
+    grid-time stamp would warp every diff/rate around the hiccup."""
+    orch = Orchestrator(wh, specs={SPEC.name: SPEC})
+    server = ServerConfig(srvid=0, frequency_s=10)
+    clock = FakeClock()
+    stamped = []
+
+    real_take = orch.take_snapshot
+
+    def slow_take(*a, **k):
+        stamped.append(k["now"].timestamp())
+        clock.t += 25.0 if len(stamped) == 1 else 1.0  # pass 1 overruns 2 slots
+        return real_take(*a, **k)
+
+    orch.take_snapshot = slow_take
+    run_loop(orch, server, max_passes=3, clock=clock, sleep=clock.sleep)
+    assert stamped[0] == 1000.0
+    # catch-up passes run back-to-back at ~1025/1026, NOT at grid 1010/1020
+    assert stamped[1] == 1025.0
+    assert stamped[2] == 1026.0
