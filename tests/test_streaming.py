@@ -164,6 +164,70 @@ def test_batch_replay_converges(spark, wh):
     assert wh.read(Warehouse.current(SPEC.name)).count() == 3
 
 
+def test_stateful_sessionize_late_event_joins_open_session(spark):
+    """A late (out-of-order) event from a later micro-batch that falls
+    inside the open session must JOIN it (bounds extend via min/max) —
+    moving last_ts backward would split the session and emit a
+    regressed end, diverging from the batch twin."""
+    from powa_archivist_spark.streaming.sessionize import (
+        sessionize_batch,
+        stream_sessionize,
+    )
+
+    schema = "user_id long, ts timestamp, event_id long"
+    landing = tempfile.mkdtemp(prefix="slate_")
+    out = tempfile.mkdtemp(prefix="soutl_")
+    ckpt = tempfile.mkdtemp(prefix="sckptl_")
+
+    # batch 1: event at 12:15; batch 2: LATE 12:00 + 12:40 (gap 30min)
+    spark.createDataFrame([(1, ts(15), 1)], schema).coalesce(1).write.parquet(
+        landing + "/b0"
+    )
+    q = stream_sessionize(spark, landing + "/*",
+                          spark.createDataFrame([], schema).schema, ckpt, out,
+                          gap_s=1800)
+    q.awaitTermination(300)
+    spark.createDataFrame(
+        [(1, ts(0), 2), (1, ts(40), 3)], schema
+    ).coalesce(1).write.parquet(landing + "/b1")
+    q = stream_sessionize(spark, landing + "/*",
+                          spark.createDataFrame([], schema).schema, ckpt, out,
+                          gap_s=1800)
+    q.awaitTermination(300)
+    # true ordered sequence 12:00,12:15,12:40 has max gap 25min = ONE
+    # session, still OPEN -> nothing emitted
+    import os
+    closed = (
+        spark.read.parquet(out).collect()
+        if any(f.endswith(".parquet") for _, _, fs in os.walk(out) for f in fs)
+        else []
+    )
+    assert closed == []
+
+    # an event an hour later closes it: the emitted session must span
+    # the LATE start through 12:40 with all 3 events
+    late_close = ts(59) + datetime.timedelta(minutes=51)
+    spark.createDataFrame([(1, late_close, 4)], schema).coalesce(1).write.parquet(
+        landing + "/b2"
+    )
+    q = stream_sessionize(spark, landing + "/*",
+                          spark.createDataFrame([], schema).schema, ckpt, out,
+                          gap_s=1800)
+    q.awaitTermination(300)
+    (s,) = spark.read.parquet(out).collect()
+    assert s.n_events == 3
+    assert s.session_start == ts(0).replace(tzinfo=None)
+    assert s.session_end == ts(40).replace(tzinfo=None)
+    # batch twin agrees on the full dataset
+    full = spark.createDataFrame(
+        [(1, ts(15), 1), (1, ts(0), 2), (1, ts(40), 3), (1, late_close, 4)],
+        schema,
+    )
+    rows = {r.session_idx: r.n_events
+            for r in sessionize_batch(full, gap_s=1800).collect()}
+    assert rows == {1: 3, 2: 1}
+
+
 def test_split_snapshot_across_epochs_converges(spark, wh):
     """One snapshot ts whose rows arrive in TWO micro-batches (file-split
     epochs): the second epoch must append the remaining entities — a
