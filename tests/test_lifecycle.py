@@ -283,3 +283,40 @@ def test_concurrent_snapshot_rejected_per_srvid(spark, wh, orch):
         server0, captures={SPEC.name: bgwriter_rows(spark, 0, ts(5), 2)},
         now=ts(5),
     ) == 0
+
+
+def test_concurrent_server_snapshots_lose_nothing(spark, wh):
+    """Two servers' snapshot threads writing the SAME tables in parallel:
+    per-srvid orchestrator locks allow this, and without per-table write
+    serialization the shared FileOutputCommitter _temporary dir can
+    silently drop one job's rows."""
+    import threading
+
+    orch = Orchestrator(wh, specs={SPEC.name: SPEC})
+    errs: list = []
+
+    def snap(srvid):
+        try:
+            server = ServerConfig(srvid=srvid, powa_coalesce=50)
+            for i in range(4):
+                n = orch.take_snapshot(
+                    server,
+                    captures={SPEC.name: bgwriter_rows(
+                        spark, srvid, ts(i * 5), 100 + srvid + i)},
+                    now=ts(i * 5),
+                )
+                if n:
+                    errs.append((srvid, orch.read_metas(srvid)["errors"]))
+        except Exception as e:  # noqa: BLE001
+            errs.append((srvid, repr(e)))
+
+    threads = [threading.Thread(target=snap, args=(s,)) for s in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    cur = wh.read(Warehouse.current(SPEC.name))
+    counts = {r.srvid: r.n for r in
+              cur.groupBy("srvid").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 4, 2: 4}
