@@ -422,3 +422,56 @@ def test_catalog_priority_order(spark, wh):
     counts = cat.catalog_snapshot_all(wh, 1, staged, now=t0)
     assert counts == {"pg_namespace": 1, "pg_class": 1}
     assert cat.last_refresh(wh, 1, 10) == t0
+
+
+def test_landing_formats_agree(spark, wh, tmp_path):
+    """JSON and CSV collector drops land identically to parquet through
+    the staging shim, and feed the snapshot operator unchanged."""
+    import json as jsonlib
+
+    from powa_archivist_spark.operators.snapshot import snapshot
+    from powa_archivist_spark.sources.landing import read_landing
+    from powa_archivist_spark.storage import Warehouse
+
+    rows = [(1, ts(0), 110, 50, 105, 10, 200),
+            (1, ts(5), 120, 55, 110, 12, 220)]
+    df = spark.createDataFrame(rows, PG_STAT_BGWRITER.staging_schema)
+    names = [f.name for f in PG_STAT_BGWRITER.staging_schema.fields]
+
+    pq = str(tmp_path / "drop_parquet")
+    df.coalesce(1).write.parquet(pq)
+    jpath = tmp_path / "drop.json"
+    with open(jpath, "w") as f:
+        for r in df.collect():
+            f.write(jsonlib.dumps(
+                {n: (getattr(r, n).isoformat() if n == "ts"
+                     else getattr(r, n)) for n in names}) + "\n")
+    cpath = tmp_path / "drop.csv"
+    with open(cpath, "w") as f:
+        f.write(",".join(names) + "\n")
+        for r in df.collect():
+            f.write(",".join(
+                getattr(r, n).isoformat() if n == "ts" else str(getattr(r, n))
+                for n in names) + "\n")
+
+    got = {}
+    for fmt, p in (("parquet", pq), ("json", str(jpath)), ("csv", str(cpath))):
+        landed = read_landing(spark, p, PG_STAT_BGWRITER, fmt=fmt)
+        assert [f.name for f in landed.schema.fields] == names
+        got[fmt] = sorted(map(tuple, landed.collect()))
+    assert got["parquet"] == got["json"] == got["csv"]
+
+    # a landed frame is a valid snapshot capture
+    n = snapshot(wh, PG_STAT_BGWRITER, 1, capture=read_landing(
+        spark, str(jpath), PG_STAT_BGWRITER, fmt="json"))
+    assert n == 2
+    assert wh.read(Warehouse.current(PG_STAT_BGWRITER.name)).count() == 2
+
+
+def test_landing_rejects_unknown_format(spark):
+    import pytest
+
+    from powa_archivist_spark.sources.landing import read_landing
+
+    with pytest.raises(ValueError):
+        read_landing(spark, "/nope", PG_STAT_BGWRITER, fmt="xml")
