@@ -94,19 +94,32 @@ def ingest_stream(
     watermark: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    fmt: str = "parquet",
 ):
     """Start (and with ``available_now`` drain) a streaming ingest of
-    ``landing_dir`` parquet drops into the datasource's current tables.
+    ``landing_dir`` drops into the datasource's current tables.
+
+    ``fmt`` accepts the same wire formats as the batch landing readers
+    (sources/landing.py): parquet, newline-JSON, or CSV — the staging
+    schema is applied at the reader for all three, so heterogeneous
+    collectors converge on one staging contract.
 
     Returns the StreamingQuery.  Each micro-batch dispatches the batch
     ``snapshot`` operator once per srvid present in the batch, preserving
     the reference's per-server snapshot semantics."""
-    reader = (
-        wh.spark.readStream.schema(spec.staging_schema)
-    )
+    from ..sources.landing import _FORMATS, _relaxed
+
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported landing format {fmt!r}")
+    reader = wh.spark.readStream.schema(_relaxed(spec.staging_schema))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(landing_dir)
+    if fmt == "parquet":
+        stream = reader.parquet(landing_dir)
+    elif fmt == "json":
+        stream = reader.json(landing_dir)
+    else:
+        stream = reader.option("header", "true").csv(landing_dir)
     if watermark:
         stream = stream.withWatermark("ts", watermark)
 

@@ -301,6 +301,29 @@ def test_stream_ingest_exactly_once(spark, wh):
     assert [r.buffers_alloc for r in s1] == [200, 220]
 
 
+def test_stream_ingest_json_format(spark, wh):
+    """The streaming ingest accepts JSON landing drops with the staging
+    schema applied at the reader — same contract as parquet."""
+    import json as jsonlib
+
+    landing = tempfile.mkdtemp(prefix="jlanding_")
+    ckpt = tempfile.mkdtemp(prefix="jckpt_")
+    names = [f.name for f in SPEC.staging_schema.fields]
+    rows = [(1, ts(0), 110, 50, 105, 10, 200),
+            (1, ts(5), 120, 55, 110, 12, 220)]
+    with open(os.path.join(landing, "drop.json"), "w") as f:
+        for r in rows:
+            f.write(jsonlib.dumps({
+                n: (v.isoformat() if n == "ts" else v)
+                for n, v in zip(names, r)
+            }) + "\n")
+    q = ingest_stream(wh, SPEC, landing, ckpt, fmt="json")
+    drain(q)
+    cur = wh.read(Warehouse.current(SPEC.name)).orderBy("ts").collect()
+    assert [r.buffers_clean for r in cur] == [110, 120]
+    assert dict(wh.read(Warehouse.current(SPEC.name)).dtypes)["ts"] == "timestamp"
+
+
 def test_stream_exact_dedup_ledger(spark, wh):
     """Cross-batch exact dedup via the digest ledger: batch 2's replica
     of a batch-1 doc is dropped; in-batch dups resolve to min id; a new
