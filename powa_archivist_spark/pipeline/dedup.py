@@ -22,9 +22,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: ASCII case-fold pair for normalized_text — full-Unicode lower() is
+#: engine-specific (the JVM's full case mapping emits final sigma and
+#: dotted-I expansions that utf8proc-based engines like DuckDB don't),
+#: so a cross-engine dedup KEY must stick to the fold every engine
+#: agrees on.  Production corpora wanting ICU case folding should fold
+#: upstream (one pass) and feed the folded text here.
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def normalized_text(col: Column) -> Column:
-    """Dedup key normalization: lowercase + whitespace collapse."""
-    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    """Dedup key normalization: ASCII case-fold + whitespace collapse —
+    deterministic across engines on any (incl. non-ASCII) corpus; see
+    the fold-table note above."""
+    return F.regexp_replace(
+        F.trim(F.translate(col, _UPPER, _LOWER)), r"\s+", " "
+    )
 
 
 def cross_engine_hash64(*cols: Column) -> Column:

@@ -21,7 +21,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DEDUP_EXACT = r"""
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
 FROM documents
-GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+GROUP BY md5(regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+', ' ', 'g'))
 """
 
 
@@ -722,7 +722,12 @@ WITH e AS (
 )
 SELECT cell_id, i - 1 AS dim,
        CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
-FROM assign, (SELECT unnest(generate_series(1, 64)) AS i)
+FROM assign,
+     -- dimensionality from the DATA, like the Spark side's posexplode —
+     -- a hardcoded width breaks the moment embeddings regenerate wider
+     -- or narrower
+     (SELECT unnest(generate_series(1,
+        (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
 GROUP BY cell_id, i
 """
 
@@ -751,7 +756,7 @@ WITH gated AS (
   SELECT * FROM gated WHERE n_tokens >= 25 AND distinct_ratio >= 0.3
 ), reps AS (
   SELECT MIN(doc_id) AS doc_id FROM q
-  GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+  GROUP BY md5(regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+', ' ', 'g'))
 ), uniq AS (
   SELECT q.* FROM q JOIN reps USING (doc_id)
 ), toksets AS (

@@ -533,9 +533,14 @@ def events_history_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit(SPLIT_TS).cast("timestamp")
     packed = pack(series.filter(F.col("ts") < cut), EVENTS_SPEC)
     current = series.filter(F.col("ts") >= cut)
-    lo = F.lit("2024-01-01 00:00:00").cast("timestamp")
-    hi = F.lit("2024-02-01 00:00:00").cast("timestamp")
-    hist_slice = unpack(packed, EVENTS_SPEC, lo, hi)
+    # the unpack window covers every packed row BY CONSTRUCTION
+    # (history holds exactly ts < cut): the range-overlap predicate
+    # (J11) is still exercised, but the read stays lossless for ANY
+    # regenerated dataset — a literal calendar window silently dropped
+    # rows (and each user's boundary lag) the moment the generator
+    # shifted events outside it, while the oracle has no filter
+    lo = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    hist_slice = unpack(packed, EVENTS_SPEC, lo, cut)
     full = current.select(
         "srvid", "user_id", "ts", "event_id", "value_cents"
     ).unionByName(
