@@ -2,13 +2,24 @@
 directory and print ONE JSON line the driver records as BENCH_r{N}.json.
 
 Env:
-  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  SPARK_GRAFT_SF_DIR      parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_REPS  repetitions per query (default 3); the per-query
+                          number reported is the MEDIAN of the reps, and
+                          the headline "value" is the sum of medians.
 
-Each query is forced with a full materialization (collect, result rows
-discarded).  First query includes JVM/codegen warmup; a warmup pass over
-a trivial read is done first so per-query numbers reflect execution, not
-session startup.
+Each query is forced with a full materialization (noop sink — every row
+computed, nothing collected to the driver).  A warmup pass touches every
+table and forks the Python/Arrow workers first so per-query numbers
+reflect execution, not session startup.
+
+Median-of-k discipline (round-5): single-shot timings at sf0.1 showed
+2-4x swings on identical data purely from run-order/JIT/page-cache
+effects, which is indistinguishable from a real regression.  Each query
+now runs k times back-to-back; BENCH_FULL.json records min/median/max so
+a real regression (tight spread, high median) is separable from noise
+(wide spread).  The headline total is the sum of medians — comparable
+round-over-round even if the rep count changes.
 """
 
 from __future__ import annotations
@@ -43,19 +54,41 @@ def main() -> int:
     # doesn't absorb the ~5s interpreter fork into its own number
     spark.range(2).mapInPandas(lambda it: it, "id long").count()
 
-    timings: dict[str, float] = {}
-    t_all = time.time()
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    timings: dict[str, float] = {}          # median per query (headline)
+    detail: dict[str, dict] = {}            # min/median/max/reps per query
     for name, fn in entry_mod.queries().items():
-        t0 = time.time()
-        try:
-            # noop sink: full computation of every row, no driver collect
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-            print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
-        except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
+        samples: list[float] = []
+        err = None
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                # noop sink: full computation of every row, no driver collect
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+            except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
+                err = str(e)
+                break
+        if err is not None or not samples:
             timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr, flush=True)
-    total = round(time.time() - t_all, 3)
+            detail[name] = {"error": err}
+            print(f"bench error in {name}: {err}", file=sys.stderr, flush=True)
+            continue
+        s = sorted(samples)
+        med = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+        timings[name] = round(med, 3)
+        detail[name] = {
+            "median": round(med, 3),
+            "min": round(s[0], 3),
+            "max": round(s[-1], 3),
+            "reps": len(s),
+        }
+        print(
+            f"bench {name}: median {timings[name]}s "
+            f"(min {detail[name]['min']} max {detail[name]['max']} n={len(s)})",
+            file=sys.stderr, flush=True,
+        )
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -82,7 +115,8 @@ def main() -> int:
               file=sys.stderr, flush=True)
     with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as f:
         json.dump({"total_sec": total, "sf": sf, "errors": errored,
-                   "queries": timings}, f, indent=1)
+                   "reps": reps, "metric": "sum_of_medians",
+                   "queries": timings, "detail": detail}, f, indent=1)
 
     def line_for(n_keep: int) -> str:
         q = {k: fmt(v) for k, v in ordered[:n_keep]}

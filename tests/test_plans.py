@@ -209,3 +209,41 @@ def test_connected_components_path_graph_converges(spark):
     assert {(r.doc_id, r.component) for r in out.collect()} == {
         (i, 1) for i in range(1, n + 1)
     }
+
+
+def test_jaccard_default_path_launches_no_driver_jobs(spark, monkeypatch):
+    """VERDICT r4 item 5: the DEFAULT jaccard_pairs path must be fully
+    declarative — building the pair DataFrame may not run any driver
+    collect/count job (the old ``auto`` vocabulary probe).  At 100 TB a
+    probe job is a wasted full-ish scan before the real work starts."""
+    from pyspark.sql import DataFrame
+
+    from powa_archivist_spark.pipeline import dedup
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+
+    def boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("default jaccard path ran a driver job")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
+    keep = dedup.near_dup_keep(docs, threshold=0.8)
+    monkeypatch.undo()
+    # plans build fine and stay shuffle-sane
+    assert not pi.has_cartesian(pairs)
+    assert not pi.has_cartesian(keep)
+
+
+def test_repetition_stats_is_map_only(spark):
+    """Round-5 rewrite: rolling-hash n-grams + sorted-run top-token —
+    the operator must be a pure per-row pipeline: ZERO exchanges, zero
+    windows (previously one explode + double aggregation + join)."""
+    from powa_archivist_spark.pipeline import textstats
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    df = textstats.repetition_stats(docs)
+    assert pi.exchange_count(df) == 0
+    assert pi.window_count(df) == 0
+    assert not pi.has_cartesian(df)
