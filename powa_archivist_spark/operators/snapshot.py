@@ -61,7 +61,13 @@ def snapshot(
     boundaries).  When a batch partially overlaps an existing snapshot
     ts, the per-db rollup for the affected ts values is RECOMPUTED from
     the updated current slice instead of appended — an appended partial
-    rollup would leave two half-sums for one (dbid, ts).
+    rollup would leave two half-sums for one (dbid, ts).  When the
+    anti-join finds NO new rows but the capture is non-empty (a pure
+    replay — e.g. a crash landed after the current-table append but
+    before the db-rollup write), the rollup for the capture's ts values
+    is still recomputed from the current slice so the replay CONVERGES:
+    without this, a lost rollup write would be skipped forever because
+    the ``n > 0`` gate never reopens (ADVICE r4 fix).
 
     Returns the number of captured rows (the reference's ``final`` count,
     powa--5.2.0.sql:4095-4100).
@@ -146,6 +152,30 @@ def snapshot(
                         db_t,
                         partition_by=["srvid"],
                     )
+        elif idempotent and spec.db_rollup and wh.exists(current_t):
+            # pure replay (capture non-empty, zero new rows): every row
+            # is already committed in current, but the ROLLUP write for
+            # this batch may have been lost to a crash between the two
+            # appends.  Recompute the rollup for the capture's ts values
+            # from the authoritative current slice — a fixpoint, so a
+            # healthy replay rewrites identical rows and a crashed one
+            # heals (ADVICE r4: the n>0 gate must not be the only way
+            # the rollup converges).
+            cap_ts = [r.ts for r in capture.select("ts").distinct().collect()]
+            if cap_ts:
+                db_t = Warehouse.current_db(spec.name)
+                updated = (
+                    wh.read(current_t, spec.current_schema)
+                    .filter(F.col("srvid") == srvid)
+                    .filter(F.col("ts").isin(cap_ts))
+                )
+                fresh = db_rollup_agg(updated, spec)
+                if wh.exists(db_t):
+                    kept = wh.read(db_t).filter(
+                        (F.col("srvid") == srvid) & ~F.col("ts").isin(cap_ts)
+                    )
+                    fresh = kept.unionByName(fresh)
+                wh.rewrite_srvid_partition(fresh, db_t, None, srvid)
         if drop_staging and wh.exists(Warehouse.src_tmp(spec.name)):
             # staging truncate per srvid (powa--5.2.0.sql:4102-4104)
             wh.drop_srvid(Warehouse.src_tmp(spec.name), srvid)

@@ -40,7 +40,11 @@ from pyspark.sql import types as T
 #: writes within this process serialize here.  Cross-PROCESS writers
 #: need a transactional table format (Delta/Iceberg) — documented scale
 #: path; the engine's deployment shape is one orchestrator driver.
-_WRITE_LOCKS: dict[tuple[str, str], threading.Lock] = {}
+#: RLocks, not Locks: rewrite_srvid_partition holds the table lock
+#: across its whole drop+append swap while the inner append/drop
+#: re-acquire it on the same thread.  The dict is bounded in practice by
+#: the fixed table vocabulary (specs x 3 layout tables per root).
+_WRITE_LOCKS: dict[tuple[str, str], threading.RLock] = {}
 _WRITE_LOCKS_GUARD = threading.Lock()
 
 
@@ -107,10 +111,10 @@ class Warehouse:
             )
         return self.spark.read.parquet(self.path(table))
 
-    def _write_lock(self, table: str) -> threading.Lock:
+    def _write_lock(self, table: str) -> threading.RLock:
         key = (self.root, table)
         with _WRITE_LOCKS_GUARD:
-            return _WRITE_LOCKS.setdefault(key, threading.Lock())
+            return _WRITE_LOCKS.setdefault(key, threading.RLock())
 
     def append(self, df: DataFrame, table: str,
                partition_by: Optional[list[str]] = None) -> None:
@@ -172,22 +176,32 @@ class Warehouse:
         scratch = f"{table}__rewrite__srv{srvid}"
         self.overwrite(df, scratch)
         staged = self.read(scratch, schema)
-        self.drop_srvid(table, srvid)
-        if staged.limit(1).count() > 0:
-            self.append(staged, table, partition_by=["srvid"])
+        # hold the TABLE lock across the whole drop+append swap so an
+        # append from another server's snapshot thread can't interleave
+        # with the half-swapped partition (ADVICE r4: all mutation paths
+        # serialize on the same per-table lock; RLock makes the nested
+        # append/drop re-acquisition safe)
+        with self._write_lock(table):
+            self.drop_srvid(table, srvid)
+            if staged.limit(1).count() > 0:
+                self.append(staged, table, partition_by=["srvid"])
         self.drop_table(scratch)
 
     def drop_table(self, table: str) -> None:
-        p = self.path(table)
-        if os.path.isdir(p):
-            shutil.rmtree(p)
+        with self._write_lock(table):
+            p = self.path(table)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
 
     def drop_srvid(self, table: str, srvid: int) -> None:
         """Partition-wise delete of one server's data (reset semantics,
-        powa--5.2.0.sql:6359-6563)."""
-        p = os.path.join(self.path(table), f"srvid={srvid}")
-        if os.path.isdir(p):
-            shutil.rmtree(p)
+        powa--5.2.0.sql:6359-6563).  Takes the table write lock: a
+        delete racing an append's FileOutputCommitter commit could
+        otherwise tear the shared _temporary dir (ADVICE r4)."""
+        with self._write_lock(table):
+            p = os.path.join(self.path(table), f"srvid={srvid}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
 
     # ---- table-name conventions (mirror the reference's naming) ---------
 

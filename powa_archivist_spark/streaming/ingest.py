@@ -17,16 +17,18 @@ rather than by trusting a single append:
 - a committed batch leaves a marker file (named by ``epoch_id``) in the
   checkpoint dir; a replay that finds the marker is a no-op;
 - a replay WITHOUT a marker runs the batch ``snapshot`` operator in
-  idempotent mode: rows are anti-joined against the current slice on
-  the natural key (ts, entity keys) before the append, and the per-db
-  rollup for any partially-present snapshot ts is recomputed from the
-  updated slice (operators/snapshot.py).
+  idempotent mode: rows are anti-joined against the current slice with
+  a null-safe FULL-ROW equality (every counter included, not just
+  (ts, entity keys)) before the append, and the per-db rollup for any
+  partially-present snapshot ts is recomputed from the updated slice
+  (operators/snapshot.py).
 
 Every crash point converges: crash mid-append -> the replay anti-joins
 the committed rows away and appends only the remainder; crash after the
 append but before the marker -> the replay appends nothing and the
-rollup recompute is a fixpoint.  Keying by the natural key (not ts
-alone, and never a delete of the batch's (srvid, ts) slice) also makes
+rollup for the batch's ts values is still recomputed from the current
+slice (a fixpoint).  Full-row keying (not ts alone, and never a delete
+of the batch's (srvid, ts) slice) also makes
 a snapshot whose rows arrive SPLIT across two micro-batches converge —
 a slice delete would discard the earlier epoch's committed half.  Plain
 parquet can't do an atomic append, so idempotent-apply + marker is the

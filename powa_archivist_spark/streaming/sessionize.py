@@ -61,13 +61,20 @@ def stateful_sessionize(
     """applyInPandasWithState sessionizer: emits CLOSED sessions; the open
     session per entity lives in managed state across micro-batches.
 
-    Late (out-of-order) events that reach the still-open session JOIN it
-    — its bounds extend with min/max and the gap rule only applies
-    forward, since inserting a point can only shrink gaps in the true
-    ordered sequence (moving ``last_ts`` backward would prematurely
-    split sessions and emit regressed ends).  An event older than an
+    Late (out-of-order) events that land WITHIN ``gap`` of the open
+    session's start join it — inserting such a point can only shrink
+    gaps in the true ordered sequence, so bounds extend with min/max.
+    A late event older than ``session_start - gap`` must NOT merge
+    (ADVICE r4): in true order it belongs to a separate, earlier
+    session, so it chains into its own "pre" session which is emitted
+    CLOSED — unless the pre chain grows forward to within ``gap`` of
+    the open session's start, in which case the two are provably one
+    true-order session and merge.  An event older than an
     already-EMITTED session cannot reopen it (append-mode streaming);
-    bound that staleness with a watermark upstream."""
+    bound that staleness with a watermark upstream — an unboundedly
+    late bridge event between an emitted pre-session and the open one
+    is the one divergence from batch ``sessionize_batch`` semantics,
+    and the watermark bounds it."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap = dt.timedelta(seconds=gap_s)
@@ -89,16 +96,44 @@ def stateful_sessionize(
         else:
             cur = None
         closed = []
+        pre = None  # chain of events entirely before cur[0] - gap
         for ts in ts_list:
             if cur is None:
                 cur = [ts, ts, 1]
-            elif ts - cur[1] > gap:
+                continue
+            if ts < cur[0] - gap:
+                # too old to join the open session: true-order
+                # semantics puts it in an earlier session of its own
+                if pre is None:
+                    pre = [ts, ts, 1]
+                elif ts - pre[1] > gap:
+                    closed.append(pre)
+                    pre = [ts, ts, 1]
+                else:
+                    pre[1] = ts
+                    pre[2] += 1
+                continue
+            if pre is not None:
+                # sorted order: ts >= cur[0] - gap resolves the chain —
+                # it either bridges to the open session or stands alone
+                if cur[0] - pre[1] <= gap:
+                    cur[0] = pre[0]
+                    cur[2] += pre[2]
+                else:
+                    closed.append(pre)
+                pre = None
+            if ts - cur[1] > gap:
                 closed.append(cur)
                 cur = [ts, ts, 1]
             else:
                 cur[0] = min(cur[0], ts)
                 cur[1] = max(cur[1], ts)
                 cur[2] += 1
+        if pre is not None:
+            # chain never reached the open session's neighborhood: every
+            # pre event is < cur[0] - gap, so it closes on its own
+            closed.append(pre)
+        closed.sort(key=lambda c: c[0])
         if cur is not None:
             state.update((cur[0], cur[1], cur[2]))
         if closed:

@@ -320,3 +320,42 @@ def test_concurrent_server_snapshots_lose_nothing(spark, wh):
     counts = {r.srvid: r.n for r in
               cur.groupBy("srvid").agg(F.count("*").alias("n")).collect()}
     assert counts == {1: 4, 2: 4}
+
+
+def test_replay_heals_lost_db_rollup(spark, wh):
+    """Crash between the current-table append and the db-rollup write,
+    then replay the SAME staging batch: the full-row anti-join finds
+    zero new rows, but the rollup recompute must still run so the
+    replay converges to the healthy state (ADVICE r4 — previously the
+    whole write block sat behind ``if n > 0`` and the lost rollup rows
+    were unrecoverable)."""
+    from powa_archivist_spark.operators.snapshot import snapshot
+    from powa_archivist_spark.specs import get_spec
+
+    spec = get_spec("user_functions")
+    assert spec.db_rollup
+    db_t = Warehouse.current_db(spec.name)
+
+    def cap(t, rows):
+        # staging: (srvid, ts, dbid, funcid, calls, total_time, self_time)
+        data = [(1, t, dbid, funcid, calls, calls * 1.5, calls * 0.5)
+                for dbid, funcid, calls in rows]
+        return spark.createDataFrame(data, spec.staging_schema)
+
+    batch = cap(ts(0), [(10, 1, 100), (10, 2, 40), (20, 7, 500)])
+    assert snapshot(wh, spec, 1, capture=batch) == 3
+    healthy = sorted(map(tuple, wh.read(db_t).collect()))
+    assert healthy  # rollup written
+
+    # simulate the crash: current committed, rollup write lost
+    wh.drop_srvid(db_t, 1)
+    assert (not wh.exists(db_t)) or wh.read(db_t).count() == 0
+
+    # replay: zero new rows, rollup must be recomputed from current
+    replay = cap(ts(0), [(10, 1, 100), (10, 2, 40), (20, 7, 500)])
+    assert snapshot(wh, spec, 1, capture=replay) == 0
+    assert sorted(map(tuple, wh.read(db_t).collect())) == healthy
+
+    # and a healthy replay is a fixpoint (no duplicates, same rows)
+    assert snapshot(wh, spec, 1, capture=replay) == 0
+    assert sorted(map(tuple, wh.read(db_t).collect())) == healthy

@@ -1,0 +1,155 @@
+"""Warehouse schema-version migration (operators/migrate.py) — the
+analog of the reference's upgrade scripts (powa--5.1.2--5.2.0.sql
+rebuilds record types when counters are added).  A warehouse written at
+spec v1 must migrate to v2 (counter added + counter dropped) with packed
+history rows NULL-padded/projected in place, reads staying green on
+mixed pre/post rows, and the whole job idempotent."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from powa_archivist_spark.operators.aggregate import aggregate
+from powa_archivist_spark.operators.migrate import (
+    conform,
+    layout_version,
+    migrate_warehouse,
+)
+from powa_archivist_spark.operators.snapshot import snapshot
+from powa_archivist_spark.specs import Counter, DatasourceSpec, Key
+from powa_archivist_spark.storage import Warehouse
+
+from .conftest import ts
+
+SPEC_V1 = DatasourceSpec(
+    name="mig_demo",
+    keys=(Key("dbid", "oid"), Key("funcid", "oid")),
+    counters=(
+        Counter("calls"),
+        Counter("total_time", "double"),
+        Counter("legacy_counter"),  # dropped in v2
+    ),
+    db_rollup=True,
+)
+
+SPEC_V2 = DatasourceSpec(
+    name="mig_demo",
+    keys=(Key("dbid", "oid"), Key("funcid", "oid")),
+    counters=(
+        Counter("calls"),
+        Counter("total_time", "double"),
+        Counter("parallel_workers", "bigint"),  # added in v2
+    ),
+    db_rollup=True,
+)
+
+
+def v1_cap(spark, t, rows):
+    data = [(1, t, dbid, funcid, calls, calls * 1.5, 7)
+            for dbid, funcid, calls in rows]
+    return spark.createDataFrame(data, SPEC_V1.staging_schema)
+
+
+def v2_cap(spark, t, rows):
+    data = [(1, t, dbid, funcid, calls, calls * 1.5, 3)
+            for dbid, funcid, calls in rows]
+    return spark.createDataFrame(data, SPEC_V2.staging_schema)
+
+
+@pytest.fixture()
+def v1_warehouse(spark, wh):
+    """Two v1 snapshots packed into history + one left in current."""
+    snapshot(wh, SPEC_V1, 1, capture=v1_cap(spark, ts(0), [(10, 1, 100),
+                                                           (10, 2, 40)]))
+    snapshot(wh, SPEC_V1, 1, capture=v1_cap(spark, ts(5), [(10, 1, 110),
+                                                           (10, 2, 44)]))
+    aggregate(wh, SPEC_V1, 1)  # packs current -> history (+db twin)
+    snapshot(wh, SPEC_V1, 1, capture=v1_cap(spark, ts(10), [(10, 1, 120)]))
+    return wh
+
+
+def test_migrate_nullpads_and_drops_everywhere(spark, v1_warehouse):
+    wh = v1_warehouse
+    rewritten = migrate_warehouse(wh, SPEC_V1, SPEC_V2, to_version="2")
+    assert layout_version(wh, "mig_demo") == "2"
+    # all four layout tables existed and were rewritten
+    assert set(rewritten) == {
+        Warehouse.current("mig_demo"), Warehouse.history("mig_demo"),
+        Warehouse.current_db("mig_demo"), Warehouse.history_db("mig_demo"),
+    }
+
+    cur = wh.read(Warehouse.current("mig_demo"), SPEC_V2.current_schema)
+    assert "legacy_counter" not in cur.columns
+    row = cur.collect()[0]
+    assert row.parallel_workers is None and row.calls == 120
+
+    hist = wh.read(Warehouse.history("mig_demo"), SPEC_V2.history_schema)
+    h = hist.filter(F.col("funcid") == 1).collect()[0]
+    # packed records NULL-padded, ts order kept, dropped field gone
+    assert [r.calls for r in h.records] == [100, 110]
+    assert all(r.parallel_workers is None for r in h.records)
+    assert "legacy_counter" not in h.records[0].asDict()
+    # minmax summary structs conformed too
+    assert h.mins_in_range.parallel_workers is None
+    assert h.maxs_in_range.calls == 110
+
+
+def test_mixed_history_reads_after_migration(spark, v1_warehouse):
+    """Post-migration, a v2 snapshot + coalesce appends next to migrated
+    rows and the unpack read is green across pre/post rows."""
+    from powa_archivist_spark.functions.packing import unpack
+
+    wh = v1_warehouse
+    migrate_warehouse(wh, SPEC_V1, SPEC_V2, to_version="2")
+
+    snapshot(wh, SPEC_V2, 1, capture=v2_cap(spark, ts(15), [(10, 1, 130)]))
+    aggregate(wh, SPEC_V2, 1)
+
+    hist = wh.read(Warehouse.history("mig_demo"), SPEC_V2.history_schema)
+    flat = unpack(hist, SPEC_V2).filter(F.col("funcid") == 1)
+    rows = sorted(flat.collect(), key=lambda r: r.ts)
+    assert [r.calls for r in rows] == [100, 110, 120, 130]
+    # pre-migration rows read NULL for the new counter, post reads value
+    assert [r.parallel_workers for r in rows] == [None, None, None, 3]
+    # db rollup twin also coherent
+    db_hist = wh.read(Warehouse.history_db("mig_demo"))
+    assert db_hist.count() > 0
+
+
+def test_migration_is_idempotent(spark, v1_warehouse):
+    wh = v1_warehouse
+    migrate_warehouse(wh, SPEC_V1, SPEC_V2, to_version="2")
+    before = sorted(
+        map(repr, wh.read(Warehouse.history("mig_demo")).collect())
+    )
+    # crash-replay: run the whole migration again (conform is identity)
+    migrate_warehouse(wh, SPEC_V2, SPEC_V2, to_version="2")
+    after = sorted(
+        map(repr, wh.read(Warehouse.history("mig_demo")).collect())
+    )
+    assert before == after
+
+
+def test_conform_preserves_null_structs(spark):
+    """A NULL mins_in_range must stay NULL, not become a struct of
+    NULLs (the reference distinguishes absent minmax rows)."""
+    from pyspark.sql import types as T
+
+    src = spark.createDataFrame(
+        [(1, None)],
+        T.StructType([
+            T.StructField("id", T.IntegerType()),
+            T.StructField("s", T.StructType(
+                [T.StructField("a", T.LongType())])),
+        ]),
+    )
+    target = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("s", T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+        ])),
+    ])
+    (row,) = conform(src, target).collect()
+    assert row.s is None

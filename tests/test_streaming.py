@@ -518,3 +518,53 @@ def test_stream_interval_left_outer_flushes_unmatched(spark):
     q.awaitTermination(300)
     got = {(r.view_id, r.click_id) for r in spark.read.parquet(out).collect()}
     assert {(10, 20), (12, None)} <= got
+
+
+def test_stateful_sessionize_too_old_event_splits(spark):
+    """ADVICE r4: a late event OLDER than session_start - gap must not
+    merge into the open session — in true order it is a separate,
+    earlier session.  It must be emitted as its own CLOSED session,
+    matching the batch twin's two-session answer."""
+    from powa_archivist_spark.streaming.sessionize import (
+        sessionize_batch,
+        stream_sessionize,
+    )
+
+    schema = "user_id long, ts timestamp, event_id long"
+    landing = tempfile.mkdtemp(prefix="ssplit_")
+    out = tempfile.mkdtemp(prefix="ssplit_out_")
+    ckpt = tempfile.mkdtemp(prefix="ssplit_ck_")
+
+    # batch 1 opens a session at 13:00; batch 2 delivers a LATE event at
+    # 12:00 (gap 30 min -> 60 min older than the open start: too old)
+    t_open = ts(0) + datetime.timedelta(minutes=60)
+    spark.createDataFrame([(1, t_open, 1)], schema).coalesce(1).write.parquet(
+        landing + "/b0"
+    )
+    q = stream_sessionize(spark, landing + "/*",
+                          spark.createDataFrame([], schema).schema, ckpt, out,
+                          gap_s=1800)
+    q.awaitTermination(300)
+    spark.createDataFrame([(1, ts(0), 2)], schema).coalesce(1).write.parquet(
+        landing + "/b1"
+    )
+    q = stream_sessionize(spark, landing + "/*",
+                          spark.createDataFrame([], schema).schema, ckpt, out,
+                          gap_s=1800)
+    q.awaitTermination(300)
+
+    closed = (
+        spark.read.parquet(out).collect()
+        if any(f.endswith(".parquet") for _, _, fs in os.walk(out) for f in fs)
+        else []
+    )
+    # the late singleton is emitted closed; the 13:00 session stays open
+    assert [(r.session_start, r.session_end, r.n_events) for r in closed] == [
+        (ts(0).replace(tzinfo=None), ts(0).replace(tzinfo=None), 1)
+    ]
+
+    # batch twin agrees: two sessions on the full data
+    full = spark.createDataFrame([(1, t_open, 1), (1, ts(0), 2)], schema)
+    rows = {r.session_idx: r.n_events
+            for r in sessionize_batch(full, gap_s=1800).collect()}
+    assert rows == {1: 1, 2: 1}
