@@ -68,10 +68,13 @@ def corpus_prep(
     )
     reps = exact_dedup(gated, text_col, id_col).select(id_col)
     uniq = gated.join(reps, id_col, "left_semi")
-    # adaptive strategy: the bounded vocabulary probe picks bitmask for
+    # strategy="probe": the bounded vocabulary probe picks bitmask for
     # small shared vocabularies (where prefix filtering degenerates —
-    # every token is high-frequency) and the PPJoin prefix path otherwise
-    kept = near_dup_keep(uniq, threshold, text_col, id_col)
+    # every token is high-frequency) and the PPJoin prefix path
+    # otherwise; the funnel has already shrunk the corpus, so the one
+    # bounded probe job is cheap relative to the wrong-path cost
+    kept = near_dup_keep(uniq, threshold, text_col, id_col,
+                         strategy="probe")
     return (
         uniq.join(kept, id_col, "left_semi")
         .select(id_col, lang_col, "n_tokens", "distinct_ratio")
