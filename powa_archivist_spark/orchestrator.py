@@ -34,6 +34,7 @@ from .operators.purge import DEFAULT_RETENTION, purge, reset
 from .operators.snapshot import snapshot
 from .specs import ALL_SPECS, DatasourceSpec
 from .storage import Warehouse
+from .txn import TxnLog
 
 DEFAULT_COALESCE = 100  # powa.c:277-281 (tests use 5, sql/01_general.sql:83)
 SMEAR_MODULUS = 20      # powa--5.2.0.sql:3550, 3608
@@ -69,6 +70,7 @@ class Orchestrator:
                  specs: dict[str, DatasourceSpec] | None = None):
         self.wh = wh
         self.specs = specs if specs is not None else dict(ALL_SPECS)
+        self.txns = TxnLog(wh.root)
         self._locks: dict[int, threading.Lock] = {}
         self._locks_guard = threading.Lock()
 
@@ -193,6 +195,19 @@ class Orchestrator:
         meta["snapts"] = now
         errors: list[str] = []
 
+        # crash detection (txn.py): a begin-marker surviving from an
+        # earlier pass means the process died mid-snapshot — no error
+        # ledger entry exists because nothing ran to write one.  Surface
+        # it, then let THIS pass replay the preserved staging (every
+        # write step is idempotent, so the replay converges).
+        for stale in self.txns.pending(srvid):
+            errors.append(
+                "powa_snapshot: interrupted pass detected "
+                f"(begun {stale.get('snap_ts')}); staging preserved, "
+                "replaying in this pass"
+            )
+        txn_token = self.txns.begin(srvid, now)
+
         # databases dimension runs first (priority -3,
         # powa--5.2.0.sql:170-173) so P3/J1 joins see a fresh dimension
         if "databases" in captures:
@@ -293,6 +308,11 @@ class Orchestrator:
 
         meta["errors"] = errors
         self._write_metas(meta)
+        # pass complete: every step either committed or is in the error
+        # ledger — commit this pass's marker AND clear any stale ones
+        # this pass just replayed (commit point of the logical txn)
+        self.txns.commit(txn_token)
+        self.txns.clear(srvid)
         return len(errors)
 
     def _apply_db_module_scope(self, server: ServerConfig, spec, srvid: int,
@@ -333,12 +353,16 @@ class Orchestrator:
         and fans out (powa--5.2.0.sql:4006-4066).
 
         On the remote path the staging slice (which carries the `query`
-        text column the history tables don't) is read BEFORE snapshot()
-        truncates the staging partition and persisted, so the merge never
-        re-reads dropped files and never re-scans the just-written
-        current table.  On a real deployment the same guarantee comes
-        from a transactional table format (staging consume + merge in one
-        txn)."""
+        text column the history tables don't) is read up front and
+        persisted, and the staging partition is truncated only AFTER the
+        dictionary merge commits (round-5): a crash between the history
+        append and the merge used to destroy the merge's only source —
+        the query text lives nowhere else — leaving a permanently
+        half-applied snapshot.  With truncate-last, every crash point
+        replays from intact staging and converges (the append anti-joins
+        to nothing, the merge is an upsert).  On a real deployment the
+        same guarantee comes from a transactional table format (staging
+        consume + merge in one txn)."""
         from .sources.readers import read_staging
 
         src = cap
@@ -347,9 +371,21 @@ class Orchestrator:
             src = read_staging(self.wh, spec, srvid).persist()
             persisted = True
         try:
-            n = snapshot(self.wh, spec, srvid, capture=src)
-            if n > 0:
+            n = snapshot(self.wh, spec, srvid, capture=src,
+                         drop_staging=False)
+            # merge on any non-empty capture, NOT just n > 0: a pure
+            # replay (crash landed after the append, before the merge)
+            # yields n == 0 with the dictionary rows still missing —
+            # the n > 0 gate would skip the merge forever.  The limit(1)
+            # probe only runs on the n == 0 path (short-circuit).
+            if n > 0 or src.limit(1).count() > 0:
                 dictionary.merge_statements(self.wh, srvid, src, now=now)
+            # staging truncate is the LAST step (the reference runs it
+            # inside the same wCTE, powa--5.2.0.sql:4102-4104;
+            # truncate-last is the parquet equivalent of that ordering)
+            staging_t = Warehouse.src_tmp(spec.name)
+            if self.wh.exists(staging_t):
+                self.wh.drop_srvid(staging_t, srvid)
             return n
         finally:
             if persisted:

@@ -333,3 +333,62 @@ def test_overrun_pass_stamps_execution_time(spark, wh):
     # catch-up passes run back-to-back at ~1025/1026, NOT at grid 1010/1020
     assert stamped[1] == 1025.0
     assert stamped[2] == 1026.0
+
+
+def test_crash_between_append_and_merge_replays_exactly_once(spark, wh,
+                                                             monkeypatch):
+    """VERDICT r4 item 4: process death between the statements history
+    append and the dictionary merge.  The begin-marker (txn.py) must
+    survive as proof, the staging slice must survive as the replay
+    source (truncate-last), and the NEXT pass must converge: exactly-once
+    current rows, dictionary populated, staging drained, marker gone."""
+    from powa_archivist_spark.operators import dictionary
+    from powa_archivist_spark.sources.readers import shim_to_schema
+    from powa_archivist_spark.specs import STATEMENTS
+
+    small = spark.createDataFrame(
+        [(1, ts(0), 100, 10, True, 5, "SELECT a", 3, 1.5),
+         (1, ts(0), 101, 10, True, 5, "SELECT b", 2, 0.5)],
+        "srvid int, ts timestamp, queryid long, dbid long, toplevel boolean, "
+        "userid long, query string, calls long, total_exec_time double",
+    )
+    staged = shim_to_schema(small, STATEMENTS.staging_schema)
+    wh.append(staged, Warehouse.src_tmp(STATEMENTS.name),
+              partition_by=["srvid"])
+    orch = Orchestrator(wh, specs={STATEMENTS.name: STATEMENTS})
+
+    # simulate the kill: merge raises a BaseException that the
+    # per-datasource `except Exception` trapping does NOT swallow —
+    # the pass dies exactly between the append and the merge
+    def die(*a, **k):
+        raise KeyboardInterrupt("process killed mid-pass")
+
+    monkeypatch.setattr(dictionary, "merge_statements", die)
+    try:
+        orch.take_snapshot(ServerConfig(srvid=1), now=ts(0))
+        raise AssertionError("kill did not propagate")
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.undo()
+
+    # crash evidence: marker pending, staging intact, append committed
+    assert len(orch.txns.pending(1)) == 1
+    assert wh.read(Warehouse.src_tmp(STATEMENTS.name)).count() == 2
+    assert wh.read(Warehouse.current(STATEMENTS.name)).count() == 2
+    # the dictionary merge never ran
+    assert dictionary.read_statements(wh, 1).count() == 0
+
+    # replay pass: detected + converged
+    errs = orch.take_snapshot(ServerConfig(srvid=1), now=ts(5))
+    meta = orch.read_metas(1)
+    assert any("interrupted pass" in e for e in meta["errors"])
+    assert errs == len(meta["errors"])
+    # exactly-once: the full-row anti-join discards the replayed rows
+    cur = wh.read(Warehouse.current(STATEMENTS.name))
+    assert cur.count() == 2
+    d = {r.queryid: r.query
+         for r in dictionary.read_statements(wh, 1).collect()}
+    assert d == {100: "SELECT a", 101: "SELECT b"}
+    # staging drained, marker gone: the logical txn finally committed
+    assert not wh.exists(Warehouse.src_tmp(STATEMENTS.name))
+    assert orch.txns.pending(1) == []
