@@ -101,6 +101,7 @@ def process_near_dup_batch(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> None:
     """One near-dup ledger pass (cross-batch MinHash LSH dedup):
 
@@ -127,6 +128,7 @@ def process_near_dup_batch(
         minhash_dedup_pairs(
             batch, threshold, num_perm, bands, shingle_n, text_col, id_col,
             shingle_df=sh_b,  # one shingle pass per batch, no per-call persist
+            hash_fn=hash_fn,
         )
         .select(F.col("b_id").alias(id_col))
         .distinct()
@@ -142,6 +144,7 @@ def process_near_dup_batch(
         shingle_df=sh_b.join(
             survivors.select(id_col), id_col, "left_semi"
         ),
+        hash_fn=hash_fn,
     ).persist()
 
     if wh.exists(BANDS_TABLE):
