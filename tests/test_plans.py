@@ -247,3 +247,23 @@ def test_repetition_stats_is_map_only(spark):
     assert pi.exchange_count(df) == 0
     assert pi.window_count(df) == 0
     assert not pi.has_cartesian(df)
+
+
+def test_migration_conform_is_map_only(spark):
+    """Schema migration (operators/migrate.py) must rewrite each table
+    as a pure projection — zero exchanges: at 100 TB the upgrade is a
+    partition-parallel map over the history files, never a shuffle."""
+    from pyspark.sql import types as T
+
+    from powa_archivist_spark.operators.migrate import conform
+    from powa_archivist_spark.specs import USER_FUNCTIONS
+
+    spec = USER_FUNCTIONS
+    src = spark.createDataFrame([], spec.history_schema)
+    target = T.StructType(
+        spec.history_schema.fields
+        + [T.StructField("added_col", T.LongType(), True)]
+    )
+    out = conform(src, target)
+    assert pi.exchange_count(out) == 0
+    assert pi.window_count(out) == 0

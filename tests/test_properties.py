@@ -358,3 +358,53 @@ def test_interval_join_matches_bruteforce(spark, l, r):
         if lk == rk and ls <= rs + rspan and rs <= ls + lspan
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# migration conform (operators/migrate.py)
+# ---------------------------------------------------------------------------
+
+@given(series=series_strategy,
+       drop_old=st.booleans(), add_new=st.booleans())
+@SLOW
+def test_migration_roundtrip_preserves_shared_counters(spark, series,
+                                                       drop_old, add_new):
+    """pack at v1 -> conform to v2 (optionally dropping event_id and/or
+    adding a counter) -> unpack at v2 must equal the original series on
+    every SHARED counter, with added counters NULL everywhere."""
+    from pyspark.sql import types as T
+
+    from powa_archivist_spark.operators.migrate import conform
+    from powa_archivist_spark.specs import Counter, DatasourceSpec
+
+    spec_v1 = EVENTS_SPEC
+    counters = [c for c in spec_v1.counters
+                if not (drop_old and c.name == "event_id")]
+    if add_new:
+        counters = counters + [Counter("brand_new", "bigint")]
+    spec_v2 = DatasourceSpec(
+        name=spec_v1.name, keys=spec_v1.keys, counters=tuple(counters),
+        kind=spec_v1.kind,
+    )
+
+    df = _series_df(spark, series)
+    packed_v1 = pack(df, spec_v1)
+    target = T.StructType(
+        spec_v2.history_schema.fields
+    )
+    migrated = conform(packed_v1, target)
+    flat = unpack(migrated, spec_v2)
+
+    shared = [c.name for c in spec_v1.counters
+              if c.name in {x.name for x in spec_v2.counters}]
+    # compare shared counters row-by-row against the source series
+    src = {(r.user_id, r.ts): r for r in df.collect()}
+    out = flat.collect()
+    assert len(out) == len(src)
+    for r in out:
+        key = (r.user_id, r.ts)
+        assert key in src
+        for c in shared:
+            assert getattr(r, c) == getattr(src[key], c)
+        if add_new:
+            assert r.brand_new is None
