@@ -34,6 +34,14 @@ is the identity) or the new stamp with everything done.
 A version stamp per datasource lives at ``<root>/_layout/<ds>.json`` —
 the analog of the reference's extension version row — so deploys can
 gate reads on ``layout_version(wh, ds)`` and re-run idempotently.
+
+KEY changes (beyond anything the reference's upgrade scripts ever do —
+they only add/drop record attributes): a DROPPED key is projected away,
+leaving multiple packed rows per surviving key tuple — valid history
+layout (entities already span multiple coalesce windows), so unpack
+reads and re-aggregation keep working without a regroup rewrite; an
+ADDED key reads NULL on pre-migration rows.  Both are covered by
+tests/test_migrate.py.
 """
 
 from __future__ import annotations

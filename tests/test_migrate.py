@@ -153,3 +153,28 @@ def test_conform_preserves_null_structs(spark):
     ])
     (row,) = conform(src, target).collect()
     assert row.s is None
+
+
+def test_dropped_key_degrades_to_multiple_packed_rows(spark, v1_warehouse):
+    """Dropping a KEY (beyond the reference's add/drop-attribute
+    upgrades) must not break reads: the projected history keeps one
+    packed row per old entity — a valid layout, since entities already
+    span multiple coalesce windows — and unpack sees every record."""
+    from powa_archivist_spark.functions.packing import unpack
+
+    wh = v1_warehouse
+    v2_keyless = DatasourceSpec(
+        name="mig_demo",
+        keys=(Key("dbid", "oid"),),  # funcid dropped
+        counters=SPEC_V1.counters,
+        db_rollup=True,
+    )
+    migrate_warehouse(wh, SPEC_V1, v2_keyless, to_version="2-keyless")
+
+    hist = wh.read(Warehouse.history("mig_demo"), v2_keyless.history_schema)
+    # two old entities in dbid 10 -> two packed rows for the one new key
+    assert hist.filter(F.col("dbid") == 10).count() == 2
+    flat = unpack(hist, v2_keyless)
+    # every original record still readable: 2 snapshots x 2 funcs + 1
+    assert flat.filter(F.col("dbid") == 10).count() == 4
+    assert "funcid" not in flat.columns
