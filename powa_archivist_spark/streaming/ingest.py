@@ -64,7 +64,15 @@ def process_staged_batch(
     marker check -> per-srvid idempotent snapshot -> marker commit.
     The snapshot operator's natural-key anti-join + rollup-slice
     recompute make every replay and split-snapshot ordering converge;
-    the marker only short-circuits the common full-replay case."""
+    the marker only short-circuits the common full-replay case.
+
+    The statements datasource additionally feeds the query-text
+    dictionary from the SAME batch (round-5): the landing drop carries
+    the ``query`` column that the history tables drop, and without the
+    merge a streamed statements corpus would silently lose every
+    dictionary entry the batch path records.  The merge is an upsert,
+    so batch replays converge (MRU timestamps may re-bump — MRU
+    semantics tolerate that)."""
     marker = os.path.join(marker_dir, f"epoch-{epoch_id}.done")
     if os.path.exists(marker):
         return
@@ -74,11 +82,17 @@ def process_staged_batch(
             r.srvid for r in batch.select("srvid").distinct().collect()
         )
         for srvid in srvids:
+            cap = batch.filter(F.col("srvid") == srvid)
             snapshot(
                 wh, spec, srvid,
-                capture=batch.filter(F.col("srvid") == srvid),
+                capture=cap,
                 drop_staging=False, idempotent=True,
             )
+            if spec.name == "statements":
+                from ..operators.dictionary import merge_statements
+
+                if cap.limit(1).count() > 0:
+                    merge_statements(wh, srvid, cap)
         os.makedirs(marker_dir, exist_ok=True)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:

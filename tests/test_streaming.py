@@ -568,3 +568,44 @@ def test_stateful_sessionize_too_old_event_splits(spark):
     rows = {r.session_idx: r.n_events
             for r in sessionize_batch(full, gap_s=1800).collect()}
     assert rows == {1: 1, 2: 1}
+
+
+def test_streaming_statements_ingest_feeds_dictionary(spark, wh):
+    """Round-5 gap fix: a statements landing drop streamed through
+    ingest must ALSO populate the query-text dictionary — the landing
+    rows carry the `query` column the history tables drop, and losing
+    it would strand every streamed corpus without query text.  Replay
+    of the same epoch must not duplicate history rows."""
+    from powa_archivist_spark.operators import dictionary
+    from powa_archivist_spark.sources.readers import shim_to_schema
+    from powa_archivist_spark.specs import STATEMENTS
+    from powa_archivist_spark.streaming.ingest import process_staged_batch
+
+    marker_dir = tempfile.mkdtemp(prefix="stmk_")
+    small = spark.createDataFrame(
+        [(1, ts(0), 100, 10, True, 5, "SELECT a", 3, 1.5),
+         (1, ts(0), 101, 10, True, 5, "SELECT b", 2, 0.5)],
+        "srvid int, ts timestamp, queryid long, dbid long, toplevel boolean, "
+        "userid long, query string, calls long, total_exec_time double",
+    )
+    batch = shim_to_schema(small, STATEMENTS.staging_schema)
+
+    process_staged_batch(wh, STATEMENTS, batch, epoch_id=3,
+                         marker_dir=marker_dir)
+    assert wh.read(Warehouse.current(STATEMENTS.name)).count() == 2
+    d = {r.queryid: r.query
+         for r in dictionary.read_statements(wh, 1).collect()}
+    assert d == {100: "SELECT a", 101: "SELECT b"}
+
+    # marker short-circuit: identical epoch replays to a no-op
+    process_staged_batch(wh, STATEMENTS, batch, epoch_id=3,
+                         marker_dir=marker_dir)
+    assert wh.read(Warehouse.current(STATEMENTS.name)).count() == 2
+    # markerless replay (crash before marker): anti-join converges and
+    # the dictionary merge is a fixpoint
+    process_staged_batch(wh, STATEMENTS, batch, epoch_id=4,
+                         marker_dir=marker_dir)
+    assert wh.read(Warehouse.current(STATEMENTS.name)).count() == 2
+    d = {r.queryid: r.query
+         for r in dictionary.read_statements(wh, 1).collect()}
+    assert d == {100: "SELECT a", 101: "SELECT b"}
