@@ -72,7 +72,14 @@ def process_staged_batch(
     merge a streamed statements corpus would silently lose every
     dictionary entry the batch path records.  The merge is an upsert,
     so batch replays converge (MRU timestamps may re-bump — MRU
-    semantics tolerate that)."""
+    semantics tolerate that).
+
+    Qualstats note: streamed drops use the SPEC staging shape (already
+    rolled to the qual level), which the generic idempotent snapshot
+    handles; the RAW plan-node shape (qualnodeid + quals/constvalues
+    arrays) is the batch ``qualstats_snapshot`` pipeline's input
+    contract and is not a streaming wire format - collectors pre-roll
+    or land through the batch path."""
     marker = os.path.join(marker_dir, f"epoch-{epoch_id}.done")
     if os.path.exists(marker):
         return
