@@ -117,35 +117,43 @@ def process_near_dup_batch(
     (band, bucket) / doc id — bounded keys, no cross join.  At 100 TB
     the bands ledger is bucket-partitioned so a batch touches only its
     colliding buckets' files."""
-    from ..pipeline.dedup import (
-        minhash_bands,
-        minhash_dedup_pairs,
-        shingle_arrays,
-    )
+    from ..pipeline.dedup import minhash_bands, shingle_arrays
 
     sh_b = shingle_arrays(batch, shingle_n, text_col, id_col).persist()
+    # signatures + band buckets computed ONCE for the whole batch
+    # (round-5: the in-batch pair stage previously re-derived them via
+    # minhash_dedup_pairs and the ledger append derived them a second
+    # time for the survivors — one full signature pipeline per batch
+    # saved); every later stage reuses this cached frame
+    batch_bands = minhash_bands(
+        batch, num_perm, bands, shingle_n, text_col, id_col,
+        shingle_df=sh_b, hash_fn=hash_fn,
+    ).persist()
+
+    # in-batch candidates: band-bucket self-join, verified with exact
+    # shingle jaccard — identical semantics to minhash_dedup_pairs
+    ba = batch_bands.select("band", "bucket", F.col(id_col).alias("a_id"))
+    bb = batch_bands.select("band", "bucket", F.col(id_col).alias("b_id"))
+    cands_in = (
+        ba.join(bb, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = sh_b.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    vb = sh_b.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    inter_in = F.size(F.array_intersect("a_sh", "b_sh"))
+    union_in = F.size("a_sh") + F.size("b_sh") - inter_in
     in_batch_drops = (
-        minhash_dedup_pairs(
-            batch, threshold, num_perm, bands, shingle_n, text_col, id_col,
-            shingle_df=sh_b,  # one shingle pass per batch, no per-call persist
-            hash_fn=hash_fn,
-        )
+        cands_in.join(va, "a_id").join(vb, "b_id")
+        .filter((inter_in / union_in) >= threshold)
         .select(F.col("b_id").alias(id_col))
         .distinct()
     )
     survivors = batch.join(in_batch_drops, id_col, "left_anti")
-
-    # band material for the in-batch survivors, computed ONCE: the
-    # cross-batch candidate join uses it and the ledger append reuses it
-    # (semi-joined to the final survivor set) instead of re-running the
-    # signature pipeline a third time
-    new_bands = minhash_bands(
-        survivors, num_perm, bands, shingle_n, text_col, id_col,
-        shingle_df=sh_b.join(
-            survivors.select(id_col), id_col, "left_semi"
-        ),
-        hash_fn=hash_fn,
-    ).persist()
+    new_bands = batch_bands.join(
+        survivors.select(id_col), id_col, "left_semi"
+    )
 
     if wh.exists(BANDS_TABLE):
         ledger = wh.read(BANDS_TABLE)
@@ -192,7 +200,7 @@ def process_near_dup_batch(
         )
     finally:
         survivors.unpersist()
-        new_bands.unpersist()
+        batch_bands.unpersist()
         sh_b.unpersist()
 
 
