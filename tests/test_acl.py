@@ -1,0 +1,134 @@
+"""Grant-matrix parity with the reference's ACL (powa--5.2.0.sql:
+7533-7729, asserted by sql/10_acl.sql's has_table_privilege grid) plus
+ENFORCEMENT at the storage boundary, which the reference gets from
+database GRANTs and this engine gets from the AclWarehouse proxy."""
+
+from __future__ import annotations
+
+import pytest
+
+from powa_archivist_spark.acl import (
+    POWA_ROLES,
+    AclWarehouse,
+    grants_df,
+    privileges,
+    read_powa_roles,
+    revoke_powa_roles,
+    roles_of,
+    setup_powa_roles,
+)
+from powa_archivist_spark.specs import PG_STAT_BGWRITER
+from powa_archivist_spark.storage import Warehouse
+
+from .conftest import ts
+
+SPEC = PG_STAT_BGWRITER
+
+BINDINGS = {
+    "powa_admin": "alice",
+    "powa_read_all_data": "webapp",
+    "powa_read_all_metrics": "grafana",
+    "powa_write_all_data": "loader",
+    "powa_snapshot": "collector",
+    "powa_signal_backend": "pgbot",
+}
+
+
+def test_matrix_matches_reference_classification():
+    """The 10_acl.sql grid, as table-class spot checks."""
+    hist = "powa_statements_history"
+    staging = "powa_statements_src_tmp"
+    constv = "powa_qualstats_constvalues_history_current"
+    config = "powa_servers"
+
+    # admin: ALL everywhere
+    for t in (hist, staging, constv, config):
+        assert privileges("powa_admin", t) == {"read", "write"}
+    # write_all_data: read+write everywhere
+    assert privileges("powa_write_all_data", staging) == {"read", "write"}
+    # snapshot: write on data, read-only on registry/config
+    assert privileges("powa_snapshot", hist) == {"read", "write"}
+    assert privileges("powa_snapshot", staging) == {"read", "write"}
+    assert privileges("powa_snapshot", config) == {"read"}
+    # read_all_data: SELECT everywhere except staging
+    assert privileges("powa_read_all_data", hist) == {"read"}
+    assert privileges("powa_read_all_data", constv) == {"read"}
+    assert privileges("powa_read_all_data", staging) == set()
+    # read_all_metrics: additionally no constvalues (query constants
+    # are data, not metrics)
+    assert privileges("powa_read_all_metrics", hist) == {"read"}
+    assert privileges("powa_read_all_metrics", constv) == set()
+    assert privileges("powa_read_all_metrics", staging) == set()
+    # signal_backend: nothing on tables
+    for t in (hist, staging, constv, config):
+        assert privileges("powa_signal_backend", t) == set()
+
+
+def test_setup_roles_validates_like_reference(wh):
+    """powa_roles rejects unknown roles and NULL/missing bindings
+    (powa--5.2.0.sql:30-62)."""
+    with pytest.raises(ValueError, match="unexpected"):
+        setup_powa_roles(wh, {**BINDINGS, "powa_hacker": "eve"})
+    partial = dict(BINDINGS)
+    del partial["powa_snapshot"]
+    with pytest.raises(ValueError, match="not bound"):
+        setup_powa_roles(wh, partial)
+    setup_powa_roles(wh, BINDINGS)
+    assert read_powa_roles(wh) == BINDINGS
+    assert roles_of(wh, "collector") == {"powa_snapshot"}
+    revoke_powa_roles(wh)
+    assert read_powa_roles(wh) == {}
+    assert roles_of(wh, "collector") == set()
+
+
+def test_enforcement_at_storage_boundary(spark, wh):
+    """The collector can run a snapshot end-to-end through the guarded
+    warehouse; readers see history but never staging; the signal role
+    touches nothing; and revocation cuts everyone off."""
+    from powa_archivist_spark.operators.snapshot import snapshot
+
+    setup_powa_roles(wh, BINDINGS)
+    cur_t = Warehouse.current(SPEC.name)
+    staging_t = Warehouse.src_tmp(SPEC.name)
+
+    cap = spark.createDataFrame(
+        [(1, ts(0), 110, 50, 105, 10, 200)], SPEC.staging_schema
+    )
+    # operators accept the proxy in place of the raw warehouse
+    as_collector = AclWarehouse(wh, "collector")
+    assert snapshot(as_collector, SPEC, 1, capture=cap) == 1
+    wh.append(cap, staging_t, partition_by=["srvid"])  # raw, for tests
+
+    as_web = AclWarehouse(wh, "webapp")
+    assert as_web.read(cur_t).count() == 1
+    with pytest.raises(PermissionError, match="src_tmp"):
+        as_web.read(staging_t)
+
+    as_grafana = AclWarehouse(wh, "grafana")
+    assert as_grafana.read(cur_t).count() == 1
+    with pytest.raises(PermissionError):
+        as_grafana.append(cap, cur_t)
+    with pytest.raises(PermissionError):
+        as_grafana.drop_srvid(cur_t, 1)
+
+    as_bot = AclWarehouse(wh, "pgbot")
+    with pytest.raises(PermissionError):
+        as_bot.read(cur_t)
+
+    # config class: collector reads but cannot write
+    with pytest.raises(PermissionError):
+        AclWarehouse(wh, "collector").drop_table("powa_servers")
+
+    # powa_revoke(): every privilege disappears
+    revoke_powa_roles(wh)
+    with pytest.raises(PermissionError):
+        as_web.read(cur_t)
+
+
+def test_grants_df_materializes_matrix(spark):
+    df = grants_df(spark, ["powa_statements_history",
+                           "powa_statements_src_tmp"])
+    assert df.count() == 2 * len(POWA_ROLES)
+    got = {(r.table, r.role): r.privileges for r in df.collect()}
+    assert got[("powa_statements_src_tmp", "powa_read_all_data")] == []
+    assert got[("powa_statements_history", "powa_admin")] == ["read", "write"]
