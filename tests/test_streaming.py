@@ -609,3 +609,41 @@ def test_streaming_statements_ingest_feeds_dictionary(spark, wh):
     d = {r.queryid: r.query
          for r in dictionary.read_statements(wh, 1).collect()}
     assert d == {100: "SELECT a", 101: "SELECT b"}
+
+
+def test_near_dup_ledger_chain_divergence_is_pinned(spark, wh):
+    """The one semantic divergence between the streaming ledger and the
+    batch pair-rule keep list, pinned explicitly: chain a~b, b~c, a!~c
+    with a<b<c split across batches.  Batch (pair rule) drops BOTH b
+    (pair a-b) and c (pair b-c, even though b itself was dropped).  The
+    streaming ledger only dedups against KEPT docs, so c — arriving
+    after b was dropped — survives.  Neither answer is wrong (greedy
+    near-dup keep is order-defined); what matters is that each path's
+    rule is deterministic and documented."""
+    from powa_archivist_spark.pipeline.dedup import minhash_dedup_pairs
+    from powa_archivist_spark.streaming.dedup import process_near_dup_batch
+
+    toks = [f"tok{i:02d}" for i in range(50)]
+    a_toks = list(toks)
+    b_toks = list(toks); b_toks[10] = "CHANGED_B"
+    c_toks = list(b_toks); c_toks[40] = "CHANGED_C"
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks)), (3, " ".join(c_toks))],
+        "doc_id long, text string",
+    )
+
+    # batch rule: pair list has (1,2) and (2,3) but not (1,3)
+    pairs = {(r.a_id, r.b_id)
+             for r in minhash_dedup_pairs(docs, threshold=0.8).collect()}
+    assert pairs == {(1, 2), (2, 3)}
+    # pair-rule keep list = {1}
+    dropped = {b for _, b in pairs}
+    assert set(range(1, 4)) - dropped == {1}
+
+    # streaming: batch0 = {a, b}, batch1 = {c} -> keeps {1, 3}
+    process_near_dup_batch(wh, docs.filter("doc_id <= 2"), "chain_sink",
+                           threshold=0.8)
+    process_near_dup_batch(wh, docs.filter("doc_id = 3"), "chain_sink",
+                           threshold=0.8)
+    kept = sorted(r.doc_id for r in wh.read("chain_sink").collect())
+    assert kept == [1, 3]
