@@ -55,6 +55,12 @@ def main() -> int:
     spark.range(2).mapInPandas(lambda it: it, "id long").count()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # a query whose single run exceeds the cutoff keeps ONE sample: the
+    # rep discipline exists to separate noise from regressions on
+    # second-scale queries, and re-running a ~30s end-to-end query 3x
+    # triples bench wall-clock for little signal (n=1 is recorded, so
+    # the lower confidence is visible in BENCH_FULL.json)
+    slow_cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_CUTOFF", "20"))
     timings: dict[str, float] = {}          # median per query (headline)
     detail: dict[str, dict] = {}            # min/median/max/reps per query
     for name, fn in entry_mod.queries().items():
@@ -68,6 +74,8 @@ def main() -> int:
                 samples.append(time.time() - t0)
             except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
                 err = str(e)
+                break
+            if samples[-1] > slow_cutoff:
                 break
         if err is not None or not samples:
             timings[name] = -1.0
