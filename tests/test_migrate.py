@@ -178,3 +178,25 @@ def test_dropped_key_degrades_to_multiple_packed_rows(spark, v1_warehouse):
     # every original record still readable: 2 snapshots x 2 funcs + 1
     assert flat.filter(F.col("dbid") == 10).count() == 4
     assert "funcid" not in flat.columns
+
+
+def test_retyped_counter_casts_in_place(spark, v1_warehouse):
+    """A retyped counter (bigint -> double, the reference's
+    ALTER ATTRIBUTE TYPE) casts inside records and minmax structs."""
+    wh = v1_warehouse
+    v2_retyped = DatasourceSpec(
+        name="mig_demo",
+        keys=SPEC_V1.keys,
+        counters=(
+            Counter("calls", "double"),  # was bigint
+            Counter("total_time", "double"),
+            Counter("legacy_counter"),
+        ),
+        db_rollup=True,
+    )
+    migrate_warehouse(wh, SPEC_V1, v2_retyped, to_version="2-retype")
+    hist = wh.read(Warehouse.history("mig_demo"), v2_retyped.history_schema)
+    h = hist.filter(F.col("funcid") == 1).collect()[0]
+    assert [r.calls for r in h.records] == [100.0, 110.0]
+    assert isinstance(h.records[0].calls, float)
+    assert h.maxs_in_range.calls == 110.0
