@@ -184,3 +184,33 @@ def extract_features(docs_with_payload: DataFrame,
             )
 
     return docs_with_payload.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def binary_shingles(
+    df: DataFrame,
+    shingle_bytes: int = 8,
+    stride: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Byte-shingle sets over an opaque BINARY column — the blob-level
+    analog of word shingles, feeding the same MinHash/LSH machinery
+    (`dedup.minhash_dedup_pairs(shingle_df=...)`) for image/audio
+    near-dup at 100 TB.  Content-defined windows: one ``shingle_bytes``
+    window every ``stride`` bytes, hex-encoded so the shingle is a plain
+    string the cross-engine md5 family (and the DuckDB oracle) can hash
+    identically.  Pure Catalyst expressions — the payload never reaches
+    Python."""
+    hx = F.hex(F.col(payload_col))
+    n_bytes = F.length(hx) / 2
+    cnt = F.floor((n_bytes - shingle_bytes) / stride + 1).cast("int")
+    shingle = lambda i: hx.substr(  # noqa: E731
+        i * (stride * 2) + 1, F.lit(shingle_bytes * 2)
+    )
+    arr = F.when(
+        cnt > 0,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(0), cnt - 1), shingle)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), arr.alias("sh"))

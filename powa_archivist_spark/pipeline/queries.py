@@ -1079,6 +1079,76 @@ WHERE rn = least(m, 64)
 """
 
 
+def multimodal_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-level near-dup over the opaque BINARY payload column:
+    byte-shingle sets (8-byte windows every 4 bytes, hex-encoded) feed
+    the SAME MinHash/LSH machinery as text dedup — the standard
+    content-defined dedup for image/audio corpora where no text exists
+    to tokenize.  md5 cross-engine family so the oracle replays shingle
+    -> 32 permutations -> 8 bands -> candidate join -> exact verify."""
+    docs = t(spark, sf_dir, "documents")
+    wp = multimodal.with_payload(docs)
+    sh = multimodal.binary_shingles(wp)
+    return dedup.minhash_dedup_pairs(
+        wp, threshold=0.8, hash_fn="md5", shingle_df=sh
+    )
+
+
+ORACLE_BINARY_NEAR_DUP = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= 16 THEN
+           list_distinct([
+             substring(h, (i-1)*8+1, 16)
+             for i in generate_series(
+               1, CAST(floor((len(h)/2 - 8)/4 + 1) AS INT))
+           ])
+         ELSE [] END AS sh
+  FROM hx
+), exploded AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS hv
+  FROM sh
+), seeds(seed, a1, a2, b) AS (
+  VALUES {", ".join(f"({i}, {a1}, {a2}, {b})"
+                    for i, (a1, a2, b) in enumerate(_PERMS))}
+), mins AS (
+  SELECT doc_id, seed,
+         MIN((a1 * (hv >> 30) + a2 * (hv & 1073741823) + b)
+             % {dedup.MINHASH_P}) AS hv
+  FROM exploded CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), sigs AS (
+  SELECT doc_id, list(hv ORDER BY seed) AS sig FROM mins GROUP BY doc_id
+), bandix AS (
+  SELECT unnest(generate_series(0, 7)) AS band
+), banded AS (
+  SELECT doc_id, band,
+         ('0x' || substring(
+            md5(array_to_string(sig[band*4+1 : band*4+4], '|')), 1, 15)
+         )::BIGINT AS bucket
+  FROM sigs CROSS JOIN bandix
+), cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         AS jaccard
+FROM cands
+JOIN sh sa ON sa.doc_id = a_id
+JOIN sh sb ON sb.doc_id = b_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+"""
+
+
+
+
 def stream_near_dup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic multi-batch replay of the STREAMING near-dup ledger
     (streaming/dedup.py process_near_dup_batch): the corpus arrives in
@@ -1232,4 +1302,6 @@ PIPELINE_QUERIES = {
     "ivf_refined_centroids": (ivf_refined_centroids, ORACLE_IVF_REFINE),
     "stream_near_dup_ledger": (stream_near_dup_ledger,
                                ORACLE_STREAM_NEAR_DUP),
+    "multimodal_binary_near_dup": (multimodal_binary_near_dup,
+                                   ORACLE_BINARY_NEAR_DUP),
 }

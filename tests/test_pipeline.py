@@ -777,3 +777,33 @@ def test_multimodal_meta_non_ascii_codepoints(spark):
     meta = multimodal.extract_meta(multimodal.with_payload(docs)).collect()[0]
     assert meta.n_bytes == 6            # 'é' is two bytes
     assert meta.checksum == ord("é") * 256 + ord("e")
+
+
+def test_binary_near_dup_byte_shingles(spark):
+    """Blob-level near-dup: identical payloads pair at jaccard 1.0,
+    unrelated payloads never pair, and the whole stage stays JVM-side
+    (no Arrow/Python evaluation in the plan — binary payloads must not
+    round-trip through Python)."""
+    from powa_archivist_spark.pipeline import dedup, multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 40 + " the same binary blob payload content"),
+         (2, "a" * 40 + " the same binary blob payload content"),
+         (3, "completely different bytes " + "z" * 40)],
+        "doc_id long, text string",
+    )
+    wp = multimodal.with_payload(docs)
+    sh = multimodal.binary_shingles(wp)
+    pairs = dedup.minhash_dedup_pairs(wp, threshold=0.8, shingle_df=sh)
+    got = {(r.a_id, r.b_id): r.jaccard for r in pairs.collect()}
+    assert got == {(1, 2): 1.0}
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "mapInPandas" not in plan
+
+    # short payloads (< one shingle window) produce empty sets, not errors
+    tiny = multimodal.binary_shingles(
+        multimodal.with_payload(
+            spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+        )
+    )
+    assert tiny.collect()[0].sh == []
