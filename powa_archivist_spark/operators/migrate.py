@@ -42,6 +42,13 @@ layout (entities already span multiple coalesce windows), so unpack
 reads and re-aggregation keep working without a regroup rewrite; an
 ADDED key reads NULL on pre-migration rows.  Both are covered by
 tests/test_migrate.py.
+
+Scope: the job covers the four spec-derived layout tables (current /
+history and their _db twins).  The handwritten qualstats constvalues
+tables, the statements dictionary, and the databases dimension are
+schema-stable across reference versions (their upgrade scripts never
+alter them) and would take a bespoke conform target if that ever
+changes — `conform` itself is target-schema-generic.
 """
 
 from __future__ import annotations
