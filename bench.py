@@ -75,7 +75,10 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
                 err = str(e)
                 break
-            if samples[-1] > slow_cutoff:
+            # single-sample rule: only the FIRST run decides — breaking
+            # on a later over-cutoff sample would leave an even-count
+            # median polluted by the outlier (r5 code review)
+            if len(samples) == 1 and samples[0] > slow_cutoff:
                 break
         if err is not None or not samples:
             timings[name] = -1.0

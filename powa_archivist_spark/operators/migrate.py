@@ -97,10 +97,17 @@ def _conform_expr(col: Column, src: T.DataType, dst: T.DataType) -> Column:
     return col.cast(dst)
 
 
-def conform(df: DataFrame, target: T.StructType) -> DataFrame:
+def conform(df: DataFrame, target: T.StructType,
+            keep_extra: tuple[str, ...] = ()) -> DataFrame:
     """Project ``df`` onto ``target``: matching columns conformed
-    recursively, missing columns NULL, extra columns KEPT (trailing, in
-    df order) — partition columns like ``range_day`` survive."""
+    recursively, missing columns NULL.  Extra columns are DROPPED —
+    that is the whole point for dropped counters/keys — except the
+    explicitly named ``keep_extra`` (partition columns like
+    ``range_day``, which are not part of the spec schema but must
+    survive the rewrite).  Keeping all extras by default was the r5
+    code-review finding: a dropped counter stayed physically present in
+    the rewritten files, so later appends created mixed parquet schemas
+    and the next overlap-rewrite's unionByName blew up."""
     have = {f.name: f.dataType for f in df.schema.fields}
     out = []
     for f in target.fields:
@@ -112,8 +119,8 @@ def conform(df: DataFrame, target: T.StructType) -> DataFrame:
         else:
             out.append(F.lit(None).cast(f.dataType).alias(f.name))
     target_names = {f.name for f in target.fields}
-    out += [F.col(f.name) for f in df.schema.fields
-            if f.name not in target_names]
+    out += [F.col(name) for name in keep_extra
+            if name in have and name not in target_names]
     return df.select(*out)
 
 
@@ -176,13 +183,19 @@ def migrate_warehouse(
             (Warehouse.history_db(spec_new.name), db.history_schema,
              ["srvid", "range_day"]),
         ]
+    from pyspark.sql import Observation
+
     rewritten: dict[str, int] = {}
     for table, target, part_by in plan:
         if not wh.exists(table):
             continue
-        out = conform(wh.read(table), target)
+        out = conform(wh.read(table), target, keep_extra=tuple(part_by))
+        # row count observed DURING the rewrite (no second scan — the
+        # migration stays one map-only pass per table, r5 code review)
+        obs = Observation(f"migrate_{table}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
         wh.overwrite(out, table, partition_by=part_by)
-        rewritten[table] = wh.read(table).count()
+        rewritten[table] = obs.get["rows"]
     if to_version is not None:
         stamp_layout_version(wh, spec_new.name, to_version)
     return rewritten

@@ -1160,19 +1160,27 @@ def stream_near_dup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     four chained CTEs apply the in-batch rule then the kept-ledger rule
     per batch.  This is the CORRECTNESS entry VERDICT r4 item 7 asked
     for — streaming parity enforced by value hash, not just pytest."""
+    import shutil
     import tempfile
 
     from ..storage import Warehouse
     from ..streaming.dedup import process_near_dup_batch
 
     docs = t(spark, sf_dir, "documents")
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="ndledger_"))
-    for b in range(4):
-        process_near_dup_batch(
-            wh, docs.filter(F.col("doc_id") % 4 == b), "kept_docs",
-            threshold=0.8, hash_fn="md5",
-        )
-    return wh.read("kept_docs").select("doc_id")
+    scratch = tempfile.mkdtemp(prefix="ndledger_")
+    try:
+        wh = Warehouse(spark, scratch)
+        for b in range(4):
+            process_near_dup_batch(
+                wh, docs.filter(F.col("doc_id") % 4 == b), "kept_docs",
+                threshold=0.8, hash_fn="md5",
+            )
+        # materialize off the scratch files (localCheckpoint) so the
+        # ledger directory can be deleted NOW instead of leaking one
+        # tempdir per bench rep / oracle run (r5 code review)
+        return wh.read("kept_docs").select("doc_id").localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 ORACLE_STREAM_NEAR_DUP = f"""

@@ -104,6 +104,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     the slowest map-heavy query in the suite (12.2 s at sf0.1); the
     rolling-hash form roughly halves the dominant cost, per VERDICT r4
     item 6."""
+    if not ns:
+        raise ValueError("ns must name at least one n-gram size")
     toks = F.split(F.col(text_col), " ")
     n_max = max(ns)
 
@@ -112,8 +114,11 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     step = docs.select(F.col(id_col), F.transform(
         toks, lambda t: F.xxhash64(t)).alias("_th"))
 
-    # chained gram-hash arrays: gh_n[i] = xxhash64(gh_{n-1}[i], th[i+n-1])
+    # chained gram-hash arrays: gh_n[i] = xxhash64(gh_{n-1}[i], th[i+n-1]);
+    # n=1 is the token-hash array itself
     gram_arrays: dict[int, F.Column] = {}
+    if 1 in ns:
+        gram_arrays[1] = F.col("_th")
     prev = F.col("_th")
     for n in range(2, n_max + 1):
         m = F.greatest(F.size("_th") - (n - 1), F.lit(0))

@@ -67,9 +67,10 @@ def stateful_sessionize(
     A late event older than ``session_start - gap`` must NOT merge
     (ADVICE r4): in true order it belongs to a separate, earlier
     session, so it chains into its own "pre" session which is emitted
-    CLOSED — unless the pre chain grows forward to within ``gap`` of
-    the open session's start, in which case the two are provably one
-    true-order session and merge.  An event older than an
+    CLOSED — unless a later event in the same batch bridges the chain
+    through to the open session (the resolving event is within ``gap``
+    of both the chain's end and the session's span), in which case the
+    whole chain is provably one true-order session and merges.  An event older than an
     already-EMITTED session cannot reopen it (append-mode streaming);
     bound that staleness with a watermark upstream — an unboundedly
     late bridge event between an emitted pre-session and the open one
@@ -114,9 +115,15 @@ def stateful_sessionize(
                     pre[2] += 1
                 continue
             if pre is not None:
-                # sorted order: ts >= cur[0] - gap resolves the chain —
-                # it either bridges to the open session or stands alone
-                if cur[0] - pre[1] <= gap:
+                # sorted order: ts >= cur[0] - gap resolves the chain.
+                # The bridge runs THROUGH the resolving ts: every pre
+                # event is < cur[0] - gap by construction, so the chain
+                # can only reach the open session if ts continues it
+                # (ts - pre[1] <= gap) AND ts itself joins cur (it does
+                # whenever it doesn't open a new later session — the
+                # ts > cur[1] + gap case implies ts - pre[1] > 2*gap,
+                # so both conditions collapse to one check here).
+                if ts - pre[1] <= gap:
                     cur[0] = pre[0]
                     cur[2] += pre[2]
                 else:

@@ -79,6 +79,14 @@ def test_migrate_nullpads_and_drops_everywhere(spark, v1_warehouse):
         Warehouse.current_db("mig_demo"), Warehouse.history_db("mig_demo"),
     }
 
+    # SCHEMALESS read: the dropped counter must be physically gone from
+    # the rewritten files, not merely hidden by an explicit read schema
+    # (r5 code-review regression — stranded columns caused mixed parquet
+    # schemas on later appends)
+    assert "legacy_counter" not in wh.read(
+        Warehouse.current("mig_demo")).columns
+    assert "legacy_counter" not in wh.read(
+        Warehouse.history("mig_demo")).columns
     cur = wh.read(Warehouse.current("mig_demo"), SPEC_V2.current_schema)
     assert "legacy_counter" not in cur.columns
     row = cur.collect()[0]

@@ -647,3 +647,65 @@ def test_near_dup_ledger_chain_divergence_is_pinned(spark, wh):
                            threshold=0.8)
     kept = sorted(r.doc_id for r in wh.read("chain_sink").collect())
     assert kept == [1, 3]
+
+
+def test_stateful_sessionize_bridged_late_chain_merges(spark):
+    """Code-review r5 regression: late events [12:25, 12:50] against an
+    open session starting 13:00 (gap 30 min).  12:25 is too old on its
+    own, but 12:50 bridges it through to the open session — true order
+    12:25, 12:50, 13:00 has max gap 25 min = ONE session.  Nothing may
+    be emitted closed."""
+    from powa_archivist_spark.streaming.sessionize import (
+        sessionize_batch,
+        stream_sessionize,
+    )
+
+    schema = "user_id long, ts timestamp, event_id long"
+    landing = tempfile.mkdtemp(prefix="sbrg_")
+    out = tempfile.mkdtemp(prefix="sbrg_out_")
+    ckpt = tempfile.mkdtemp(prefix="sbrg_ck_")
+
+    t_open = ts(0) + datetime.timedelta(minutes=60)   # 13:00
+    t_mid = ts(0) + datetime.timedelta(minutes=50)    # 12:50
+    t_old = ts(25)                                    # 12:25
+    spark.createDataFrame([(1, t_open, 1)], schema).coalesce(1).write.parquet(
+        landing + "/b0"
+    )
+    q = stream_sessionize(spark, landing + "/*",
+                          spark.createDataFrame([], schema).schema, ckpt, out,
+                          gap_s=1800)
+    q.awaitTermination(300)
+    spark.createDataFrame(
+        [(1, t_old, 2), (1, t_mid, 3)], schema
+    ).coalesce(1).write.parquet(landing + "/b1")
+    q = stream_sessionize(spark, landing + "/*",
+                          spark.createDataFrame([], schema).schema, ckpt, out,
+                          gap_s=1800)
+    q.awaitTermination(300)
+    closed = (
+        spark.read.parquet(out).collect()
+        if any(f.endswith(".parquet") for _, _, fs in os.walk(out) for f in fs)
+        else []
+    )
+    assert closed == []  # one bridged session, still open
+
+    # close it and check the span covers the bridged chain
+    t_late = t_open + datetime.timedelta(minutes=40)
+    spark.createDataFrame([(1, t_late, 4)], schema).coalesce(1).write.parquet(
+        landing + "/b2"
+    )
+    q = stream_sessionize(spark, landing + "/*",
+                          spark.createDataFrame([], schema).schema, ckpt, out,
+                          gap_s=1800)
+    q.awaitTermination(300)
+    (s,) = spark.read.parquet(out).collect()
+    assert (s.session_start, s.session_end, s.n_events) == (
+        t_old.replace(tzinfo=None), t_open.replace(tzinfo=None), 3
+    )
+    # batch twin agrees
+    full = spark.createDataFrame(
+        [(1, t_open, 1), (1, t_old, 2), (1, t_mid, 3), (1, t_late, 4)], schema
+    )
+    rows = {r.session_idx: r.n_events
+            for r in sessionize_batch(full, gap_s=1800).collect()}
+    assert rows == {1: 3, 2: 1}
