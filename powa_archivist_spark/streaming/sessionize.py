@@ -53,6 +53,65 @@ def sessionize_batch(
     )
 
 
+def advance_session(cur, ts_list, gap):
+    """The sessionizer's per-batch state transition as a PURE function:
+    ``cur`` is the open session triple [start, last, n] (or None),
+    ``ts_list`` the batch's event times sorted ascending, ``gap`` the
+    inactivity timedelta.  Returns ``(closed, cur)`` — the sessions
+    emitted closed this batch (start-ordered) and the new open session.
+    Extracted from the applyInPandasWithState closure so the subtle
+    late-event rules (join within gap, pre-chain with bridge-through,
+    too-old split) are unit- and property-testable against the batch
+    twin without a streaming harness (r5: the bridge rule had a bug the
+    tests missed while this logic was embedded)."""
+    closed = []
+    pre = None  # chain of events entirely before cur[0] - gap
+    for ts in ts_list:
+        if cur is None:
+            cur = [ts, ts, 1]
+            continue
+        if ts < cur[0] - gap:
+            # too old to join the open session: true-order
+            # semantics puts it in an earlier session of its own
+            if pre is None:
+                pre = [ts, ts, 1]
+            elif ts - pre[1] > gap:
+                closed.append(pre)
+                pre = [ts, ts, 1]
+            else:
+                pre[1] = ts
+                pre[2] += 1
+            continue
+        if pre is not None:
+            # sorted order: ts >= cur[0] - gap resolves the chain.
+            # The bridge runs THROUGH the resolving ts: every pre
+            # event is < cur[0] - gap by construction, so the chain
+            # can only reach the open session if ts continues it
+            # (ts - pre[1] <= gap) AND ts itself joins cur (it does
+            # whenever it doesn't open a new later session — the
+            # ts > cur[1] + gap case implies ts - pre[1] > 2*gap,
+            # so both conditions collapse to one check here).
+            if ts - pre[1] <= gap:
+                cur[0] = pre[0]
+                cur[2] += pre[2]
+            else:
+                closed.append(pre)
+            pre = None
+        if ts - cur[1] > gap:
+            closed.append(cur)
+            cur = [ts, ts, 1]
+        else:
+            cur[0] = min(cur[0], ts)
+            cur[1] = max(cur[1], ts)
+            cur[2] += 1
+    if pre is not None:
+        # chain never reached the open session's neighborhood: every
+        # pre event is < cur[0] - gap, so it closes on its own
+        closed.append(pre)
+    closed.sort(key=lambda c: c[0])
+    return closed, cur
+
+
 def stateful_sessionize(
     stream: DataFrame,
     gap_s: int = 1800,
@@ -96,51 +155,7 @@ def stateful_sessionize(
             cur = [start, last, int(n)]
         else:
             cur = None
-        closed = []
-        pre = None  # chain of events entirely before cur[0] - gap
-        for ts in ts_list:
-            if cur is None:
-                cur = [ts, ts, 1]
-                continue
-            if ts < cur[0] - gap:
-                # too old to join the open session: true-order
-                # semantics puts it in an earlier session of its own
-                if pre is None:
-                    pre = [ts, ts, 1]
-                elif ts - pre[1] > gap:
-                    closed.append(pre)
-                    pre = [ts, ts, 1]
-                else:
-                    pre[1] = ts
-                    pre[2] += 1
-                continue
-            if pre is not None:
-                # sorted order: ts >= cur[0] - gap resolves the chain.
-                # The bridge runs THROUGH the resolving ts: every pre
-                # event is < cur[0] - gap by construction, so the chain
-                # can only reach the open session if ts continues it
-                # (ts - pre[1] <= gap) AND ts itself joins cur (it does
-                # whenever it doesn't open a new later session — the
-                # ts > cur[1] + gap case implies ts - pre[1] > 2*gap,
-                # so both conditions collapse to one check here).
-                if ts - pre[1] <= gap:
-                    cur[0] = pre[0]
-                    cur[2] += pre[2]
-                else:
-                    closed.append(pre)
-                pre = None
-            if ts - cur[1] > gap:
-                closed.append(cur)
-                cur = [ts, ts, 1]
-            else:
-                cur[0] = min(cur[0], ts)
-                cur[1] = max(cur[1], ts)
-                cur[2] += 1
-        if pre is not None:
-            # chain never reached the open session's neighborhood: every
-            # pre event is < cur[0] - gap, so it closes on its own
-            closed.append(pre)
-        closed.sort(key=lambda c: c[0])
+        closed, cur = advance_session(cur, ts_list, gap)
         if cur is not None:
             state.update((cur[0], cur[1], cur[2]))
         if closed:

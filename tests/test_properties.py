@@ -408,3 +408,51 @@ def test_migration_roundtrip_preserves_shared_counters(spark, series,
             assert getattr(r, c) == getattr(src[key], c)
         if add_new:
             assert r.brand_new is None
+
+
+# ---------------------------------------------------------------------------
+# stateful sessionizer state transition (streaming/sessionize.py)
+# ---------------------------------------------------------------------------
+
+def _true_sessions(all_ts, gap):
+    out, cur = [], None
+    for t in sorted(all_ts):
+        if cur is None or t - cur[1] > gap:
+            if cur:
+                out.append(cur)
+            cur = [t, t, 1]
+        else:
+            cur[1] = t
+            cur[2] += 1
+    if cur:
+        out.append(cur)
+    return out
+
+
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=200),
+                         min_size=0, max_size=12),
+                min_size=1, max_size=5))
+@settings(max_examples=300, deadline=None)
+def test_advance_session_matches_batch_twin_within_watermark(batches):
+    """Fold advance_session over arbitrary batches: whenever no event
+    arrives 'too late' (within gap-reach of an already-EMITTED session
+    — the case the upstream watermark excludes), the final session set
+    must EQUAL the true-order batch sessionization.  Pure-Python
+    property over the extracted transition (r5: the bridge rule had a
+    bug that survived example-based tests)."""
+    from hypothesis import assume
+
+    from powa_archivist_spark.streaming.sessionize import advance_session
+
+    gap = 5
+    cur, closed = None, []
+    for batch in batches:
+        for t in batch:
+            # watermark assumption: t must not fall within gap-reach of
+            # an already-emitted session's span
+            assume(not any(c[0] - gap <= t <= c[1] + gap for c in closed))
+        c, cur = advance_session(cur, sorted(batch), gap)
+        closed += c
+    final = sorted(closed + ([cur] if cur else []))
+    want = sorted(_true_sessions([t for b in batches for t in b], gap))
+    assert final == want
