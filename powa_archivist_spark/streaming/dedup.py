@@ -20,15 +20,18 @@ normalized text) so a corpus built from the stream equals the batch
 :func:`pipeline.dedup.exact_dedup` keep-set over the same data, modulo
 arrival order inside one micro-batch (resolved min-id like the batch op).
 
-Delivery: the ledger variants are **at-least-once on crash** — sink and
-ledger appends are two separate parquet writes, so a crash between them
-replays the batch with an incomplete ledger and can re-append sink rows
-(never lose them: the sink is written first).  A downstream exact dedup
-on (id) absorbs this, or wrap the appends with the epoch-marker pattern
-from :mod:`.ingest` (or a transactional table format) for exactly-once.
+Delivery: the ledger variants use the SAME committed-epoch markers as
+ingest.py, so a checkpoint-replayed epoch whose marker exists is a
+no-op; only a crash MID-epoch (between the sink append and the ledger
+appends) replays **at-least-once** — the sink is written first so rows
+are never lost, and a downstream exact dedup on (id) absorbs the
+re-append (a transactional table format would collapse the appends
+into one txn).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -89,6 +92,23 @@ def process_dedup_batch(
 
 BANDS_TABLE = "corpus_minhash_bands"
 SHINGLE_TABLE = "corpus_shingles"
+
+
+def _with_epoch_marker(marker_dir: str, epoch_id: int, apply_fn) -> None:
+    """Same committed-epoch marker as ingest.py (round-5): the ledger
+    appends (sink + bands/digests) are multiple parquet writes, so a
+    replayed epoch would re-append sink rows.  The marker makes the
+    COMMON full-replay a no-op; a crash mid-epoch still replays
+    at-least-once (documented — a transactional format collapses it)."""
+    marker = os.path.join(marker_dir, f"epoch-{epoch_id}.done")
+    if os.path.exists(marker):
+        return
+    apply_fn()
+    os.makedirs(marker_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("committed")
+    os.replace(tmp, marker)
 
 
 def process_near_dup_batch(
@@ -223,8 +243,13 @@ def stream_near_dup_ledger(
         .parquet(landing_glob)
     )
 
+    marker_dir = os.path.join(checkpoint_dir, "epoch_markers")
+
     def process(batch: DataFrame, epoch_id: int) -> None:
-        process_near_dup_batch(wh, batch, sink_table, threshold)
+        _with_epoch_marker(
+            marker_dir, epoch_id,
+            lambda: process_near_dup_batch(wh, batch, sink_table, threshold),
+        )
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -255,8 +280,14 @@ def stream_exact_dedup_ledger(
         .parquet(landing_glob)
     )
 
+    marker_dir = os.path.join(checkpoint_dir, "epoch_markers")
+
     def process(batch: DataFrame, epoch_id: int) -> None:
-        process_dedup_batch(wh, batch, sink_table, text_col, id_col)
+        _with_epoch_marker(
+            marker_dir, epoch_id,
+            lambda: process_dedup_batch(wh, batch, sink_table, text_col,
+                                        id_col),
+        )
 
     return (
         stream.writeStream.foreachBatch(process)
