@@ -1149,6 +1149,53 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 
 
 
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup: cluster-canonical keep/drop over
+    the embedding-cosine near-dup graph — the composition of the
+    grid-blocked embedding pair join and connected components that a
+    curation pipeline actually ships (text near-dup misses paraphrases;
+    the embedding graph catches them).  Keep rule: min vec_id per
+    component.  The oracle replays the quantized-int pair relation and
+    the transitive closure with a recursive CTE."""
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs_blocked(
+        emb, min_dot_q=MIN_DOT_Q, id_col="vec_id"
+    ).select(F.col("a_id"), F.col("b_id"))
+    comp = dedup.connected_components(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+    return comp.select(
+        "vec_id", "component",
+        (F.col("vec_id") == F.col("component")).alias("is_kept"),
+    )
+
+
+ORACLE_EMB_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(list_zip(a.v, b.v),
+    x -> x[1] * x[2])) AS BIGINT) >= {MIN_DOT_Q}
+), edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+), walk(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e2.dst, w.label FROM walk w JOIN edges e2 ON e2.src = w.node
+)
+SELECT node AS vec_id, MIN(label) AS component,
+       node = MIN(label) AS is_kept
+FROM walk GROUP BY node
+"""
+
+
+
 def stream_near_dup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic multi-batch replay of the STREAMING near-dup ledger
     (streaming/dedup.py process_near_dup_batch): the corpus arrives in
@@ -1312,4 +1359,5 @@ PIPELINE_QUERIES = {
                                ORACLE_STREAM_NEAR_DUP),
     "multimodal_binary_near_dup": (multimodal_binary_near_dup,
                                    ORACLE_BINARY_NEAR_DUP),
+    "emb_semantic_dedup": (emb_semantic_dedup, ORACLE_EMB_SEMANTIC_DEDUP),
 }
