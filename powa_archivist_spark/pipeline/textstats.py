@@ -106,6 +106,9 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     item 6."""
     if not ns:
         raise ValueError("ns must name at least one n-gram size")
+    if any(n < 1 for n in ns):
+        raise ValueError(f"n-gram sizes must be >= 1, got {ns}")
+    ns = tuple(dict.fromkeys(ns))  # dedupe, keep order (stable columns)
     toks = F.split(F.col(text_col), " ")
     n_max = max(ns)
 

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline.dedup import normalized_text
 from ..storage import Warehouse
+from .ingest import with_epoch_marker as _with_epoch_marker
 
 LEDGER_TABLE = "corpus_digest_ledger"
 
@@ -92,23 +93,6 @@ def process_dedup_batch(
 
 BANDS_TABLE = "corpus_minhash_bands"
 SHINGLE_TABLE = "corpus_shingles"
-
-
-def _with_epoch_marker(marker_dir: str, epoch_id: int, apply_fn) -> None:
-    """Same committed-epoch marker as ingest.py (round-5): the ledger
-    appends (sink + bands/digests) are multiple parquet writes, so a
-    replayed epoch would re-append sink rows.  The marker makes the
-    COMMON full-replay a no-op; a crash mid-epoch still replays
-    at-least-once (documented — a transactional format collapses it)."""
-    marker = os.path.join(marker_dir, f"epoch-{epoch_id}.done")
-    if os.path.exists(marker):
-        return
-    apply_fn()
-    os.makedirs(marker_dir, exist_ok=True)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        f.write("committed")
-    os.replace(tmp, marker)
 
 
 def process_near_dup_batch(

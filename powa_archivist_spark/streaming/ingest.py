@@ -53,6 +53,23 @@ from ..specs import DatasourceSpec
 from ..storage import Warehouse
 
 
+def with_epoch_marker(marker_dir: str, epoch_id: int, apply_fn) -> None:
+    """Committed-epoch marker protocol, shared by every foreachBatch
+    sink in this package: skip if the epoch's marker exists, otherwise
+    apply then commit the marker atomically (tmp + rename).  One
+    implementation so the commit sequence cannot silently diverge
+    between the ingest and ledger paths (r5 code review)."""
+    marker = os.path.join(marker_dir, f"epoch-{epoch_id}.done")
+    if os.path.exists(marker):
+        return
+    apply_fn()
+    os.makedirs(marker_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("committed")
+    os.replace(tmp, marker)
+
+
 def process_staged_batch(
     wh: Warehouse,
     spec: DatasourceSpec,
@@ -80,33 +97,28 @@ def process_staged_batch(
     arrays) is the batch ``qualstats_snapshot`` pipeline's input
     contract and is not a streaming wire format - collectors pre-roll
     or land through the batch path."""
-    marker = os.path.join(marker_dir, f"epoch-{epoch_id}.done")
-    if os.path.exists(marker):
-        return
-    batch = batch.cache()
-    try:
-        srvids = sorted(
-            r.srvid for r in batch.select("srvid").distinct().collect()
-        )
-        for srvid in srvids:
-            cap = batch.filter(F.col("srvid") == srvid)
-            snapshot(
-                wh, spec, srvid,
-                capture=cap,
-                drop_staging=False, idempotent=True,
+    def apply() -> None:
+        b = batch.cache()
+        try:
+            srvids = sorted(
+                r.srvid for r in b.select("srvid").distinct().collect()
             )
-            if spec.name == "statements":
-                from ..operators.dictionary import merge_statements
+            for srvid in srvids:
+                cap = b.filter(F.col("srvid") == srvid)
+                snapshot(
+                    wh, spec, srvid,
+                    capture=cap,
+                    drop_staging=False, idempotent=True,
+                )
+                if spec.name == "statements":
+                    from ..operators.dictionary import merge_statements
 
-                if cap.limit(1).count() > 0:
-                    merge_statements(wh, srvid, cap)
-        os.makedirs(marker_dir, exist_ok=True)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write("committed")
-        os.replace(tmp, marker)
-    finally:
-        batch.unpersist()
+                    if cap.limit(1).count() > 0:
+                        merge_statements(wh, srvid, cap)
+        finally:
+            b.unpersist()
+
+    with_epoch_marker(marker_dir, epoch_id, apply)
 
 
 def ingest_stream(
