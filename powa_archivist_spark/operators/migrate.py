@@ -66,15 +66,28 @@ from ..storage import Warehouse
 from .aggregate import _db_subspec
 
 
+def _kind(t: T.DataType) -> str:
+    if isinstance(t, T.StructType):
+        return "struct"
+    if isinstance(t, T.ArrayType):
+        return "array"
+    if isinstance(t, T.MapType):
+        return "map"
+    return "scalar"
+
+
 def _conform_expr(col: Column, src: T.DataType, dst: T.DataType) -> Column:
     """Rewrite ``col`` (of type ``src``) to type ``dst``: recurse through
     structs/arrays, NULL-pad fields missing from src, drop fields missing
-    from dst, cast leaves."""
+    from dst, cast leaves.  A type-KIND change (scalar <-> array <->
+    struct <-> map) has no value-preserving rewrite — it is semantically
+    a drop + add under one name — so the old values conform to NULL
+    rather than failing the whole migration with an un-plannable cast
+    (found by the conform totality fuzz, tests/test_properties.py)."""
+    if _kind(src) != _kind(dst):
+        return F.lit(None).cast(dst)
     if isinstance(dst, T.StructType):
-        src_fields = (
-            {f.name: f.dataType for f in src.fields}
-            if isinstance(src, T.StructType) else {}
-        )
+        src_fields = {f.name: f.dataType for f in src.fields}
         parts = []
         for f in dst.fields:
             if f.name in src_fields:
@@ -90,9 +103,22 @@ def _conform_expr(col: Column, src: T.DataType, dst: T.DataType) -> Column:
         return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
             F.struct(*parts)
         )
-    if isinstance(dst, T.ArrayType) and isinstance(src, T.ArrayType):
+    if isinstance(dst, T.ArrayType):
         return F.transform(
             col, lambda x: _conform_expr(x, src.elementType, dst.elementType)
+        )
+    if isinstance(dst, T.MapType):
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
+            F.map_from_arrays(
+                F.transform(
+                    F.map_keys(col),
+                    lambda k: _conform_expr(k, src.keyType, dst.keyType),
+                ),
+                F.transform(
+                    F.map_values(col),
+                    lambda v: _conform_expr(v, src.valueType, dst.valueType),
+                ),
+            )
         )
     return col.cast(dst)
 

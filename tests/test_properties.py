@@ -456,3 +456,58 @@ def test_advance_session_matches_batch_twin_within_watermark(batches):
     final = sorted(closed + ([cur] if cur else []))
     want = sorted(_true_sessions([t for b in batches for t in b], gap))
     assert final == want
+
+
+# ---------------------------------------------------------------------------
+# migration conform recursion (operators/migrate.py)
+# ---------------------------------------------------------------------------
+
+_field_names = st.sampled_from(["a", "b", "c", "d", "e"])
+
+
+@st.composite
+def _nested_type(draw, depth=2):
+    from pyspark.sql import types as T
+
+    if depth == 0:
+        return draw(st.sampled_from(
+            [T.LongType(), T.IntegerType(), T.DoubleType(), T.StringType()]
+        ))
+    kind = draw(st.integers(min_value=0, max_value=2))
+    if kind == 0:
+        return draw(st.sampled_from(
+            [T.LongType(), T.DoubleType(), T.StringType()]
+        ))
+    if kind == 1:
+        return T.ArrayType(draw(_nested_type(depth=depth - 1)))
+    names = draw(st.lists(_field_names, min_size=1, max_size=3, unique=True))
+    return T.StructType([
+        T.StructField(n, draw(_nested_type(depth=depth - 1)), True)
+        for n in names
+    ])
+
+
+@given(src_t=_nested_type(), dst_t=_nested_type())
+@SLOW
+def test_conform_total_on_random_nested_schemas(spark, src_t, dst_t):
+    """conform must be TOTAL: any (src, dst) nested-type pair must plan
+    and execute (NULL-pad / drop / cast at every level), and a NULL
+    input stays NULL.  This is the recursion the whole migration story
+    rests on — fuzz it rather than trusting the three example shapes."""
+    from pyspark.sql import types as T
+
+    from powa_archivist_spark.operators.migrate import conform
+
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("x", src_t, True),
+    ])
+    target = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("x", dst_t, True),
+    ])
+    df = spark.createDataFrame([(1, None)], schema)
+    out = conform(df, target)
+    assert [f.dataType for f in out.schema.fields][1] == dst_t
+    (row,) = out.collect()
+    assert row.id == 1 and row.x is None
