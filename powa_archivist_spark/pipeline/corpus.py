@@ -310,3 +310,41 @@ def shuffle_shards(
             F.row_number().over(w).alias("pos"),
         )
     )
+
+
+def dataset_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the standard salted-hash
+    split for training corpora: every doc gets exactly one split label
+    from ``pmod(hash(salt, id), denom)`` against cumulative weight
+    thresholds.  Properties a training pipeline needs, by construction:
+    reproducible across engines/runs (cross-engine md5, no RNG state),
+    stable under appends (a doc's split never changes when other docs
+    arrive), disjoint and exhaustive (CASE over cumulative thresholds),
+    and resalting gives an independent re-split.  Map-only — no shuffle,
+    no sampling job."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if not weights or any(w < 0 for w in weights.values()) or total <= 0:
+        raise ValueError(f"invalid split weights: {weights}")
+    h = F.pmod(
+        cross_engine_hash64(F.lit(salt), F.col(id_col).cast("string")),
+        F.lit(denom),
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = h < int(round(acc * denom))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return docs.select(F.col(id_col), expr.alias("split"))

@@ -1196,6 +1196,47 @@ FROM walk GROUP BY node
 
 
 
+def corpus_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-hash train/val/test split with per-(lang,
+    split) counts — the assignment itself is value-hash-checked through
+    the counts AND the per-doc min/max ids so a systematic skew or an
+    off-by-one at the threshold cannot hide in aggregate."""
+    from . import corpus
+
+    docs = t(spark, sf_dir, "documents")
+    split = corpus.dataset_split(docs)
+    return (
+        docs.join(split, "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+ORACLE_DATASET_SPLIT = """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(
+            md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS hv
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN hv < 900000 THEN 'train'
+            WHEN hv < 950000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id
+FROM h
+GROUP BY 1, 2
+"""
+
+
+
 def stream_near_dup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic multi-batch replay of the STREAMING near-dup ledger
     (streaming/dedup.py process_near_dup_batch): the corpus arrives in
@@ -1360,4 +1401,5 @@ PIPELINE_QUERIES = {
     "multimodal_binary_near_dup": (multimodal_binary_near_dup,
                                    ORACLE_BINARY_NEAR_DUP),
     "emb_semantic_dedup": (emb_semantic_dedup, ORACLE_EMB_SEMANTIC_DEDUP),
+    "corpus_dataset_split": (corpus_dataset_split, ORACLE_DATASET_SPLIT),
 }

@@ -807,3 +807,36 @@ def test_binary_near_dup_byte_shingles(spark):
         )
     )
     assert tiny.collect()[0].sh == []
+
+
+def test_dataset_split_disjoint_exhaustive_stable(spark):
+    """Salted-hash split: every doc gets exactly one label, proportions
+    land near the weights, assignment is append-stable (a doc's split
+    is independent of the rest of the corpus), and resalting re-splits."""
+    from powa_archivist_spark.pipeline.corpus import dataset_split
+    from powa_archivist_spark.plans import inspect as pi
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    split = dataset_split(docs)
+    assert pi.exchange_count(split) == 0  # map-only assignment
+    rows = {r.doc_id: r.split for r in split.collect()}
+    assert len(rows) == 2000  # exhaustive, one row per doc
+    from collections import Counter as C
+    frac = {k: v / 2000 for k, v in C(rows.values()).items()}
+    assert abs(frac["train"] - 0.9) < 0.03
+    assert abs(frac["val"] - 0.05) < 0.02
+    assert abs(frac["test"] - 0.05) < 0.02
+
+    # append-stability: the first 500 docs keep their split
+    sub = {r.doc_id: r.split for r in dataset_split(
+        spark.range(500).withColumnRenamed("id", "doc_id")).collect()}
+    assert all(rows[i] == sub[i] for i in range(500))
+
+    # resalting produces a different (independent) assignment
+    resalted = {r.doc_id: r.split
+                for r in dataset_split(docs, salt="fold2").collect()}
+    assert any(rows[i] != resalted[i] for i in range(2000))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dataset_split(docs, weights={"train": -1.0})
