@@ -132,3 +132,30 @@ def test_grants_df_materializes_matrix(spark):
     got = {(r.table, r.role): r.privileges for r in df.collect()}
     assert got[("powa_statements_src_tmp", "powa_read_all_data")] == []
     assert got[("powa_statements_history", "powa_admin")] == ["read", "write"]
+
+
+def test_full_orchestrator_pass_under_snapshot_role(spark, wh):
+    """The ENTIRE take_snapshot pass (dispatch, snapshot, metas, txn
+    markers) runs through the guarded warehouse under the collector
+    principal — proving the proxy is drop-in for the orchestrator, not
+    just the single snapshot operator — while a reader principal still
+    cannot mutate anything the pass created."""
+    from powa_archivist_spark.orchestrator import Orchestrator, ServerConfig
+
+    from .conftest import ts as _ts
+
+    setup_powa_roles(wh, BINDINGS)
+    as_collector = AclWarehouse(wh, "collector")
+    orch = Orchestrator(as_collector, specs={SPEC.name: SPEC})
+    cap = spark.createDataFrame(
+        [(0, _ts(0), 110, 50, 105, 10, 200)], SPEC.staging_schema
+    )
+    errs = orch.take_snapshot(
+        ServerConfig(srvid=0), captures={SPEC.name: cap}, now=_ts(0)
+    )
+    assert errs == 0, orch.read_metas(0)["errors"]
+    assert wh.read(Warehouse.current(SPEC.name)).count() == 1
+    assert orch.txns.pending(0) == []
+
+    with pytest.raises(PermissionError):
+        AclWarehouse(wh, "grafana").drop_srvid(Warehouse.current(SPEC.name), 0)
