@@ -108,12 +108,17 @@ def _conform_expr(col: Column, src: T.DataType, dst: T.DataType) -> Column:
             col, lambda x: _conform_expr(x, src.elementType, dst.elementType)
         )
     if isinstance(dst, T.MapType):
+        # keys must survive UNCHANGED: any key rewrite can produce NULL
+        # keys (kind change) or collisions (narrowing cast), both of
+        # which abort the job at runtime (NULL_MAP_KEY /
+        # DUPLICATED_MAP_KEY) — so a key-type change is treated like a
+        # kind change: drop + add, old maps conform to NULL.  Values
+        # conform recursively (value NULLs are legal in maps).
+        if src.keyType != dst.keyType:
+            return F.lit(None).cast(dst)
         return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
             F.map_from_arrays(
-                F.transform(
-                    F.map_keys(col),
-                    lambda k: _conform_expr(k, src.keyType, dst.keyType),
-                ),
+                F.map_keys(col),
                 F.transform(
                     F.map_values(col),
                     lambda v: _conform_expr(v, src.valueType, dst.valueType),

@@ -328,7 +328,8 @@ def dataset_split(
     arrive), disjoint and exhaustive (CASE over cumulative thresholds),
     and resalting gives an independent re-split.  Map-only — no shuffle,
     no sampling job."""
-    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(weights.values())
     if not weights or any(w < 0 for w in weights.values()) or total <= 0:
         raise ValueError(f"invalid split weights: {weights}")
@@ -347,4 +348,9 @@ def dataset_split(
         )
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
-    return docs.select(F.col(id_col), expr.alias("split"))
+    # a NULL id has no stable hash on either engine -> NULL split (it
+    # could never be joined back anyway); all input columns pass through
+    # so consumers stay map-only instead of self-joining to recover them
+    expr = F.when(F.col(id_col).isNull(), F.lit(None).cast("string")) \
+        .otherwise(expr)
+    return docs.withColumn("split", expr)

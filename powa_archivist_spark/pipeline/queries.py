@@ -1204,9 +1204,8 @@ def corpus_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import corpus
 
     docs = t(spark, sf_dir, "documents")
-    split = corpus.dataset_split(docs)
     return (
-        docs.join(split, "doc_id")
+        corpus.dataset_split(docs)  # pass-through columns: no self-join
         .groupBy("lang", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1225,7 +1224,8 @@ WITH h AS (
   FROM documents
 )
 SELECT lang,
-       CASE WHEN hv < 900000 THEN 'train'
+       CASE WHEN doc_id IS NULL THEN NULL
+            WHEN hv < 900000 THEN 'train'
             WHEN hv < 950000 THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,

@@ -208,3 +208,34 @@ def test_retyped_counter_casts_in_place(spark, v1_warehouse):
     assert [r.calls for r in h.records] == [100.0, 110.0]
     assert isinstance(h.records[0].calls, float)
     assert h.maxs_in_range.calls == 110.0
+
+
+def test_map_conform_key_rules(spark):
+    """Map conform must be total AT RUNTIME on real values (r5 review:
+    key rewrites can abort the job with NULL_MAP_KEY / DUPLICATED_MAP_KEY):
+    identical key types pass keys through and conform values; any key
+    type change is drop+add — the old map conforms to NULL."""
+    from pyspark.sql import types as T
+
+    src_schema = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("m", T.MapType(T.DoubleType(), T.LongType()), True),
+    ])
+    df = spark.createDataFrame([(1, {1.1: 10, 1.2: 20})], src_schema)
+
+    # same key type: values retype in place
+    same_key = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("m", T.MapType(T.DoubleType(), T.DoubleType()), True),
+    ])
+    (row,) = conform(df, same_key).collect()
+    assert row.m == {1.1: 10.0, 1.2: 20.0}
+
+    # narrowing key retype would collide (1.1 and 1.2 -> 1): NULL map,
+    # not a DUPLICATED_MAP_KEY crash
+    narrowed = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("m", T.MapType(T.IntegerType(), T.LongType()), True),
+    ])
+    (row,) = conform(df, narrowed).collect()
+    assert row.m is None

@@ -819,6 +819,7 @@ def test_dataset_split_disjoint_exhaustive_stable(spark):
     docs = spark.range(2000).withColumnRenamed("id", "doc_id")
     split = dataset_split(docs)
     assert pi.exchange_count(split) == 0  # map-only assignment
+    assert split.columns == ["doc_id", "split"]  # pass-through + label
     rows = {r.doc_id: r.split for r in split.collect()}
     assert len(rows) == 2000  # exhaustive, one row per doc
     from collections import Counter as C
@@ -840,3 +841,14 @@ def test_dataset_split_disjoint_exhaustive_stable(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dataset_split(docs, weights={"train": -1.0})
+    with _pytest.raises(ValueError):
+        dataset_split(docs, weights={})  # no silent default fallback
+
+    # NULL id -> NULL split on both engines (no stable hash)
+    from pyspark.sql import functions as _F
+    nid = dataset_split(
+        docs.withColumn("doc_id",
+                        _F.when(_F.col("doc_id") == 0, None)
+                        .otherwise(_F.col("doc_id")))
+    ).filter(_F.col("doc_id").isNull()).collect()
+    assert [r.split for r in nid] == [None]

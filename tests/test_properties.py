@@ -473,13 +473,18 @@ def _nested_type(draw, depth=2):
         return draw(st.sampled_from(
             [T.LongType(), T.IntegerType(), T.DoubleType(), T.StringType()]
         ))
-    kind = draw(st.integers(min_value=0, max_value=2))
+    kind = draw(st.integers(min_value=0, max_value=3))
     if kind == 0:
         return draw(st.sampled_from(
             [T.LongType(), T.DoubleType(), T.StringType()]
         ))
     if kind == 1:
         return T.ArrayType(draw(_nested_type(depth=depth - 1)))
+    if kind == 3:
+        return T.MapType(
+            draw(st.sampled_from([T.LongType(), T.StringType()])),
+            draw(_nested_type(depth=depth - 1)),
+        )
     names = draw(st.lists(_field_names, min_size=1, max_size=3, unique=True))
     return T.StructType([
         T.StructField(n, draw(_nested_type(depth=depth - 1)), True)
