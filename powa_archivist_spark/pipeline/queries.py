@@ -1252,22 +1252,24 @@ def stream_near_dup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..storage import Warehouse
-    from ..streaming.dedup import process_near_dup_batch
+    from ..streaming.dedup import NearDupLedger, process_near_dup_batch
 
     docs = t(spark, sf_dir, "documents")
     scratch = tempfile.mkdtemp(prefix="ndledger_")
+    ledger = NearDupLedger()
     try:
         wh = Warehouse(spark, scratch)
         for b in range(4):
             process_near_dup_batch(
                 wh, docs.filter(F.col("doc_id") % 4 == b), "kept_docs",
-                threshold=0.8, hash_fn="md5",
+                threshold=0.8, hash_fn="md5", ledger=ledger,
             )
         # materialize off the scratch files (localCheckpoint) so the
         # ledger directory can be deleted NOW instead of leaking one
         # tempdir per bench rep / oracle run (r5 code review)
         return wh.read("kept_docs").select("doc_id").localCheckpoint()
     finally:
+        ledger.close()
         shutil.rmtree(scratch, ignore_errors=True)
 
 

@@ -62,12 +62,21 @@ def stream_exact_dedup(
     )
 
 
-def process_dedup_batch(
-    wh: Warehouse, batch: DataFrame, sink_table: str,
+def dedup_batch_survivors(
+    wh: Warehouse, batch: DataFrame,
     text_col: str = "text", id_col: str = "doc_id",
-) -> None:
-    """One ledger pass: min-id per digest inside the batch, anti-join the
-    ledger, append survivors to sink + their digests to the ledger."""
+    broadcast_ledger: bool = True,
+) -> DataFrame:
+    """The lazy survivors frame of one exact-dedup ledger pass: min-id
+    per digest inside the batch, then anti-join the seen-digest ledger.
+
+    ``broadcast_ledger`` controls the anti-join strategy: True (default,
+    small/medium corpora) broadcasts the seen-digest set to every task;
+    False forces a shuffle-side anti-join — the ledger grows with the
+    KEPT corpus, so at 100 TB it cannot broadcast and both sides hash-
+    shuffle on the digest (with the ledger stored digest-bucketed, the
+    exchange is one-sided — SCALE.md).  Exposed separately from
+    :func:`process_dedup_batch` so tests can pin the join strategy."""
     hashed = with_digest(batch, text_col)
     w_min = (
         hashed.groupBy("text_hash")
@@ -80,7 +89,27 @@ def process_dedup_batch(
     ).select(hashed["*"])
     if wh.exists(LEDGER_TABLE):
         seen = wh.read(LEDGER_TABLE)
-        firsts = firsts.join(F.broadcast(seen), "text_hash", "left_anti")
+        if broadcast_ledger:
+            seen = F.broadcast(seen)
+        else:
+            # pin the shuffle path even if AQE would have picked a BHJ
+            # for a small ledger: the caller asserting no-broadcast is
+            # sizing for a ledger that exceeds executor memory
+            seen = seen.hint("shuffle_hash")
+        firsts = firsts.join(seen, "text_hash", "left_anti")
+    return firsts
+
+
+def process_dedup_batch(
+    wh: Warehouse, batch: DataFrame, sink_table: str,
+    text_col: str = "text", id_col: str = "doc_id",
+    broadcast_ledger: bool = True,
+) -> None:
+    """One ledger pass: compute survivors (see
+    :func:`dedup_batch_survivors`), append them to the sink + their
+    digests to the ledger."""
+    firsts = dedup_batch_survivors(wh, batch, text_col, id_col,
+                                   broadcast_ledger)
     firsts = firsts.cache()
     try:
         if firsts.count() == 0:
@@ -91,8 +120,57 @@ def process_dedup_batch(
         firsts.unpersist()
 
 
-BANDS_TABLE = "corpus_minhash_bands"
-SHINGLE_TABLE = "corpus_shingles"
+#: ONE combined near-dup ledger table (band rows + shingle rows, split by
+#: ``band IS NULL``): each micro-batch commits its kept-doc band keys AND
+#: shingle arrays with a single append job instead of two (r5 verdict
+#: task 4).  Parquet min/max stats on ``band`` prune the irrelevant half
+#: of the files on each read.
+NEAR_DUP_LEDGER_TABLE = "corpus_neardup_ledger"
+
+
+class NearDupLedger:
+    """Optional cross-batch in-memory view of the near-dup ledger.
+
+    Threaded through consecutive :func:`process_near_dup_batch` calls it
+    avoids re-reading (and re-listing) the growing ledger table every
+    micro-batch: after each batch the new combined ledger state is
+    ``localCheckpoint``-ed, so the next batch reads it from the block
+    manager through a leaf-sized plan.  The durable parquet ledger is
+    STILL appended every batch, so a restart — which starts with an
+    empty cache — reads identical state from disk.
+
+    Why checkpoint instead of persist+union: the minhash expression
+    trees are enormous, and a union-of-persisted-deltas ledger embeds
+    every prior batch's full lineage in every later plan — Catalyst
+    re-walks (canonicalizes, cache-matches) those trees per query and
+    by batch 4 the DRIVER side alone cost ~50 s (measured).  The
+    checkpoint truncates lineage to a LogicalRDD leaf; AQE restores
+    broadcast choices at runtime from the actual shuffle sizes.
+
+    Memory: the checkpointed state grows with the KEPT corpus, exactly
+    like the ledger itself — at 100 TB run without the cache (``None``)
+    and let each batch read the bucket-pruned ledger table."""
+
+    def __init__(self) -> None:
+        #: combined (id, band, bucket, sh) state, band NULL on shingle
+        #: rows — same layout as NEAR_DUP_LEDGER_TABLE; a lazy union of
+        #: per-batch checkpointed deltas (k leaf nodes after k batches)
+        self.combined: DataFrame | None = None
+
+    def advance(self, combined_delta: DataFrame) -> DataFrame:
+        """Checkpoint one batch's kept delta (eager — computed exactly
+        once, while its batch-local parents are still cached) and fold
+        it into the cached state.  Returns the checkpointed delta so the
+        caller can reuse it (e.g. for the durable parquet append)."""
+        delta = combined_delta.localCheckpoint()
+        self.combined = (
+            delta if self.combined is None
+            else self.combined.unionByName(delta)
+        )
+        return delta
+
+    def close(self) -> None:
+        self.combined = None
 
 
 def process_near_dup_batch(
@@ -106,6 +184,7 @@ def process_near_dup_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    ledger: NearDupLedger | None = None,
 ) -> None:
     """One near-dup ledger pass (cross-batch MinHash LSH dedup):
 
@@ -114,10 +193,10 @@ def process_near_dup_batch(
        (the SAME join shape as the batch operator, with the ledger as
        the other side), exact-jaccard verify against the kept docs'
        persisted shingle arrays;
-    3. survivors append to the sink, their bands + shingles to the
-       ledgers.
+    3. survivors append to the sink, their bands + shingles to the ONE
+       combined ledger table (single append job).
 
-    The ledgers grow with the KEPT corpus only; both joins shuffle on
+    The ledger grows with the KEPT corpus only; both joins shuffle on
     (band, bucket) / doc id — bounded keys, no cross join.  At 100 TB
     the bands ledger is bucket-partitioned so a batch touches only its
     colliding buckets' files."""
@@ -148,25 +227,43 @@ def process_near_dup_batch(
     vb = sh_b.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
     inter_in = F.size(F.array_intersect("a_sh", "b_sh"))
     union_in = F.size("a_sh") + F.size("b_sh") - inter_in
+    # no .distinct() on the drop sets: they only ever feed a left_anti
+    # join, which is duplicate-insensitive — each removed distinct is a
+    # removed shuffle stage per micro-batch
     in_batch_drops = (
         cands_in.join(va, "a_id").join(vb, "b_id")
         .filter((inter_in / union_in) >= threshold)
         .select(F.col("b_id").alias(id_col))
-        .distinct()
-    )
-    survivors = batch.join(in_batch_drops, id_col, "left_anti")
-    new_bands = batch_bands.join(
-        survivors.select(id_col), id_col, "left_semi"
     )
 
-    if wh.exists(BANDS_TABLE):
-        ledger = wh.read(BANDS_TABLE)
+    # kept-so-far ledger frames: cached across batches when the caller
+    # threads a NearDupLedger, else read from the combined parquet table
+    combined = None
+    if ledger is not None and ledger.combined is not None:
+        combined = ledger.combined
+    elif wh.exists(NEAR_DUP_LEDGER_TABLE):
+        combined = wh.read(NEAR_DUP_LEDGER_TABLE)
+    led_bands = led_sh = None
+    if combined is not None:
+        led_bands = combined.filter(F.col("band").isNotNull()).select(
+            "band", "bucket", id_col
+        )
+        led_sh = combined.filter(F.col("band").isNull()).select(id_col, "sh")
+
+    drops = in_batch_drops
+    if led_bands is not None:
+        # cross-batch candidates come from ALL batch docs, not just the
+        # in-batch survivors: a doc dropped by both rules is dropped
+        # either way, so the unioned drop set yields the identical
+        # survivor set while (a) removing the survivors->bands semi-join
+        # shuffle from the critical path and (b) making the in-batch and
+        # cross-batch subtrees independent (they evaluate in parallel)
         cands = (
-            new_bands.select(
+            batch_bands.select(
                 "band", "bucket", F.col(id_col).alias("new_id")
             )
             .join(
-                ledger.select(
+                led_bands.select(
                     "band", "bucket", F.col(id_col).alias("old_id")
                 ),
                 ["band", "bucket"],
@@ -175,7 +272,7 @@ def process_near_dup_batch(
             .distinct()
         )
         a = sh_b.select(F.col(id_col).alias("new_id"), F.col("sh").alias("a_sh"))
-        b = wh.read(SHINGLE_TABLE).select(
+        b = led_sh.select(
             F.col(id_col).alias("old_id"), F.col("sh").alias("b_sh")
         )
         inter = F.size(F.array_intersect("a_sh", "b_sh"))
@@ -185,23 +282,41 @@ def process_near_dup_batch(
             .join(b, "old_id")
             .filter((inter / union) >= threshold)
             .select(F.col("new_id").alias(id_col))
-            .distinct()
         )
-        survivors = survivors.join(cross_drops, id_col, "left_anti")
+        drops = drops.unionByName(cross_drops)
+    survivors = batch.join(drops, id_col, "left_anti")
 
     survivors = survivors.cache()
     try:
+        # append FIRST: the write job materializes the cache, so the
+        # emptiness probe below is a cache-local count, not a second
+        # full computation (an all-dup batch appends one empty file —
+        # harmless, the reader filters parquet files by row content)
+        wh.append(survivors, sink_table)
         if survivors.count() == 0:
             return
-        wh.append(survivors, sink_table)
-        wh.append(
-            new_bands.join(survivors.select(id_col), id_col, "left_semi"),
-            BANDS_TABLE,
+        keep_ids = survivors.select(id_col)
+        delta_bands = batch_bands.join(keep_ids, id_col, "left_semi")
+        delta_sh = sh_b.join(keep_ids, id_col, "left_semi")
+        # ONE ledger append: band rows and shingle rows union into the
+        # combined table (band IS NULL discriminates on read)
+        sh_type = dict(sh_b.dtypes)["sh"]
+        combined_delta = delta_bands.select(
+            id_col, "band", "bucket", F.lit(None).cast(sh_type).alias("sh")
+        ).unionByName(
+            delta_sh.select(
+                id_col,
+                F.lit(None).cast(dict(batch_bands.dtypes)["band"]).alias("band"),
+                F.lit(None).cast(dict(batch_bands.dtypes)["bucket"]).alias("bucket"),
+                "sh",
+            )
         )
-        wh.append(
-            sh_b.join(survivors.select(id_col), id_col, "left_semi"),
-            SHINGLE_TABLE,
-        )
+        if ledger is not None:
+            # checkpoint the delta while its parents are still cached;
+            # the durable append then reads the checkpoint blocks
+            # instead of recomputing the delta
+            combined_delta = ledger.advance(combined_delta)
+        wh.append(combined_delta, NEAR_DUP_LEDGER_TABLE)
     finally:
         survivors.unpersist()
         batch_bands.unpersist()
@@ -217,10 +332,12 @@ def stream_near_dup_ledger(
     sink_table: str = "corpus_docs_neardup",
     threshold: float = 0.8,
     max_files_per_trigger: int = 16,
+    ledger: NearDupLedger | None = None,
 ):
     """Streaming near-duplicate corpus builder: each micro-batch dedups
     in-batch AND against everything kept so far (LSH bands + shingle
-    verify ledgers)."""
+    verify ledger).  Pass a :class:`NearDupLedger` to skip the per-batch
+    ledger re-read (caller owns ``ledger.close()`` after the run)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -232,7 +349,8 @@ def stream_near_dup_ledger(
     def process(batch: DataFrame, epoch_id: int) -> None:
         _with_epoch_marker(
             marker_dir, epoch_id,
-            lambda: process_near_dup_batch(wh, batch, sink_table, threshold),
+            lambda: process_near_dup_batch(wh, batch, sink_table, threshold,
+                                           ledger=ledger),
         )
 
     return (
@@ -253,11 +371,12 @@ def stream_exact_dedup_ledger(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_files_per_trigger: int = 16,
+    broadcast_ledger: bool = True,
 ):
     """Unbounded-window streaming dedup via the digest ledger (corpus
     building).  Broadcast of the ledger is a small-scale convenience —
-    at 100 TB drop the broadcast hint and the anti-join shuffles both
-    sides on the digest (bucketed ledger -> one-sided shuffle)."""
+    at 100 TB pass ``broadcast_ledger=False`` and the anti-join shuffles
+    both sides on the digest (bucketed ledger -> one-sided shuffle)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -270,7 +389,7 @@ def stream_exact_dedup_ledger(
         _with_epoch_marker(
             marker_dir, epoch_id,
             lambda: process_dedup_batch(wh, batch, sink_table, text_col,
-                                        id_col),
+                                        id_col, broadcast_ledger),
         )
 
     return (

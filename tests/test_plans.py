@@ -267,3 +267,73 @@ def test_migration_conform_is_map_only(spark):
     out = conform(src, target)
     assert pi.exchange_count(out) == 0
     assert pi.window_count(out) == 0
+
+
+def test_exact_ledger_anti_join_strategy_is_parameterized(spark, wh):
+    """broadcast_ledger=False must produce a SHUFFLE-side anti-join: the
+    digest ledger grows with the kept corpus, so at 100 TB it cannot
+    broadcast (r5 verdict task 2).  The default (True) stays a broadcast
+    anti-join for small/medium corpora."""
+    from powa_archivist_spark.streaming.dedup import (
+        LEDGER_TABLE,
+        dedup_batch_survivors,
+        with_digest,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "seen text one"), (1, "fresh text two")], "doc_id long, text string"
+    )
+    wh.append(with_digest(docs.limit(1)).select("text_hash"), LEDGER_TABLE)
+
+    off = dedup_batch_survivors(wh, docs, broadcast_ledger=False)
+    plan_off = pi.plan_string(off)
+    anti_off = [ln for ln in plan_off.splitlines() if "LeftAnti" in ln]
+    assert anti_off, plan_off
+    assert all("Broadcast" not in ln for ln in anti_off), anti_off
+    assert any(
+        "ShuffledHashJoin" in ln or "SortMergeJoin" in ln for ln in anti_off
+    ), anti_off
+
+    on = dedup_batch_survivors(wh, docs, broadcast_ledger=True)
+    anti_on = [ln for ln in pi.plan_string(on).splitlines() if "LeftAnti" in ln]
+    assert any("BroadcastHashJoin" in ln for ln in anti_on), anti_on
+
+
+def test_binary_near_dup_is_banded_equi_join(spark):
+    """Blob-level near-dup routes byte shingles through the SAME banded
+    LSH machinery as text: candidate generation must be a (band, bucket)
+    equi-join — no cartesian pair enumeration, no window."""
+    from powa_archivist_spark.pipeline.queries import multimodal_binary_near_dup
+
+    df = multimodal_binary_near_dup(spark, SF)
+    assert not pi.has_cartesian(df)
+    assert pi.window_count(df) == 0
+
+
+def test_semantic_dedup_pair_stage_no_cartesian(spark):
+    """SemDeDup composition: the embedding near-dup pair stage is the
+    grid-blocked (ci, cj) cell join — a cartesian (or window) sneaking
+    into the composition is the 100 TB failure mode."""
+    from powa_archivist_spark.pipeline import similarity
+    from powa_archivist_spark.pipeline.queries import MIN_DOT_Q
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    pairs = similarity.embedding_near_dup_pairs_blocked(
+        emb, min_dot_q=MIN_DOT_Q, id_col="vec_id"
+    )
+    assert not pi.has_cartesian(pairs)
+    assert pi.window_count(pairs) == 0
+
+
+def test_dataset_split_zero_shuffles(spark):
+    """The train/val/test assignment is a salted-hash CASE expression —
+    map-only by construction: zero exchanges, zero windows, and the
+    parquet scan reads only the columns the caller selected."""
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select("doc_id", "lang")
+    out = corpus.dataset_split(docs)
+    assert pi.exchange_count(out) == 0
+    assert pi.window_count(out) == 0
+    (schema,) = pi.read_schemas(out)
+    assert set(schema) == {"doc_id", "lang"}
