@@ -40,10 +40,15 @@ KEYS = ["srvid", "queryid", "dbid", "userid"]
 def merge_statements(
     wh: Warehouse, srvid: int, capture: DataFrame,
     now: dt.datetime | None = None,
+    staged=None,
 ) -> None:
     """MRU-touch + insert-missing, one partition overwrite.
 
     ``capture`` needs columns (queryid, dbid, userid, query, ts).
+    With ``staged`` (a txn.StagedPass) the overwrite is staged into the
+    caller's pass and becomes visible only at its publish() — the
+    dictionary merge co-commits with the history append, like inside the
+    reference's wCTE (powa--5.2.0.sql:4032-4066).
     """
     now = now or dt.datetime.now(dt.timezone.utc)
     seen = (
@@ -71,7 +76,10 @@ def merge_statements(
     )
     new_rows = seen.join(existing, KEYS, "left_anti")
     out = merged.unionByName(new_rows)
-    _overwrite_srvid_partition(wh, out, srvid)
+    if staged is not None:
+        staged.stage_replace(out, TABLE)
+    else:
+        _overwrite_srvid_partition(wh, out, srvid)
 
 
 def purge_statements(

@@ -35,6 +35,41 @@ def partition_stats(wh: Warehouse, table: str, srvid: int) -> tuple[int, int]:
     return n_files, n_bytes
 
 
+def _recover_interrupted_swaps(table_root: str) -> None:
+    """Resolve any swap a previous compact() crashed in the middle of.
+
+    Invariant of the two-rename swap: the partition's rows are always in
+    exactly one of live / ``.__compact__`` scratch / ``.__trash__``.
+    For each stranded dot-dir: live present -> the swap (or the write)
+    completed, drop the leftover; live absent + scratch present -> the
+    crash hit between the renames, finish it (scratch -> live, drop
+    trash); live absent + no scratch -> roll the trash back to live."""
+    for dirpath, dirs, _files in os.walk(table_root):
+        for d in list(dirs):
+            if not os.path.isdir(os.path.join(dirpath, d)):
+                continue  # a sibling's recovery already consumed it
+            if d.startswith(".__trash__"):
+                live = os.path.join(dirpath, d[len(".__trash__"):])
+                scratch = os.path.join(
+                    dirpath, f".__compact__{d[len('.__trash__'):]}"
+                )
+                if os.path.isdir(live):
+                    shutil.rmtree(os.path.join(dirpath, d))
+                elif os.path.isdir(scratch):
+                    os.replace(scratch, live)
+                    shutil.rmtree(os.path.join(dirpath, d))
+                else:
+                    os.replace(os.path.join(dirpath, d), live)
+            elif d.startswith(".__compact__"):
+                live = os.path.join(dirpath, d[len(".__compact__"):])
+                if os.path.isdir(live):
+                    # write finished (or not) but the swap never started:
+                    # live still holds the rows; scratch is stale
+                    shutil.rmtree(os.path.join(dirpath, d))
+        # don't descend into dot-dirs we may have just moved
+        dirs[:] = [d for d in dirs if not d.startswith(".")]
+
+
 def compact(
     wh: Warehouse,
     table: str,
@@ -48,6 +83,7 @@ def compact(
     (files_before, files_after).  Sub-partition directories (e.g.
     ``range_day=``) are compacted independently so partition pruning
     keys survive the rewrite."""
+    _recover_interrupted_swaps(wh.path(table))
     part_root = os.path.join(wh.path(table), f"srvid={srvid}")
     if not os.path.isdir(part_root):
         return (0, 0)
@@ -73,8 +109,21 @@ def compact(
             f".__compact__{os.path.basename(dirpath)}",
         )
         df.coalesce(want).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(dirpath)
+        # two-rename swap (same protocol as Warehouse.overwrite): the
+        # old rmtree-then-replace left a window where a crash between
+        # the recursive delete and the rename made the leaf invisible
+        # to readers.  Renames shrink that window to two metadata ops —
+        # a crash strands at worst an inert dot-prefixed sibling (the
+        # scratch or the trash), never an unreadable partition.
+        trash = os.path.join(
+            os.path.dirname(dirpath),
+            f".__trash__{os.path.basename(dirpath)}",
+        )
+        if os.path.isdir(trash):
+            shutil.rmtree(trash)
+        os.replace(dirpath, trash)
         os.replace(tmp, dirpath)
+        shutil.rmtree(trash)
         after = len(
             [f for f in os.listdir(dirpath) if f.endswith(".parquet")]
         )

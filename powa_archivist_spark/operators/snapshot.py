@@ -41,6 +41,7 @@ def snapshot(
     capture: DataFrame | None = None,
     drop_staging: bool = True,
     idempotent: bool = True,
+    staged: "StagedPass | None" = None,
 ) -> int:
     """Run one snapshot pass for ``spec`` on server ``srvid``.
 
@@ -69,9 +70,29 @@ def snapshot(
     without this, a lost rollup write would be skipped forever because
     the ``n > 0`` gate never reopens (ADVICE r4 fix).
 
+    ``staged``: the pass's sink writes (current append + db rollup) go
+    through a :class:`~powa_archivist_spark.txn.StagedPass` — invisible
+    dot-dir staging plus an intent-gated rename publish, the parquet
+    analog of the reference's one-statement wCTE (powa--5.2.0.sql:
+    4006-4108): a crash anywhere before the commit point leaves readers
+    on the pre-pass state with staging intact for replay.  ``None``
+    (default) creates a pass-local one that publishes before the staging
+    truncate; pass an explicit StagedPass to co-commit with other sinks
+    (the statements dictionary merge, orchestrator._statements_snapshot)
+    — the CALLER then owns publish() and the staging truncate.
+
     Returns the number of captured rows (the reference's ``final`` count,
     powa--5.2.0.sql:4095-4100).
     """
+    from ..txn import StagedPass
+
+    # complete any interrupted publish FIRST: the idempotent anti-join
+    # below must see fully-committed current rows, not a half-moved
+    # file set (exactly-once depends on it)
+    StagedPass.recover(wh, srvid)
+    own_stage = staged is None
+    sp = StagedPass(wh, srvid) if own_stage else staged
+
     if capture is None:
         staging = wh.read(Warehouse.src_tmp(spec.name), spec.staging_schema)
         capture = staging.filter(F.col("srvid") == srvid)
@@ -124,14 +145,18 @@ def snapshot(
             new_rows = capture
             n = capture.count()
         if n > 0:
-            wh.append(new_rows, current_t, partition_by=["srvid"])
+            sp.stage_append(new_rows, current_t)
             if spec.db_rollup:
                 db_t = Warehouse.current_db(spec.name)
                 if overlap_ts:
+                    # post-append current slice for the overlapped ts,
+                    # WITHOUT reading the append back (it is not even
+                    # visible yet — staged): committed rows ∪ new rows
                     updated = (
-                        wh.read(current_t, spec.current_schema)
-                        .filter(F.col("srvid") == srvid)
-                        .filter(F.col("ts").isin(overlap_ts))
+                        existing.filter(F.col("ts").isin(overlap_ts))
+                        .unionByName(
+                            new_rows.filter(F.col("ts").isin(overlap_ts))
+                        )
                     )
                     fresh = db_rollup_agg(updated, spec).unionByName(
                         db_rollup_agg(
@@ -145,13 +170,9 @@ def snapshot(
                             & ~F.col("ts").isin(overlap_ts)
                         )
                         fresh = kept.unionByName(fresh)
-                    wh.rewrite_srvid_partition(fresh, db_t, None, srvid)
+                    sp.stage_replace(fresh, db_t)
                 else:
-                    wh.append(
-                        db_rollup_agg(new_rows, spec),
-                        db_t,
-                        partition_by=["srvid"],
-                    )
+                    sp.stage_append(db_rollup_agg(new_rows, spec), db_t)
         elif idempotent and spec.db_rollup and wh.exists(current_t):
             # pure replay (capture non-empty, zero new rows): every row
             # is already committed in current, but the ROLLUP write for
@@ -170,14 +191,41 @@ def snapshot(
                     .filter(F.col("ts").isin(cap_ts))
                 )
                 fresh = db_rollup_agg(updated, spec)
+                stored = None
                 if wh.exists(db_t):
-                    kept = wh.read(db_t).filter(
-                        (F.col("srvid") == srvid) & ~F.col("ts").isin(cap_ts)
+                    stored = wh.read(db_t).filter(
+                        (F.col("srvid") == srvid) & F.col("ts").isin(cap_ts)
                     )
-                    fresh = kept.unionByName(fresh)
-                wh.rewrite_srvid_partition(fresh, db_t, None, srvid)
+                # gate the partition rewrite behind a diff probe: under
+                # at-least-once delivery every duplicate delivery lands
+                # here, and a full rewrite per replay is a partition's
+                # worth of IO when the stored rollup is almost always
+                # already complete (ADVICE r5).  The probe is one small
+                # job over the capture-ts slices only.
+                if stored is None or (
+                    fresh.exceptAll(stored.select(*fresh.columns))
+                    .unionByName(
+                        stored.select(*fresh.columns).exceptAll(fresh)
+                    )
+                    .limit(1)
+                    .count()
+                    > 0
+                ):
+                    healed = fresh
+                    if wh.exists(db_t):
+                        kept = wh.read(db_t).filter(
+                            (F.col("srvid") == srvid)
+                            & ~F.col("ts").isin(cap_ts)
+                        )
+                        healed = kept.unionByName(fresh)
+                    sp.stage_replace(healed, db_t)
+        if own_stage:
+            # commit point of the pass: every sink becomes visible here
+            # (or, on a crash, never) — then and only then the staging
+            # slice may be truncated (truncate-last, the reference runs
+            # it inside the same wCTE, powa--5.2.0.sql:4102-4104)
+            sp.publish()
         if drop_staging and wh.exists(Warehouse.src_tmp(spec.name)):
-            # staging truncate per srvid (powa--5.2.0.sql:4102-4104)
             wh.drop_srvid(Warehouse.src_tmp(spec.name), srvid)
         return n
     finally:

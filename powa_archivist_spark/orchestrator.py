@@ -34,7 +34,7 @@ from .operators.purge import DEFAULT_RETENTION, purge, reset
 from .operators.snapshot import snapshot
 from .specs import ALL_SPECS, DatasourceSpec
 from .storage import Warehouse
-from .txn import TxnLog
+from .txn import StagedPass, TxnLog
 
 DEFAULT_COALESCE = 100  # powa.c:277-281 (tests use 5, sql/01_general.sql:83)
 SMEAR_MODULUS = 20      # powa--5.2.0.sql:3550, 3608
@@ -206,6 +206,11 @@ class Orchestrator:
                 f"(begun {stale.get('snap_ts')}); staging preserved, "
                 "replaying in this pass"
             )
+        # crash INVISIBILITY (txn.StagedPass): complete any publish a
+        # dead pass committed but didn't finish, and sweep the invisible
+        # stage dirs of passes that died before their commit point —
+        # once per pass (the sweep walks the warehouse tree)
+        StagedPass.recover(self.wh, srvid, sweep=True)
         txn_token = self.txns.begin(srvid, now)
 
         # databases dimension runs first (priority -3,
@@ -370,21 +375,32 @@ class Orchestrator:
         if src is None:
             src = read_staging(self.wh, spec, srvid).persist()
             persisted = True
+        # ONE StagedPass spans the history append AND the dictionary
+        # merge: both stage invisibly and publish() is the single commit
+        # point — the full wCTE unit of the reference, not just the
+        # two history sinks
+        sp = StagedPass(self.wh, srvid)
         try:
             n = snapshot(self.wh, spec, srvid, capture=src,
-                         drop_staging=False)
+                         drop_staging=False, staged=sp)
             # merge on any non-empty capture, NOT just n > 0: a pure
             # replay (crash landed after the append, before the merge)
             # yields n == 0 with the dictionary rows still missing —
             # the n > 0 gate would skip the merge forever.  The limit(1)
             # probe only runs on the n == 0 path (short-circuit).
             if n > 0 or src.limit(1).count() > 0:
-                dictionary.merge_statements(self.wh, srvid, src, now=now)
+                dictionary.merge_statements(self.wh, srvid, src, now=now,
+                                            staged=sp)
+            sp.publish()
             # staging truncate is the LAST step (the reference runs it
             # inside the same wCTE, powa--5.2.0.sql:4102-4104;
             # truncate-last is the parquet equivalent of that ordering)
+            # — and ONLY on the remote path, where staging was this
+            # pass's source: a caller-provided capture never consumed
+            # the staged rows, and truncating would silently discard
+            # any unprocessed remote batch for this srvid (ADVICE r5)
             staging_t = Warehouse.src_tmp(spec.name)
-            if self.wh.exists(staging_t):
+            if persisted and self.wh.exists(staging_t):
                 self.wh.drop_srvid(staging_t, srvid)
             return n
         finally:

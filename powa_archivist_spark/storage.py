@@ -75,11 +75,19 @@ class Warehouse:
         return os.path.join(self.root, table)
 
     def exists(self, table: str) -> bool:
+        """True when the table has at least one parquet file VISIBLE to
+        Spark — i.e. skipping dot/underscore-prefixed dirs and files,
+        exactly like Spark's file index does (a txn.StagedPass stage
+        dir full of parquet must not flip a table into existence)."""
         p = self.path(table)
         if not os.path.isdir(p):
             return False
-        for _, _, files in os.walk(p):
-            if any(f.endswith(".parquet") for f in files):
+        for _dirpath, dirs, files in os.walk(p):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            if any(
+                f.endswith(".parquet") and not f.startswith((".", "_"))
+                for f in files
+            ):
                 return True
         return False
 

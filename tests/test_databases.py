@@ -85,3 +85,57 @@ def test_compaction_reduces_files(spark, wh):
     assert out.count() == 8  # data intact
     # idempotent: second pass is a no-op
     assert maintenance.compact(wh, "metrics", 1) == (1, 1)
+
+def test_compaction_crash_leaves_leaf_readable(spark, wh, monkeypatch):
+    """Crash-injection at every step of the compaction swap: whichever
+    rename/delete the crash lands on, the leaf dir must stay readable
+    with all 8 rows (the data lives in exactly one of live/scratch/trash
+    at all times), and a compact() retry must converge."""
+    import os
+
+    from powa_archivist_spark.operators import maintenance
+
+    def seed():
+        wh.drop_table("metrics")
+        for i in range(8):
+            df = spark.createDataFrame(
+                [(1, ts(i), i)], "srvid int, ts timestamp, v long"
+            )
+            wh.append(df, "metrics", partition_by=["srvid"])
+
+    class Boom(RuntimeError):
+        pass
+
+    # crash after the scratch write but before any rename (old os.replace
+    # call #1), and between the two renames (call #2)
+    for crash_at in (1, 2):
+        seed()
+        calls = {"n": 0}
+        real_replace = os.replace
+
+        def replacing(src, dst):
+            calls["n"] += 1
+            if calls["n"] == crash_at:
+                raise Boom()
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(os, "replace", replacing)
+        try:
+            maintenance.compact(wh, "metrics", 1)
+        except Boom:
+            pass
+        monkeypatch.setattr(os, "replace", real_replace)
+
+        leaf = os.path.join(wh.path("metrics"), "srvid=1")
+        if crash_at == 1:
+            # nothing renamed yet: live leaf untouched and readable
+            assert spark.read.parquet(leaf).count() == 8
+        else:
+            # old leaf in trash, new not yet live: recoverable rows are
+            # in the dot-prefixed trash; retry below republishes
+            assert any(d.startswith(".__trash__") for d in
+                       os.listdir(wh.path("metrics")))
+        # retry converges to a single compacted, fully-readable leaf
+        maintenance.compact(wh, "metrics", 1)
+        assert os.path.isdir(leaf)
+        assert wh.read("metrics").count() == 8

@@ -359,3 +359,101 @@ def test_replay_heals_lost_db_rollup(spark, wh):
     # and a healthy replay is a fixpoint (no duplicates, same rows)
     assert snapshot(wh, spec, 1, capture=replay) == 0
     assert sorted(map(tuple, wh.read(db_t).collect())) == healthy
+
+def test_staged_publish_crash_invisibility_and_exactly_once(spark, wh):
+    """r6: the multi-sink snapshot is a staged pass with a single commit
+    point (txn.StagedPass).  Kill the pass (a) between the two sink
+    writes and (b) between both writes and the publish: a concurrent
+    reader must see EXACTLY the pre-pass state — never a half-applied
+    snapshot.  Kill it (c) mid-publish (after the intent, between ops):
+    recovery completes the publish.  In every case the replay converges
+    to exactly-once rows."""
+    from powa_archivist_spark import txn as txn_mod
+    from powa_archivist_spark.operators.snapshot import snapshot
+    from powa_archivist_spark.specs import get_spec
+    from powa_archivist_spark.txn import StagedPass
+
+    spec = get_spec("user_functions")
+    cur_t, db_t = Warehouse.current(spec.name), Warehouse.current_db(spec.name)
+
+    def cap(t, rows):
+        data = [(1, t, dbid, funcid, calls, calls * 1.5, calls * 0.5)
+                for dbid, funcid, calls in rows]
+        return spark.createDataFrame(data, spec.staging_schema)
+
+    def state():
+        cur = sorted(map(tuple, wh.read(cur_t).collect())) if wh.exists(cur_t) else []
+        db = sorted(map(tuple, wh.read(db_t).collect())) if wh.exists(db_t) else []
+        return cur, db
+
+    assert snapshot(wh, spec, 1, capture=cap(ts(0), [(10, 1, 100)])) == 1
+    committed = state()
+    assert committed[0] and committed[1]
+
+    batch2 = [(10, 1, 140), (20, 7, 500)]
+
+    class Boom(RuntimeError):
+        pass
+
+    # (a) kill between the two sink writes (current staged, rollup not)
+    real_append = StagedPass.stage_append
+    calls = {"n": 0}
+
+    def crashing_append(self, df, table):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise Boom()
+        return real_append(self, df, table)
+
+    StagedPass.stage_append = crashing_append
+    try:
+        snapshot(wh, spec, 1, capture=cap(ts(1), batch2))
+    except Boom:
+        pass
+    finally:
+        StagedPass.stage_append = real_append
+    assert state() == committed, "reader saw a half-applied pass (a)"
+
+    # (b) kill after both sinks staged, before publish
+    real_publish = StagedPass.publish
+    StagedPass.publish = lambda self: (_ for _ in ()).throw(Boom())
+    try:
+        snapshot(wh, spec, 1, capture=cap(ts(1), batch2))
+    except Boom:
+        pass
+    finally:
+        StagedPass.publish = real_publish
+    assert state() == committed, "reader saw a half-applied pass (b)"
+
+    # (c) kill mid-publish: intent written, only the FIRST op applied
+    real_apply = txn_mod._apply_ops
+
+    def partial_apply(ops):
+        real_apply(ops[:1])
+        raise Boom()
+
+    txn_mod._apply_ops = partial_apply
+    try:
+        snapshot(wh, spec, 1, capture=cap(ts(1), batch2))
+    except Boom:
+        pass
+    finally:
+        txn_mod._apply_ops = real_apply
+    # recovery (implicit at the next snapshot) + replay -> exactly once
+    assert snapshot(wh, spec, 1, capture=cap(ts(1), batch2)) == 0
+    cur, db = state()
+    expect_cur, expect_db = committed
+    assert len(cur) == len(expect_cur) + 2          # no duplicated appends
+    assert snapshot(wh, spec, 1, capture=cap(ts(1), batch2)) == 0  # fixpoint
+    assert state() == (cur, db)
+
+    # clean-run equivalence: a never-crashed twin warehouse ends equal
+    import tempfile
+
+    d2 = tempfile.mkdtemp(prefix="powa_wh_twin_")
+    wh2 = Warehouse(spark, d2)
+    snapshot(wh2, spec, 1, capture=cap(ts(0), [(10, 1, 100)]))
+    snapshot(wh2, spec, 1, capture=cap(ts(1), batch2))
+    cur2 = sorted(map(tuple, wh2.read(cur_t).collect()))
+    db2 = sorted(map(tuple, wh2.read(db_t).collect()))
+    assert (cur, db) == (cur2, db2)

@@ -371,10 +371,14 @@ def test_crash_between_append_and_merge_replays_exactly_once(spark, wh,
         pass
     monkeypatch.undo()
 
-    # crash evidence: marker pending, staging intact, append committed
+    # crash evidence: marker pending, staging intact — and since r6 the
+    # history append is STAGED into the same pass as the merge
+    # (txn.StagedPass co-commit), so a kill between them leaves NO
+    # visible append either: a concurrent reader sees the pre-pass
+    # state, not a half-applied snapshot
     assert len(orch.txns.pending(1)) == 1
     assert wh.read(Warehouse.src_tmp(STATEMENTS.name)).count() == 2
-    assert wh.read(Warehouse.current(STATEMENTS.name)).count() == 2
+    assert not wh.exists(Warehouse.current(STATEMENTS.name))
     # the dictionary merge never ran
     assert dictionary.read_statements(wh, 1).count() == 0
 
@@ -383,7 +387,7 @@ def test_crash_between_append_and_merge_replays_exactly_once(spark, wh,
     meta = orch.read_metas(1)
     assert any("interrupted pass" in e for e in meta["errors"])
     assert errs == len(meta["errors"])
-    # exactly-once: the full-row anti-join discards the replayed rows
+    # exactly-once: the replay is the FIRST publish of these rows
     cur = wh.read(Warehouse.current(STATEMENTS.name))
     assert cur.count() == 2
     d = {r.queryid: r.query
