@@ -71,11 +71,23 @@ READ, WRITE = "read", "write"
 
 def privileges(role: str, table: str) -> frozenset[str]:
     """Effective privilege set of one logical role on one table —
-    the powa_grant() classification as a pure function."""
+    the powa_grant() classification as a pure function.
+
+    The LLM-pipeline tables classify by the same content rule the
+    reference applies to constvalues (:7628-7633): the corpus ledgers
+    (raw shingle arrays, document digests) and the ANN index tables
+    (embeddings) carry literal document CONTENT, so
+    ``powa_read_all_metrics`` — the metrics-only role — is excluded
+    from them exactly like from constvalues, while
+    ``powa_read_all_data`` reads them all."""
     if role not in POWA_ROLES:
         raise ValueError(f"unknown powa role {role!r}")
     is_staging = table.endswith("_src_tmp")
-    is_constvalues = "qualstats_constvalues" in table
+    is_content = (
+        "qualstats_constvalues" in table
+        or table.startswith("corpus_")
+        or table.startswith("ann_")
+    )
     if role == "powa_admin":
         return frozenset({READ, WRITE})
     if role == "powa_write_all_data":
@@ -87,10 +99,48 @@ def privileges(role: str, table: str) -> frozenset[str]:
     if role == "powa_read_all_data":
         return frozenset() if is_staging else frozenset({READ})
     if role == "powa_read_all_metrics":
-        if is_staging or is_constvalues:
+        if is_staging or is_content:
             return frozenset()
         return frozenset({READ})
     return frozenset()  # powa_signal_backend
+
+
+def warehouse_tables() -> list[str]:
+    """Every table name this engine can create — the grant-matrix
+    domain (the reference grants over ``pg_class`` relations of the
+    powa schema; this is the lakehouse analog).  Spec-derived history
+    tables, the dictionaries, qualstats, catalogs, the streaming dedup
+    ledgers, the ANN at-rest index, and the config-class registry
+    views."""
+    from .operators import databases, dictionary, qualstats
+    from .pipeline.similarity import ANN_CELLS_TABLE, ANN_CENTROIDS_TABLE
+    from .sources.catalog import CATALOGS, catalog_staging, catalog_table
+    from .specs import ALL_SPECS
+    from .streaming.dedup import LEDGER_TABLE, NEAR_DUP_LEDGER_TABLE
+
+    names: set[str] = set(CONFIG_TABLES)
+    for spec in ALL_SPECS.values():
+        names.add(Warehouse.current(spec.name))
+        names.add(Warehouse.history(spec.name))
+        names.add(Warehouse.src_tmp(spec.name))
+        if spec.db_rollup:
+            names.add(Warehouse.current_db(spec.name))
+            names.add(Warehouse.history_db(spec.name))
+    names |= {
+        dictionary.TABLE,
+        databases.TABLE,
+        qualstats.QUALS_TABLE,
+        qualstats.CONSTVALUES_TABLE,
+        qualstats.CONSTVALUES_HISTORY_TABLE,
+        LEDGER_TABLE,
+        NEAR_DUP_LEDGER_TABLE,
+        ANN_CELLS_TABLE,
+        ANN_CENTROIDS_TABLE,
+    }
+    for catname, _minv in CATALOGS:
+        names.add(catalog_table(catname))
+        names.add(catalog_staging(catname))
+    return sorted(names)
 
 
 # ---------------------------------------------------------------------------
@@ -101,37 +151,65 @@ def _roles_path(wh: Warehouse) -> str:
     return os.path.join(wh.root, "_acl", "roles.json")
 
 
-def setup_powa_roles(wh: Warehouse, bindings: dict[str, str]) -> None:
-    """Bind each logical role to a concrete principal name.  Like the
-    reference (powa--5.2.0.sql:30-118), every role must be bound and
-    unknown role names are rejected; the write is atomic."""
+def setup_powa_roles(
+    wh: Warehouse, bindings: dict[str, str | list[str]]
+) -> None:
+    """Bind each logical role to its member principals.  The reference's
+    database roles are GROUPS — any number of members per role (ADVICE
+    r5) — so each binding is a list; a bare string binds a single
+    member.  Like the reference (powa--5.2.0.sql:30-118), every role
+    must be bound and unknown role names are rejected; the write is
+    atomic."""
     unknown = set(bindings) - set(POWA_ROLES)
     if unknown:
         raise ValueError(f"unexpected powa_role(s): {sorted(unknown)}")
     missing = set(POWA_ROLES) - set(bindings)
     if missing:
         raise ValueError(f"powa_role(s) not bound: {sorted(missing)}")
+    normalized = {
+        role: [m] if isinstance(m, str) else sorted(m)
+        for role, m in bindings.items()
+    }
     p = _roles_path(wh)
     os.makedirs(os.path.dirname(p), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p), suffix=".tmp")
     with os.fdopen(fd, "w") as f:
-        json.dump(bindings, f, indent=1)
+        json.dump(normalized, f, indent=1)
     os.replace(tmp, p)
 
 
-def read_powa_roles(wh: Warehouse) -> dict[str, str]:
+#: parsed-bindings cache keyed by path: (mtime_ns, bindings) — every
+#: guarded warehouse op consults the bindings, and a filesystem read +
+#: JSON parse per table operation is pure overhead (ADVICE r5); the
+#: mtime probe keeps rebinds (setup/revoke) immediately visible
+_ROLES_CACHE: dict[str, tuple[int, dict[str, list[str]]]] = {}
+
+
+def read_powa_roles(wh: Warehouse) -> dict[str, list[str]]:
     p = _roles_path(wh)
-    if not os.path.exists(p):
+    try:
+        mtime = os.stat(p).st_mtime_ns
+    except FileNotFoundError:
+        _ROLES_CACHE.pop(p, None)
         return {}
+    hit = _ROLES_CACHE.get(p)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
     with open(p) as f:
-        return json.load(f)
+        raw = json.load(f)
+    bindings = {
+        role: [m] if isinstance(m, str) else list(m)
+        for role, m in raw.items()
+    }
+    _ROLES_CACHE[p] = (mtime, bindings)
+    return bindings
 
 
 def roles_of(wh: Warehouse, principal: str) -> frozenset[str]:
     """Logical roles a principal holds under the current bindings."""
     return frozenset(
-        role for role, bound in read_powa_roles(wh).items()
-        if bound == principal
+        role for role, members in read_powa_roles(wh).items()
+        if principal in members
     )
 
 
@@ -139,6 +217,7 @@ def revoke_powa_roles(wh: Warehouse) -> None:
     """powa_revoke() analog: drop every binding (and with it, every
     privilege any principal held through them)."""
     p = _roles_path(wh)
+    _ROLES_CACHE.pop(p, None)
     if os.path.exists(p):
         os.remove(p)
 
@@ -178,6 +257,15 @@ class AclWarehouse:
             f"{needed!r} on table {table!r} (operation {op})"
         )
 
+    # txn.StagedPass writes through the filesystem (stage dirs +
+    # renames), not the Warehouse write methods — it probes for these
+    # hooks so staged sinks stay inside the grant matrix
+    def acl_check_write(self, table: str) -> None:
+        self._check("stage", table, WRITE)
+
+    def acl_check_read(self, table: str) -> None:
+        self._check("stage", table, READ)
+
     def __getattr__(self, name: str):
         attr = getattr(self._wh, name)
         if name in self._READS:
@@ -199,10 +287,16 @@ class AclWarehouse:
         return attr
 
 
-def grants_df(spark: SparkSession, tables: list[str]) -> DataFrame:
+def grants_df(
+    spark: SparkSession, tables: list[str] | None = None
+) -> DataFrame:
     """Materialize the effective matrix for introspection — the analog
     of sql/10_acl.sql's has_table_privilege probe grid: one row per
-    (table, role) with its privilege set."""
+    (table, role) with its privilege set.  Defaults to the FULL table
+    inventory (:func:`warehouse_tables`) so every table the warehouse
+    can create has grant rows."""
+    if tables is None:
+        tables = warehouse_tables()
     rows = [
         (t, r, sorted(privileges(r, t)))
         for t in tables

@@ -137,8 +137,13 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         *[gram_arrays[n].alias(f"_g{n}") for n in sorted(gram_arrays)],
     )
 
+    # NULL-text contract (ADVICE r5): a NULL text keeps its row and
+    # yields NULL for EVERY metric (not a 0.0/NULL mix) — "unknown",
+    # distinct from an empty/short doc's legitimate 0.0.  Downstream
+    # quality gates filter on `metric IS NOT NULL AND metric < cut`.
     frac_cols = [
-        F.when(
+        F.when(F.col("_th").isNull(), F.lit(None).cast("double"))
+        .when(
             F.size(f"_g{n}") > 0,
             F.lit(1.0) - F.size(F.array_distinct(f"_g{n}"))
             .cast("double") / F.size(f"_g{n}"),

@@ -137,10 +137,20 @@ class StagedPass:
     def _part_dir(self, table: str) -> str:
         return os.path.join(self.wh.path(table), f"srvid={self.srvid}")
 
+    def _acl_check(self, table: str) -> None:
+        # staged sinks bypass the Warehouse write methods, so an
+        # acl.AclWarehouse exposes its write check through this hook —
+        # staging into a table the actor may not write must fail at
+        # stage time, before any invisible data lands
+        chk = getattr(self.wh, "acl_check_write", None)
+        if chk is not None:
+            chk(table)
+
     def stage_append(self, df, table: str) -> None:
         """Stage an append to the srvid partition of ``table``.  ``df``
         must carry the srvid column (dropped here: partition dirs encode
         it, matching what a partitionBy append writes)."""
+        self._acl_check(table)
         d = os.path.join(
             self._part_dir(table),
             f".__stage__{self.pass_id}__{len(self._ops)}",
@@ -150,6 +160,7 @@ class StagedPass:
 
     def stage_replace(self, df, table: str) -> None:
         """Stage a full replace of the srvid partition of ``table``."""
+        self._acl_check(table)
         d = os.path.join(
             self.wh.path(table),
             f".__stageswap__srvid={self.srvid}__{self.pass_id}__{len(self._ops)}",

@@ -74,7 +74,8 @@ def test_setup_roles_validates_like_reference(wh):
     with pytest.raises(ValueError, match="not bound"):
         setup_powa_roles(wh, partial)
     setup_powa_roles(wh, BINDINGS)
-    assert read_powa_roles(wh) == BINDINGS
+    # bindings normalize to member LISTS (roles are groups since r6)
+    assert read_powa_roles(wh) == {r: [m] for r, m in BINDINGS.items()}
     assert roles_of(wh, "collector") == {"powa_snapshot"}
     revoke_powa_roles(wh)
     assert read_powa_roles(wh) == {}
@@ -159,3 +160,73 @@ def test_full_orchestrator_pass_under_snapshot_role(spark, wh):
 
     with pytest.raises(PermissionError):
         AclWarehouse(wh, "grafana").drop_srvid(Warehouse.current(SPEC.name), 0)
+
+def test_grants_cover_every_creatable_table(spark):
+    """r6: the grant matrix's domain is the FULL table inventory —
+    every table the warehouse can create (spec histories, dictionaries,
+    qualstats, catalogs, the streaming dedup ledgers, the ANN at-rest
+    index, config registry) has one grants_df row per role, and the
+    content rule classifies the pipeline tables like constvalues."""
+    from powa_archivist_spark.acl import warehouse_tables
+
+    tables = warehouse_tables()
+    # the new r5/r6 tables are in the inventory
+    for t in ("corpus_digest_ledger", "corpus_neardup_ledger",
+              "ann_ivf_cells", "ann_ivf_centroids", "powa_statements",
+              "powa_qualstats_constvalues_history"):
+        assert t in tables, t
+    g = grants_df(spark)  # defaults to the full inventory
+    assert g.count() == len(tables) * len(POWA_ROLES)
+
+    rows = {(r.table, r.role): r.privileges for r in g.collect()}
+    # ledgers + ANN index carry document content: data roles read them,
+    # the metrics-only role does not; the snapshot role writes them
+    for t in ("corpus_digest_ledger", "corpus_neardup_ledger",
+              "ann_ivf_cells", "ann_ivf_centroids"):
+        assert rows[(t, "powa_read_all_metrics")] == []
+        assert rows[(t, "powa_read_all_data")] == ["read"]
+        assert rows[(t, "powa_snapshot")] == ["read", "write"]
+        assert rows[(t, "powa_admin")] == ["read", "write"]
+    # config registry stays read-only for the snapshot role
+    assert rows[("powa_servers", "powa_snapshot")] == ["read"]
+
+
+def test_role_groups_and_rebind_visibility(spark, wh):
+    """r6 (ADVICE r5): roles are GROUPS — many members per role — and a
+    rebind is visible immediately despite the parsed-bindings cache."""
+    setup_powa_roles(wh, {**BINDINGS,
+                          "powa_read_all_data": ["webapp", "notebook"]})
+    assert roles_of(wh, "webapp") == {"powa_read_all_data"}
+    assert roles_of(wh, "notebook") == {"powa_read_all_data"}
+    # single-string bindings still parse as one-member groups
+    assert roles_of(wh, "alice") == {"powa_admin"}
+    # enforcement honors group membership
+    for member in ("webapp", "notebook"):
+        aw = AclWarehouse(wh, member)
+        assert aw.exists("powa_statements_history") in (True, False)
+        with pytest.raises(PermissionError):
+            aw.read("powa_statements_src_tmp")
+    # rebind: drop notebook; the cache must not serve the stale binding
+    setup_powa_roles(wh, {**BINDINGS, "powa_read_all_data": ["webapp"]})
+    assert roles_of(wh, "notebook") == frozenset()
+    with pytest.raises(PermissionError):
+        AclWarehouse(wh, "notebook").exists("powa_statements_history")
+
+
+def test_staged_pass_respects_grant_matrix(spark, wh):
+    """r6: StagedPass writes bypass the Warehouse write methods, so the
+    stage hooks must enforce the matrix — the snapshot role may stage
+    into data tables but NOT into the config registry."""
+    from powa_archivist_spark.txn import StagedPass
+
+    setup_powa_roles(wh, BINDINGS)
+    aw = AclWarehouse(wh, "collector")  # powa_snapshot
+    df = spark.createDataFrame([(1, 7)], "srvid int, v long")
+    sp = StagedPass(aw, 1)
+    sp.stage_append(df, "powa_statements_history_current")  # allowed
+    with pytest.raises(PermissionError):
+        sp.stage_append(df, "powa_servers")
+    with pytest.raises(PermissionError):
+        sp.stage_replace(df, "powa_roles")
+    sp.publish()
+    assert wh.read("powa_statements_history_current").count() == 1

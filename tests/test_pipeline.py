@@ -852,3 +852,21 @@ def test_dataset_split_disjoint_exhaustive_stable(spark):
                         .otherwise(_F.col("doc_id")))
     ).filter(_F.col("doc_id").isNull()).collect()
     assert [r.split for r in nid] == [None]
+
+def test_repetition_stats_null_text_contract(spark):
+    """r6 (ADVICE r5): NULL-text docs keep their row and get NULL for
+    ALL three metrics — consistently, not a 0.0/NULL mix; empty text
+    stays the legitimate 0.0 case."""
+    from powa_archivist_spark.pipeline import textstats
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b a b a b")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.repetition_stats(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].dup_2gram_frac is None
+    assert rows[1].dup_3gram_frac is None
+    assert rows[1].top_token_frac is None
+    assert rows[2].dup_2gram_frac == 0.0
+    assert rows[3].dup_2gram_frac > 0.5
