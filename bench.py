@@ -124,10 +124,22 @@ def main() -> int:
     if errored:
         print(f"bench: {len(errored)} errored queries: {errored}",
               file=sys.stderr, flush=True)
+    # fold the committed 100x-posture run (tools/bench_scaling.py) into
+    # the full artifact so the driver's record carries the per-query
+    # scaling exponents alongside the sf0.1 medians
+    scaling = None
+    scaling_path = Path(__file__).resolve().parent / "BENCH_SCALING.json"
+    if scaling_path.exists():
+        try:
+            with open(scaling_path) as f:
+                scaling = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            scaling = None
     with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as f:
         json.dump({"total_sec": total, "sf": sf, "errors": errored,
                    "reps": reps, "metric": "sum_of_medians",
-                   "queries": timings, "detail": detail}, f, indent=1)
+                   "queries": timings, "detail": detail,
+                   "scaling": scaling}, f, indent=1)
 
     def line_for(n_keep: int) -> str:
         q = {k: fmt(v) for k, v in ordered[:n_keep]}
