@@ -86,7 +86,16 @@ def qualstats_snapshot(
     drop_staging: bool = True,
 ) -> int:
     """One qualstats snapshot pass; returns the captured row count
-    (the reference's ``v_rowcount``, powa--5.2.0.sql:7168-7172)."""
+    (the reference's ``v_rowcount``, powa--5.2.0.sql:7168-7172).
+
+    The three sinks (quals dictionary, per-qual current rollup,
+    constvalues) commit through ONE txn.StagedPass — the reference runs
+    them inside a single wCTE statement (:7104-7184), and the staged
+    publish is the parquet analog: a crash anywhere in the pass leaves
+    readers on the pre-pass state with staging intact for replay."""
+    from ..txn import StagedPass
+
+    StagedPass.recover(wh, srvid)
     if capture is None:
         capture = wh.read(Warehouse.src_tmp(QUALSTATS_SPEC.name), SRC_SCHEMA)
     capture = capture.filter(F.col("srvid") == srvid)
@@ -97,9 +106,11 @@ def qualstats_snapshot(
     try:
         n = capture.count()
         if n > 0:
-            _merge_missing_quals(wh, srvid, capture)
-            _append_by_qual(wh, capture)
-            _append_constvalues(wh, capture)
+            sp = StagedPass(wh, srvid)
+            _merge_missing_quals(wh, srvid, capture, sp)
+            _append_by_qual(wh, capture, sp)
+            _append_constvalues(wh, capture, sp)
+            sp.publish()
         if drop_staging and wh.exists(Warehouse.src_tmp(QUALSTATS_SPEC.name)):
             wh.drop_srvid(Warehouse.src_tmp(QUALSTATS_SPEC.name), srvid)
         return n
@@ -108,7 +119,7 @@ def qualstats_snapshot(
 
 
 def _merge_missing_quals(wh: Warehouse, srvid: int,
-                         capture: DataFrame) -> None:
+                         capture: DataFrame, sp) -> None:
     """missing_quals (powa--5.2.0.sql:7126-7143): one dictionary row per
     (qualid, queryid, dbid, userid) holding the DISTINCT qual atoms.
     ``array_agg(DISTINCT q::qual_type)`` -> sort_array(collect_set(atom))
@@ -131,10 +142,10 @@ def _merge_missing_quals(wh: Warehouse, srvid: int,
     )
     missing = seen.join(existing, QUAL_KEYS, "left_anti")
     if missing.limit(1).count() > 0:
-        wh.append(missing, QUALS_TABLE, partition_by=["srvid"])
+        sp.stage_append(missing, QUALS_TABLE)
 
 
-def _append_by_qual(wh: Warehouse, capture: DataFrame) -> None:
+def _append_by_qual(wh: Warehouse, capture: DataFrame, sp) -> None:
     """by_qual (powa--5.2.0.sql:7145-7154): per-qual rollup — the
     uniquequalnodeid-level rows (one per plan-node instance) collapse to
     the qualnodeid level.  SUMs and AVGs are map-side combinable; the
@@ -159,11 +170,10 @@ def _append_by_qual(wh: Warehouse, capture: DataFrame) -> None:
             "mean_err_estimate_ratio", "mean_err_estimate_num",
         )
     )
-    wh.append(rolled, Warehouse.current(QUALSTATS_SPEC.name),
-              partition_by=["srvid"])
+    sp.stage_append(rolled, Warehouse.current(QUALSTATS_SPEC.name))
 
 
-def _append_constvalues(wh: Warehouse, capture: DataFrame) -> None:
+def _append_constvalues(wh: Warehouse, capture: DataFrame, sp) -> None:
     """by_qual_with_const (powa--5.2.0.sql:7156-7166): raw rows with
     their constvalues, feeding the top-20 aggregation job
     (operators/topk.py)."""
@@ -175,7 +185,7 @@ def _append_constvalues(wh: Warehouse, capture: DataFrame) -> None:
         "mean_err_estimate_ratio", "mean_err_estimate_num",
         "constvalues",
     )
-    wh.append(rows, CONSTVALUES_TABLE, partition_by=["srvid"])
+    sp.stage_append(rows, CONSTVALUES_TABLE)
 
 
 def qualstats_aggregate(wh: Warehouse, srvid: int) -> int:

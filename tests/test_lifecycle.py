@@ -457,3 +457,54 @@ def test_staged_publish_crash_invisibility_and_exactly_once(spark, wh):
     cur2 = sorted(map(tuple, wh2.read(cur_t).collect()))
     db2 = sorted(map(tuple, wh2.read(db_t).collect()))
     assert (cur, db) == (cur2, db2)
+
+def test_qualstats_staged_publish_is_atomic(spark, wh):
+    """r6: the qualstats pass's THREE sinks (quals dictionary, per-qual
+    rollup, constvalues) commit through one StagedPass — a kill after
+    two of three staged writes leaves all three tables unseen."""
+    from powa_archivist_spark.operators import dictionary, qualstats
+    from powa_archivist_spark.txn import StagedPass
+
+    # seed the statements dictionary so the gate passes rows
+    dictionary.merge_statements(
+        wh, 1,
+        spark.createDataFrame(
+            [(100, 10, 5, "SELECT x", ts(0))],
+            "queryid long, dbid long, userid long, query string, ts timestamp",
+        ),
+        now=ts(0),
+    )
+    cap = spark.createDataFrame(
+        [(1, ts(0), 7, 10, 5, 77, 3, 30, 5, 1.0, 0.5, 100,
+          ["42"], [(16384, 1, 96, "f")])],
+        qualstats.SRC_SCHEMA,
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    real = StagedPass.stage_append
+    calls = {"n": 0}
+
+    def crashing(self, df, table):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise Boom()
+        return real(self, df, table)
+
+    StagedPass.stage_append = crashing
+    try:
+        qualstats.qualstats_snapshot(wh, 1, capture=cap)
+    except Boom:
+        pass
+    finally:
+        StagedPass.stage_append = real
+    assert not wh.exists(qualstats.QUALS_TABLE)
+    assert not wh.exists(qualstats.CONSTVALUES_TABLE)
+    assert not wh.exists(Warehouse.current("qualstats"))
+
+    # clean replay commits all three atomically
+    assert qualstats.qualstats_snapshot(wh, 1, capture=cap) == 1
+    assert wh.read(qualstats.QUALS_TABLE).count() == 1
+    assert wh.read(qualstats.CONSTVALUES_TABLE).count() == 1
+    assert wh.read(Warehouse.current("qualstats")).count() == 1
