@@ -354,3 +354,162 @@ def dataset_split(
     expr = F.when(F.col(id_col).isNull(), F.lit(None).cast("string")) \
         .otherwise(expr)
     return docs.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (round 6)
+# ---------------------------------------------------------------------------
+
+#: bits per bloom word — 32 keeps every (1 << bit) positive in an int64,
+#: so the bit arithmetic is identical (and overflow-free) on both engines
+BLOOM_WORD_BITS = 32
+
+
+def _word_ngrams(df: DataFrame, n: int, text_col: str,
+                 id_col: str | None) -> DataFrame:
+    """(id?, gram) rows of word n-grams; docs shorter than n emit none."""
+    toks = F.split(F.col(text_col), " ")
+    g = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cols = [F.col(id_col)] if id_col else []
+    return df.select(*cols, F.explode(g).alias("gram"))
+
+
+def _bloom_probes(grams: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """Explode each gram into its k probe positions, split into
+    (word_idx, bit) against 32-bit words.  Positions are the md5-based
+    cross-engine hash, so the filter (INCLUDING its false positives) is
+    bit-identical on Spark and the SQL oracle."""
+    seeded = grams.select(
+        "*",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed"),
+    )
+    pos = F.pmod(
+        cross_engine_hash64(F.col("seed").cast("string"), F.col("gram")),
+        F.lit(m_bits),
+    )
+    return seeded.select(
+        "*",
+        F.floor(pos / BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+        F.pmod(pos, BLOOM_WORD_BITS).cast("int").alias("bit"),
+    )
+
+
+def bloom_build(
+    eval_docs: DataFrame,
+    n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Build a FIXED-SIZE Bloom filter over the eval set's word n-grams
+    as a (word_idx, word) table — at most ``m_bits / 32`` rows no matter
+    how many benchmarks it absorbs.
+
+    This is the 100 TB form of :func:`ngram_decontaminate`: the exact
+    pass broadcasts the eval gram dictionary, which grows with the eval
+    corpus; the bloom table is a few hundred KB forever, at the price of
+    a deterministic, hash-defined false-positive rate (~(1-e^{-kn/m})^k
+    — flagged docs get the exact pass as a second stage)."""
+    grams = _word_ngrams(eval_docs, n, text_col, None).distinct()
+    return (
+        _bloom_probes(grams, m_bits, k)
+        .groupBy("word_idx")
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), bit)")
+            ).alias("word")
+        )
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    bloom_words: DataFrame,
+    n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe every corpus doc's n-grams against the bloom word table:
+    a gram is bloom-positive iff ALL k probed bits are set; a doc is
+    flagged iff any of its grams is positive.
+
+    Plan: corpus grams explode to k probes each, broadcast-join the
+    (always-tiny) word table, AND the k hit bits per (doc, gram), then
+    one count per doc.  The corpus side never shuffles on data size —
+    only the per-doc aggregation keys on id."""
+    per_doc_grams = _word_ngrams(docs, n, text_col, id_col).distinct()
+    probes = _bloom_probes(per_doc_grams, m_bits, k)
+    hit = (
+        F.col("word").isNotNull()
+        & (
+            F.col("word").bitwiseAND(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            )
+            != 0
+        )
+    )
+    gram_hits = (
+        probes.join(F.broadcast(bloom_words), "word_idx", "left")
+        .select(id_col, "gram", hit.alias("hit"))
+        .groupBy(id_col, "gram")
+        .agg(F.bool_and("hit").alias("in_bloom"))
+    )
+    flagged = gram_hits.groupBy(id_col).agg(
+        F.sum(F.col("in_bloom").cast("int")).alias("n_flagged_grams")
+    )
+    return (
+        docs.select(id_col)
+        .join(flagged, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_flagged_grams", F.lit(0)).cast("long")
+            .alias("n_flagged_grams"),
+            (F.coalesce("n_flagged_grams", F.lit(0)) > 0).alias("is_flagged"),
+        )
+    )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    top_n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` most frequent whitespace tokens
+    with occurrence and document frequencies plus a dense global rank —
+    the BPE/vocab-construction pre-pass every tokenizer pipeline runs.
+
+    Plan: one explode + one (token) aggregation (count is map-side
+    combinable; the doc frequency rides the same shuffle via a
+    count_distinct), then ``orderBy(...).limit(top_n)`` — Spark executes
+    that as TakeOrdered (per-partition top-N + driver merge of N*P
+    rows), never a global sort.  The row_number ranking runs AFTER the
+    limit, over top_n rows only."""
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return toks.select(
+        F.row_number().over(w).alias("rank"),
+        "token", "n_occurrences", "n_docs",
+    )

@@ -1361,6 +1361,168 @@ SELECT doc_id FROM k3
 """
 
 
+
+
+def corpus_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size Bloom-filter decontamination (r6): the eval set's
+    3-grams build a 2^18-bit / k=3 filter stored as an int64 word
+    table; corpus docs are flagged when any gram probes all-set bits.
+    Unlike corpus_decontam's gram-dictionary broadcast (which grows
+    with the eval corpus), the filter is a few hundred KB forever —
+    the 100 TB first stage, with the exact pass as stage two on the
+    flagged slice.  The md5-based probe positions make the filter —
+    INCLUDING its false positives — bit-identical in the SQL oracle."""
+    from . import corpus
+
+    docs = t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    corp = docs.filter(F.col("doc_id") % 20 != 0)
+    bloom = corpus.bloom_build(ev, n=3, m_bits=1 << 18, k=3)
+    return corpus.bloom_decontaminate(corp, bloom, n=3, m_bits=1 << 18, k=3)
+
+
+ORACLE_BLOOM_DECONTAM = """
+WITH ev AS (
+  SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id % 20 = 0
+), evg AS (
+  SELECT DISTINCT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM ev, UNNEST(range(1, len(tk) - 1)) AS r(i)
+  WHERE len(tk) >= 3
+), seeds AS (
+  SELECT UNNEST(range(0, 3)) AS seed
+), build_probes AS (
+  SELECT ('0x' || substring(md5(seed::VARCHAR || ':' || gram), 1, 15))::BIGINT
+           % 262144 AS pos
+  FROM evg CROSS JOIN seeds
+), bloom AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or((1::BIGINT) << (pos % 32)) AS word
+  FROM build_probes GROUP BY 1
+), corp AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE doc_id % 20 <> 0
+), cg AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM corp, UNNEST(range(1, len(tk) - 1)) AS r(i)
+  WHERE len(tk) >= 3
+), probe AS (
+  SELECT doc_id, gram, seed,
+         ('0x' || substring(md5(seed::VARCHAR || ':' || gram), 1, 15))::BIGINT
+           % 262144 AS pos
+  FROM cg CROSS JOIN seeds
+), gram_hits AS (
+  SELECT p.doc_id, p.gram,
+         bool_and(b.word IS NOT NULL
+                  AND (b.word & ((1::BIGINT) << (p.pos % 32))) <> 0)
+           AS in_bloom
+  FROM probe p LEFT JOIN bloom b ON b.word_idx = p.pos // 32
+  GROUP BY p.doc_id, p.gram
+), flagged AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged_grams
+  FROM gram_hits GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(COALESCE(f.n_flagged_grams, 0) AS BIGINT) AS n_flagged_grams,
+       COALESCE(f.n_flagged_grams, 0) > 0 AS is_flagged
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) c
+LEFT JOIN flagged f USING (doc_id)
+"""
+
+
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary construction (r6): top-100 tokens by frequency
+    with occurrence + document counts and a deterministic global rank
+    — the tokenizer-building pre-pass; TakeOrdered, never a full sort."""
+    from . import corpus
+
+    return corpus.vocab_topk(t(spark, sf_dir, "documents"), top_n=100)
+
+
+ORACLE_VOCAB_TOPK = r"""
+WITH tk AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+), agg AS (
+  SELECT token, COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM tk GROUP BY token
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+            AS INT) AS rank,
+       token, n_occurrences, n_docs
+FROM agg
+ORDER BY n_occurrences DESC, token
+LIMIT 100
+"""
+
+
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep/drop curation verdict (r6): Gopher-style bounds on
+    token count, lexical diversity, and the repetition fractions, with
+    a sorted reasons array naming every violated rule — ONE map-only
+    select (the repetition metrics thread the text through, no join)."""
+    return textstats.quality_gate(
+        t(spark, sf_dir, "documents"),
+        thresholds={
+            "min_tokens": 20,
+            "max_tokens": 100_000,
+            "min_distinct_ratio": 0.35,
+            "max_dup_2gram_frac": 0.55,
+            "max_top_token_frac": 0.45,
+        },
+    )
+
+
+ORACLE_QUALITY_GATE = r"""
+WITH b AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+              AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS distinct_ratio,
+         string_split(text, ' ') AS rtk
+  FROM documents
+), fr AS (
+  SELECT doc_id, n_tokens, distinct_ratio,
+         CASE WHEN len(rtk) >= 2 THEN
+           1.0 - CAST(len(list_distinct(
+             list_transform(range(1, len(rtk)),
+                            i -> rtk[i] || ' ' || rtk[i+1]))) AS DOUBLE)
+                 / (len(rtk) - 1)
+         ELSE 0.0 END AS dup_2gram_frac,
+         rtk
+  FROM b
+), top AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM fr, UNNEST(rtk) AS u(tok)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+), m AS (
+  SELECT f.doc_id, f.n_tokens, f.distinct_ratio, f.dup_2gram_frac,
+         t.top_token_frac
+  FROM fr f JOIN top t USING (doc_id)
+), judged AS (
+  SELECT *,
+         list_sort(list_filter([
+           CASE WHEN n_tokens < 20 THEN 'too_short' END,
+           CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+           CASE WHEN distinct_ratio < 0.35 THEN 'low_diversity' END,
+           CASE WHEN dup_2gram_frac > 0.55 THEN 'repetitive_2gram' END,
+           CASE WHEN top_token_frac > 0.45 THEN 'dominant_token' END
+         ], x -> x IS NOT NULL)) AS reasons
+  FROM m
+)
+SELECT doc_id, n_tokens, distinct_ratio, dup_2gram_frac, top_token_frac,
+       reasons, len(reasons) = 0 AS keep
+FROM judged
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -1404,4 +1566,7 @@ PIPELINE_QUERIES = {
                                    ORACLE_BINARY_NEAR_DUP),
     "emb_semantic_dedup": (emb_semantic_dedup, ORACLE_EMB_SEMANTIC_DEDUP),
     "corpus_dataset_split": (corpus_dataset_split, ORACLE_DATASET_SPLIT),
+    "corpus_bloom_decontam": (corpus_bloom_decontam, ORACLE_BLOOM_DECONTAM),
+    "corpus_vocab_topk": (corpus_vocab_topk, ORACLE_VOCAB_TOPK),
+    "corpus_quality_gate": (corpus_quality_gate, ORACLE_QUALITY_GATE),
 }

@@ -83,7 +83,8 @@ def lang_id(docs: DataFrame, text_col: str = "text",
 
 def repetition_stats(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+                     ns: tuple[int, ...] = (2, 3),
+                     keep: tuple[str, ...] = ()) -> DataFrame:
     """Repetition / boilerplate signals (the Gopher-rules family): per
     doc, the duplicate-n-gram fraction for each n in ``ns`` (how much of
     the doc is self-repeating) and the top-token fraction (how dominated
@@ -114,7 +115,9 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
 
     # one Project materializes the token-hash array, so every gram
     # level reuses it instead of re-deriving split+hash per reference
-    step = docs.select(F.col(id_col), F.transform(
+    # `keep` threads input columns through (quality_gate composes the
+    # text metrics on top of these fractions in ONE map-only select)
+    step = docs.select(F.col(id_col), *[F.col(c) for c in keep], F.transform(
         toks, lambda t: F.xxhash64(t)).alias("_th"))
 
     # chained gram-hash arrays: gh_n[i] = xxhash64(gh_{n-1}[i], th[i+n-1]);
@@ -133,7 +136,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         if n in ns:
             gram_arrays[n] = prev
     step = step.select(
-        id_col, "_th",
+        id_col, *keep, "_th",
         *[gram_arrays[n].alias(f"_g{n}") for n in sorted(gram_arrays)],
     )
 
@@ -171,6 +174,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     )
     return step.select(
         id_col,
+        *keep,
         *frac_cols,
         (run.cast("double") / F.size("_th")).alias("top_token_frac"),
     )
@@ -293,4 +297,65 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "tok", "score")
+    )
+
+
+DEFAULT_GATE = {
+    "min_tokens": 8,
+    "max_tokens": 100_000,
+    "min_distinct_ratio": 0.2,
+    "max_dup_2gram_frac": 0.6,
+    "max_top_token_frac": 0.5,
+}
+
+
+def quality_gate(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 thresholds: dict | None = None) -> DataFrame:
+    """The composed keep/drop verdict a curation pipeline actually
+    ships: Gopher-style bounds over token count, lexical diversity, and
+    the repetition fractions, with a sorted ``reasons`` array naming
+    every violated rule (auditable filtering — "why was this dropped"
+    is a first-class output, not a log line).
+
+    Plan: ONE map-only select — the repetition fractions come from
+    :func:`repetition_stats` with the text threaded through (``keep``),
+    and the token counters are plain expressions over the same row.  No
+    join, no shuffle; at 100 TB this runs at scan speed next to the
+    dedup passes.  NULL-text docs get keep=false with reason
+    'null_text' (consistent with the repetition NULL contract)."""
+    th = {**DEFAULT_GATE, **(thresholds or {})}
+    rep = repetition_stats(docs, text_col, id_col, keep=(text_col,))
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+
+    rules = [
+        ("null_text", text.isNull()),
+        ("too_short", n_tokens < th["min_tokens"]),
+        ("too_long", n_tokens > th["max_tokens"]),
+        ("low_diversity", distinct_ratio < th["min_distinct_ratio"]),
+        ("repetitive_2gram",
+         F.col("dup_2gram_frac") > th["max_dup_2gram_frac"]),
+        ("dominant_token",
+         F.col("top_token_frac") > th["max_top_token_frac"]),
+    ]
+    reasons = F.sort_array(
+        F.filter(
+            F.array(*[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in rules
+            ]),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return rep.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        "dup_2gram_frac",
+        "top_token_frac",
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
     )

@@ -870,3 +870,65 @@ def test_repetition_stats_null_text_contract(spark):
     assert rows[1].top_token_frac is None
     assert rows[2].dup_2gram_frac == 0.0
     assert rows[3].dup_2gram_frac > 0.5
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """The bloom pass may only add false POSITIVES: every doc the exact
+    gram-join pass flags must be bloom-flagged too, and the filter table
+    is bounded by m_bits/32 rows regardless of eval size."""
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter("doc_id % 20 = 0")
+    corp = docs.filter("doc_id % 20 <> 0")
+    m_bits, k = 1 << 14, 3
+    bloom = corpus.bloom_build(ev, n=3, m_bits=m_bits, k=k)
+    assert bloom.count() <= m_bits // corpus.BLOOM_WORD_BITS
+    flagged = {
+        r.doc_id
+        for r in corpus.bloom_decontaminate(
+            corp, bloom, n=3, m_bits=m_bits, k=k
+        ).filter("is_flagged").collect()
+    }
+    exact = {
+        r.doc_id
+        for r in corpus.ngram_decontaminate(corp, ev, n=3)
+        .filter("is_contaminated").collect()
+    }
+    assert exact <= flagged
+    assert flagged  # non-degenerate on this corpus
+
+
+def test_vocab_topk_ranks_by_frequency(spark):
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c"), (3, "b c")],
+        "doc_id long, text string",
+    )
+    rows = corpus.vocab_topk(docs, top_n=2).collect()
+    assert [(r.rank, r.token, r.n_occurrences, r.n_docs) for r in rows] == [
+        (1, "a", 4, 2), (2, "b", 3, 3),
+    ]
+
+
+def test_quality_gate_reasons(spark):
+    from powa_archivist_spark.pipeline import textstats
+
+    long_ok = " ".join(f"w{i}" for i in range(30))
+    repet = " ".join(["spam spam"] * 15)
+    docs = spark.createDataFrame(
+        [(1, long_ok), (2, "tiny doc"), (3, repet), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.quality_gate(
+        docs, thresholds={"min_tokens": 20, "min_distinct_ratio": 0.35,
+                          "max_dup_2gram_frac": 0.55,
+                          "max_top_token_frac": 0.45}).collect()}
+    assert out[1].keep and out[1].reasons == []
+    assert not out[2].keep and "too_short" in out[2].reasons
+    assert not out[3].keep
+    assert {"low_diversity", "repetitive_2gram", "dominant_token"} <= set(
+        out[3].reasons
+    )
+    assert not out[4].keep and out[4].reasons == ["null_text", "too_short"] or \
+        "null_text" in out[4].reasons

@@ -337,3 +337,36 @@ def test_dataset_split_zero_shuffles(spark):
     assert pi.window_count(out) == 0
     (schema,) = pi.read_schemas(out)
     assert set(schema) == {"doc_id", "lang"}
+
+
+def test_quality_gate_is_map_only(spark):
+    """The composed keep/drop verdict must stay a single map-only
+    select: repetition fractions thread the text through instead of
+    joining two projections of the same scan."""
+    from powa_archivist_spark.pipeline import textstats
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = textstats.quality_gate(docs)
+    assert pi.exchange_count(out) == 0
+    assert pi.window_count(out) == 0
+    assert not pi.has_cartesian(out)
+
+
+def test_bloom_probe_broadcasts_filter_table(spark):
+    """The bloom word table is fixed-size (m_bits/32 rows max), so the
+    probe join must broadcast it — the corpus side never shuffles on
+    data size; only the per-doc aggregation keys on id."""
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = docs.filter("doc_id % 20 = 0")
+    bloom = corpus.bloom_build(ev, n=3, m_bits=1 << 14, k=3)
+    out = corpus.bloom_decontaminate(
+        docs.filter("doc_id % 20 <> 0"), bloom, n=3, m_bits=1 << 14, k=3
+    )
+    assert pi.broadcast_join_count(out) >= 1
+    assert not pi.has_cartesian(out)
