@@ -1523,6 +1523,77 @@ FROM judged
 """
 
 
+
+
+def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (r6): build the at-rest IVF
+    index on 80% of the corpus, then ivf_upsert one batch carrying BOTH
+    new vectors (vec_id % 5 == 4) and re-embedded existing ones
+    (vec_id % 50 == 0, vector reversed) — the replaced ids must move to
+    their new argmax cell and the untouched cells keep their files.
+    The per-cell summary (counts, id sums, first-component sums) value-
+    hashes the final assignment; the oracle replays the fixed-centroid
+    argmax over the post-upsert vector set."""
+    import shutil
+    import tempfile
+
+    from ..storage import Warehouse
+
+    emb = t(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="annupsert_")
+    try:
+        wh = Warehouse(spark, scratch)
+        build = emb.filter(F.col("vec_id") % 5 != 4)
+        similarity.ivf_build(wh, build)
+        batch = emb.filter(F.col("vec_id") % 5 == 4).unionByName(
+            emb.filter(F.col("vec_id") % 50 == 0)
+            .withColumn("embedding", F.reverse("embedding"))
+        )
+        similarity.ivf_upsert(wh, batch)
+        out = (
+            wh.read(similarity.ANN_CELLS_TABLE)
+            .groupBy(F.col("cell_id").cast("long").alias("cell_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum("vec_id").alias("sum_ids"),
+                F.sum(F.element_at("v", 1)).alias("sum_v0"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+ORACLE_ANN_UPSERT = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell_id, v AS cv
+  FROM q WHERE vec_id % 97 = 0 AND vec_id % 5 <> 4
+), final AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 50 = 0 THEN list_reverse(v) ELSE v END AS v
+  FROM q
+), scored AS (
+  SELECT f.vec_id, f.v, c.cell_id,
+         ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                            ORDER BY CAST(list_sum(list_transform(
+                              list_zip(f.v, c.cv), x -> x[1] * x[2]))
+                              AS BIGINT) DESC, c.cell_id ASC) AS rn
+  FROM final f CROSS JOIN cents c
+)
+SELECT cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(v[1]) AS BIGINT) AS sum_v0
+FROM scored WHERE rn = 1
+GROUP BY cell_id
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -1569,4 +1640,5 @@ PIPELINE_QUERIES = {
     "corpus_bloom_decontam": (corpus_bloom_decontam, ORACLE_BLOOM_DECONTAM),
     "corpus_vocab_topk": (corpus_vocab_topk, ORACLE_VOCAB_TOPK),
     "corpus_quality_gate": (corpus_quality_gate, ORACLE_QUALITY_GATE),
+    "ann_index_upsert": (ann_index_upsert, ORACLE_ANN_UPSERT),
 }

@@ -250,6 +250,73 @@ def ivf_build(
     wh.overwrite(cents, ANN_CENTROIDS_TABLE)
 
 
+def ivf_upsert(
+    wh,
+    new_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally maintain the at-rest IVF index: assign a NEW batch
+    of vectors to the EXISTING centroids and fold it into the cells
+    table — the continuous-ingest path (a corpus grows daily; rebuilding
+    the whole index per batch is a full-corpus job, this touches only
+    the batch and its target cells).
+
+    Upsert semantics: a re-sent ``vec_id`` replaces its old row (the
+    vector may have been re-embedded), even when the new vector lands
+    in a DIFFERENT cell.  Plan: broadcast-scored ``max_by`` assignment
+    of the batch (same arithmetic as the build, so probe results are
+    indistinguishable from a full rebuild), then ONE dynamic partition
+    overwrite of exactly the touched cells — cells the batch doesn't
+    reach keep their files untouched.  The touched-cell set is the
+    batch's target cells plus any cell holding an updated id (found
+    with a semi-join against the batch ids, pruned by cell partitions).
+
+    Centroids stay FIXED — standard IVF practice (drift re-clustering
+    is a periodic full ``ivf_build``); the assignment is exact w.r.t.
+    the current centroids either way."""
+    cents = wh.read(ANN_CENTROIDS_TABLE)
+    vecs = new_emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col, "v", "cell_id", int_dot(F.col("v"), F.col("cv")).alias("dot_c")
+    )
+    assign = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("cell_id"), F.col("v")),
+                F.struct(F.col("dot_c"), (-F.col("cell_id")).alias("neg")),
+            ).alias("best")
+        )
+        .select(F.col("best.cell_id").alias("cell_id"), id_col, "best.v")
+        .persist()
+    )
+    try:
+        existing = wh.read(ANN_CELLS_TABLE)
+        batch_ids = assign.select(id_col)
+        # cells that must be rewritten: the batch's target cells, plus
+        # cells that currently hold an id the batch replaces
+        stale_cells = (
+            existing.join(F.broadcast(batch_ids), id_col, "left_semi")
+            .select("cell_id")
+        )
+        touched = (
+            assign.select("cell_id").unionByName(stale_cells).distinct()
+        )
+        kept = (
+            existing.join(F.broadcast(touched), "cell_id", "left_semi")
+            .join(F.broadcast(batch_ids), id_col, "left_anti")
+            .select("cell_id", id_col, "v")
+        )
+        wh.overwrite_partitions(
+            kept.unionByName(assign.select("cell_id", id_col, "v")),
+            ANN_CELLS_TABLE,
+            partition_by=["cell_id"],
+        )
+    finally:
+        assign.unpersist()
+
+
 def ivf_probe(
     wh,
     queries: DataFrame,

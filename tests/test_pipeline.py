@@ -932,3 +932,79 @@ def test_quality_gate_reasons(spark):
     )
     assert not out[4].keep and out[4].reasons == ["null_text", "too_short"] or \
         "null_text" in out[4].reasons
+
+def test_ivf_upsert_matches_full_rebuild(spark, wh):
+    """Incremental index maintenance equivalence: after upserting a
+    batch of new + re-embedded vectors, the cells table holds exactly
+    the rows a FULL assignment of the post-upsert corpus (against the
+    same fixed centroids) would produce — and cells untouched by the
+    batch keep their original files (no rewrite amplification)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    build = emb.filter("vec_id % 5 != 4")
+    similarity.ivf_build(wh, build)
+    cells_dir = wh.path(similarity.ANN_CELLS_TABLE)
+
+    # snapshot per-cell file mtimes before the upsert
+    def leaf_files():
+        out = {}
+        for d in os.listdir(cells_dir):
+            if d.startswith("cell_id="):
+                p = os.path.join(cells_dir, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(p, f)))
+                    for f in os.listdir(p) if f.endswith(".parquet")
+                )
+        return out
+
+    before = leaf_files()
+    batch = emb.filter("vec_id % 5 = 4").unionByName(
+        emb.filter("vec_id % 50 = 0").withColumn(
+            "embedding", F.reverse("embedding")
+        )
+    )
+    similarity.ivf_upsert(wh, batch)
+
+    got = sorted(
+        (r.cell_id, r.vec_id, tuple(r.v))
+        for r in wh.read(similarity.ANN_CELLS_TABLE).collect()
+    )
+    # reference: full re-assignment of the post-upsert vector set
+    # against the same centroids
+    post = emb.filter("vec_id % 50 != 0").unionByName(
+        emb.filter("vec_id % 50 = 0").withColumn(
+            "embedding", F.reverse("embedding")
+        )
+    )
+    cents = wh.read(similarity.ANN_CENTROIDS_TABLE)
+    vecs = post.select("vec_id", similarity.quantized(F.col("embedding")).alias("v"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cell_id",
+        similarity.int_dot(F.col("v"), F.col("cv")).alias("dot_c"),
+    )
+    want = sorted(
+        (r.cell_id, r.vec_id, tuple(r.v))
+        for r in scored.groupBy("vec_id")
+        .agg(F.max_by(
+            F.struct("cell_id", "v"),
+            F.struct(F.col("dot_c"), (-F.col("cell_id")).alias("neg")),
+        ).alias("best"))
+        .select(F.col("best.cell_id").alias("cell_id"), "vec_id", "best.v")
+        .collect()
+    )
+    assert got == want
+
+    # untouched cells kept their original files
+    after = leaf_files()
+    batch_cells = {f"cell_id={r.cell_id}" for r in
+                   wh.read(similarity.ANN_CELLS_TABLE)
+                   .join(batch.select("vec_id"), "vec_id", "left_semi")
+                   .select("cell_id").distinct().collect()}
+    untouched = set(before) - batch_cells
+    for d in untouched:
+        assert before[d] == after[d], f"cell {d} rewritten needlessly"
