@@ -513,3 +513,94 @@ def vocab_topk(
         F.row_number().over(w).alias("rank"),
         "token", "n_occurrences", "n_docs",
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-source mixture sampling — the data-mixing pass
+    that turns raw source proportions into a training mixture.  A rate
+    ``r`` for a source emits ``floor(r)`` full copies of every doc plus
+    one more iff ``hash(salt, id) % denom < frac(r) * denom`` — so
+    r = 0.25 downsamples to a quarter, r = 2.5 upsamples to 2-3 copies,
+    r = 0 drops the source.  Seedless and append-stable like
+    :func:`dataset_split` (a doc's fate never changes as others arrive),
+    and exactly replayable cross-engine.
+
+    Plan: the rates dict becomes a tiny broadcast dimension (works for
+    thousands of sources — no when-chain codegen blowup), the extra-copy
+    coin is one map-side hash, and the copy fan-out is an explode of a
+    per-row sequence.  Output: one row per (doc, copy) with ``copy`` in
+    ``0..n_copies-1``."""
+    if any(r < 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError("mixture rates must be >= 0")
+    spark = docs.sparkSession
+    rate_rows = [(s, float(r)) for s, r in rates.items()]
+    dim = spark.createDataFrame(
+        rate_rows, f"{source_col} string, _rate double"
+    )
+    with_rate = docs.join(F.broadcast(dim), source_col, "left").withColumn(
+        "_rate", F.coalesce("_rate", F.lit(float(default_rate)))
+    )
+    n_full = F.floor("_rate").cast("int")
+    thr = F.round((F.col("_rate") - F.floor("_rate")) * denom).cast("long")
+    h = F.pmod(
+        cross_engine_hash64(F.lit(salt), F.col(id_col).cast("string")),
+        F.lit(denom),
+    )
+    n_copies = n_full + (h < thr).cast("int")
+    return (
+        with_rate.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col, source_col,
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("copy"),
+        )
+    )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    part_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-first corpus selection under a token budget: within each
+    ``part_col`` group, rank docs by lexical diversity (descending, id
+    tiebreak) and keep the prefix whose cumulative token count fits the
+    budget — "spend the token budget on the best documents, per
+    language".
+
+    Plan: ONE window per group partition (cumulative SUM with an
+    explicit ROWS frame) — never a global total-order sort; at 100 TB
+    the partition key keeps each sort bounded by its group.  Emits every
+    doc with its running total and the ``selected`` verdict so the
+    rejected tail is auditable."""
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(toks)
+    quality = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    base = docs.select(
+        F.col(id_col), F.col(part_col),
+        n_tokens.alias("n_tokens"), quality.alias("quality"),
+    )
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col("quality").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w).cast("long")
+    return base.select(
+        id_col, part_col, "n_tokens", "quality",
+        cum.alias("cum_tokens"),
+        (cum <= budget_tokens).alias("selected"),
+    )

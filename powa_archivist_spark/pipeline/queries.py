@@ -1594,6 +1594,75 @@ GROUP BY cell_id
 """
 
 
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture sampling (r6): src0 upsampled
+    2.5x, src1 quartered, src2 dropped, everything else kept — one row
+    per (doc, copy), exactly replayable (salted md5 coin, no RNG)."""
+    from . import corpus
+
+    return corpus.mixture_sample(
+        t(spark, sf_dir, "documents"),
+        rates={"src0": 2.5, "src1": 0.25, "src2": 0.0},
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                     WHEN 'src2' THEN 0.0 ELSE 1.0 END AS rate,
+         ('0x' || substring(
+            md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS h
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+         CAST(floor(rate) AS INT)
+           + CASE WHEN h < CAST(round((rate - floor(rate)) * 1000000)
+                             AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM r
+)
+SELECT doc_id, source, CAST(UNNEST(range(0, n_copies)) AS INT) AS copy
+FROM n WHERE n_copies > 0
+"""
+
+
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first selection under a per-language token budget (r6):
+    rank by lexical diversity inside each lang, keep the prefix whose
+    cumulative tokens fit 2000 — partitioned window, no global sort."""
+    from . import corpus
+
+    return corpus.token_budget_select(
+        t(spark, sf_dir, "documents"), budget_tokens=2000
+    )
+
+
+ORACLE_TOKEN_BUDGET = r"""
+WITH b AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+              AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS quality
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, quality,
+       CAST(SUM(n_tokens) OVER (
+         PARTITION BY lang ORDER BY quality DESC, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_tokens,
+       CAST(SUM(n_tokens) OVER (
+         PARTITION BY lang ORDER BY quality DESC, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) <= 2000 AS selected
+FROM b
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -1641,4 +1710,7 @@ PIPELINE_QUERIES = {
     "corpus_vocab_topk": (corpus_vocab_topk, ORACLE_VOCAB_TOPK),
     "corpus_quality_gate": (corpus_quality_gate, ORACLE_QUALITY_GATE),
     "ann_index_upsert": (ann_index_upsert, ORACLE_ANN_UPSERT),
+    "corpus_mixture_sample": (corpus_mixture_sample, ORACLE_MIXTURE_SAMPLE),
+    "corpus_token_budget_select": (corpus_token_budget_select,
+                                   ORACLE_TOKEN_BUDGET),
 }

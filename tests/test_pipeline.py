@@ -1008,3 +1008,56 @@ def test_ivf_upsert_matches_full_rebuild(spark, wh):
     untouched = set(before) - batch_cells
     for d in untouched:
         assert before[d] == after[d], f"cell {d} rewritten needlessly"
+
+def test_mixture_sample_rates(spark):
+    """r6: rate semantics — 0 drops the source, floor(r) guaranteed
+    copies plus at most one probabilistic, default 1.0 keeps one copy;
+    append-stable (a doc's copies don't change when others arrive)."""
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    out = corpus.mixture_sample(
+        docs, rates={"s0": 2.5, "s1": 0.0}, default_rate=1.0
+    )
+    rows = out.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in rows}
+    assert "s1" not in by_src                       # dropped
+    assert by_src["s2"] == 20                       # default: one copy
+    assert 40 <= by_src["s0"] <= 60                 # 2x..3x of 20 docs
+    per_doc = {
+        r.doc_id: r["count"]
+        for r in out.filter("source = 's0'").groupBy("doc_id").count().collect()
+    }
+    assert all(c in (2, 3) for c in per_doc.values())
+    # append stability: adding more docs never changes earlier fates
+    more = docs.unionByName(spark.createDataFrame(
+        [(1000 + i, "s0") for i in range(10)], "doc_id long, source string"
+    ))
+    per_doc2 = {
+        r.doc_id: r["count"]
+        for r in corpus.mixture_sample(more, rates={"s0": 2.5, "s1": 0.0})
+        .filter("source = 's0' and doc_id < 1000")
+        .groupBy("doc_id").count().collect()
+    }
+    assert per_doc2 == per_doc
+
+
+def test_token_budget_select_prefix_property(spark):
+    """r6: within each group the selected set is exactly the maximal
+    quality-ordered prefix fitting the budget — never a worse doc
+    selected while a better one is rejected."""
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c d e f"),          # q=1.0, 6 tokens
+         (2, "en", "x y z x y z"),          # q=0.5, 6 tokens
+         (3, "en", "p p p p p p"),          # q~0.17, 6 tokens
+         (4, "de", "u v w")],               # q=1.0, 3 tokens
+        "doc_id long, lang string, text string",
+    )
+    out = {r.doc_id: r for r in
+           corpus.token_budget_select(docs, budget_tokens=12).collect()}
+    assert [out[i].selected for i in (1, 2, 3, 4)] == [True, True, False, True]
+    assert out[2].cum_tokens == 12 and out[3].cum_tokens == 18
