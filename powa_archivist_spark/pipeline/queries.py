@@ -1663,6 +1663,106 @@ FROM b
 """
 
 
+
+
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one DAG (r6) — what a user
+    actually ships: quality gate -> exact dedup (min-id keeps) ->
+    deterministic train/val/test split, summarized per (lang, split)
+    with doc/token counts and id bounds.  Every stage is an existing
+    oracle-checked operator; this entry value-hash-checks their
+    COMPOSITION (stage boundaries are where silent contract drift
+    hides — e.g. a gate emitting dropped rows, a dedup key diverging
+    from the split's id domain)."""
+    from . import corpus
+
+    docs = t(spark, sf_dir, "documents")
+    gate = textstats.quality_gate(
+        docs,
+        thresholds={
+            "min_tokens": 20,
+            "max_tokens": 100_000,
+            "min_distinct_ratio": 0.35,
+            "max_dup_2gram_frac": 0.55,
+            "max_top_token_frac": 0.45,
+        },
+    )
+    kept = docs.join(
+        gate.filter("keep").select("doc_id"), "doc_id", "left_semi"
+    )
+    reps = dedup.exact_dedup(kept).select("doc_id")
+    surv = kept.join(reps, "doc_id", "left_semi")
+    split = corpus.dataset_split(surv)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+ORACLE_CURATION_E2E = r"""
+WITH b AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+              AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS distinct_ratio,
+         string_split(text, ' ') AS rtk
+  FROM documents
+), fr AS (
+  SELECT doc_id, lang, text, n_tokens, distinct_ratio,
+         CASE WHEN len(rtk) >= 2 THEN
+           1.0 - CAST(len(list_distinct(
+             list_transform(range(1, len(rtk)),
+                            i -> rtk[i] || ' ' || rtk[i+1]))) AS DOUBLE)
+                 / (len(rtk) - 1)
+         ELSE 0.0 END AS dup_2gram_frac,
+         rtk
+  FROM b
+), top AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM fr, UNNEST(rtk) AS u(tok)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+), kept AS (
+  SELECT f.doc_id, f.lang, f.text, f.n_tokens
+  FROM fr f JOIN top t USING (doc_id)
+  WHERE f.n_tokens >= 20 AND f.n_tokens <= 100000
+    AND f.distinct_ratio >= 0.35 AND f.dup_2gram_frac <= 0.55
+    AND t.top_token_frac <= 0.45
+), reps AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM kept
+  GROUP BY md5(regexp_replace(trim(translate(text,
+    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')),
+    '\s+', ' ', 'g'))
+), surv AS (
+  SELECT k.* FROM kept k JOIN reps USING (doc_id)
+), labeled AS (
+  SELECT *,
+         CASE WHEN ('0x' || substring(
+                 md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000 < 900000 THEN 'train'
+              WHEN ('0x' || substring(
+                 md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000 < 950000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM surv
+)
+SELECT lang, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id
+FROM labeled
+GROUP BY lang, split
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -1713,4 +1813,5 @@ PIPELINE_QUERIES = {
     "corpus_mixture_sample": (corpus_mixture_sample, ORACLE_MIXTURE_SAMPLE),
     "corpus_token_budget_select": (corpus_token_budget_select,
                                    ORACLE_TOKEN_BUDGET),
+    "corpus_curation_e2e": (corpus_curation_e2e, ORACLE_CURATION_E2E),
 }
