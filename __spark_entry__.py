@@ -57,11 +57,8 @@ _GATE_ORDER = [
     # --- core: window / filter / array ---
     "events_diff",
     "events_rate",
-    "events_window_bounds",
     "events_topk_per_group",
-    "orders_filtered_counts",
     "container_array_ops",
-    "lineitem_xor_case",
     "events_sessionize",
     # --- pipeline: dedup ---
     "dedup_exact",
@@ -87,6 +84,10 @@ _GATE_ORDER = [
     "text_repetition",
     "doc_fingerprints",
     "stream_near_dup_ledger",
+    # --- round-6 additions: composition + bloom + index maintenance ---
+    "corpus_curation_e2e",
+    "corpus_bloom_decontam",
+    "ann_index_upsert",
 ]
 
 _MERGED = {**CORE_QUERIES, **PIPELINE_QUERIES}

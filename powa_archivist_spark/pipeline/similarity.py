@@ -255,6 +255,7 @@ def ivf_upsert(
     new_emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assume_new_ids: bool = False,
 ) -> None:
     """Incrementally maintain the at-rest IVF index: assign a NEW batch
     of vectors to the EXISTING centroids and fold it into the cells
@@ -274,7 +275,15 @@ def ivf_upsert(
 
     Centroids stay FIXED — standard IVF practice (drift re-clustering
     is a periodic full ``ivf_build``); the assignment is exact w.r.t.
-    the current centroids either way."""
+    the current centroids either way.
+
+    ``assume_new_ids=True`` is the append-only ingest fast path: the
+    replaced-id discovery is a semi-join SCAN of the whole cells table
+    (ids spread across every cell, so partition pruning can't help —
+    the price of not keeping a secondary id->cell index), and a caller
+    that KNOWS its ids are fresh (monotonic ingest keys) skips it and
+    the upsert becomes a plain partition-wise append of the batch's
+    target cells."""
     cents = wh.read(ANN_CENTROIDS_TABLE)
     vecs = new_emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
     scored = vecs.crossJoin(F.broadcast(cents)).select(
@@ -292,6 +301,13 @@ def ivf_upsert(
         .persist()
     )
     try:
+        if assume_new_ids:
+            wh.append(
+                assign.select("cell_id", id_col, "v"),
+                ANN_CELLS_TABLE,
+                partition_by=["cell_id"],
+            )
+            return
         existing = wh.read(ANN_CELLS_TABLE)
         batch_ids = assign.select(id_col)
         # cells that must be rewritten: the batch's target cells, plus

@@ -1061,3 +1061,40 @@ def test_token_budget_select_prefix_property(spark):
            corpus.token_budget_select(docs, budget_tokens=12).collect()}
     assert [out[i].selected for i in (1, 2, 3, 4)] == [True, True, False, True]
     assert out[2].cum_tokens == 12 and out[3].cum_tokens == 18
+
+def test_ivf_upsert_append_only_fast_path(spark, wh):
+    """assume_new_ids=True skips the replaced-id scan and appends the
+    batch's cells — result equals the default path for fresh ids."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    similarity.ivf_build(wh, emb.filter("vec_id % 5 != 4"))
+    batch = emb.filter("vec_id % 5 = 4")
+    similarity.ivf_upsert(wh, batch, assume_new_ids=True)
+    got = {
+        (r.cell_id, r.vec_id)
+        for r in wh.read(similarity.ANN_CELLS_TABLE).collect()
+    }
+    assert {r.vec_id for r in batch.select("vec_id").collect()} <= {
+        v for _c, v in got
+    }
+    # equivalence with the full-assignment reference
+    cents = wh.read(similarity.ANN_CENTROIDS_TABLE)
+    vecs = emb.select(
+        "vec_id", similarity.quantized(F.col("embedding")).alias("v")
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell_id",
+        similarity.int_dot(F.col("v"), F.col("cv")).alias("dot_c"),
+    )
+    want = {
+        (r.cell_id, r.vec_id)
+        for r in scored.groupBy("vec_id")
+        .agg(F.max_by(
+            "cell_id", F.struct(F.col("dot_c"), (-F.col("cell_id")).alias("n"))
+        ).alias("cell_id"))
+        .select("cell_id", "vec_id").collect()
+    }
+    assert got == want
