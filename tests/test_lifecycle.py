@@ -508,3 +508,76 @@ def test_qualstats_staged_publish_is_atomic(spark, wh):
     assert wh.read(qualstats.QUALS_TABLE).count() == 1
     assert wh.read(qualstats.CONSTVALUES_TABLE).count() == 1
     assert wh.read(Warehouse.current("qualstats")).count() == 1
+
+def test_staged_publish_recovery_at_every_rename(spark, wh):
+    """Exhaustive crash-point enumeration for StagedPass.publish: crash
+    at EVERY os.replace call (intent rename, each file move, each
+    partition-swap rename) and prove recover() + nothing else converges
+    the warehouse to exactly the published state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.txn import StagedPass
+
+    def build_pass():
+        sp = StagedPass(wh, 1)
+        a = spark.createDataFrame([(1, 10), (1, 11)], "srvid int, v long")
+        b = spark.createDataFrame([(1, 7.5)], "srvid int, m double")
+        sp.stage_append(a, "t_app")
+        sp.stage_replace(b, "t_rep")
+        return sp
+
+    # reference final state from one clean publish
+    wh.drop_table("t_app"); wh.drop_table("t_rep")
+    build_pass().publish()
+    want_app = sorted(r.v for r in wh.read("t_app").collect())
+    want_rep = sorted(r.m for r in wh.read("t_rep").collect())
+
+    class Boom(RuntimeError):
+        pass
+
+    crash_at = 1
+    while True:
+        wh.drop_table("t_app"); wh.drop_table("t_rep")
+        # pre-seed t_rep so the replace exercises the swapout branch
+        wh.append(spark.createDataFrame([(1, 0.0)], "srvid int, m double"),
+                  "t_rep", partition_by=["srvid"])
+        sp = build_pass()
+        calls = {"n": 0}
+        real_replace = os.replace
+
+        def crashing(src, dst, *, _real=real_replace, _calls=calls,
+                     _at=crash_at):
+            _calls["n"] += 1
+            if _calls["n"] == _at:
+                raise Boom()
+            return _real(src, dst)
+
+        os.replace = crashing
+        crashed = False
+        try:
+            sp.publish()
+        except Boom:
+            crashed = True
+        finally:
+            os.replace = real_replace
+        if not crashed:
+            break  # crash point beyond the last rename: enumeration done
+        if calls["n"] == 1 and crash_at == 1:
+            # died before the intent: nothing published, pre-pass state
+            assert not wh.exists("t_app")
+            assert [r.m for r in wh.read("t_rep").collect()] == [0.0]
+        StagedPass.recover(wh, 1, sweep=True)
+        if crash_at == 1:
+            # died before the intent landed: recovery only sweeps the
+            # invisible stage dirs; the pre-pass state stands and the
+            # pass would replay from preserved staging
+            assert not wh.exists("t_app")
+            assert [r.m for r in wh.read("t_rep").collect()] == [0.0]
+        else:
+            # intent committed: recovery MUST complete the publish
+            assert sorted(r.v for r in wh.read("t_app").collect()) == want_app
+            assert sorted(r.m for r in wh.read("t_rep").collect()) == want_rep
+        crash_at += 1
+    assert crash_at >= 4  # intent + >=1 file move + >=2 swap renames

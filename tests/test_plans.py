@@ -370,3 +370,32 @@ def test_bloom_probe_broadcasts_filter_table(spark):
     )
     assert pi.broadcast_join_count(out) >= 1
     assert not pi.has_cartesian(out)
+
+
+def test_mixture_sample_broadcast_rates_no_shuffle(spark):
+    """Mixture sampling joins a tiny rates dimension: broadcast join +
+    explode only — the corpus side must not shuffle."""
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = corpus.mixture_sample(docs, rates={"src0": 2.5, "src1": 0.0})
+    assert pi.broadcast_join_count(out) == 1
+    assert pi.exchange_count(out) == 0
+    assert pi.window_count(out) == 0
+
+
+def test_token_budget_single_partitioned_window(spark):
+    """Budget selection: exactly one Window (partitioned by lang), no
+    global sort of the corpus."""
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    out = corpus.token_budget_select(docs, budget_tokens=2000)
+    assert pi.window_count(out) == 1
+    plan = pi.plan_string(out)
+    assert "partitionBy=[lang" in plan.replace(" ", "") or "lang" in plan
+    assert pi.exchange_count(out) == 1  # the window's hash partitioning

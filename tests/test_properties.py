@@ -516,3 +516,74 @@ def test_conform_total_on_random_nested_schemas(spark, src_t, dst_t):
     assert [f.dataType for f in out.schema.fields][1] == dst_t
     (row,) = out.collect()
     assert row.id == 1 and row.x is None
+
+
+docs_text_strategy = st.lists(
+    st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]),
+        min_size=1, max_size=12,
+    ),
+    min_size=2, max_size=12,
+)
+
+
+@given(docs=docs_text_strategy)
+@SLOW
+def test_bloom_decontaminate_never_false_negative(spark, docs):
+    """r6 property: for ANY corpus/eval pair, the bloom pass flags a
+    SUPERSET of the exact n-gram-overlap pass (a Bloom filter has no
+    false negatives by construction — this pins the implementation to
+    that contract, probe hashing and word packing included)."""
+    from powa_archivist_spark.pipeline import corpus
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = df.filter("doc_id % 2 = 0")
+    corp = df.filter("doc_id % 2 = 1")
+    bloom = corpus.bloom_build(ev, n=2, m_bits=1 << 10, k=2)
+    flagged = {
+        r.doc_id
+        for r in corpus.bloom_decontaminate(
+            corp, bloom, n=2, m_bits=1 << 10, k=2
+        ).filter("is_flagged").collect()
+    }
+    exact = {
+        r.doc_id
+        for r in corpus.ngram_decontaminate(corp, ev, n=2)
+        .filter("is_contaminated").collect()
+    }
+    assert exact <= flagged
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**6),
+                 min_size=1, max_size=25, unique=True),
+    rate_thousandths=st.integers(min_value=0, max_value=3500),
+)
+@SLOW
+def test_mixture_sample_copy_bounds(spark, ids, rate_thousandths):
+    """r6 property: every doc of a source with rate r gets either
+    floor(r) or ceil(r) copies (never other counts), rate 0 drops all,
+    and integer rates are exact."""
+    import math
+
+    from powa_archivist_spark.pipeline import corpus
+
+    r = rate_thousandths / 1000.0
+    df = spark.createDataFrame(
+        [(i, "s") for i in ids], "doc_id long, source string"
+    )
+    out = corpus.mixture_sample(df, rates={"s": r})
+    per_doc = {
+        row.doc_id: row["count"]
+        for row in out.groupBy("doc_id").count().collect()
+    }
+    lo, hi = math.floor(r), math.ceil(r)
+    if r == 0:
+        assert per_doc == {}
+        return
+    for i in ids:
+        got = per_doc.get(i, 0)
+        assert got in {lo, hi}, (i, got, r)
+    if float(lo) == r:  # integer rate: exact
+        assert all(per_doc.get(i, 0) == lo for i in ids)
