@@ -36,38 +36,67 @@ def partition_stats(wh: Warehouse, table: str, srvid: int) -> tuple[int, int]:
 
 
 def _recover_interrupted_swaps(table_root: str) -> None:
-    """Resolve any swap a previous compact() crashed in the middle of.
+    """Resolve any swap a previous compact() crashed in the middle of,
+    deciding per BASE leaf from the full (live, scratch, trash) state
+    triple — the markers are not independent (r6 code review: handling
+    them one-by-one deleted the only surviving copy when a concurrent
+    writer had recreated the live dir between the two renames):
 
-    Invariant of the two-rename swap: the partition's rows are always in
-    exactly one of live / ``.__compact__`` scratch / ``.__trash__``.
-    For each stranded dot-dir: live present -> the swap (or the write)
-    completed, drop the leftover; live absent + scratch present -> the
-    crash hit between the renames, finish it (scratch -> live, drop
-    trash); live absent + no scratch -> roll the trash back to live."""
+    - trash + scratch + live: the swap never completed (a completed
+      swap consumes the scratch) and a concurrent append recreated the
+      live leaf — MERGE the compacted scratch files into live (names
+      are write-UUID-unique), then drop the trash duplicate;
+    - trash + scratch: finish the swap (scratch -> live, drop trash);
+    - trash + live: swap completed, cleanup died — drop the trash;
+    - trash only: first rename landed, write was lost — roll back;
+    - scratch + live: crash before any rename — scratch is stale;
+    - scratch only: promote it (the only copy of the rows)."""
     for dirpath, dirs, _files in os.walk(table_root):
-        for d in list(dirs):
-            if not os.path.isdir(os.path.join(dirpath, d)):
-                continue  # a sibling's recovery already consumed it
+        bases = set()
+        for d in dirs:
             if d.startswith(".__trash__"):
-                live = os.path.join(dirpath, d[len(".__trash__"):])
-                scratch = os.path.join(
-                    dirpath, f".__compact__{d[len('.__trash__'):]}"
-                )
-                if os.path.isdir(live):
-                    shutil.rmtree(os.path.join(dirpath, d))
-                elif os.path.isdir(scratch):
-                    os.replace(scratch, live)
-                    shutil.rmtree(os.path.join(dirpath, d))
-                else:
-                    os.replace(os.path.join(dirpath, d), live)
+                bases.add(d[len(".__trash__"):])
             elif d.startswith(".__compact__"):
-                live = os.path.join(dirpath, d[len(".__compact__"):])
-                if os.path.isdir(live):
-                    # write finished (or not) but the swap never started:
-                    # live still holds the rows; scratch is stale
-                    shutil.rmtree(os.path.join(dirpath, d))
+                bases.add(d[len(".__compact__"):])
+        for base in sorted(bases):
+            live = os.path.join(dirpath, base)
+            scratch = os.path.join(dirpath, f".__compact__{base}")
+            trash = os.path.join(dirpath, f".__trash__{base}")
+            has_live = os.path.isdir(live)
+            has_scr = os.path.isdir(scratch)
+            has_trash = os.path.isdir(trash)
+            if has_trash and has_scr and has_live:
+                for f in os.listdir(scratch):
+                    if f.endswith(".parquet"):
+                        os.replace(
+                            os.path.join(scratch, f),
+                            os.path.join(live, f),
+                        )
+                shutil.rmtree(scratch, ignore_errors=True)
+                shutil.rmtree(trash, ignore_errors=True)
+            elif has_trash and has_scr:
+                os.replace(scratch, live)
+                shutil.rmtree(trash, ignore_errors=True)
+            elif has_trash and has_live:
+                shutil.rmtree(trash, ignore_errors=True)
+            elif has_trash:
+                os.replace(trash, live)
+            elif has_scr and has_live:
+                shutil.rmtree(scratch, ignore_errors=True)
+            elif has_scr:
+                os.replace(scratch, live)
         # don't descend into dot-dirs we may have just moved
         dirs[:] = [d for d in dirs if not d.startswith(".")]
+
+
+def recover(wh: Warehouse) -> None:
+    """Warehouse-wide compaction-swap recovery — run at orchestrator
+    pass start (next to txn.StagedPass.recover) so a compact() crash is
+    healed at the NEXT PASS, not the next compact call: without this,
+    the crashed partition stays invisible to every reader in between,
+    and a snapshot replay during that window would re-append rows it
+    cannot see (r6 code review)."""
+    _recover_interrupted_swaps(wh.root)
 
 
 def compact(

@@ -91,6 +91,15 @@ def snapshot(
     # file set (exactly-once depends on it)
     StagedPass.recover(wh, srvid)
     own_stage = staged is None
+    if not own_stage and drop_staging:
+        # truncating staging here, BEFORE the caller's publish(), would
+        # destroy the pass's replay source — the exact truncate-before-
+        # commit failure the staged design exists to prevent.  Refuse
+        # instead of relying on every caller to remember the flag.
+        raise ValueError(
+            "snapshot(staged=...) requires drop_staging=False: the "
+            "caller owns publish() and must truncate staging after it"
+        )
     sp = StagedPass(wh, srvid) if own_stage else staged
 
     if capture is None:

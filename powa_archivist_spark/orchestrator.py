@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 
 from .operators import databases, dictionary
 from .operators.aggregate import aggregate
+from .operators.maintenance import recover as maintenance_recover
 from .operators.purge import DEFAULT_RETENTION, purge, reset
 from .operators.snapshot import snapshot
 from .specs import ALL_SPECS, DatasourceSpec
@@ -209,8 +210,11 @@ class Orchestrator:
         # crash INVISIBILITY (txn.StagedPass): complete any publish a
         # dead pass committed but didn't finish, and sweep the invisible
         # stage dirs of passes that died before their commit point —
-        # once per pass (the sweep walks the warehouse tree)
+        # once per pass (the sweep walks the warehouse tree).  The
+        # compaction-swap recovery rides the same pass boundary so a
+        # crashed compact is healed before this pass reads anything.
         StagedPass.recover(self.wh, srvid, sweep=True)
+        maintenance_recover(self.wh)
         txn_token = self.txns.begin(srvid, now)
 
         # databases dimension runs first (priority -3,

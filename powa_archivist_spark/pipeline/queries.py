@@ -1478,16 +1478,18 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_QUALITY_GATE = r"""
 WITH b AS (
-  SELECT doc_id,
-         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+  SELECT doc_id, text,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+           AS n_tokens,
          CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
               AS DOUBLE)
            / len(string_split_regex(trim(text), '\s+')) AS distinct_ratio,
          string_split(text, ' ') AS rtk
   FROM documents
 ), fr AS (
-  SELECT doc_id, n_tokens, distinct_ratio,
-         CASE WHEN len(rtk) >= 2 THEN
+  SELECT doc_id, text, n_tokens, distinct_ratio,
+         CASE WHEN rtk IS NULL THEN NULL
+              WHEN len(rtk) >= 2 THEN
            1.0 - CAST(len(list_distinct(
              list_transform(range(1, len(rtk)),
                             i -> rtk[i] || ' ' || rtk[i+1]))) AS DOUBLE)
@@ -1503,12 +1505,15 @@ WITH b AS (
     GROUP BY doc_id, tok
   ) GROUP BY doc_id
 ), m AS (
-  SELECT f.doc_id, f.n_tokens, f.distinct_ratio, f.dup_2gram_frac,
+  -- LEFT join: a NULL-text doc has no token rows but keeps its row
+  -- with NULL metrics (the operator's documented NULL contract)
+  SELECT f.doc_id, f.text, f.n_tokens, f.distinct_ratio, f.dup_2gram_frac,
          t.top_token_frac
-  FROM fr f JOIN top t USING (doc_id)
+  FROM fr f LEFT JOIN top t USING (doc_id)
 ), judged AS (
   SELECT *,
          list_sort(list_filter([
+           CASE WHEN text IS NULL THEN 'null_text' END,
            CASE WHEN n_tokens < 20 THEN 'too_short' END,
            CASE WHEN n_tokens > 100000 THEN 'too_long' END,
            CASE WHEN distinct_ratio < 0.35 THEN 'low_diversity' END,

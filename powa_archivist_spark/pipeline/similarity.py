@@ -324,11 +324,23 @@ def ivf_upsert(
             .join(F.broadcast(batch_ids), id_col, "left_anti")
             .select("cell_id", id_col, "v")
         )
-        wh.overwrite_partitions(
-            kept.unionByName(assign.select("cell_id", id_col, "v")),
-            ANN_CELLS_TABLE,
-            partition_by=["cell_id"],
-        )
+        out = kept.unionByName(assign.select("cell_id", id_col, "v"))
+        # dynamic partition overwrite writes NOTHING for a partition
+        # absent from the output — a touched cell left EMPTY (its only
+        # members all moved to other cells) would keep its stale files
+        # and the index would hold the replaced ids twice.  Compute the
+        # emptied set BEFORE the overwrite (its lineage reads the files
+        # the overwrite replaces) and drop those partitions after; both
+        # collects are bounded by the batch's touched cells, never the
+        # corpus.
+        touched_ids = {r.cell_id for r in touched.collect()}
+        out_ids = {
+            r.cell_id for r in out.select("cell_id").distinct().collect()
+        }
+        wh.overwrite_partitions(out, ANN_CELLS_TABLE,
+                                partition_by=["cell_id"])
+        for cell in touched_ids - out_ids:
+            wh.drop_partition(ANN_CELLS_TABLE, "cell_id", cell)
     finally:
         assign.unpersist()
 

@@ -328,7 +328,13 @@ def quality_gate(docs: DataFrame, text_col: str = "text",
     rep = repetition_stats(docs, text_col, id_col, keep=(text_col,))
     text = F.col(text_col)
     toks = F.split(F.trim(text), r"\s+")
-    n_tokens = F.size(toks)
+    # NULL text -> NULL counters (not size()'s -1 sentinel), matching
+    # the repetition metrics' NULL contract: the only reason a NULL doc
+    # carries is 'null_text' (threshold comparisons against NULL are
+    # no-ops), and the SQL oracle replays the same NULLs
+    n_tokens = F.when(text.isNull(), F.lit(None).cast("int")).otherwise(
+        F.size(toks)
+    )
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
 
     rules = [

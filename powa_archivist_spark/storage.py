@@ -201,6 +201,16 @@ class Warehouse:
             if os.path.isdir(p):
                 shutil.rmtree(p)
 
+    def drop_partition(self, table: str, col: str, value) -> None:
+        """Partition-wise delete of one ``col=value`` leaf (generic twin
+        of :meth:`drop_srvid` for tables partitioned on other keys, e.g.
+        the ANN cells table's cell_id).  Takes the table write lock like
+        every other mutation."""
+        with self._write_lock(table):
+            p = os.path.join(self.path(table), f"{col}={value}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
     def drop_srvid(self, table: str, srvid: int) -> None:
         """Partition-wise delete of one server's data (reset semantics,
         powa--5.2.0.sql:6359-6563).  Takes the table write lock: a

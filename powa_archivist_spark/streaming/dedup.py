@@ -243,6 +243,14 @@ def process_near_dup_batch(
         combined = ledger.combined
     elif wh.exists(NEAR_DUP_LEDGER_TABLE):
         combined = wh.read(NEAR_DUP_LEDGER_TABLE)
+        if ledger is not None:
+            # restart with a fresh cache over a non-empty parquet ledger
+            # (r6 code review): the on-disk baseline must fold into the
+            # cache NOW — advance() only unions deltas, so without this
+            # seed every batch after the next would dedup against the
+            # post-restart deltas alone and silently re-admit near-dups
+            # of the pre-restart corpus
+            ledger.combined = combined
     led_bands = led_sh = None
     if combined is not None:
         led_bands = combined.filter(F.col("band").isNotNull()).select(

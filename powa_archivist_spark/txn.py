@@ -129,6 +129,15 @@ class StagedPass:
         self.wh = wh
         self.srvid = srvid
         self.pass_id = pass_id or uuid.uuid4().hex[:12]
+        # the stage-dir naming uses "__" as its field delimiter and
+        # recovery re-parses it (_apply_ops): a pass id containing the
+        # delimiter (or a path separator) would silently reassemble the
+        # WRONG live path at publish/recover time — reject it up front
+        if "__" in self.pass_id or "/" in self.pass_id or not self.pass_id:
+            raise ValueError(
+                f"invalid pass_id {self.pass_id!r}: must be non-empty and "
+                "contain neither '__' nor '/'"
+            )
         self._ops: list[dict] = []
         self._txn_dir = os.path.join(wh.root, "_txn", f"srvid={srvid}")
 

@@ -139,3 +139,49 @@ def test_compaction_crash_leaves_leaf_readable(spark, wh, monkeypatch):
         maintenance.compact(wh, "metrics", 1)
         assert os.path.isdir(leaf)
         assert wh.read("metrics").count() == 8
+
+def test_compaction_crash_with_concurrent_append_merges_not_loses(spark, wh,
+                                                                  monkeypatch):
+    """r6 code review: crash between the two swap renames, then a writer
+    recreates the live leaf (snapshot replay) BEFORE recovery runs.
+    Recovery must MERGE the compacted old rows back in — the one-by-one
+    marker handling used to delete the only surviving copy."""
+    import os
+
+    from powa_archivist_spark.operators import maintenance
+
+    for i in range(8):
+        df = spark.createDataFrame(
+            [(1, ts(i), i)], "srvid int, ts timestamp, v long"
+        )
+        wh.append(df, "metrics", partition_by=["srvid"])
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+    real_replace = os.replace
+
+    def crash_second(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # between live->trash and tmp->live
+            raise Boom()
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_second)
+    try:
+        maintenance.compact(wh, "metrics", 1)
+    except Boom:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # a concurrent writer recreates the live leaf with NEW rows
+    wh.append(
+        spark.createDataFrame([(1, ts(59), 100)],
+                              "srvid int, ts timestamp, v long"),
+        "metrics", partition_by=["srvid"],
+    )
+    # pass-boundary recovery (what the orchestrator now calls)
+    maintenance.recover(wh)
+    vals = sorted(r.v for r in wh.read("metrics").collect())
+    assert vals == list(range(8)) + [100], vals

@@ -581,3 +581,17 @@ def test_staged_publish_recovery_at_every_rename(spark, wh):
             assert sorted(r.m for r in wh.read("t_rep").collect()) == want_rep
         crash_at += 1
     assert crash_at >= 4  # intent + >=1 file move + >=2 swap renames
+
+def test_staged_pass_rejects_delimiter_pass_ids(wh):
+    """r6 code review: pass ids carrying the '__' field delimiter (or a
+    path separator) would reassemble the wrong live path at recovery."""
+    from powa_archivist_spark.txn import StagedPass
+
+    for bad in ("retry__2", "a/b"):
+        try:
+            StagedPass(wh, 1, pass_id=bad)
+            raise AssertionError(f"accepted bad pass_id {bad!r}")
+        except ValueError:
+            pass
+    StagedPass(wh, 1, pass_id="retry-2")  # fine
+    StagedPass(wh, 1, pass_id="")          # falsy -> generated id

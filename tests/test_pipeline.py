@@ -930,8 +930,8 @@ def test_quality_gate_reasons(spark):
     assert {"low_diversity", "repetitive_2gram", "dominant_token"} <= set(
         out[3].reasons
     )
-    assert not out[4].keep and out[4].reasons == ["null_text", "too_short"] or \
-        "null_text" in out[4].reasons
+    assert not out[4].keep and out[4].reasons == ["null_text"]
+    assert out[4].n_tokens is None and out[4].top_token_frac is None
 
 def test_ivf_upsert_matches_full_rebuild(spark, wh):
     """Incremental index maintenance equivalence: after upserting a
@@ -1098,3 +1098,76 @@ def test_ivf_upsert_append_only_fast_path(spark, wh):
         .select("cell_id", "vec_id").collect()
     }
     assert got == want
+
+def test_ivf_upsert_clears_emptied_cell(spark, wh):
+    """Code-review r6: dynamic partition overwrite writes nothing for a
+    partition absent from the output, so a cell whose ONLY member moved
+    away must be dropped explicitly — otherwise the replaced id's stale
+    row survives and the index holds it twice."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+
+    e1 = [1.0] + [0.0] * 7
+    e2 = [0.0, 1.0] + [0.0] * 6
+    near2 = [0.05, 1.0] + [0.0] * 6
+    emb = spark.createDataFrame(
+        [(0, e1), (97, e2)] + [(i, near2) for i in (1, 2, 3)],
+        "vec_id long, embedding array<float>",
+    )
+    similarity.ivf_build(wh, emb)
+    cells = {(r.cell_id, r.vec_id)
+             for r in wh.read(similarity.ANN_CELLS_TABLE).collect()}
+    assert (0, 0) in cells  # id 0 alone in its own cell
+
+    # re-embed id 0 so it argmaxes into cell 97
+    batch = spark.createDataFrame(
+        [(0, e2)], "vec_id long, embedding array<float>"
+    )
+    similarity.ivf_upsert(wh, batch)
+    after = [(r.cell_id, r.vec_id)
+             for r in wh.read(similarity.ANN_CELLS_TABLE).collect()]
+    ids = [v for _c, v in after]
+    assert ids.count(0) == 1, f"stale duplicate of id 0: {sorted(after)}"
+    assert (97, 0) in set(after)
+    assert not any(c == 0 for c, _v in after)  # emptied cell gone
+
+def test_quality_gate_oracle_parity_on_null_text(spark, tmp_path):
+    """r6 code review: the gate's NULL-text contract must be replayable
+    by its SQL oracle — run BOTH engines over a corpus that actually
+    contains a NULL text (the driver corpus has none, so this is the
+    only place the contract is cross-checked)."""
+    import duckdb
+
+    from powa_archivist_spark.pipeline.queries import ORACLE_QUALITY_GATE
+    from powa_archivist_spark.pipeline import textstats
+
+    pq = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(25))),
+         (2, None),
+         (3, "spam spam spam spam spam spam spam spam spam spam spam "
+             "spam spam spam spam spam spam spam spam spam spam")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(pq)
+
+    got = textstats.quality_gate(
+        spark.read.parquet(pq),
+        thresholds={"min_tokens": 20, "min_distinct_ratio": 0.35,
+                    "max_dup_2gram_frac": 0.55,
+                    "max_top_token_frac": 0.45},
+    ).collect()
+    spark_rows = sorted(
+        (r.doc_id, r.n_tokens, r.distinct_ratio, r.dup_2gram_frac,
+         r.top_token_frac, tuple(r.reasons), r.keep)
+        for r in got
+    )
+    con = duckdb.connect(config={"threads": 1})
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'"
+    )
+    duck_rows = sorted(
+        (r[0], r[1], r[2], r[3], r[4], tuple(r[5]), r[6])
+        for r in con.execute(ORACLE_QUALITY_GATE).fetchall()
+    )
+    assert spark_rows == duck_rows

@@ -709,3 +709,42 @@ def test_stateful_sessionize_bridged_late_chain_merges(spark):
     rows = {r.session_idx: r.n_events
             for r in sessionize_batch(full, gap_s=1800).collect()}
     assert rows == {1: 3, 2: 1}
+
+def test_near_dup_ledger_cache_survives_restart(spark, wh):
+    """r6 code review: a fresh NearDupLedger over an existing parquet
+    ledger must fold the on-disk baseline into its cache — otherwise
+    batches after the restart dedup only against post-restart deltas
+    and re-admit near-dups of the pre-restart corpus."""
+    from powa_archivist_spark.streaming.dedup import (
+        NearDupLedger,
+        process_near_dup_batch,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different words entirely unrelated content here now ok"
+    third = "some fresh middle content that stands completely alone here too"
+    schema = "doc_id long, text string"
+
+    # pre-restart run: keeps 0 and 1
+    led1 = NearDupLedger()
+    process_near_dup_batch(
+        wh, spark.createDataFrame([(0, base), (1, other)], schema),
+        "nd_sink", ledger=led1,
+    )
+    led1.close()
+
+    # restart: fresh cache object, same warehouse
+    led2 = NearDupLedger()
+    # batch A: new doc (keeps cache on the delta-only path if unseeded)
+    process_near_dup_batch(
+        wh, spark.createDataFrame([(2, third)], schema),
+        "nd_sink", ledger=led2,
+    )
+    # batch B: near-dup of PRE-restart doc 0 -> must be dropped
+    process_near_dup_batch(
+        wh, spark.createDataFrame([(3, base + " x")], schema),
+        "nd_sink", ledger=led2,
+    )
+    led2.close()
+    kept = sorted(r.doc_id for r in wh.read("nd_sink").collect())
+    assert kept == [0, 1, 2], kept
