@@ -112,14 +112,37 @@ def compact(
     (files_before, files_after).  Sub-partition directories (e.g.
     ``range_day=``) are compacted independently so partition pruning
     keys survive the rewrite."""
-    _recover_interrupted_swaps(wh.path(table))
-    part_root = os.path.join(wh.path(table), f"srvid={srvid}")
-    if not os.path.isdir(part_root):
-        return (0, 0)
+    with wh._write_lock(table):
+        _recover_interrupted_swaps(wh.path(table))
+        part_root = os.path.join(wh.path(table), f"srvid={srvid}")
+        return _compact_tree(wh, part_root, target_bytes, min_files)
 
+
+def compact_table(
+    wh: Warehouse,
+    table: str,
+    target_bytes: int = TARGET_FILE_BYTES,
+    min_files: int = 4,
+) -> tuple[int, int]:
+    """Compact EVERY leaf of a table regardless of its partition key —
+    the srvid-agnostic twin of :func:`compact` for tables partitioned
+    on other columns (the ANN cells table) or not at all (the streaming
+    dedup ledgers, which append one small file per micro-batch and are
+    the warehouse's fastest small-file accumulators).  Run it between
+    stream runs; it takes the table write lock like every mutation."""
+    with wh._write_lock(table):
+        _recover_interrupted_swaps(wh.path(table))
+        return _compact_tree(wh, wh.path(table), target_bytes, min_files)
+
+
+def _compact_tree(wh: Warehouse, root: str, target_bytes: int,
+                  min_files: int) -> tuple[int, int]:
+    if not os.path.isdir(root):
+        return (0, 0)
     before_total = after_total = 0
     # leaf directories that directly hold parquet files
-    for dirpath, dirs, files in os.walk(part_root):
+    for dirpath, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         pq = [f for f in files if f.endswith(".parquet")]
         if not pq:
             continue

@@ -185,3 +185,18 @@ def test_compaction_crash_with_concurrent_append_merges_not_loses(spark, wh,
     maintenance.recover(wh)
     vals = sorted(r.v for r in wh.read("metrics").collect())
     assert vals == list(range(8)) + [100], vals
+
+def test_compact_table_works_on_unpartitioned_ledger(spark, wh):
+    """r6: compact_table compacts tables regardless of partition key —
+    here the streaming dedup ledger shape (unpartitioned, one small
+    file per micro-batch)."""
+    from powa_archivist_spark.operators import maintenance
+
+    for i in range(6):
+        wh.append(
+            spark.createDataFrame([(f"h{i}",)], "text_hash string"),
+            "corpus_digest_ledger",
+        )
+    before, after = maintenance.compact_table(wh, "corpus_digest_ledger")
+    assert before >= 6 and after == 1
+    assert wh.read("corpus_digest_ledger").count() == 6

@@ -595,3 +595,101 @@ def test_staged_pass_rejects_delimiter_pass_ids(wh):
             pass
     StagedPass(wh, 1, pass_id="retry-2")  # fine
     StagedPass(wh, 1, pass_id="")          # falsy -> generated id
+
+def test_chaos_random_crashes_converge_to_clean_run(spark, wh):
+    """Chaos convergence: drive 6 statements passes where each pass is
+    first attempted with a crash injected at a pseudo-random os.replace
+    call (marker writes, staged publishes, metas writes — whatever that
+    call index lands on), then replayed cleanly.  The final warehouse
+    must be byte-equal (row-wise) to a never-crashed twin: the staged
+    publish + begin-markers + idempotent operators compose to
+    exactly-once under ANY single crash point per pass."""
+    import os
+    import random
+    import tempfile
+
+    from powa_archivist_spark.operators import dictionary
+    from powa_archivist_spark.orchestrator import Orchestrator, ServerConfig
+    from powa_archivist_spark.sources.readers import shim_to_schema
+    from powa_archivist_spark.specs import STATEMENTS
+
+    def batch(i):
+        rows = [
+            (1, ts(i), 100 + j, 10, True, 5, f"SELECT {100 + j}",
+             3 + i + j, 1.5 * i)
+            for j in range(3)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "srvid int, ts timestamp, queryid long, dbid long, "
+            "toplevel boolean, userid long, query string, calls long, "
+            "total_exec_time double",
+        )
+
+    class Boom(RuntimeError):
+        pass
+
+    def run(target_wh, crash_seed):
+        rng = random.Random(crash_seed)
+        orch = Orchestrator(target_wh, specs={STATEMENTS.name: STATEMENTS})
+        server = ServerConfig(srvid=1, powa_coalesce=4)
+        for i in range(6):
+            target_wh.append(
+                shim_to_schema(batch(i), STATEMENTS.staging_schema),
+                Warehouse.src_tmp(STATEMENTS.name), partition_by=["srvid"],
+            )
+            if crash_seed is not None:
+                crash_at = rng.randint(1, 8)
+                calls = {"n": 0}
+                real = os.replace
+
+                def crashing(src, dst, *, _r=real, _c=calls, _at=crash_at):
+                    _c["n"] += 1
+                    if _c["n"] == _at:
+                        raise Boom()
+                    return _r(src, dst)
+
+                os.replace = crashing
+                try:
+                    orch.take_snapshot(server, now=ts(i * 5))
+                except Boom:
+                    pass
+                finally:
+                    os.replace = real
+            # the (re)play that must converge
+            orch.take_snapshot(server, now=ts(i * 5, 30))
+        # a crashed attempt that got far enough still counts as a pass,
+        # so coalesce TIMING may differ between the runs — the invariant
+        # is the combined LOGICAL content: every (queryid, ts, calls)
+        # sample exactly once across current ∪ unpacked history
+        samples = []
+        cur_t = Warehouse.current(STATEMENTS.name)
+        if target_wh.exists(cur_t):
+            samples += [
+                (r.queryid, r.ts, r.calls)
+                for r in target_wh.read(cur_t).collect()
+            ]
+        hist_t = Warehouse.history(STATEMENTS.name)
+        if target_wh.exists(hist_t):
+            samples += [
+                (r.queryid, rec.ts, rec.calls)
+                for r in target_wh.read(hist_t).collect()
+                for rec in r.records
+            ]
+        d = sorted(
+            (r.queryid, r.query) for r in
+            dictionary.read_statements(target_wh, 1).collect()
+        )
+        return sorted(samples), d
+
+    import shutil
+
+    d_clean = tempfile.mkdtemp(prefix="chaos_clean_")
+    d_chaos = tempfile.mkdtemp(prefix="chaos_crash_")
+    try:
+        clean = run(Warehouse(spark, d_clean), crash_seed=None)
+        chaotic = run(Warehouse(spark, d_chaos), crash_seed=1234)
+        assert chaotic == clean
+    finally:
+        shutil.rmtree(d_clean, ignore_errors=True)
+        shutil.rmtree(d_chaos, ignore_errors=True)
