@@ -35,12 +35,12 @@ def partition_stats(wh: Warehouse, table: str, srvid: int) -> tuple[int, int]:
     return n_files, n_bytes
 
 
-def _recover_interrupted_swaps(table_root: str) -> None:
-    """Resolve any swap a previous compact() crashed in the middle of,
-    deciding per BASE leaf from the full (live, scratch, trash) state
-    triple — the markers are not independent (r6 code review: handling
-    them one-by-one deleted the only surviving copy when a concurrent
-    writer had recreated the live dir between the two renames):
+def recover_base(wh: Warehouse, parent_dir: str, base: str) -> None:
+    """Resolve one interrupted compaction swap, deciding from the full
+    (live, scratch, trash) state triple — the markers are not
+    independent (r6 code review: handling them one-by-one deleted the
+    only surviving copy when a concurrent writer had recreated the live
+    dir between the two renames):
 
     - trash + scratch + live: the swap never completed (a completed
       swap consumes the scratch) and a concurrent append recreated the
@@ -50,53 +50,71 @@ def _recover_interrupted_swaps(table_root: str) -> None:
     - trash + live: swap completed, cleanup died — drop the trash;
     - trash only: first rename landed, write was lost — roll back;
     - scratch + live: crash before any rename — scratch is stale;
-    - scratch only: promote it (the only copy of the rows)."""
-    for dirpath, dirs, _files in os.walk(table_root):
-        bases = set()
+    - scratch only: promote it (the only copy of the rows).
+
+    Runs under the owning TABLE's write lock (first path component
+    under the warehouse root, or ``base`` itself for a table-root
+    swap): every other mutation path serializes on the same lock, so a
+    pass-boundary recovery cannot tear an in-flight compact's swap (the
+    locks are RLocks — compact calling in while holding the lock is
+    fine)."""
+    rel = os.path.relpath(parent_dir, wh.root)
+    table = base if rel == "." else rel.split(os.sep)[0]
+    with wh._write_lock(table):
+        live = os.path.join(parent_dir, base)
+        scratch = os.path.join(parent_dir, f".__compact__{base}")
+        trash = os.path.join(parent_dir, f".__trash__{base}")
+        has_live = os.path.isdir(live)
+        has_scr = os.path.isdir(scratch)
+        has_trash = os.path.isdir(trash)
+        if has_trash and has_scr and has_live:
+            for f in os.listdir(scratch):
+                if f.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(scratch, f),
+                        os.path.join(live, f),
+                    )
+            shutil.rmtree(scratch, ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)
+        elif has_trash and has_scr:
+            os.replace(scratch, live)
+            shutil.rmtree(trash, ignore_errors=True)
+        elif has_trash and has_live:
+            shutil.rmtree(trash, ignore_errors=True)
+        elif has_trash:
+            os.replace(trash, live)
+        elif has_scr and has_live:
+            shutil.rmtree(scratch, ignore_errors=True)
+        elif has_scr:
+            os.replace(scratch, live)
+
+
+def _compact_marker_bases(root: str) -> list[tuple[str, str]]:
+    """(parent_dir, base) pairs of every compaction marker under root."""
+    out: list[tuple[str, str]] = []
+    for dirpath, dirs, _files in os.walk(root):
         for d in dirs:
             if d.startswith(".__trash__"):
-                bases.add(d[len(".__trash__"):])
+                out.append((dirpath, d[len(".__trash__"):]))
             elif d.startswith(".__compact__"):
-                bases.add(d[len(".__compact__"):])
-        for base in sorted(bases):
-            live = os.path.join(dirpath, base)
-            scratch = os.path.join(dirpath, f".__compact__{base}")
-            trash = os.path.join(dirpath, f".__trash__{base}")
-            has_live = os.path.isdir(live)
-            has_scr = os.path.isdir(scratch)
-            has_trash = os.path.isdir(trash)
-            if has_trash and has_scr and has_live:
-                for f in os.listdir(scratch):
-                    if f.endswith(".parquet"):
-                        os.replace(
-                            os.path.join(scratch, f),
-                            os.path.join(live, f),
-                        )
-                shutil.rmtree(scratch, ignore_errors=True)
-                shutil.rmtree(trash, ignore_errors=True)
-            elif has_trash and has_scr:
-                os.replace(scratch, live)
-                shutil.rmtree(trash, ignore_errors=True)
-            elif has_trash and has_live:
-                shutil.rmtree(trash, ignore_errors=True)
-            elif has_trash:
-                os.replace(trash, live)
-            elif has_scr and has_live:
-                shutil.rmtree(scratch, ignore_errors=True)
-            elif has_scr:
-                os.replace(scratch, live)
-        # don't descend into dot-dirs we may have just moved
+                out.append((dirpath, d[len(".__compact__"):]))
         dirs[:] = [d for d in dirs if not d.startswith(".")]
+    return sorted(set(out))
+
+
+def _recover_interrupted_swaps(wh: Warehouse, root: str) -> None:
+    for parent, base in _compact_marker_bases(root):
+        recover_base(wh, parent, base)
 
 
 def recover(wh: Warehouse) -> None:
-    """Warehouse-wide compaction-swap recovery — run at orchestrator
-    pass start (next to txn.StagedPass.recover) so a compact() crash is
-    healed at the NEXT PASS, not the next compact call: without this,
-    the crashed partition stays invisible to every reader in between,
-    and a snapshot replay during that window would re-append rows it
-    cannot see (r6 code review)."""
-    _recover_interrupted_swaps(wh.root)
+    """Warehouse-wide compaction-swap recovery — rides the orchestrator
+    pass boundary (inside txn.StagedPass.recover's single warehouse
+    walk) so a compact() crash is healed at the NEXT PASS, not the next
+    compact call: without this, the crashed partition stays invisible
+    to every reader in between, and a snapshot replay during that
+    window would re-append rows it cannot see (r6 code review)."""
+    _recover_interrupted_swaps(wh, wh.root)
 
 
 def compact(
@@ -113,7 +131,7 @@ def compact(
     ``range_day=``) are compacted independently so partition pruning
     keys survive the rewrite."""
     with wh._write_lock(table):
-        _recover_interrupted_swaps(wh.path(table))
+        _recover_interrupted_swaps(wh, wh.path(table))
         part_root = os.path.join(wh.path(table), f"srvid={srvid}")
         return _compact_tree(wh, part_root, target_bytes, min_files)
 
@@ -131,7 +149,11 @@ def compact_table(
     the warehouse's fastest small-file accumulators).  Run it between
     stream runs; it takes the table write lock like every mutation."""
     with wh._write_lock(table):
-        _recover_interrupted_swaps(wh.path(table))
+        # the TABLE-ROOT swap's markers are siblings of the table dir in
+        # the warehouse root (r6 code review: a crash there was invisible
+        # to a recovery walk rooted at the — then missing — table path)
+        recover_base(wh, wh.root, table)
+        _recover_interrupted_swaps(wh, wh.path(table))
         return _compact_tree(wh, wh.path(table), target_bytes, min_files)
 
 

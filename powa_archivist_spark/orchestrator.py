@@ -30,7 +30,6 @@ from pyspark.sql import types as T
 
 from .operators import databases, dictionary
 from .operators.aggregate import aggregate
-from .operators.maintenance import recover as maintenance_recover
 from .operators.purge import DEFAULT_RETENTION, purge, reset
 from .operators.snapshot import snapshot
 from .specs import ALL_SPECS, DatasourceSpec
@@ -208,13 +207,15 @@ class Orchestrator:
                 "replaying in this pass"
             )
         # crash INVISIBILITY (txn.StagedPass): complete any publish a
-        # dead pass committed but didn't finish, and sweep the invisible
-        # stage dirs of passes that died before their commit point —
-        # once per pass (the sweep walks the warehouse tree).  The
-        # compaction-swap recovery rides the same pass boundary so a
-        # crashed compact is healed before this pass reads anything.
-        StagedPass.recover(self.wh, srvid, sweep=True)
-        maintenance_recover(self.wh)
+        # dead pass committed but didn't finish, sweep the invisible
+        # stage dirs of passes that died before their commit point, and
+        # heal interrupted compaction swaps — all in ONE warehouse walk
+        # per pass, error-trapped so a stray unreadable dir lands in
+        # the error ledger instead of halting every server's ingestion.
+        try:
+            StagedPass.recover(self.wh, srvid, sweep=True)
+        except OSError as e:
+            errors.append(f"powa_snapshot_recovery: {e}")
         txn_token = self.txns.begin(srvid, now)
 
         # databases dimension runs first (priority -3,

@@ -324,7 +324,7 @@ def ivf_upsert(
             .join(F.broadcast(batch_ids), id_col, "left_anti")
             .select("cell_id", id_col, "v")
         )
-        out = kept.unionByName(assign.select("cell_id", id_col, "v"))
+        out = kept.unionByName(assign.select("cell_id", id_col, "v")).persist()
         # dynamic partition overwrite writes NOTHING for a partition
         # absent from the output — a touched cell left EMPTY (its only
         # members all moved to other cells) would keep its stale files
@@ -337,8 +337,11 @@ def ivf_upsert(
         out_ids = {
             r.cell_id for r in out.select("cell_id").distinct().collect()
         }
-        wh.overwrite_partitions(out, ANN_CELLS_TABLE,
-                                partition_by=["cell_id"])
+        try:
+            wh.overwrite_partitions(out, ANN_CELLS_TABLE,
+                                    partition_by=["cell_id"])
+        finally:
+            out.unpersist()
         for cell in touched_ids - out_ids:
             wh.drop_partition(ANN_CELLS_TABLE, "cell_id", cell)
     finally:

@@ -205,7 +205,19 @@ class Warehouse:
         """Partition-wise delete of one ``col=value`` leaf (generic twin
         of :meth:`drop_srvid` for tables partitioned on other keys, e.g.
         the ANN cells table's cell_id).  Takes the table write lock like
-        every other mutation."""
+        every other mutation.
+
+        Values are restricted to the characters Spark writes verbatim
+        into partition dir names: anything needing Spark's %XX path
+        escaping (space, ':', '{', ...) would make the raw f-string
+        path miss the on-disk dir and the delete silently no-op."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9_.\-]+", str(value)):
+            raise ValueError(
+                f"partition value {value!r} needs Spark path escaping; "
+                "drop_partition only supports verbatim-safe values"
+            )
         with self._write_lock(table):
             p = os.path.join(self.path(table), f"{col}={value}")
             if os.path.isdir(p):

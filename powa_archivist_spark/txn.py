@@ -133,10 +133,10 @@ class StagedPass:
         # recovery re-parses it (_apply_ops): a pass id containing the
         # delimiter (or a path separator) would silently reassemble the
         # WRONG live path at publish/recover time — reject it up front
-        if "__" in self.pass_id or "/" in self.pass_id or not self.pass_id:
+        if "__" in self.pass_id or "/" in self.pass_id:
             raise ValueError(
-                f"invalid pass_id {self.pass_id!r}: must be non-empty and "
-                "contain neither '__' nor '/'"
+                f"invalid pass_id {self.pass_id!r}: must contain neither "
+                "'__' nor '/'"
             )
         self._ops: list[dict] = []
         self._txn_dir = os.path.join(wh.root, "_txn", f"srvid={srvid}")
@@ -225,8 +225,19 @@ class StagedPass:
                 done += 1
         if not sweep:
             return done
-        # stale stage dirs: only this srvid's, only uncommitted passes
-        # (committed ones were consumed by _apply_ops above)
+        # ONE walk serves two recoveries (a full-tree walk is metadata-
+        # heavy on object stores, so the orchestrator pays it once per
+        # pass, not once per concern): (a) stale stage dirs — only this
+        # srvid's, only uncommitted passes (committed ones were consumed
+        # by _apply_ops above); (b) interrupted COMPACTION swaps
+        # (operators/maintenance.py), healed here so a compact() crash
+        # becomes visible again at the next pass instead of the next
+        # compact call.  Each compaction base resolves under its table's
+        # write lock and inside its own try/except — a stray unreadable
+        # dir must not abort the snapshot pass.
+        from .operators.maintenance import recover_base
+
+        compact_bases: list[tuple[str, str]] = []
         root = wh.root
         for dirpath, dirs, _files in os.walk(root):
             if os.path.basename(dirpath) == "_txn":
@@ -242,7 +253,17 @@ class StagedPass:
                 elif d.startswith(f".__swapout__srvid={srvid}__"):
                     # completed replace whose cleanup was interrupted
                     shutil.rmtree(full, ignore_errors=True)
+                elif d.startswith(".__trash__"):
+                    compact_bases.append((dirpath, d[len(".__trash__"):]))
+                elif d.startswith(".__compact__"):
+                    compact_bases.append((dirpath, d[len(".__compact__"):]))
             dirs[:] = [d for d in dirs if not d.startswith(".")]
+        for parent, base in sorted(set(compact_bases)):
+            try:
+                recover_base(wh, parent, base)
+            except OSError:
+                # leave it for the next pass / the owning compact call
+                pass
         return done
 
 

@@ -200,3 +200,41 @@ def test_compact_table_works_on_unpartitioned_ledger(spark, wh):
     before, after = maintenance.compact_table(wh, "corpus_digest_ledger")
     assert before >= 6 and after == 1
     assert wh.read("corpus_digest_ledger").count() == 6
+
+def test_compact_table_self_heals_root_swap_crash(spark, wh, monkeypatch):
+    """r6 review 2: a crash in compact_table's TABLE-ROOT swap leaves
+    its markers in the WAREHOUSE root — a retry must find them there
+    and restore the table (the old recovery walked only the — then
+    missing — table path and returned (0,0) forever)."""
+    import os
+
+    from powa_archivist_spark.operators import maintenance
+
+    for i in range(6):
+        wh.append(spark.createDataFrame([(f"h{i}",)], "text_hash string"),
+                  "ledger")
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+    real = os.replace
+
+    def crash_second(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # between root->trash and tmp->root
+            raise Boom()
+        return real(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_second)
+    try:
+        maintenance.compact_table(wh, "ledger")
+    except Boom:
+        pass
+    monkeypatch.setattr(os, "replace", real)
+    assert not wh.exists("ledger")  # crashed mid-swap, table dir gone
+
+    # retry self-heals from the root-level markers and compacts
+    before, after = maintenance.compact_table(wh, "ledger")
+    assert wh.read("ledger").count() == 6
+    assert after <= before
