@@ -1768,6 +1768,102 @@ GROUP BY lang, split
 """
 
 
+
+
+def stream_curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-batch replay of the STREAMING curation
+    pipeline (streaming/curation.py): the corpus arrives in four fixed
+    micro-batches (doc_id % 4, in order); each batch gates on quality,
+    dedups exactly against the cross-batch digest ledger (first
+    arrival wins per normalized text, min id in-batch), splits
+    deterministically, and appends to the sink.  The oracle replays the
+    greedy batch semantics with one window: keeper = min (batch, id)
+    per normalized-text digest among gate survivors."""
+    import shutil
+    import tempfile
+
+    from ..storage import Warehouse
+    from ..streaming.curation import process_curation_batch
+
+    docs = t(spark, sf_dir, "documents")
+    thresholds = {
+        "min_tokens": 20,
+        "max_tokens": 100_000,
+        "min_distinct_ratio": 0.35,
+        "max_dup_2gram_frac": 0.55,
+        "max_top_token_frac": 0.45,
+    }
+    scratch = tempfile.mkdtemp(prefix="curation_")
+    try:
+        wh = Warehouse(spark, scratch)
+        for b in range(4):
+            process_curation_batch(
+                wh, docs.filter(F.col("doc_id") % 4 == b), "curated",
+                thresholds=thresholds,
+            )
+        return (
+            wh.read("curated").select("doc_id", "lang", "split")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+ORACLE_STREAM_CURATION = r"""
+WITH b AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+              AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS distinct_ratio,
+         string_split(text, ' ') AS rtk
+  FROM documents
+), fr AS (
+  SELECT doc_id, lang, text, n_tokens, distinct_ratio,
+         CASE WHEN rtk IS NULL THEN NULL
+              WHEN len(rtk) >= 2 THEN
+           1.0 - CAST(len(list_distinct(
+             list_transform(range(1, len(rtk)),
+                            i -> rtk[i] || ' ' || rtk[i+1]))) AS DOUBLE)
+                 / (len(rtk) - 1)
+         ELSE 0.0 END AS dup_2gram_frac,
+         rtk
+  FROM b
+), top AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM fr, UNNEST(rtk) AS u(tok)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+), kept AS (
+  SELECT f.doc_id, f.lang, f.text
+  FROM fr f JOIN top t USING (doc_id)
+  WHERE f.n_tokens >= 20 AND f.n_tokens <= 100000
+    AND f.distinct_ratio >= 0.35 AND f.dup_2gram_frac <= 0.55
+    AND t.top_token_frac <= 0.45
+), dd AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(regexp_replace(trim(translate(text,
+             'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+             'abcdefghijklmnopqrstuvwxyz')), '\s+', ' ', 'g'))
+           ORDER BY (doc_id % 4), doc_id
+         ) AS rn
+  FROM kept
+)
+SELECT doc_id, lang,
+       CASE WHEN ('0x' || substring(
+               md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 < 900000 THEN 'train'
+            WHEN ('0x' || substring(
+               md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM dd WHERE rn = 1
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -1819,4 +1915,6 @@ PIPELINE_QUERIES = {
     "corpus_token_budget_select": (corpus_token_budget_select,
                                    ORACLE_TOKEN_BUDGET),
     "corpus_curation_e2e": (corpus_curation_e2e, ORACLE_CURATION_E2E),
+    "stream_curation_corpus": (stream_curation_corpus,
+                               ORACLE_STREAM_CURATION),
 }

@@ -748,3 +748,48 @@ def test_near_dup_ledger_cache_survives_restart(spark, wh):
     led2.close()
     kept = sorted(r.doc_id for r in wh.read("nd_sink").collect())
     assert kept == [0, 1, 2], kept
+
+def test_stream_curation_pipeline(spark, wh):
+    """Streaming curation e2e (gate -> cross-batch exact dedup -> split
+    -> sink, rejects ledgered with reasons) through the real streaming
+    runtime with epoch markers."""
+    from powa_archivist_spark.streaming.curation import (
+        REJECT_TABLE,
+        stream_curation,
+    )
+
+    good = " ".join(f"tok{i}" for i in range(30))
+    good2 = " ".join(f"w{i}" for i in range(25))
+    schema = "doc_id long, ts timestamp, text string, lang string"
+    landing = tempfile.mkdtemp(prefix="curlanding_")
+    ckpt = tempfile.mkdtemp(prefix="curckpt_")
+
+    b1 = spark.createDataFrame(
+        [(0, ts(0), good, "en"),
+         (1, ts(1), "tiny doc", "en"),          # gated: too_short
+         (2, ts(2), good2, "en")],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(os.path.join(landing, "b1"))
+    q = stream_curation(spark, landing + "/*", b1.schema, ckpt, wh,
+                        sink_table="curated",
+                        thresholds={"min_tokens": 20})
+    q.awaitTermination(60)
+    got = {r.doc_id: r.split for r in wh.read("curated").collect()}
+    assert set(got) == {0, 2}
+    assert all(s in ("train", "val", "test") for s in got.values())
+    rejects = {r.doc_id: list(r.reasons)
+               for r in wh.read(REJECT_TABLE).collect()}
+    assert rejects == {1: ["too_short"]}
+
+    b2 = spark.createDataFrame(
+        [(3, ts(3), good.upper(), "en"),        # cross-batch dup of 0
+         (4, ts(4), " ".join(f"x{i}" for i in range(22)), "en")],
+        schema,
+    )
+    b2.coalesce(1).write.parquet(os.path.join(landing, "b2"))
+    q = stream_curation(spark, landing + "/*", b1.schema, ckpt, wh,
+                        sink_table="curated",
+                        thresholds={"min_tokens": 20})
+    q.awaitTermination(60)
+    assert sorted(r.doc_id for r in wh.read("curated").collect()) == [0, 2, 4]
