@@ -1864,6 +1864,54 @@ FROM dd WHERE rn = 1
 """
 
 
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style fingerprint-overlap near-dup pairs (r6): true
+    winnowing selection (per-window minima of the rolling 5-shingle
+    hash stream, window 4) inverted into a fingerprint index; pairs
+    sharing >= 2 fingerprints with the shared count.  md5 family so
+    the oracle replays selection and overlap exactly."""
+    return textstats.winnow_dedup_pairs(
+        t(spark, sf_dir, "documents"), min_shared=2, max_fp_docs=25,
+        hash_fn="md5",
+    )
+
+
+ORACLE_WINNOW_PAIRS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), hs AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5 THEN
+           [('0x' || substring(
+               md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT
+            for i in generate_series(1, len(toks) - 4)]
+         ELSE [] END AS hs
+  FROM t
+), fps AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4 THEN
+           list_distinct([list_min(hs[i:i+3])
+                          for i in generate_series(1, len(hs) - 3)])
+         ELSE [] END AS fps
+  FROM hs
+), inv0 AS (
+  SELECT doc_id, unnest(fps) AS fp FROM fps
+), keep_fp AS (
+  -- stop-fingerprint cutoff: > 25 docs = boilerplate, not signal
+  SELECT fp FROM inv0 GROUP BY fp HAVING COUNT(*) <= 25
+), inv AS (
+  SELECT i.doc_id, i.fp FROM inv0 i JOIN keep_fp USING (fp)
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -1917,4 +1965,5 @@ PIPELINE_QUERIES = {
     "corpus_curation_e2e": (corpus_curation_e2e, ORACLE_CURATION_E2E),
     "stream_curation_corpus": (stream_curation_corpus,
                                ORACLE_STREAM_CURATION),
+    "dedup_winnow_pairs": (dedup_winnow_pairs, ORACLE_WINNOW_PAIRS),
 }

@@ -1171,3 +1171,30 @@ def test_quality_gate_oracle_parity_on_null_text(spark, tmp_path):
         for r in con.execute(ORACLE_QUALITY_GATE).fetchall()
     )
     assert spark_rows == duck_rows
+
+def test_winnow_pairs_detects_shared_passages(spark):
+    """r6: winnowing guarantees a shared fingerprint for any common
+    passage of length >= window + shingle_n - 1; boilerplate
+    fingerprints above the stop cutoff are excluded from pairing."""
+    from powa_archivist_spark.pipeline import textstats
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(0, passage + " unique tail zero zero0"),
+         (1, "front matter one two " + passage),
+         (2, "completely different words with no overlap at all here")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.a_id, r.b_id): r.n_shared
+        for r in textstats.winnow_dedup_pairs(docs, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert not any(2 in p for p in pairs)
+
+    # stop cutoff: a fingerprint in > max_fp_docs docs pairs nobody
+    boiler = [(i, passage) for i in range(10)]
+    bdocs = spark.createDataFrame(boiler, "doc_id long, text string")
+    capped = textstats.winnow_dedup_pairs(bdocs, min_shared=1,
+                                          max_fp_docs=5).collect()
+    assert capped == []
