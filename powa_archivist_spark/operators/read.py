@@ -124,9 +124,12 @@ def top_consumers(
     tiebreak.
 
     Plan: unpack-read -> one per-entity window pass for the lag deltas ->
-    one groupBy summing them -> global top-K (rank over a single ordered
-    partition of K-bounded pre-aggregated rows — at 100 TB the groupBy
-    output is one row per entity, so the final sort is tiny)."""
+    one groupBy summing them -> two-phase per-srvid top-K.  The first
+    window partitions by (srvid, salt) so no single task ever sorts more
+    than entities/n_salt rows; only the salt-local top-K survive, so the
+    final per-srvid rank window sees at most k*n_salt rows regardless of
+    entity cardinality (global top-K is a subset of the union of per-salt
+    top-Ks).  Never a single-partition sort over unbounded input."""
     if metric not in spec.counter_names:
         raise KeyError(f"{metric!r} is not a counter of {spec.name}")
     series = stat_get_history(wh, spec, srvid, ts_from, ts_to)
@@ -139,12 +142,20 @@ def top_consumers(
             F.count(F.lit(1)).alias("n_samples"),
         )
     )
-    w = (
-        Window.partitionBy("srvid")
-        .orderBy(F.desc("consumed"), *[F.asc(c) for c in spec.key_names])
+    order = [F.desc("consumed"), *[F.asc(c) for c in spec.key_names]]
+    n_salt = 32
+    w_salt = Window.partitionBy("srvid", "_salt").orderBy(*order)
+    pruned = (
+        consumed.withColumn(
+            "_salt", F.pmod(F.xxhash64(*spec.key_names), F.lit(n_salt))
+        )
+        .withColumn("_r", F.row_number().over(w_salt))
+        .filter(F.col("_r") <= k)
+        .drop("_salt", "_r")
     )
+    w = Window.partitionBy("srvid").orderBy(*order)
     return (
-        consumed.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

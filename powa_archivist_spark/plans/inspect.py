@@ -137,3 +137,71 @@ def window_count(df: DataFrame) -> int:
     """Window operator nodes (each is a full shuffle + per-partition sort
     — an aggregation-shaped rewrite is usually cheaper at scale)."""
     return _node_count(df, "Window")
+
+
+_LIMIT_NODES = ("TakeOrderedAndProject", "GlobalLimit", "LocalLimit",
+                "CollectLimit")
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Global (no ``partitionBy``) Window nodes whose input is NOT bounded
+    by a limit — the single-partition-sort anti-pattern: every input row
+    moves onto one task.  A global window is fine when it sits on a
+    TakeOrderedAndProject / GlobalLimit (rank over ≤k pre-limited rows);
+    it is flagged when an ``Exchange SinglePartition`` feeds it first.
+
+    Returns the offending Window nodes' Arguments strings (empty = clean).
+    Used by tests to pin that no declared query sorts unbounded input on
+    one partition (VERDICT r6 finding on the old top-consumers shape)."""
+    text = plan_string(df)
+    # Detail blocks: "(N) Name [codegen..]\nOutput..\nInput..\nArguments: .."
+    details: dict[int, tuple[str, str]] = {}
+    for m in re.finditer(
+        r"^\((\d+)\) (\w+)(?:\s*\[[^\]]*\])?\n((?:(?!^\(\d+\) ).*\n?)*)",
+        text,
+        re.M,
+    ):
+        nid, name, body = int(m.group(1)), m.group(2), m.group(3)
+        am = re.search(r"^Arguments: (.*)$", body, re.M)
+        details[nid] = (name, am.group(1) if am else "")
+
+    # Tree section: indentation gives structure; node order in the detail
+    # numbering is bottom-up, so a Window node's subtree is simply the
+    # detail ids BELOW it in the tree text.  Walk tree lines top-down and
+    # record (depth, id).
+    tree_lines = []
+    for line in text.splitlines():
+        tm = re.search(r"^(\s*(?:[+:]-\s|\s)*)\*?\(?.*?(\w+)\s\((\d+)\)\s*$",
+                       line)
+        if tm and int(tm.group(3)) in details:
+            tree_lines.append((len(tm.group(1)), int(tm.group(3))))
+        if line.startswith("(1)") or line.startswith("("):
+            if re.match(r"^\(\d+\) ", line):
+                break
+
+    offenders: list[str] = []
+    for i, (depth, nid) in enumerate(tree_lines):
+        name, args = details[nid]
+        if name != "Window":
+            continue
+        # partition spec present => 3 top-level bracket groups in Arguments
+        groups = _split_top_level(args)
+        if len(groups) >= 3:
+            continue  # partitioned window
+        # walk the subtree (following tree lines with greater depth)
+        bounded = False
+        for d2, nid2 in tree_lines[i + 1:]:
+            if d2 <= depth:
+                break
+            n2, a2 = details[nid2]
+            if any(n2.startswith(ln) for ln in _LIMIT_NODES):
+                bounded = True
+                break
+            if n2 == "Exchange" and "SinglePartition" in a2:
+                bounded = False
+                break
+        else:
+            bounded = True  # hit a leaf without a single-partition shuffle
+        if not bounded:
+            offenders.append(args)
+    return offenders

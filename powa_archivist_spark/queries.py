@@ -1765,7 +1765,11 @@ FROM stepped WHERE delta_cents IS NOT NULL
 def events_top_consumers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query twin of operators.read.top_consumers (powa-web landing
     page): per-entity sum of positive counter deltas over the range,
-    reset-clamped, global top-20 with id tiebreak."""
+    reset-clamped, global top-20 with id tiebreak.
+
+    The top-20 is TakeOrdered (``orderBy().limit()`` — per-partition
+    heaps merged on the driver, never a single-partition global sort);
+    the rank window then runs over at most 20 rows."""
     ev = _events_as_series(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     delta = F.col("value_cents") - F.lag("value_cents").over(w)
@@ -1776,11 +1780,9 @@ def events_top_consumers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("d").alias("consumed"), F.count(F.lit(1)).alias("n_samples"))
     )
-    w_rank = Window.orderBy(F.desc("consumed"), F.asc("user_id"))
-    return (
-        consumed.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 20)
-    )
+    order = [F.desc("consumed"), F.asc("user_id")]
+    topk = consumed.orderBy(*order).limit(20)
+    return topk.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 ORACLE_TOP_CONSUMERS = """

@@ -399,3 +399,24 @@ def test_token_budget_single_partitioned_window(spark):
     plan = pi.plan_string(out)
     assert "partitionBy=[lang" in plan.replace(" ", "") or "lang" in plan
     assert pi.exchange_count(out) == 1  # the window's hash partitioning
+
+
+def test_no_unbounded_global_window_anywhere(spark):
+    """VERDICT r6 task 2: scan every declared query's physical plan for a
+    global (un-partitioned) Window whose input is not limit-bounded — the
+    shape that moves every input row onto one task.  The old
+    events_top_consumers was the single offender; this pins the fix and
+    fences the whole surface against regressions."""
+    import __spark_entry__ as e
+
+    offenders = {}
+    for name, fn in e.queries().items():
+        try:
+            df = fn(spark, SF)
+        except Exception as exc:  # plan-time failure is its own bug
+            offenders[name] = f"build error: {exc}"
+            continue
+        bad = pi.unbounded_global_windows(df)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
