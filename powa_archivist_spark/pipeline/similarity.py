@@ -267,11 +267,23 @@ def ivf_upsert(
     vector may have been re-embedded), even when the new vector lands
     in a DIFFERENT cell.  Plan: broadcast-scored ``max_by`` assignment
     of the batch (same arithmetic as the build, so probe results are
-    indistinguishable from a full rebuild), then ONE dynamic partition
-    overwrite of exactly the touched cells — cells the batch doesn't
-    reach keep their files untouched.  The touched-cell set is the
-    batch's target cells plus any cell holding an updated id (found
-    with a semi-join against the batch ids, pruned by cell partitions).
+    indistinguishable from a full rebuild), then ONE staged
+    partition-tree replace of exactly the touched cells — cells the
+    batch doesn't reach keep their files untouched.  The touched-cell
+    set is the batch's target cells plus any cell holding an updated id
+    (found with a semi-join against the batch ids, pruned by cell
+    partitions).
+
+    r7 (ADVICE r6): the rewrite commits through txn.StagedPass.
+    stage_replace_tree — the new cell content (including the drops of
+    emptied cells) is written to an invisible staged tree by one Spark
+    job whose input files are never mutated mid-read (the old dynamic
+    overwrite read the table it was overwriting, trusting cache
+    residency), and publishes under the single-manifest commit: a crash
+    at any point leaves readers on the intact pre-batch index or the
+    complete post-batch one, never a replaced id present in two cells.
+    Interrupted publishes are healed here (and by any reader) before
+    the next batch.
 
     Centroids stay FIXED — standard IVF practice (drift re-clustering
     is a periodic full ``ivf_build``); the assignment is exact w.r.t.
@@ -284,6 +296,12 @@ def ivf_upsert(
     that KNOWS its ids are fresh (monotonic ingest keys) skips it and
     the upsert becomes a plain partition-wise append of the batch's
     target cells."""
+    from ..txn import GLOBAL_LANE, StagedPass
+
+    # complete any interrupted index publish first (idempotent, cheap —
+    # readers would self-heal anyway via the manifest, this also sweeps
+    # dead stage trees)
+    StagedPass.recover(wh, GLOBAL_LANE, sweep=True)
     cents = wh.read(ANN_CENTROIDS_TABLE)
     vecs = new_emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
     scored = vecs.crossJoin(F.broadcast(cents)).select(
@@ -325,25 +343,28 @@ def ivf_upsert(
             .select("cell_id", id_col, "v")
         )
         out = kept.unionByName(assign.select("cell_id", id_col, "v")).persist()
-        # dynamic partition overwrite writes NOTHING for a partition
-        # absent from the output — a touched cell left EMPTY (its only
-        # members all moved to other cells) would keep its stale files
-        # and the index would hold the replaced ids twice.  Compute the
-        # emptied set BEFORE the overwrite (its lineage reads the files
-        # the overwrite replaces) and drop those partitions after; both
-        # collects are bounded by the batch's touched cells, never the
-        # corpus.
+        # the staged tree write emits NOTHING for a partition absent
+        # from the output — a touched cell left EMPTY (its only members
+        # all moved to other cells) would keep its stale files and the
+        # index would hold the replaced ids twice.  Record those as
+        # explicit drops inside the SAME staged pass so the emptiness
+        # publishes atomically with the rewrites; both collects are
+        # bounded by the batch's touched cells, never the corpus.
         touched_ids = {r.cell_id for r in touched.collect()}
         out_ids = {
             r.cell_id for r in out.select("cell_id").distinct().collect()
         }
         try:
-            wh.overwrite_partitions(out, ANN_CELLS_TABLE,
-                                    partition_by=["cell_id"])
+            sp = StagedPass(wh, GLOBAL_LANE)
+            sp.stage_replace_tree(
+                out,
+                ANN_CELLS_TABLE,
+                partition_by=["cell_id"],
+                drops=[f"cell_id={c}" for c in sorted(touched_ids - out_ids)],
+            )
+            sp.publish()
         finally:
             out.unpersist()
-        for cell in touched_ids - out_ids:
-            wh.drop_partition(ANN_CELLS_TABLE, "cell_id", cell)
     finally:
         assign.unpersist()
 

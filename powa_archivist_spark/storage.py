@@ -74,11 +74,24 @@ class Warehouse:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _heal(self, table: str) -> None:
+        """Fold any committed-but-unretired StagedPass manifest ops for
+        ``table`` (txn.heal_table) so this access observes the full
+        post-commit state — the reader side of the single-manifest
+        atomic publish.  No-op (two stat calls) when no pass is in
+        flight."""
+        from . import txn
+
+        txn.heal_table(self, table)
+
     def exists(self, table: str) -> bool:
         """True when the table has at least one parquet file VISIBLE to
         Spark — i.e. skipping dot/underscore-prefixed dirs and files,
         exactly like Spark's file index does (a txn.StagedPass stage
-        dir full of parquet must not flip a table into existence)."""
+        dir full of parquet must not flip a table into existence).
+        Resolves pending commit manifests first: a committed-but-not-
+        yet-folded append must flip the table into existence."""
+        self._heal(table)
         p = self.path(table)
         if not os.path.isdir(p):
             return False
@@ -94,7 +107,17 @@ class Warehouse:
     # ---- IO --------------------------------------------------------------
 
     def read(self, table: str, schema: Optional[T.StructType] = None) -> DataFrame:
-        """Read a table; empty DataFrame with the right schema if absent."""
+        """Read a table; empty DataFrame with the right schema if absent.
+
+        Holds the table write lock across manifest-heal + Spark's eager
+        file listing (``spark.read.parquet`` builds its file index at
+        DataFrame creation): a concurrent StagedPass fold can never
+        produce a torn listing — this reader observes the pass either
+        fully (manifest committed -> healed first) or not at all."""
+        with self._write_lock(table):
+            return self._read_locked(table, schema)
+
+    def _read_locked(self, table: str, schema: Optional[T.StructType]) -> DataFrame:
         if not self.exists(table):
             if schema is None:
                 raise FileNotFoundError(f"table {table} missing and no schema given")
@@ -127,6 +150,7 @@ class Warehouse:
     def append(self, df: DataFrame, table: str,
                partition_by: Optional[list[str]] = None) -> None:
         with self._write_lock(table):
+            self._heal(table)
             w = df.write.mode("append")
             if partition_by:
                 w = w.partitionBy(*partition_by)
@@ -137,6 +161,7 @@ class Warehouse:
         """Dynamic partition overwrite: replace only the partitions present
         in ``df`` (spark.sql.sources.partitionOverwriteMode=dynamic)."""
         with self._write_lock(table):
+            self._heal(table)
             (
                 df.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -153,6 +178,7 @@ class Warehouse:
         inert ``.__old__``/``.__tmp__`` sibling instead of losing the
         table mid-delete."""
         with self._write_lock(table):
+            self._heal(table)
             final = self.path(table)
             tmp = final + ".__tmp__"
             old = final + ".__old__"
@@ -197,6 +223,7 @@ class Warehouse:
 
     def drop_table(self, table: str) -> None:
         with self._write_lock(table):
+            self._heal(table)
             p = self.path(table)
             if os.path.isdir(p):
                 shutil.rmtree(p)
@@ -219,6 +246,7 @@ class Warehouse:
                 "drop_partition only supports verbatim-safe values"
             )
         with self._write_lock(table):
+            self._heal(table)
             p = os.path.join(self.path(table), f"{col}={value}")
             if os.path.isdir(p):
                 shutil.rmtree(p)
@@ -229,6 +257,7 @@ class Warehouse:
         delete racing an append's FileOutputCommitter commit could
         otherwise tear the shared _temporary dir (ADVICE r4)."""
         with self._write_lock(table):
+            self._heal(table)
             p = os.path.join(self.path(table), f"srvid={srvid}")
             if os.path.isdir(p):
                 shutil.rmtree(p)

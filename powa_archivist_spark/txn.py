@@ -38,6 +38,13 @@ import shutil
 import tempfile
 
 
+#: srvid lane for passes that are not tied to a monitored server — the
+#: ANN index maintenance path.  Writers on this lane are serialized by
+#: their callers (single index maintainer), mirroring the per-srvid
+#: orchestrator lock that justifies recover()'s stale-stage sweep.
+GLOBAL_LANE = -1
+
+
 class TxnLog:
     def __init__(self, root: str) -> None:
         self.dir = os.path.join(root, "_txn")
@@ -94,33 +101,50 @@ class StagedPass:
     detection) to the reference's one-statement wCTE semantics
     (powa--5.2.0.sql:4006-4108) as far as plain parquet allows.
 
-    Protocol:
+    Protocol (r7: single-manifest commit — the manifest rename is the
+    ONLY visibility-relevant rename):
 
     1. every sink write of the pass lands in a dot-prefixed stage dir
        (``.__stage__<pass>__<seq>``) inside / next to the target
        partition — Spark's file index skips dot-prefixed paths, so NO
        reader observes any of it;
-    2. ``publish()`` first writes an intent file (tmp + atomic rename)
-       recording every staged op, then applies them: appends MOVE the
-       staged parquet files into the live partition dir (one
-       ``os.replace`` per file), replaces two-rename-swap the partition
-       dir.  All data movement is metadata-only renames;
-    3. a crash BEFORE the intent rename leaves only invisible stage
+    2. ``publish()`` writes ONE manifest file (tmp + atomic rename)
+       recording every staged op.  **That single rename is the commit
+       point**: every ``Warehouse.read``/``exists`` first resolves
+       pending manifests for the table it touches (:func:`heal_table`)
+       and folds that table's staged ops in — under the table's write
+       lock — before listing files.  A reader therefore sees the full
+       pre-pass state before the rename and the full post-pass state
+       after it, never a mixture, regardless of how far the background
+       fold has progressed;
+    3. after the manifest lands, ``publish()`` folds the ops itself
+       (appends MOVE staged parquet files into the live partition dir,
+       replaces two-rename-swap the partition dir — all metadata-only
+       renames, each under the owning table's write lock) and removes
+       the manifest.  Fold application is idempotent and
+       lock-serialized, so publisher, readers, and :meth:`recover` can
+       race it freely;
+    4. a crash BEFORE the manifest rename leaves only invisible stage
        dirs — readers still see the pre-pass state, and the preserved
        staging replays the pass from scratch (exactly-once via the
-       snapshot operator's anti-join);  a crash AFTER it is completed by
-       :meth:`recover` before the next pass reads, which converges to
-       the fully-published state.
+       snapshot operator's anti-join); a crash AFTER it changes nothing
+       for readers (they self-heal through the manifest) and
+       :meth:`recover` completes the fold and drops the manifest.
 
-    Residual window: the publish itself is a handful of renames (one
-    per staged file / partition swap) — microseconds of possible
-    half-visibility versus the seconds-long job window without staging.
-    A transactional table format (Delta/Iceberg) is the documented
-    swap-in that closes even that.
+    Residual scope: atomicity holds for every reader that goes through
+    this Warehouse (the engine's single-driver deployment shape).  An
+    out-of-process ``spark.read.parquet`` pointed directly at the table
+    path bypasses manifest resolution and can still observe the fold
+    mid-flight; a transactional table format (Delta/Iceberg) is the
+    documented swap-in for multi-process readers.
 
-    Concurrency: stage dirs and intents are per (srvid, pass); the
+    Concurrency: stage dirs and manifests are per (srvid, pass); the
     orchestrator's per-srvid lock serializes passes, so recover()'s
     stale-stage sweep can only ever see leftovers of DEAD passes.
+    Fold ops additionally take the owning table's write lock, so a
+    concurrent ``maintenance.compact`` (which holds the same lock for
+    its list→trash→delete cycle) can never trash a file the fold moved
+    in after its listing (ADVICE r6).
     """
 
     def __init__(self, wh, srvid: int, pass_id: str | None = None) -> None:
@@ -177,21 +201,47 @@ class StagedPass:
         df.drop("srvid").write.mode("overwrite").parquet(d)
         self._ops.append({"kind": "replace", "table": table, "stage": d})
 
+    def stage_replace_tree(
+        self, df, table: str, partition_by: list[str], drops: list[str] = (),
+    ) -> None:
+        """Stage a partition-TREE replace: ONE Spark job writes every
+        touched partition of ``df`` (partitioned by ``partition_by``)
+        under a dot-staged tree; publish swaps each staged leaf into the
+        live table and retires the ``drops`` leaves (dir names like
+        ``cell_id=7`` whose new content is empty) — all folded under the
+        single-manifest commit, so readers see the whole tree replace
+        atomically.  Used by the ANN IVF upsert (ADVICE r6: the previous
+        dynamic-partition overwrite read the table it was overwriting
+        and left a crash window holding replaced ids in two cells)."""
+        self._acl_check(table)
+        token = f"{self.pass_id}__{len(self._ops)}"
+        d = os.path.join(self.wh.path(table), f".__stagetree__{token}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(d)
+        self._ops.append({
+            "kind": "replace_tree", "table": table, "stage": d,
+            "token": token, "drops": list(drops),
+        })
+
     # ---- publish ---------------------------------------------------------
 
     def _intent_path(self) -> str:
         return os.path.join(self._txn_dir, f"{self.pass_id}.intent")
 
     def publish(self) -> None:
-        """Commit point: write the intent atomically, then apply."""
+        """Commit point: the single manifest rename.  The fold that
+        follows is a convenience (readers would self-heal anyway via
+        :func:`heal_table`); removing the manifest retires the pass."""
         if not self._ops:
             return
         os.makedirs(self._txn_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=self._txn_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump({"srvid": self.srvid, "ops": self._ops}, f)
-        os.replace(tmp, self._intent_path())
-        _apply_ops(self._ops)
+        os.replace(tmp, self._intent_path())  # <- THE commit
+        _apply_ops(self.wh, self._ops)
         os.remove(self._intent_path())
         self._ops = []
 
@@ -220,7 +270,7 @@ class StagedPass:
                         rec = json.load(f)
                 except (OSError, json.JSONDecodeError):
                     continue
-                _apply_ops(rec.get("ops", []))
+                _apply_ops(wh, rec.get("ops", []))
                 os.remove(p)
                 done += 1
         if not sweep:
@@ -250,6 +300,15 @@ class StagedPass:
                     shutil.rmtree(full, ignore_errors=True)
                 elif d.startswith(f".__stageswap__srvid={srvid}__"):
                     shutil.rmtree(full, ignore_errors=True)
+                elif d.startswith(".__stagetree__") and srvid == GLOBAL_LANE:
+                    # tree stages (ANN upsert) carry no srvid; they are
+                    # only ever staged under the global lane, whose
+                    # writers are serialized, so any leftover here
+                    # belongs to a dead pass (committed ones were
+                    # consumed by _apply_ops above)
+                    shutil.rmtree(full, ignore_errors=True)
+                elif d.startswith(".__swapout-tree__") and srvid == GLOBAL_LANE:
+                    shutil.rmtree(full, ignore_errors=True)
                 elif d.startswith(f".__swapout__srvid={srvid}__"):
                     # completed replace whose cleanup was interrupted
                     shutil.rmtree(full, ignore_errors=True)
@@ -267,35 +326,111 @@ class StagedPass:
         return done
 
 
-def _apply_ops(ops: list[dict]) -> None:
-    """Apply staged ops idempotently (safe to re-run after any crash)."""
+def heal_table(wh, table: str) -> int:
+    """Fold every committed-but-unretired pass's ops for ``table``
+    before the caller lists its files — the reader side of the
+    single-manifest commit (readers resolve live state THROUGH the
+    manifest, so visibility flips atomically at the manifest rename).
+
+    Fast path: no ``_txn`` dir / no ``.intent`` files -> a couple of
+    directory stats, no locks.  Called by every ``Warehouse``
+    read/exists/mutation entry point; application is idempotent and
+    serialized per table on the warehouse write lock, so racing the
+    publisher's own fold (or another reader) is safe.  The manifest is
+    NOT removed here — other tables' ops may still be unfolded; retire
+    stays with the publisher / :meth:`StagedPass.recover`.
+
+    Returns the number of ops folded (0 on the fast path)."""
+    txn_root = os.path.join(wh.root, "_txn")
+    if not os.path.isdir(txn_root):
+        return 0
+    folded = 0
+    for srv in os.listdir(txn_root):
+        d = os.path.join(txn_root, srv)
+        if not os.path.isdir(d):
+            continue
+        for name in os.listdir(d):
+            if not name.endswith(".intent"):
+                continue
+            try:
+                with open(os.path.join(d, name)) as f:
+                    rec = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue  # being retired / torn: nothing to fold
+            ops = [op for op in rec.get("ops", []) if op.get("table") == table]
+            if ops:
+                _apply_ops(wh, ops)
+                folded += len(ops)
+    return folded
+
+
+def _apply_ops(wh, ops: list[dict]) -> None:
+    """Apply staged ops idempotently (safe to re-run after any crash,
+    from the publisher, recover(), or a reader's heal_table()).  Each op
+    runs under its owning table's write lock, serializing against every
+    other mutation path — including maintenance.compact's
+    list→trash→delete cycle, which could otherwise trash a staged file
+    moved in after its listing (ADVICE r6)."""
     for op in ops:
         stage, table_kind = op["stage"], op["kind"]
         part_dir = os.path.dirname(stage)
-        if table_kind == "append":
-            if os.path.isdir(stage):
-                os.makedirs(part_dir, exist_ok=True)
-                for f in os.listdir(stage):
-                    if f.endswith(".parquet"):
-                        # staged part-file names are uuid-unique; a
-                        # re-run only sees files not yet moved
-                        os.replace(
-                            os.path.join(stage, f),
-                            os.path.join(part_dir, f),
-                        )
-                shutil.rmtree(stage, ignore_errors=True)
-        elif table_kind == "replace":
-            # stage name: .__stageswap__srvid=N__<pass>__<seq>
-            base = os.path.basename(stage)
-            suffix = base[len(".__stageswap__"):]
-            live = os.path.join(part_dir, suffix.split("__")[0])
-            swapout = os.path.join(part_dir, f".__swapout__{suffix}")
-            if os.path.isdir(stage):
-                if os.path.isdir(live):
-                    if os.path.isdir(swapout):
-                        shutil.rmtree(swapout)
-                    os.replace(live, swapout)
-                os.replace(stage, live)
-            # stage consumed (or was already): drop any swapout leftover
-            if os.path.isdir(swapout):
-                shutil.rmtree(swapout)
+        with wh._write_lock(op["table"]):
+            if table_kind == "append":
+                if os.path.isdir(stage):
+                    os.makedirs(part_dir, exist_ok=True)
+                    for f in os.listdir(stage):
+                        if f.endswith(".parquet"):
+                            # staged part-file names are uuid-unique; a
+                            # re-run only sees files not yet moved
+                            os.replace(
+                                os.path.join(stage, f),
+                                os.path.join(part_dir, f),
+                            )
+                    shutil.rmtree(stage, ignore_errors=True)
+            elif table_kind == "replace":
+                # stage name: .__stageswap__srvid=N__<pass>__<seq>
+                base = os.path.basename(stage)
+                suffix = base[len(".__stageswap__"):]
+                live = os.path.join(part_dir, suffix.split("__")[0])
+                swapout = os.path.join(part_dir, f".__swapout__{suffix}")
+                if os.path.isdir(stage):
+                    if os.path.isdir(live):
+                        if os.path.isdir(swapout):
+                            shutil.rmtree(swapout)
+                        os.replace(live, swapout)
+                    os.replace(stage, live)
+                # stage consumed (or was already): drop swapout leftover
+                if os.path.isdir(swapout):
+                    shutil.rmtree(swapout)
+            elif table_kind == "replace_tree":
+                live_root = os.path.dirname(stage)
+                token = op["token"]
+                pfx = f".__swapout-tree__{token}__"
+                if os.path.isdir(stage):
+                    for child in sorted(os.listdir(stage)):
+                        src = os.path.join(stage, child)
+                        if child.startswith((".", "_")) or not os.path.isdir(src):
+                            continue
+                        dst = os.path.join(live_root, child)
+                        swapout = os.path.join(live_root, pfx + child)
+                        if os.path.isdir(dst):
+                            if os.path.isdir(swapout):
+                                shutil.rmtree(swapout)
+                            os.replace(dst, swapout)
+                        os.replace(src, dst)
+                    shutil.rmtree(stage, ignore_errors=True)
+                # emptied leaves: dot-rename (atomic invisibility) then
+                # retire with the swapouts — a direct rmtree could crash
+                # half-way and leave a partially-populated live leaf
+                for leaf in op.get("drops", []):
+                    d = os.path.join(live_root, leaf)
+                    if os.path.isdir(d):
+                        trash = os.path.join(live_root, pfx + leaf)
+                        if os.path.isdir(trash):
+                            shutil.rmtree(trash)
+                        os.replace(d, trash)
+                if os.path.isdir(live_root):
+                    for name in os.listdir(live_root):
+                        if name.startswith(pfx):
+                            shutil.rmtree(os.path.join(live_root, name),
+                                          ignore_errors=True)

@@ -425,11 +425,11 @@ def test_staged_publish_crash_invisibility_and_exactly_once(spark, wh):
         StagedPass.publish = real_publish
     assert state() == committed, "reader saw a half-applied pass (b)"
 
-    # (c) kill mid-publish: intent written, only the FIRST op applied
+    # (c) kill mid-publish: manifest committed, only the FIRST op folded
     real_apply = txn_mod._apply_ops
 
-    def partial_apply(ops):
-        real_apply(ops[:1])
+    def partial_apply(w, ops):
+        real_apply(w, ops[:1])
         raise Boom()
 
     txn_mod._apply_ops = partial_apply
@@ -439,6 +439,14 @@ def test_staged_publish_crash_invisibility_and_exactly_once(spark, wh):
         pass
     finally:
         txn_mod._apply_ops = real_apply
+    # r7 single-manifest commit: BEFORE any recovery runs, a reader
+    # already sees the FULL post-pass state — Warehouse.read resolves
+    # the committed manifest and folds the remaining ops itself
+    cur_now, db_now = state()
+    assert len(cur_now) == len(committed[0]) + 2, (
+        "reader did not see the committed pass through the manifest"
+    )
+    assert db_now, "manifest-resolved read lost the rollup sink"
     # recovery (implicit at the next snapshot) + replay -> exactly once
     assert snapshot(wh, spec, 1, capture=cap(ts(1), batch2)) == 0
     cur, db = state()
@@ -564,21 +572,33 @@ def test_staged_publish_recovery_at_every_rename(spark, wh):
             os.replace = real_replace
         if not crashed:
             break  # crash point beyond the last rename: enumeration done
-        if calls["n"] == 1 and crash_at == 1:
-            # died before the intent: nothing published, pre-pass state
-            assert not wh.exists("t_app")
-            assert [r.m for r in wh.read("t_rep").collect()] == [0.0]
-        StagedPass.recover(wh, 1, sweep=True)
+        # r7 single-manifest commit: BEFORE any recovery, a reader must
+        # see EXACTLY pre-pass (crash before the manifest rename) or
+        # EXACTLY post-pass (manifest landed -> reads resolve through
+        # it and fold the remaining ops themselves).  ZERO intermediate
+        # states at ANY rename crash point.
         if crash_at == 1:
-            # died before the intent landed: recovery only sweeps the
-            # invisible stage dirs; the pre-pass state stands and the
-            # pass would replay from preserved staging
+            # died before the manifest rename: nothing published
             assert not wh.exists("t_app")
             assert [r.m for r in wh.read("t_rep").collect()] == [0.0]
         else:
-            # intent committed: recovery MUST complete the publish
             assert sorted(r.v for r in wh.read("t_app").collect()) == want_app
             assert sorted(r.m for r in wh.read("t_rep").collect()) == want_rep
+        StagedPass.recover(wh, 1, sweep=True)
+        if crash_at == 1:
+            # recovery only sweeps the invisible stage dirs; the
+            # pre-pass state stands and the pass would replay from
+            # preserved staging
+            assert not wh.exists("t_app")
+            assert [r.m for r in wh.read("t_rep").collect()] == [0.0]
+        else:
+            # recovery retires the manifest; state unchanged
+            assert sorted(r.v for r in wh.read("t_app").collect()) == want_app
+            assert sorted(r.m for r in wh.read("t_rep").collect()) == want_rep
+            import glob as _glob
+            assert not _glob.glob(
+                os.path.join(wh.root, "_txn", "*", "*.intent")
+            ), "recover left a retired manifest behind"
         crash_at += 1
     assert crash_at >= 4  # intent + >=1 file move + >=2 swap renames
 

@@ -1198,3 +1198,72 @@ def test_winnow_pairs_detects_shared_passages(spark):
     capped = textstats.winnow_dedup_pairs(bdocs, min_shared=1,
                                           max_fp_docs=5).collect()
     assert capped == []
+
+
+def test_ivf_upsert_crash_atomicity(spark, wh):
+    """r7 (ADVICE r6): the upsert's cell rewrite commits through a
+    staged-tree pass.  A crash BEFORE the manifest rename leaves the
+    intact pre-batch index; a crash AFTER it (mid-fold) leaves readers
+    on the complete post-batch index (manifest-resolved reads), with a
+    replaced id NEVER present in two cells; the next upsert entry heals
+    the leftovers."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark import txn as txn_mod
+    from powa_archivist_spark.pipeline import similarity
+    from powa_archivist_spark.txn import GLOBAL_LANE, StagedPass
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    similarity.ivf_build(wh, emb.filter("vec_id % 5 != 4"))
+
+    def snapshot_cells():
+        return sorted(
+            (r.cell_id, r.vec_id, tuple(r.v))
+            for r in wh.read(similarity.ANN_CELLS_TABLE).collect()
+        )
+
+    pre = snapshot_cells()
+    batch = emb.filter("vec_id % 5 = 4").unionByName(
+        emb.filter("vec_id % 50 = 0").withColumn(
+            "embedding", F.reverse("embedding")
+        )
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    # (a) crash before the manifest rename: pre-batch state intact
+    real_publish = StagedPass.publish
+    StagedPass.publish = lambda self: (_ for _ in ()).throw(Boom())
+    try:
+        similarity.ivf_upsert(wh, batch)
+    except Boom:
+        pass
+    finally:
+        StagedPass.publish = real_publish
+    assert snapshot_cells() == pre, "uncommitted upsert leaked into reads"
+
+    # (b) crash mid-fold (manifest committed, zero ops folded): readers
+    # must already see the COMPLETE post-batch index
+    real_apply = txn_mod._apply_ops
+
+    def no_fold(w, ops):
+        raise Boom()
+
+    txn_mod._apply_ops = no_fold
+    try:
+        similarity.ivf_upsert(wh, batch)
+    except Boom:
+        pass
+    finally:
+        txn_mod._apply_ops = real_apply
+    post = snapshot_cells()
+    assert post != pre
+    ids = [vec_id for _cell, vec_id, _v in post]
+    assert len(ids) == len(set(ids)), "replaced id present in two cells"
+    # clean-run equivalence after healing (next upsert entry recovers)
+    StagedPass.recover(wh, GLOBAL_LANE, sweep=True)
+    assert snapshot_cells() == post
+    # idempotent replay converges
+    similarity.ivf_upsert(wh, batch)
+    assert snapshot_cells() == post
