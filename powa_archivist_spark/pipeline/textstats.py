@@ -408,7 +408,8 @@ def winnow_dedup_pairs(docs: DataFrame, min_shared: int = 2,
                        shingle_n: int = 5, window: int = 4,
                        max_fp_docs: int = 1000,
                        text_col: str = "text", id_col: str = "doc_id",
-                       hash_fn: str = "xxhash64") -> DataFrame:
+                       hash_fn: str = "xxhash64",
+                       fps_df: DataFrame | None = None) -> DataFrame:
     """MOSS-style near-dup pairs: documents sharing >= ``min_shared``
     winnowing fingerprints, with the shared count as the match signal.
 
@@ -427,11 +428,18 @@ def winnow_dedup_pairs(docs: DataFrame, min_shared: int = 2,
     # expression re-runs the whole md5 pipeline per row interpreted
     # (measured 24x slower than the codegen'd projection); the cache
     # materializes it codegen'd once and the explode reads a plain
-    # column.  Same persist-scoping pattern as minhash_dedup_pairs'
-    # shingle frame (LRU-evicted; at 100 TB a staging table plays this
-    # role).
-    fps = winnow_fingerprints(docs, shingle_n, window, text_col, id_col,
-                              hash_fn).persist()
+    # column.  Same persist-scoping pattern (and the same caller-owned
+    # lifetime contract) as minhash_dedup_pairs' shingle frame: ONE
+    # internal persist per call, LRU-evicted; repeated invocations
+    # (bench reps, a streaming loop) pass a pre-computed fingerprint
+    # frame via ``fps_df`` and own its persist/unpersist — at 100 TB a
+    # staging table plays this role (ADVICE r6).
+    fps = (
+        fps_df
+        if fps_df is not None
+        else winnow_fingerprints(docs, shingle_n, window, text_col,
+                                 id_col, hash_fn).persist()
+    )
     inv = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
     keep_fp = (
         inv.groupBy("fp")

@@ -34,6 +34,25 @@ from .ingest import with_epoch_marker as _with_epoch_marker
 REJECT_TABLE = "corpus_rejects"
 
 
+def _stream_generation(checkpoint_dir: str) -> str:
+    """A per-checkpoint generation id (uuid written once into the
+    checkpoint dir): epoch ids restart at 0 whenever a stream gets a
+    fresh checkpoint, so replay-idempotency keys must carry the
+    generation or a new run's epoch 0 would match — and silently
+    skip — a previous run's published epoch 0."""
+    import uuid
+
+    p = os.path.join(checkpoint_dir, "stream_gen.id")
+    if not os.path.exists(p):
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = p + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(uuid.uuid4().hex)
+        os.replace(tmp, p)
+    with open(p) as f:
+        return f.read().strip()
+
+
 def process_curation_batch(
     wh: Warehouse,
     batch: DataFrame,
@@ -42,10 +61,52 @@ def process_curation_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_ledger: bool = True,
+    epoch_id: int | None = None,
+    stream_gen: str | None = None,
 ) -> None:
-    """One curation pass over a micro-batch (see module docstring)."""
+    """One curation pass over a micro-batch (see module docstring).
+
+    r7 (ADVICE r6): the three appends of one micro-batch — curated sink,
+    digest ledger, reject ledger — commit through ONE txn.StagedPass
+    manifest.  A crash at any point leaves either none of them visible
+    (the epoch replays cleanly) or all of them (the replay's survivors
+    anti-join to nothing against the now-complete ledger), never the
+    sink-without-ledger state that re-admitted the whole survivor set
+    on replay.  With an ``epoch_id`` + ``stream_gen`` (a per-checkpoint
+    generation id, so a FRESH checkpoint restarting epochs at 0 can
+    never match a previous run's rows), rejects carry both and a
+    fully-published epoch short-circuits before any job — reject rows
+    are replay-idempotent too.  Batch-mode callers (``None``) own their
+    retry semantics and get epoch -1 / gen ''."""
+    from ..txn import GLOBAL_LANE, StagedPass
+
+    from .dedup import LEDGER_TABLE
+
+    StagedPass.recover(wh, GLOBAL_LANE)
+    StagedPass.sweep_flat_stages(wh, sink_table, LEDGER_TABLE, REJECT_TABLE)
+    if (
+        epoch_id is not None
+        and stream_gen is not None
+        and wh.exists(REJECT_TABLE)
+    ):
+        already = (
+            wh.read(REJECT_TABLE)
+            .filter(
+                (F.col("epoch") == int(epoch_id))
+                & (F.col("stream_gen") == stream_gen)
+            )
+            .limit(1)
+            .count()
+        )
+        if already:
+            return  # epoch fully published (atomic pass) — pure replay
     verdict = quality_gate(batch, text_col, id_col, thresholds)
-    rejects = verdict.filter(~F.col("keep")).select(id_col, "reasons")
+    rejects = verdict.filter(~F.col("keep")).select(
+        id_col, "reasons",
+        F.lit(-1 if epoch_id is None else int(epoch_id))
+        .cast("long").alias("epoch"),
+        F.lit(stream_gen or "").alias("stream_gen"),
+    )
     passed = batch.join(
         verdict.filter("keep").select(id_col), id_col, "left_semi"
     )
@@ -54,12 +115,12 @@ def process_curation_batch(
     ).cache()
     try:
         labeled = dataset_split(survivors.drop("text_hash"), id_col=id_col)
-        wh.append(labeled, sink_table)
+        sp = StagedPass(wh, GLOBAL_LANE)
+        sp.stage_append_flat(labeled, sink_table)
         if survivors.limit(1).count() > 0:
-            from .dedup import LEDGER_TABLE
-
-            wh.append(survivors.select("text_hash"), LEDGER_TABLE)
-        wh.append(rejects, REJECT_TABLE)
+            sp.stage_append_flat(survivors.select("text_hash"), LEDGER_TABLE)
+        sp.stage_append_flat(rejects, REJECT_TABLE)
+        sp.publish()
     finally:
         survivors.unpersist()
 
@@ -75,19 +136,25 @@ def stream_curation(
     max_files_per_trigger: int = 16,
 ):
     """Streaming curation pipeline with committed-epoch markers (same
-    replay protocol as every foreachBatch sink in this package)."""
+    replay protocol as every foreachBatch sink in this package); the
+    per-batch sink/ledger/reject appends additionally commit through
+    one StagedPass manifest keyed by (stream generation, epoch), so the
+    marker-less crash window replays idempotently too."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(landing_glob)
     )
     marker_dir = os.path.join(checkpoint_dir, "epoch_markers")
+    gen = _stream_generation(checkpoint_dir)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         _with_epoch_marker(
             marker_dir, epoch_id,
             lambda: process_curation_batch(wh, batch, sink_table,
-                                           thresholds),
+                                           thresholds,
+                                           epoch_id=epoch_id,
+                                           stream_gen=gen),
         )
 
     return (

@@ -107,15 +107,26 @@ def process_dedup_batch(
 ) -> None:
     """One ledger pass: compute survivors (see
     :func:`dedup_batch_survivors`), append them to the sink + their
-    digests to the ledger."""
+    digests to the ledger — committed through ONE StagedPass manifest
+    (r7, ADVICE r6): a crash between the two appends previously left
+    survivors in the sink with their digests missing from the ledger,
+    so the epoch replay re-admitted the entire survivor set as
+    duplicates.  Now either both appends are visible (replay anti-joins
+    to nothing) or neither is (clean replay)."""
+    from ..txn import GLOBAL_LANE, StagedPass
+
+    StagedPass.recover(wh, GLOBAL_LANE)
+    StagedPass.sweep_flat_stages(wh, sink_table, LEDGER_TABLE)
     firsts = dedup_batch_survivors(wh, batch, text_col, id_col,
                                    broadcast_ledger)
     firsts = firsts.cache()
     try:
         if firsts.count() == 0:
             return
-        wh.append(firsts.drop("text_hash"), sink_table)
-        wh.append(firsts.select("text_hash"), LEDGER_TABLE)
+        sp = StagedPass(wh, GLOBAL_LANE)
+        sp.stage_append_flat(firsts.drop("text_hash"), sink_table)
+        sp.stage_append_flat(firsts.select("text_hash"), LEDGER_TABLE)
+        sp.publish()
     finally:
         firsts.unpersist()
 

@@ -191,6 +191,21 @@ class StagedPass:
         df.drop("srvid").write.mode("overwrite").parquet(d)
         self._ops.append({"kind": "append", "table": table, "stage": d})
 
+    def stage_append_flat(self, df, table: str) -> None:
+        """Stage an append to an UNPARTITIONED table (streaming sinks,
+        digest ledgers): the staged files publish into the table root.
+        Used by the streaming curation/dedup batch processors so the
+        sink append and the ledger append of one micro-batch commit
+        through one manifest (ADVICE r6: a crash between the two made
+        the epoch replay re-admit the whole survivor set)."""
+        self._acl_check(table)
+        d = os.path.join(
+            self.wh.path(table),
+            f".__stage__{self.pass_id}__{len(self._ops)}",
+        )
+        df.write.mode("overwrite").parquet(d)
+        self._ops.append({"kind": "append", "table": table, "stage": d})
+
     def stage_replace(self, df, table: str) -> None:
         """Stage a full replace of the srvid partition of ``table``."""
         self._acl_check(table)
@@ -248,6 +263,25 @@ class StagedPass:
     # ---- recovery --------------------------------------------------------
 
     @staticmethod
+    def sweep_flat_stages(wh, *tables: str) -> None:
+        """Remove stale flat-stage dirs (``.__stage__*`` directly under
+        the given table roots) left by a caller that died BEFORE its
+        manifest rename.  Invisible to readers either way — this only
+        reclaims disk.  Safe only for tables whose global-lane writer is
+        serialized (a streaming sink's single foreachBatch loop); called
+        at batch-processor entry, never from recover()'s generic walk
+        (which cannot tell a dead pass's stage from a concurrent
+        caller's in-flight one)."""
+        for table in tables:
+            root = wh.path(table)
+            if not os.path.isdir(root):
+                continue
+            for name in os.listdir(root):
+                if name.startswith(".__stage__"):
+                    shutil.rmtree(os.path.join(root, name),
+                                  ignore_errors=True)
+
+    @staticmethod
     def recover(wh, srvid: int, sweep: bool = False) -> int:
         """Complete every published-but-interrupted pass for ``srvid``
         (cheap: one listing of the tiny ``_txn`` dir, normally empty).
@@ -297,6 +331,11 @@ class StagedPass:
                 full = os.path.join(dirpath, d)
                 in_srv_part = os.path.basename(dirpath) == f"srvid={srvid}"
                 if d.startswith(".__stage__") and in_srv_part:
+                    # flat stages (.__stage__ directly under a table
+                    # root) are deliberately NOT swept here: another
+                    # global-lane writer (a streaming batch processor)
+                    # may be mid-stage; each processor sweeps its own
+                    # tables via sweep_flat_stages at batch entry
                     shutil.rmtree(full, ignore_errors=True)
                 elif d.startswith(f".__stageswap__srvid={srvid}__"):
                     shutil.rmtree(full, ignore_errors=True)

@@ -793,3 +793,71 @@ def test_stream_curation_pipeline(spark, wh):
                         thresholds={"min_tokens": 20})
     q.awaitTermination(60)
     assert sorted(r.doc_id for r in wh.read("curated").collect()) == [0, 2, 4]
+
+
+def test_curation_batch_commit_is_atomic_and_replay_idempotent(spark, wh):
+    """r7 (ADVICE r6): sink + digest-ledger + reject appends of one
+    micro-batch commit through ONE manifest.  Crash before the manifest
+    -> none visible, clean replay; crash mid-fold -> ALL visible to
+    readers already; epoch replay of a fully-published batch
+    short-circuits (no duplicate rejects, no duplicate sink rows)."""
+    from powa_archivist_spark import txn as txn_mod
+    from powa_archivist_spark.streaming.curation import (
+        REJECT_TABLE,
+        process_curation_batch,
+    )
+    from powa_archivist_spark.streaming.dedup import LEDGER_TABLE
+    from powa_archivist_spark.txn import StagedPass
+
+    good = " ".join(f"tok{i}" for i in range(30))
+    schema = "doc_id long, text string"
+    batch = spark.createDataFrame(
+        [(0, good), (1, "tiny doc")], schema
+    )
+    thr = {"min_tokens": 20}
+
+    class Boom(RuntimeError):
+        pass
+
+    # (a) crash before the manifest rename: NOTHING visible
+    real_publish = StagedPass.publish
+    StagedPass.publish = lambda self: (_ for _ in ()).throw(Boom())
+    try:
+        process_curation_batch(wh, batch, "cur_sink", thr,
+                               epoch_id=0, stream_gen="g1")
+    except Boom:
+        pass
+    finally:
+        StagedPass.publish = real_publish
+    assert not wh.exists("cur_sink")
+    assert not wh.exists(LEDGER_TABLE)
+    assert not wh.exists(REJECT_TABLE)
+
+    # (b) crash mid-fold (manifest committed, zero ops folded): readers
+    # see ALL three sinks
+    real_apply = txn_mod._apply_ops
+    txn_mod._apply_ops = lambda w, ops: (_ for _ in ()).throw(Boom())
+    try:
+        process_curation_batch(wh, batch, "cur_sink", thr,
+                               epoch_id=0, stream_gen="g1")
+    except Boom:
+        pass
+    finally:
+        txn_mod._apply_ops = real_apply
+    assert sorted(r.doc_id for r in wh.read("cur_sink").collect()) == [0]
+    assert wh.read(LEDGER_TABLE).count() == 1
+    rejects = wh.read(REJECT_TABLE).collect()
+    assert [(r.doc_id, list(r.reasons)) for r in rejects] == [(1, ["too_short"])]
+
+    # (c) epoch replay of the fully-published batch: short-circuits
+    process_curation_batch(wh, batch, "cur_sink", thr,
+                           epoch_id=0, stream_gen="g1")
+    assert wh.read("cur_sink").count() == 1
+    assert wh.read(REJECT_TABLE).count() == 1, "duplicate reject rows"
+
+    # (d) a NEW stream generation reusing epoch 0 is NOT skipped: the
+    # gate re-rejects doc 1 (new reject row), the ledger drops doc 0
+    process_curation_batch(wh, batch, "cur_sink", thr,
+                           epoch_id=0, stream_gen="g2")
+    assert wh.read("cur_sink").count() == 1          # dedup held
+    assert wh.read(REJECT_TABLE).count() == 2        # audit row per gen
