@@ -18,8 +18,12 @@ path and for verification of LSH recall.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 #: ASCII case-fold pair for normalized_text — full-Unicode lower() is
@@ -120,7 +124,8 @@ def token_sets(docs: DataFrame, text_col: str = "text",
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                   text_col: str = "text", id_col: str = "doc_id",
-                  strategy: str = "prefix") -> DataFrame:
+                  strategy: str = "prefix",
+                  route_out: dict | None = None) -> DataFrame:
     """Token-set Jaccard >= threshold — two physical strategies.
 
     - **``"prefix"`` (default)**: AllPairs/PPJoin prefix filtering — no
@@ -138,7 +143,15 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
       and pick between the two.  Explicit opt-in because the probe is a
       driver-blocking job (round-5: previously the ``"auto"`` default,
       inverted per VERDICT r4 so the default path launches zero collect
-      jobs).  ``"auto"`` is kept as an alias of ``"probe"``."""
+      jobs).  ``"auto"`` is kept as an alias of ``"probe"``.
+
+    The probe's decision is OBSERVABLE (r7, VERDICT r6 task 5): it is
+    logged — at WARNING when the probe falls off the bitmask fast path
+    to PPJoin, the routing cliff measured as a 13x step for
+    ``dedup_components`` at sf1 (PERF.md) — and written into
+    ``route_out['route']`` when the caller passes a dict, so growing
+    corpora can alert when the route flips between runs instead of
+    silently absorbing the step."""
     toks = token_sets(docs, text_col, id_col)
     if strategy == "prefix":
         return _jaccard_prefix(toks, threshold, id_col)
@@ -154,7 +167,22 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     if strategy == "bitmask" or len(vocab) <= 63:
         if len(vocab) > 63:
             raise ValueError("bitmask strategy needs a <=63-token vocabulary")
+        if strategy in ("probe", "auto"):
+            _LOG.info(
+                "jaccard_pairs probe: vocabulary <=63 tokens -> bitmask "
+                "fast path"
+            )
+        if route_out is not None:
+            route_out["route"] = "bitmask"
         return _jaccard_bitmask(toks, vocab, threshold, id_col)
+    _LOG.warning(
+        "jaccard_pairs probe: vocabulary exceeded 63 tokens -> falling "
+        "off the bitmask fast path to PPJoin prefix filtering (expect a "
+        "step change in runtime if earlier runs took the bitmask route; "
+        "pin strategy='prefix' for growing corpora)"
+    )
+    if route_out is not None:
+        route_out["route"] = "prefix"
     return _jaccard_prefix(toks, threshold, id_col)
 
 

@@ -1267,3 +1267,38 @@ def test_ivf_upsert_crash_atomicity(spark, wh):
     # idempotent replay converges
     similarity.ivf_upsert(wh, batch)
     assert snapshot_cells() == post
+
+
+def test_jaccard_probe_route_is_observable(spark, caplog):
+    """r7 (VERDICT r6 task 5): strategy='probe' silently flipped
+    bitmask->prefix when the vocabulary crossed 63 tokens — a measured
+    13x step.  The decision is now logged (WARNING on the fall-off) and
+    returned via route_out so operators can alert on a flip."""
+    import logging
+
+    from powa_archivist_spark.pipeline.dedup import jaccard_pairs
+
+    small = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "x y")], "doc_id long, text string"
+    )
+    big_vocab = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(20)],
+        "doc_id long, text string",
+    )
+
+    route = {}
+    with caplog.at_level(logging.INFO,
+                         logger="powa_archivist_spark.pipeline.dedup"):
+        jaccard_pairs(small, strategy="probe", route_out=route).count()
+    assert route == {"route": "bitmask"}
+    assert any("bitmask fast path" in r.message for r in caplog.records)
+
+    caplog.clear()
+    route = {}
+    with caplog.at_level(logging.INFO,
+                         logger="powa_archivist_spark.pipeline.dedup"):
+        jaccard_pairs(big_vocab, strategy="probe", route_out=route).count()
+    assert route == {"route": "prefix"}
+    warns = [r for r in caplog.records if r.levelno == logging.WARNING]
+    assert any("falling" in r.message and "bitmask" in r.message
+               for r in warns), "no WARNING on the routing cliff"
