@@ -63,6 +63,7 @@ def process_curation_batch(
     broadcast_ledger: bool = True,
     epoch_id: int | None = None,
     stream_gen: str | None = None,
+    digest_ledger=None,
 ) -> None:
     """One curation pass over a micro-batch (see module docstring).
 
@@ -84,6 +85,8 @@ def process_curation_batch(
 
     StagedPass.recover(wh, GLOBAL_LANE)
     StagedPass.sweep_flat_stages(wh, sink_table, LEDGER_TABLE, REJECT_TABLE)
+    if digest_ledger is not None:
+        digest_ledger.sweep_stages()
     if (
         epoch_id is not None
         and stream_gen is not None
@@ -111,14 +114,21 @@ def process_curation_batch(
         verdict.filter("keep").select(id_col), id_col, "left_semi"
     )
     survivors = dedup_batch_survivors(
-        wh, passed, text_col, id_col, broadcast_ledger
+        wh, passed, text_col, id_col, broadcast_ledger, digest_ledger
     ).cache()
     try:
         labeled = dataset_split(survivors.drop("text_hash"), id_col=id_col)
         sp = StagedPass(wh, GLOBAL_LANE)
         sp.stage_append_flat(labeled, sink_table)
         if survivors.limit(1).count() > 0:
-            sp.stage_append_flat(survivors.select("text_hash"), LEDGER_TABLE)
+            if digest_ledger is not None:
+                digest_ledger.stage_append(
+                    survivors.select("text_hash"), sp
+                )
+            else:
+                sp.stage_append_flat(
+                    survivors.select("text_hash"), LEDGER_TABLE
+                )
         sp.stage_append_flat(rejects, REJECT_TABLE)
         sp.publish()
     finally:
@@ -134,6 +144,7 @@ def stream_curation(
     sink_table: str = "corpus_curated",
     thresholds: dict | None = None,
     max_files_per_trigger: int = 16,
+    bucketed_ledger: bool = False,
 ):
     """Streaming curation pipeline with committed-epoch markers (same
     replay protocol as every foreachBatch sink in this package); the
@@ -147,6 +158,9 @@ def stream_curation(
     )
     marker_dir = os.path.join(checkpoint_dir, "epoch_markers")
     gen = _stream_generation(checkpoint_dir)
+    from .dedup import BucketedDigestLedger
+
+    dl = BucketedDigestLedger(wh) if bucketed_ledger else None
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         _with_epoch_marker(
@@ -154,7 +168,8 @@ def stream_curation(
             lambda: process_curation_batch(wh, batch, sink_table,
                                            thresholds,
                                            epoch_id=epoch_id,
-                                           stream_gen=gen),
+                                           stream_gen=gen,
+                                           digest_ledger=dl),
         )
 
     return (

@@ -62,10 +62,95 @@ def stream_exact_dedup(
     )
 
 
+class BucketedDigestLedger:
+    """At-rest digest ledger BUCKETED on ``text_hash`` (r7, VERDICT r6
+    task 8): the per-batch anti-join then reads the ledger with ZERO
+    Exchange — only the (small) batch side shuffles into the ledger's
+    bucketing, instead of both sides re-shuffling the full ledger every
+    micro-batch.  At 100 TB the ledger is the corpus-sized side, so
+    this removes the dominant per-batch shuffle.
+
+    Layout machinery: ``layout.write_bucketed`` catalog tables (bucket
+    spec lives in the session catalog).  Appends stay ATOMIC with the
+    rest of the micro-batch pass: ``stage_append`` writes the delta as
+    a same-spec bucketed STAGE table (bucket ids ride in the file
+    names, so moving the files preserves assignment) and registers an
+    ``append_files`` op in the pass's StagedPass — publish moves the
+    staged bucket files into the live table location under the one
+    manifest commit and refreshes the catalog.
+
+    Concurrency contract: one writer/reader loop per ledger (the
+    stream's serialized foreachBatch), matching every other global-lane
+    writer; crash leftovers are healed by recover() + sweep_stages().
+    """
+
+    def __init__(self, wh: Warehouse,
+                 table: str = "corpus_digest_ledger_bkt",
+                 n_buckets: int = 64) -> None:
+        self.wh = wh
+        self.spark = wh.spark
+        self.table = table
+        self.n_buckets = n_buckets
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def read(self) -> DataFrame:
+        from .. import txn
+
+        txn.heal_table(self.wh, self.table)
+        return self.spark.table(self.table)
+
+    def _location(self, table: str) -> str:
+        (row,) = (
+            self.spark.sql(f"DESCRIBE FORMATTED `{table}`")
+            .filter("col_name = 'Location'")
+            .collect()
+        )
+        loc = row.data_type
+        return loc[len("file:"):] if loc.startswith("file:") else loc
+
+    def ensure(self) -> None:
+        if not self.exists():
+            from ..layout import write_bucketed
+
+            write_bucketed(
+                self.spark.createDataFrame([], "text_hash string"),
+                self.table, ["text_hash"], self.n_buckets,
+            )
+
+    def stage_append(self, df: DataFrame, sp) -> None:
+        """Stage a bucketed delta into the pass's manifest."""
+        from ..layout import write_bucketed
+
+        self.ensure()
+        stage_tbl = f"{self.table}__stage_{sp.pass_id}_{len(sp._ops)}"
+        write_bucketed(df.select("text_hash"), stage_tbl,
+                       ["text_hash"], self.n_buckets)
+        sp._ops.append({
+            "kind": "append_files",
+            "table": self.table,
+            "stage": self._location(stage_tbl),
+            "dest": self._location(self.table),
+            "drop_stage_table": stage_tbl,
+            "refresh": self.table,
+        })
+
+    def sweep_stages(self) -> None:
+        """Drop stage tables left by passes that died before their
+        manifest rename (committed ones were consumed by recover())."""
+        from ..layout import drop_table
+
+        for t in self.spark.catalog.listTables():
+            if t.name.startswith(f"{self.table}__stage_"):
+                drop_table(self.spark, t.name)
+
+
 def dedup_batch_survivors(
     wh: Warehouse, batch: DataFrame,
     text_col: str = "text", id_col: str = "doc_id",
     broadcast_ledger: bool = True,
+    digest_ledger: "BucketedDigestLedger | None" = None,
 ) -> DataFrame:
     """The lazy survivors frame of one exact-dedup ledger pass: min-id
     per digest inside the batch, then anti-join the seen-digest ledger.
@@ -87,6 +172,15 @@ def dedup_batch_survivors(
         (hashed["text_hash"] == w_min["text_hash"])
         & (hashed[id_col] == w_min["_keep_id"]),
     ).select(hashed["*"])
+    if digest_ledger is not None:
+        # bucketed ledger: NO Exchange on the ledger side — the batch
+        # side alone shuffles into the ledger's bucketing (plan-pinned)
+        if digest_ledger.exists():
+            firsts = firsts.join(
+                digest_ledger.read().hint("shuffle_hash"),
+                "text_hash", "left_anti",
+            )
+        return firsts
     if wh.exists(LEDGER_TABLE):
         seen = wh.read(LEDGER_TABLE)
         if broadcast_ledger:
@@ -104,6 +198,7 @@ def process_dedup_batch(
     wh: Warehouse, batch: DataFrame, sink_table: str,
     text_col: str = "text", id_col: str = "doc_id",
     broadcast_ledger: bool = True,
+    digest_ledger: "BucketedDigestLedger | None" = None,
 ) -> None:
     """One ledger pass: compute survivors (see
     :func:`dedup_batch_survivors`), append them to the sink + their
@@ -117,15 +212,20 @@ def process_dedup_batch(
 
     StagedPass.recover(wh, GLOBAL_LANE)
     StagedPass.sweep_flat_stages(wh, sink_table, LEDGER_TABLE)
+    if digest_ledger is not None:
+        digest_ledger.sweep_stages()
     firsts = dedup_batch_survivors(wh, batch, text_col, id_col,
-                                   broadcast_ledger)
+                                   broadcast_ledger, digest_ledger)
     firsts = firsts.cache()
     try:
         if firsts.count() == 0:
             return
         sp = StagedPass(wh, GLOBAL_LANE)
         sp.stage_append_flat(firsts.drop("text_hash"), sink_table)
-        sp.stage_append_flat(firsts.select("text_hash"), LEDGER_TABLE)
+        if digest_ledger is not None:
+            digest_ledger.stage_append(firsts.select("text_hash"), sp)
+        else:
+            sp.stage_append_flat(firsts.select("text_hash"), LEDGER_TABLE)
         sp.publish()
     finally:
         firsts.unpersist()
@@ -391,11 +491,14 @@ def stream_exact_dedup_ledger(
     id_col: str = "doc_id",
     max_files_per_trigger: int = 16,
     broadcast_ledger: bool = True,
+    bucketed_ledger: bool = False,
 ):
     """Unbounded-window streaming dedup via the digest ledger (corpus
     building).  Broadcast of the ledger is a small-scale convenience —
-    at 100 TB pass ``broadcast_ledger=False`` and the anti-join shuffles
-    both sides on the digest (bucketed ledger -> one-sided shuffle)."""
+    at 100 TB pass ``bucketed_ledger=True`` and the per-batch anti-join
+    reads the digest-BUCKETED ledger with zero Exchange on the ledger
+    side (only the batch shuffles; plan-pinned); ``broadcast_ledger=
+    False`` is the intermediate shuffle-both-sides form."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -403,12 +506,14 @@ def stream_exact_dedup_ledger(
     )
 
     marker_dir = os.path.join(checkpoint_dir, "epoch_markers")
+    dl = BucketedDigestLedger(wh) if bucketed_ledger else None
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         _with_epoch_marker(
             marker_dir, epoch_id,
             lambda: process_dedup_batch(wh, batch, sink_table, text_col,
-                                        id_col, broadcast_ledger),
+                                        id_col, broadcast_ledger,
+                                        digest_ledger=dl),
         )
 
     return (

@@ -441,6 +441,30 @@ def _apply_ops(wh, ops: list[dict]) -> None:
                 # stage consumed (or was already): drop swapout leftover
                 if os.path.isdir(swapout):
                     shutil.rmtree(swapout)
+            elif table_kind == "append_files":
+                # bucketed catalog-table append (BucketedDigestLedger):
+                # staged bucket files carry their bucket id in the file
+                # name, so a move preserves assignment; the catalog
+                # entry of the stage table is dropped after consumption
+                dest = op["dest"]
+                if os.path.isdir(stage):
+                    os.makedirs(dest, exist_ok=True)
+                    for f in os.listdir(stage):
+                        if f.endswith(".parquet"):
+                            os.replace(
+                                os.path.join(stage, f),
+                                os.path.join(dest, f),
+                            )
+                    shutil.rmtree(stage, ignore_errors=True)
+                spark = getattr(wh, "spark", None)
+                if spark is not None:
+                    try:
+                        spark.sql(f"REFRESH TABLE `{op['refresh']}`")
+                        spark.sql(
+                            f"DROP TABLE IF EXISTS `{op['drop_stage_table']}`"
+                        )
+                    except Exception:  # pragma: no cover - catalog drift
+                        pass  # stage dir already consumed; entry is inert
             elif table_kind == "replace_tree":
                 live_root = os.path.dirname(stage)
                 token = op["token"]

@@ -861,3 +861,73 @@ def test_curation_batch_commit_is_atomic_and_replay_idempotent(spark, wh):
                            epoch_id=0, stream_gen="g2")
     assert wh.read("cur_sink").count() == 1          # dedup held
     assert wh.read(REJECT_TABLE).count() == 2        # audit row per gen
+
+
+def test_bucketed_digest_ledger_dedups_and_plan(spark, wh):
+    """r7 (VERDICT r6 task 8): with the digest ledger stored BUCKETED on
+    text_hash, the per-batch anti-join reads the ledger side with ZERO
+    Exchange (only the batch shuffles into the ledger's bucketing) —
+    plan-pinned — and cross-batch dedup semantics are unchanged.  The
+    staged bucketed append commits under the same pass manifest."""
+    from powa_archivist_spark.plans import inspect as pi
+    from powa_archivist_spark.streaming.dedup import (
+        BucketedDigestLedger,
+        dedup_batch_survivors,
+        process_dedup_batch,
+    )
+
+    dl = BucketedDigestLedger(wh, table="led_bkt_t", n_buckets=8)
+    try:
+        schema = "doc_id long, text string"
+        b1 = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "gamma delta"), (2, "ALPHA  beta")],
+            schema,
+        )
+        process_dedup_batch(wh, b1, "bkt_sink", digest_ledger=dl)
+        assert sorted(r.doc_id for r in wh.read("bkt_sink").collect()) == [0, 1]
+        assert dl.read().count() == 2
+
+        b2 = spark.createDataFrame(
+            [(3, "alpha beta"), (4, "epsilon zeta")], schema
+        )
+        # plan pin: the anti-join's LEDGER side scans the bucketed table
+        # with NO Exchange between the scan and the join — only the
+        # batch side shuffles into the ledger's bucketing
+        import re
+
+        surv = dedup_batch_survivors(wh, b2, digest_ledger=dl)
+        plan = pi.plan_string(surv)
+        assert "Bucketed: true" in plan
+        tree = plan.split("\n\n")[0].splitlines()
+        scan_i = next(i for i, ln in enumerate(tree)
+                      if "led_bkt_t" in ln and "Scan" in ln)
+
+        def _depth(ln: str) -> int:
+            return re.match(r"^[\s:+\-]*", ln).end()
+
+        d = _depth(tree[scan_i])
+        ancestors = []
+        for ln in reversed(tree[:scan_i]):
+            dd = _depth(ln)
+            if dd < d:
+                ancestors.append(ln)
+                d = dd
+                if "LeftAnti" in ln:
+                    break
+        assert any("LeftAnti" in ln for ln in ancestors), ancestors
+        assert not any("Exchange" in ln for ln in ancestors), (
+            "Exchange on the bucketed ledger side", ancestors
+        )
+
+        process_dedup_batch(wh, b2, "bkt_sink", digest_ledger=dl)
+        assert sorted(r.doc_id for r in wh.read("bkt_sink").collect()) == [0, 1, 4]
+        assert dl.read().count() == 3
+        # staged catalog leftovers are consumed
+        assert not [t.name for t in spark.catalog.listTables()
+                    if t.name.startswith("led_bkt_t__stage_")]
+    finally:
+        from powa_archivist_spark.layout import drop_table
+
+        for t in spark.catalog.listTables():
+            if t.name.startswith("led_bkt_t"):
+                drop_table(spark, t.name)
