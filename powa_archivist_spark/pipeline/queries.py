@@ -1556,7 +1556,7 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         similarity.ivf_upsert(wh, batch)
         out = (
-            wh.read(similarity.ANN_CELLS_TABLE)
+            similarity.ivf_cells(wh)
             .groupBy(F.col("cell_id").cast("long").alias("cell_id"))
             .agg(
                 F.count(F.lit(1)).alias("n_vecs"),

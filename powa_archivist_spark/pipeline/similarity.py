@@ -211,6 +211,65 @@ def ivf_refine(
 
 ANN_CELLS_TABLE = "ann_ivf_cells"
 ANN_CENTROIDS_TABLE = "ann_ivf_centroids"
+#: LSM-style upsert runs (r7, VERDICT r6 task 4): each upsert appends
+#: ONE flat file of (cell_id, id, v) rows sorted by cell_id, instead of
+#: rewriting a file into every target cell's partition dir — the
+#: partitioned write's per-file committer overhead scales with
+#: min(batch, n_cells) and dominated the fixed-batch upsert (measured
+#: 2.2 s for 500 rows into 191 leaf dirs vs 0.2 s flat).  Probes read
+#: base ∪ delta (the sort makes the delta's row-group stats prune by
+#: cell); :func:`ivf_compact_delta` folds grown deltas back into the
+#: base partitions.
+ANN_DELTA_TABLE = "ann_ivf_delta"
+#: constant-size Bloom filter over every id ever inserted (r7): the
+#: upsert's replaced-id discovery — the one index-wide scan — is
+#: skipped entirely when the filter proves a batch's ids are all fresh
+#: (the common ingest case).  False positives only cost the scan that
+#: would otherwise always run; bits are never cleared (replaced ids
+#: stay set — harmless FPs) and a full ivf_build resets it.
+ANN_ID_BLOOM_TABLE = "ann_ivf_id_bloom"
+ID_BLOOM_M_BITS = 1 << 22
+ID_BLOOM_K = 4
+def _bloom_word():
+    return F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+
+
+def _id_bloom_probes(ids: DataFrame, id_col: str) -> DataFrame:
+    seeded = ids.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(ID_BLOOM_K)])
+        ).alias("seed"),
+    )
+    pos = F.pmod(
+        F.xxhash64(F.col("seed"), F.col(id_col)), F.lit(ID_BLOOM_M_BITS)
+    )
+    return seeded.select(
+        F.col(id_col),
+        F.floor(pos / 32).cast("long").alias("word_idx"),
+        F.pmod(pos, 32).cast("int").alias("bit"),
+    )
+
+
+def _id_bloom_words(ids: DataFrame, id_col: str) -> DataFrame:
+    return (
+        _id_bloom_probes(ids, id_col)
+        .groupBy("word_idx")
+        .agg(F.bit_or(_bloom_word()).alias("word"))
+    )
+
+
+def ivf_cells(wh) -> DataFrame:
+    """The index's logical cell assignment: base partitions ∪ delta
+    runs.  The upsert maintains the no-duplicate-id invariant across
+    both, so readers just union."""
+    base = wh.read(ANN_CELLS_TABLE)
+    if wh.exists(ANN_DELTA_TABLE):
+        base = base.select("cell_id", *[c for c in base.columns
+                                        if c != "cell_id"]).unionByName(
+            wh.read(ANN_DELTA_TABLE)
+        )
+    return base
 
 
 def ivf_build(
@@ -248,6 +307,10 @@ def ivf_build(
     )
     wh.overwrite(assign, ANN_CELLS_TABLE, partition_by=["cell_id"])
     wh.overwrite(cents, ANN_CENTROIDS_TABLE)
+    wh.drop_table(ANN_DELTA_TABLE)  # a rebuild supersedes pending runs
+    wh.overwrite(
+        _id_bloom_words(emb.select(id_col), id_col), ANN_ID_BLOOM_TABLE
+    )
 
 
 def ivf_upsert(
@@ -256,6 +319,7 @@ def ivf_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assume_new_ids: bool = False,
+    compact_delta_runs: int = 16,
 ) -> None:
     """Incrementally maintain the at-rest IVF index: assign a NEW batch
     of vectors to the EXISTING centroids and fold it into the cells
@@ -267,35 +331,37 @@ def ivf_upsert(
     vector may have been re-embedded), even when the new vector lands
     in a DIFFERENT cell.  Plan: broadcast-scored ``max_by`` assignment
     of the batch (same arithmetic as the build, so probe results are
-    indistinguishable from a full rebuild), then ONE staged
-    partition-tree replace of exactly the touched cells — cells the
-    batch doesn't reach keep their files untouched.  The touched-cell
-    set is the batch's target cells plus any cell holding an updated id
-    (found with a semi-join against the batch ids, pruned by cell
-    partitions).
+    indistinguishable from a full rebuild), then an LSM-style write
+    (r7, VERDICT r6 task 4 — upsert IO is now proportional to the
+    BATCH, not to min(batch, n_cells) partition-dir rewrites):
 
-    r7 (ADVICE r6): the rewrite commits through txn.StagedPass.
-    stage_replace_tree — the new cell content (including the drops of
-    emptied cells) is written to an invisible staged tree by one Spark
-    job whose input files are never mutated mid-read (the old dynamic
-    overwrite read the table it was overwriting, trusting cache
-    residency), and publishes under the single-manifest commit: a crash
-    at any point leaves readers on the intact pre-batch index or the
-    complete post-batch one, never a replaced id present in two cells.
-    Interrupted publishes are healed here (and by any reader) before
-    the next batch.
+    - the batch lands as ONE flat sorted run appended to
+      ``ANN_DELTA_TABLE`` (sorted by cell so probes prune its row
+      groups);
+    - only base cells HOLDING A REPLACED id rewrite
+      (stage_replace_tree, partition-pruned, bounded by the batch);
+      replaced ids already sitting in the delta rewrite the (small)
+      delta instead;
+    - when the delta accumulates ``compact_delta_runs`` run files,
+      :func:`ivf_compact_delta` folds it into the base partitions —
+      one staged pass, one file per touched cell.
+
+    All ops of one upsert commit through a single txn.StagedPass
+    manifest: a crash at any point leaves readers on the intact
+    pre-batch index or the complete post-batch one, never a replaced id
+    present in two places.  Interrupted publishes are healed here (and
+    by any reader) before the next batch.
 
     Centroids stay FIXED — standard IVF practice (drift re-clustering
     is a periodic full ``ivf_build``); the assignment is exact w.r.t.
     the current centroids either way.
 
     ``assume_new_ids=True`` is the append-only ingest fast path: the
-    replaced-id discovery is a semi-join SCAN of the whole cells table
-    (ids spread across every cell, so partition pruning can't help —
-    the price of not keeping a secondary id->cell index), and a caller
-    that KNOWS its ids are fresh (monotonic ingest keys) skips it and
-    the upsert becomes a plain partition-wise append of the batch's
-    target cells."""
+    replaced-id discovery is a semi-join SCAN of the whole index's
+    narrow (cell_id, id) columns (ids spread across every cell, so
+    partition pruning can't help), and a caller that KNOWS its ids are
+    fresh (monotonic ingest keys) skips it — the upsert is then just
+    the run append."""
     from ..txn import GLOBAL_LANE, StagedPass
 
     # complete any interrupted index publish first (idempotent, cheap —
@@ -303,70 +369,169 @@ def ivf_upsert(
     # dead stage trees)
     StagedPass.recover(wh, GLOBAL_LANE, sweep=True)
     cents = wh.read(ANN_CENTROIDS_TABLE)
-    vecs = new_emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        id_col, "v", "cell_id", int_dot(F.col("v"), F.col("cv")).alias("dot_c")
+    vecs = new_emb.select(
+        F.col(id_col), quantized(F.col(vec_col)).alias("v")
     )
-    assign = (
+    # score WITHOUT carrying the vector through the x n_cells scored
+    # frame (the struct copy of 64 longs per (id, cell) row dominated
+    # the partial aggregation as the centroid count grew); the winning
+    # cell joins its vector back from the small batch frame afterwards
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col, "cell_id", int_dot(F.col("v"), F.col("cv")).alias("dot_c")
+    )
+    best_cell = (
         scored.groupBy(id_col)
         .agg(
             F.max_by(
-                F.struct(F.col("cell_id"), F.col("v")),
+                F.col("cell_id"),
                 F.struct(F.col("dot_c"), (-F.col("cell_id")).alias("neg")),
-            ).alias("best")
+            ).alias("cell_id")
         )
-        .select(F.col("best.cell_id").alias("cell_id"), id_col, "best.v")
+    )
+    assign = (
+        best_cell.join(vecs, id_col)
+        .select("cell_id", id_col, "v")
         .persist()
     )
+    run = (
+        assign.select("cell_id", id_col, "v")
+        .coalesce(1)
+        .sortWithinPartitions("cell_id")
+    )
     try:
-        if assume_new_ids:
-            wh.append(
-                assign.select("cell_id", id_col, "v"),
-                ANN_CELLS_TABLE,
-                partition_by=["cell_id"],
-            )
-            return
-        existing = wh.read(ANN_CELLS_TABLE)
         batch_ids = assign.select(id_col)
-        # cells that must be rewritten: the batch's target cells, plus
-        # cells that currently hold an id the batch replaces
-        stale_cells = (
-            existing.join(F.broadcast(batch_ids), id_col, "left_semi")
-            .select("cell_id")
+        # maintain the id Bloom in the SAME pass: new filter = old words
+        # OR the batch's words (constant m_bits/32 rows either way).
+        # Missing filter (pre-r7 index): seed it from the full id set
+        # once — a narrow scan the filter then amortizes away.
+        if wh.exists(ANN_ID_BLOOM_TABLE):
+            old_bloom = wh.read(ANN_ID_BLOOM_TABLE)
+        else:
+            old_bloom = _id_bloom_words(ivf_cells(wh).select(id_col), id_col)
+        new_bloom = (
+            old_bloom.unionByName(_id_bloom_words(batch_ids, id_col))
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
         )
-        touched = (
-            assign.select("cell_id").unionByName(stale_cells).distinct()
-        )
-        kept = (
-            existing.join(F.broadcast(touched), "cell_id", "left_semi")
-            .join(F.broadcast(batch_ids), id_col, "left_anti")
-            .select("cell_id", id_col, "v")
-        )
-        out = kept.unionByName(assign.select("cell_id", id_col, "v")).persist()
-        # the staged tree write emits NOTHING for a partition absent
-        # from the output — a touched cell left EMPTY (its only members
-        # all moved to other cells) would keep its stale files and the
-        # index would hold the replaced ids twice.  Record those as
-        # explicit drops inside the SAME staged pass so the emptiness
-        # publishes atomically with the rewrites; both collects are
-        # bounded by the batch's touched cells, never the corpus.
-        touched_ids = {r.cell_id for r in touched.collect()}
-        out_ids = {
-            r.cell_id for r in out.select("cell_id").distinct().collect()
-        }
-        try:
+        if assume_new_ids:
             sp = StagedPass(wh, GLOBAL_LANE)
-            sp.stage_replace_tree(
-                out,
-                ANN_CELLS_TABLE,
-                partition_by=["cell_id"],
-                drops=[f"cell_id={c}" for c in sorted(touched_ids - out_ids)],
-            )
+            sp.stage_append_flat(run, ANN_DELTA_TABLE)
+            sp.stage_replace_flat(new_bloom, ANN_ID_BLOOM_TABLE)
             sp.publish()
-        finally:
-            out.unpersist()
+            ivf_compact_delta(wh, min_runs=compact_delta_runs)
+            return
+        sp = StagedPass(wh, GLOBAL_LANE)
+        # Bloom gate for the replaced-id discovery: when every batch id
+        # probes NEGATIVE (all-fresh ingest, the common case), the
+        # index-wide discovery scan is skipped outright.  A positive —
+        # real or false — falls through to the scan, which is the
+        # correctness authority either way.
+        maybe_present = True
+        if wh.exists(ANN_ID_BLOOM_TABLE):
+            hit = (
+                F.col("word").isNotNull()
+                & (F.col("word").bitwiseAND(_bloom_word()) != 0)
+            )
+            maybe_present = (
+                _id_bloom_probes(batch_ids, id_col)
+                .join(F.broadcast(wh.read(ANN_ID_BLOOM_TABLE)),
+                      "word_idx", "left")
+                .groupBy(id_col)
+                .agg(F.bool_and(hit).alias("in_bloom"))
+                .filter("in_bloom")
+                .limit(1).count() > 0
+            )
+        stale_ids: set = set()
+        if maybe_present:
+            # base cells holding a replaced id rewrite (bounded by the
+            # batch, partition-pruned via a literal IN-filter); the
+            # discovery is the one index-wide pass, column-pruned to
+            # the narrow (cell_id, id) columns — vectors are not read
+            base = wh.read(ANN_CELLS_TABLE)
+            stale_cells = (
+                base.join(F.broadcast(batch_ids), id_col, "left_semi")
+                .select("cell_id").distinct()
+            )
+            stale_ids = {r.cell_id for r in stale_cells.collect()}
+        if stale_ids:
+            kept = (
+                base.filter(
+                    F.col("cell_id").isin([int(c) for c in stale_ids])
+                )
+                .join(F.broadcast(batch_ids), id_col, "left_anti")
+                .select("cell_id", id_col, "v")
+                .persist()
+            )
+            try:
+                # a stale cell whose members were ALL replaced emits no
+                # rewrite rows — record it as an explicit drop so its
+                # old files retire atomically with everything else
+                kept_cells = {
+                    r.cell_id
+                    for r in kept.select("cell_id").distinct().collect()
+                }
+                sp.stage_replace_tree(
+                    kept,
+                    ANN_CELLS_TABLE,
+                    partition_by=["cell_id"],
+                    drops=[f"cell_id={c}"
+                           for c in sorted(stale_ids - kept_cells)],
+                )
+            finally:
+                kept.unpersist()
+        # replaced ids sitting in the delta rewrite the (small) delta;
+        # gated by the same Bloom verdict — all-fresh batches skip it
+        if maybe_present and wh.exists(ANN_DELTA_TABLE):
+            delta = wh.read(ANN_DELTA_TABLE)
+            has_stale_delta = (
+                delta.join(F.broadcast(batch_ids), id_col, "left_semi")
+                .limit(1).count() > 0
+            )
+            if has_stale_delta:
+                sp.stage_replace_flat(
+                    delta.join(F.broadcast(batch_ids), id_col, "left_anti")
+                    .coalesce(1).sortWithinPartitions("cell_id"),
+                    ANN_DELTA_TABLE,
+                )
+        sp.stage_append_flat(run, ANN_DELTA_TABLE)
+        sp.stage_replace_flat(new_bloom, ANN_ID_BLOOM_TABLE)
+        sp.publish()
+        ivf_compact_delta(wh, min_runs=compact_delta_runs)
     finally:
         assign.unpersist()
+
+
+def ivf_compact_delta(wh, min_runs: int = 16) -> bool:
+    """Fold the delta's run files back into the base cell partitions
+    when ``min_runs`` or more have accumulated (0 forces a fold).  ONE
+    staged pass: an append-tree of the delta rows into their cells (one
+    file per touched cell via a repartition on the cell key) plus a
+    flat replace of the delta with empty — committed atomically, so
+    readers never see a vector in both places.  The run-count probe is
+    an os.listdir, not a Spark job."""
+    import os as _os
+
+    from ..txn import GLOBAL_LANE, StagedPass
+
+    root = wh.path(ANN_DELTA_TABLE)
+    if not _os.path.isdir(root):
+        return False
+    runs = [f for f in _os.listdir(root)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))]
+    if len(runs) < max(1, min_runs):
+        return False
+    delta = wh.read(ANN_DELTA_TABLE)
+    sp = StagedPass(wh, GLOBAL_LANE)
+    sp.stage_append_tree(
+        delta.repartition(F.col("cell_id")),
+        ANN_CELLS_TABLE,
+        partition_by=["cell_id"],
+    )
+    sp.stage_replace_flat(
+        wh.spark.createDataFrame([], delta.schema), ANN_DELTA_TABLE
+    )
+    sp.publish()
+    return True
 
 
 def ivf_probe(
@@ -411,7 +576,9 @@ def ivf_probe(
         "query_id", F.explode("top.cell_id").alias("cell_id")
     )
     cell_ids = sorted({r.cell_id for r in probes.distinct().collect()})
-    cells = wh.read(ANN_CELLS_TABLE).filter(F.col("cell_id").isin(cell_ids))
+    # base partitions prune to the probed cells; the delta's sorted runs
+    # prune by row-group stats on the same filter
+    cells = ivf_cells(wh).filter(F.col("cell_id").isin(cell_ids))
     cand = (
         F.broadcast(probes.join(q, "query_id"))
         .join(cells, "cell_id")

@@ -216,6 +216,42 @@ class StagedPass:
         df.drop("srvid").write.mode("overwrite").parquet(d)
         self._ops.append({"kind": "replace", "table": table, "stage": d})
 
+    def stage_append_tree(
+        self, df, table: str, partition_by: list[str],
+    ) -> None:
+        """Stage a partition-tree APPEND: one Spark job writes ``df``
+        partitioned under a dot-staged tree; publish moves each staged
+        leaf's files INTO the matching live leaf (creating it if new)
+        without replacing existing files.  The partition-wise append for
+        ingest paths whose IO must stay proportional to the batch (ANN
+        upsert fresh rows), committed under the same single manifest."""
+        self._acl_check(table)
+        token = f"{self.pass_id}__{len(self._ops)}"
+        d = os.path.join(self.wh.path(table), f".__stagetree__{token}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(d)
+        self._ops.append({
+            "kind": "append_tree", "table": table, "stage": d,
+            "token": token,
+        })
+
+    def stage_replace_flat(self, df, table: str) -> None:
+        """Stage a full content replace of an UNPARTITIONED table (the
+        ANN delta run table).  The op records the staged file names so
+        a crashed re-apply can tell this pass's already-moved files
+        from the old content it is retiring."""
+        self._acl_check(table)
+        token = f"{self.pass_id}__{len(self._ops)}"
+        d = os.path.join(self.wh.path(table), f".__stageflatswap__{token}")
+        df.write.mode("overwrite").parquet(d)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        self._ops.append({
+            "kind": "replace_flat", "table": table, "stage": d,
+            "token": token, "files": files,
+        })
+
     def stage_replace_tree(
         self, df, table: str, partition_by: list[str], drops: list[str] = (),
     ) -> None:
@@ -348,6 +384,10 @@ class StagedPass:
                     shutil.rmtree(full, ignore_errors=True)
                 elif d.startswith(".__swapout-tree__") and srvid == GLOBAL_LANE:
                     shutil.rmtree(full, ignore_errors=True)
+                elif d.startswith(
+                    (".__stageflatswap__", ".__swapout-flat__")
+                ) and srvid == GLOBAL_LANE:
+                    shutil.rmtree(full, ignore_errors=True)
                 elif d.startswith(f".__swapout__srvid={srvid}__"):
                     # completed replace whose cleanup was interrupted
                     shutil.rmtree(full, ignore_errors=True)
@@ -465,6 +505,48 @@ def _apply_ops(wh, ops: list[dict]) -> None:
                         )
                     except Exception:  # pragma: no cover - catalog drift
                         pass  # stage dir already consumed; entry is inert
+            elif table_kind == "replace_flat":
+                live_root = os.path.dirname(stage)
+                token = op["token"]
+                own = set(op.get("files", []))
+                trash = os.path.join(live_root, f".__swapout-flat__{token}")
+                if os.path.isdir(live_root):
+                    os.makedirs(trash, exist_ok=True)
+                    for f in os.listdir(live_root):
+                        # retire old content, but never this pass's own
+                        # already-moved staged files (crash re-apply)
+                        if (f.endswith(".parquet")
+                                and not f.startswith((".", "_"))
+                                and f not in own):
+                            os.replace(os.path.join(live_root, f),
+                                       os.path.join(trash, f))
+                if os.path.isdir(stage):
+                    os.makedirs(live_root, exist_ok=True)
+                    for f in os.listdir(stage):
+                        if f.endswith(".parquet"):
+                            os.replace(os.path.join(stage, f),
+                                       os.path.join(live_root, f))
+                    shutil.rmtree(stage, ignore_errors=True)
+                if os.path.isdir(trash):
+                    shutil.rmtree(trash, ignore_errors=True)
+            elif table_kind == "append_tree":
+                live_root = os.path.dirname(stage)
+                if os.path.isdir(stage):
+                    for child in sorted(os.listdir(stage)):
+                        src = os.path.join(stage, child)
+                        if child.startswith((".", "_")) or not os.path.isdir(src):
+                            continue
+                        dst = os.path.join(live_root, child)
+                        os.makedirs(dst, exist_ok=True)
+                        for f in os.listdir(src):
+                            if f.endswith(".parquet"):
+                                # uuid-unique names: re-runs only see
+                                # files not yet moved
+                                os.replace(
+                                    os.path.join(src, f),
+                                    os.path.join(dst, f),
+                                )
+                    shutil.rmtree(stage, ignore_errors=True)
             elif table_kind == "replace_tree":
                 live_root = os.path.dirname(stage)
                 token = op["token"]

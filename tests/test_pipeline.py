@@ -972,7 +972,7 @@ def test_ivf_upsert_matches_full_rebuild(spark, wh):
 
     got = sorted(
         (r.cell_id, r.vec_id, tuple(r.v))
-        for r in wh.read(similarity.ANN_CELLS_TABLE).collect()
+        for r in similarity.ivf_cells(wh).collect()
     )
     # reference: full re-assignment of the post-upsert vector set
     # against the same centroids
@@ -1002,7 +1002,7 @@ def test_ivf_upsert_matches_full_rebuild(spark, wh):
     # untouched cells kept their original files
     after = leaf_files()
     batch_cells = {f"cell_id={r.cell_id}" for r in
-                   wh.read(similarity.ANN_CELLS_TABLE)
+                   similarity.ivf_cells(wh)
                    .join(batch.select("vec_id"), "vec_id", "left_semi")
                    .select("cell_id").distinct().collect()}
     untouched = set(before) - batch_cells
@@ -1075,7 +1075,7 @@ def test_ivf_upsert_append_only_fast_path(spark, wh):
     similarity.ivf_upsert(wh, batch, assume_new_ids=True)
     got = {
         (r.cell_id, r.vec_id)
-        for r in wh.read(similarity.ANN_CELLS_TABLE).collect()
+        for r in similarity.ivf_cells(wh).collect()
     }
     assert {r.vec_id for r in batch.select("vec_id").collect()} <= {
         v for _c, v in got
@@ -1117,7 +1117,7 @@ def test_ivf_upsert_clears_emptied_cell(spark, wh):
     )
     similarity.ivf_build(wh, emb)
     cells = {(r.cell_id, r.vec_id)
-             for r in wh.read(similarity.ANN_CELLS_TABLE).collect()}
+             for r in similarity.ivf_cells(wh).collect()}
     assert (0, 0) in cells  # id 0 alone in its own cell
 
     # re-embed id 0 so it argmaxes into cell 97
@@ -1126,7 +1126,7 @@ def test_ivf_upsert_clears_emptied_cell(spark, wh):
     )
     similarity.ivf_upsert(wh, batch)
     after = [(r.cell_id, r.vec_id)
-             for r in wh.read(similarity.ANN_CELLS_TABLE).collect()]
+             for r in similarity.ivf_cells(wh).collect()]
     ids = [v for _c, v in after]
     assert ids.count(0) == 1, f"stale duplicate of id 0: {sorted(after)}"
     assert (97, 0) in set(after)
@@ -1219,7 +1219,7 @@ def test_ivf_upsert_crash_atomicity(spark, wh):
     def snapshot_cells():
         return sorted(
             (r.cell_id, r.vec_id, tuple(r.v))
-            for r in wh.read(similarity.ANN_CELLS_TABLE).collect()
+            for r in similarity.ivf_cells(wh).collect()
         )
 
     pre = snapshot_cells()

@@ -74,16 +74,94 @@ EXTRA_QUERIES = {
 }
 
 
+def _ann_upsert_setup(spark, sf_dir):
+    """r7 (VERDICT r6 task 4): isolate the UPSERT's own cost.  Build the
+    IVF index over the sf_dir corpus OUTSIDE the timed window; the timed
+    run then upserts a FIXED-SIZE batch (500 re-embedded vectors with
+    fresh ids, constant across scale factors) through the full
+    non-assume_new_ids path (replaced-id semi-join + staged tree
+    publish).  Expected alpha ~ 0: the rewrite touches only the batch's
+    target cells; drift above ~0.2 would implicate the stale-cells
+    discovery scan of the whole index."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+    from powa_archivist_spark.storage import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="ann_upsert_bench_"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.ivf_build(wh, emb)
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .orderBy("vec_id").limit(500)
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    return {"wh": wh, "batch": batch, "gen": 0}
+
+
+def _ann_upsert_run(spark, ctx):
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+
+    # fresh ids per run: the timed operation is the INGEST upsert (new
+    # vectors through the full discovery + staged publish path), not a
+    # same-id re-embedding rewrite
+    ctx["gen"] += 1
+    offset = 10_000_000 * ctx["gen"]
+    batch = ctx["batch"].select(
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"), "embedding"
+    )
+    similarity.ivf_upsert(ctx["wh"], batch)
+
+
+#: staged entries: (setup(spark, sf_dir) -> ctx, run(spark, ctx)) —
+#: setup is UNTIMED (index build), run is the measured operation
+STAGED_QUERIES = {
+    "ann_index_upsert[fixed-batch]": (_ann_upsert_setup, _ann_upsert_run),
+}
+
+
 def main() -> int:
-    only = sys.argv[1:] or DEFAULT_QUERIES
+    args = sys.argv[1:]
+    # --big-dir DIR --big-sf N --label L: compare base against an
+    # arbitrary derived SF (r7 task 7: sf1 -> sf3 second-decade check)
+    big_dir = None
+    big_sf = 1.0
+    label = None
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf1_dir = os.environ.get(
+    while args and args[0].startswith("--"):
+        flag = args.pop(0)
+        if flag == "--big-dir":
+            big_dir = args.pop(0)
+        elif flag == "--big-sf":
+            big_sf = float(args.pop(0))
+        elif flag == "--base-dir":
+            base_dir = args.pop(0)
+        elif flag == "--base-sf":
+            pass_base_sf = args.pop(0)  # recorded below via label
+            base_sf = float(pass_base_sf)
+        elif flag == "--label":
+            label = args.pop(0)
+        else:
+            print(f"unknown flag {flag}", file=sys.stderr)
+            return 2
+    try:
+        base_sf
+    except NameError:
+        base_sf = 0.1
+    only = args or DEFAULT_QUERIES
+    sf1_dir = big_dir or os.environ.get(
         "SPARK_GRAFT_SF1_DIR", str(REPO / ".scaled" / "sf1")
     )
     if not os.path.isdir(sf1_dir):
         print(f"missing {sf1_dir}; run tools/scale_testdata.py first",
               file=sys.stderr)
         return 2
+    rows_factor = big_sf / base_sf
 
     import __spark_entry__ as entry_mod
     from powa_archivist_spark.session import get_spark
@@ -101,28 +179,41 @@ def main() -> int:
     spark.range(2).mapInPandas(lambda it: it, "id long").count()
 
     def run(name: str, sf_dir: str) -> float:
+        if name in STAGED_QUERIES:
+            setup, runner = STAGED_QUERIES[name]
+            ctx = setup(spark, sf_dir)
+            runner(spark, ctx)                  # warm the staged path
+            t0 = time.time()
+            runner(spark, ctx)
+            return time.time() - t0
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
     out: dict[str, dict] = {}
     for name in only:
+        if name in STAGED_QUERIES:
+            continue                            # staged queries self-warm
         t_base = run(name, base_dir)
-        print(f"scaling {name}: sf0.1 {t_base:.2f}s", file=sys.stderr,
+        print(f"scaling {name}: base {t_base:.2f}s", file=sys.stderr,
               flush=True)
     warm(sf1_dir)
+    base_key = f"sf{base_sf:g}_sec"
+    big_key = f"sf{big_sf:g}_sec"
     for name in only:
         t_base = run(name, base_dir)         # second, warmed sample
         t_big = run(name, sf1_dir)
-        alpha = math.log(t_big / t_base) / math.log(10)
-        out[name] = {
-            "sf0.1_sec": round(t_base, 2),
-            "sf1_sec": round(t_big, 2),
+        alpha = math.log(t_big / t_base) / math.log(rows_factor)
+        entry_name = f"{name}{label}" if label else name
+        out[entry_name] = {
+            base_key: round(t_base, 2),
+            big_key: round(t_big, 2),
             "exponent": round(alpha, 2),
+            "rows_factor": rows_factor,
         }
         print(
-            f"scaling {name}: sf0.1 {t_base:.2f}s  sf1 {t_big:.2f}s  "
-            f"alpha {alpha:.2f}",
+            f"scaling {entry_name}: {base_key} {t_base:.2f}s  "
+            f"{big_key} {t_big:.2f}s  alpha {alpha:.2f}",
             file=sys.stderr, flush=True,
         )
 
@@ -132,7 +223,7 @@ def main() -> int:
         with open(path) as f:
             prior = json.load(f).get("queries", {})
     rec = {
-        "protocol": "n=1 warmed, alpha=log10(t_sf1/t_sf0.1)",
+        "protocol": "n=1 warmed, alpha=log(t_big/t_base)/log(rows_factor)",
         "sf_base": 0.1,
         "sf_big": 1.0,
         "rows_factor": 10,
