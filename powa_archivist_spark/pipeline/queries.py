@@ -1195,6 +1195,62 @@ FROM walk GROUP BY node
 """
 
 
+def emb_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic semantic dedup (r7): the LSH-bucketed candidate
+    graph (same integer hyperplanes as ``knn_cosine_lsh``, so the
+    bucket assignment is exact cross-engine arithmetic) verified with
+    the exact quantized dot, then the same connected-components keep
+    rule as ``emb_semantic_dedup``.  The exact all-pairs form is
+    O(N^2) compute by semantics (PERF.md sf1->sf3 alpha 1.38); this is
+    the declared 100 TB route — candidate work bounded by bucket
+    occupancy, recall traded via plane count."""
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs_lsh(
+        emb, min_dot_q=MIN_DOT_Q, planes=LSH_PLANES, id_col="vec_id"
+    ).select("a_id", "b_id")
+    comp = dedup.connected_components(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+    return comp.select(
+        "vec_id", "component",
+        (F.col("vec_id") == F.col("component")).alias("is_kept"),
+    )
+
+
+def _oracle_emb_semantic_dedup_lsh() -> str:
+    plane_sum = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(list_zip(v, {_plane_sql(p)}),
+             x -> x[1] * CAST(x[2] AS BIGINT))) >= 0
+           THEN {1 << i} ELSE 0 END)"""
+        for i, p in enumerate(LSH_PLANES)
+    )
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, {plane_sum} AS bucket FROM e
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(list_zip(a.v, b.v),
+    x -> x[1] * x[2])) AS BIGINT) >= {MIN_DOT_Q}
+), edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+), walk(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e2.dst, w.label FROM walk w JOIN edges e2 ON e2.src = w.node
+)
+SELECT node AS vec_id, MIN(label) AS component,
+       node = MIN(label) AS is_kept
+FROM walk GROUP BY node
+"""
+
 
 def corpus_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic salted-hash train/val/test split with per-(lang,
@@ -1954,6 +2010,9 @@ PIPELINE_QUERIES = {
     "multimodal_binary_near_dup": (multimodal_binary_near_dup,
                                    ORACLE_BINARY_NEAR_DUP),
     "emb_semantic_dedup": (emb_semantic_dedup, ORACLE_EMB_SEMANTIC_DEDUP),
+    "emb_semantic_dedup_lsh": (
+        emb_semantic_dedup_lsh, _oracle_emb_semantic_dedup_lsh()
+    ),
     "corpus_dataset_split": (corpus_dataset_split, ORACLE_DATASET_SPLIT),
     "corpus_bloom_decontam": (corpus_bloom_decontam, ORACLE_BLOOM_DECONTAM),
     "corpus_vocab_topk": (corpus_vocab_topk, ORACLE_VOCAB_TOPK),

@@ -279,6 +279,7 @@ def ivf_build(
     refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_cells_target: int | None = None,
 ) -> None:
     """Materialize the IVF index AT REST: the assignment table is
     partitioned BY CELL, so a probe's scan prunes to its cells' files —
@@ -286,7 +287,18 @@ def ivf_build(
     path' the in-memory :func:`knn_ivf` docstring promises).
 
     ``refine_iters`` Lloyd-refines the sampled centroids first
-    (:func:`ivf_refine`)."""
+    (:func:`ivf_refine`).
+
+    A FIXED ``centroid_mod`` means the cell count grows linearly with
+    the corpus, making the assignment crossJoin O(N^2 / mod) — the
+    sf1->sf3 bench measured exactly that cliff (alpha 1.41, PERF.md).
+    Pass ``n_cells_target`` to hold the cell count roughly constant
+    (mod = ceil(N / target), one count job): assignment compute is then
+    O(N x target) — the standard IVF sizing (cells ~ sqrt(N) or a fixed
+    budget), and what a production build should always use."""
+    if n_cells_target is not None:
+        n = emb.count()
+        centroid_mod = max(1, -(-n // n_cells_target))
     if refine_iters > 0:
         cents = ivf_refine(emb, refine_iters, centroid_mod, id_col, vec_col)
     else:
@@ -853,6 +865,46 @@ def lsh_bucket(vec, planes: list[list[float]]):
             )
         )
     return bucket
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    min_dot_q: int,
+    planes: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed near-dup pairs — the SUB-QUADRATIC scale path for
+    semantic dedup (r7): candidates are only same-bucket pairs (one
+    equi-join on the hyperplane sign bucket), each verified with the
+    exact quantized dot.  The exact blocked form
+    (:func:`embedding_near_dup_pairs_blocked`) multiplies every pair
+    once — O(N^2) compute by declared semantics, measured alpha 1.38
+    over sf1->sf3 (PERF.md) — while this one's work is bounded by the
+    bucket occupancy (tunable via plane count; high-cosine pairs
+    collide with high probability).  Approximate by design: pairs whose
+    members land in different buckets are missed — exactly the
+    SemDeDup recall/cost trade; with integer planes the whole chain is
+    SQL-oracle replayable."""
+    b = emb.select(
+        F.col(id_col),
+        quantized(F.col(vec_col)).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = b.select(
+        F.col(id_col).alias("a_id"), F.col("v").alias("av"), "bucket"
+    )
+    c = b.select(
+        F.col(id_col).alias("b_id"), F.col("v").alias("bv"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", int_dot(F.col("av"), F.col("bv")).alias("dot_q")
+        )
+        .filter(F.col("dot_q") >= min_dot_q)
+    )
 
 
 def knn_lsh(

@@ -13,9 +13,12 @@ pipeline over the same data modulo arrival order inside a micro-batch
 (first-arriving batch wins per normalized text; min id inside a batch).
 
 Scale shape: gate and split are map-only expressions; the only join per
-batch is the digest-ledger anti-join (broadcast by default,
-``broadcast_ledger=False`` for the shuffle-side form at 100 TB); the
-reject ledger is append-only and carries (id, reasons), not the text.
+batch is the digest-ledger anti-join (broadcast by default; at 100 TB
+pass ``bucketed_ledger=True`` so the corpus-sized ledger side is read
+exchange-free from its digest-bucketed layout); the reject ledger is
+append-only and carries (id, reasons, stream_gen, epoch), not the
+text.  All three sinks of a micro-batch commit through one
+txn.StagedPass manifest (r7) — crash replays are exactly-once.
 """
 
 from __future__ import annotations

@@ -22,11 +22,13 @@ arrival order inside one micro-batch (resolved min-id like the batch op).
 
 Delivery: the ledger variants use the SAME committed-epoch markers as
 ingest.py, so a checkpoint-replayed epoch whose marker exists is a
-no-op; only a crash MID-epoch (between the sink append and the ledger
-appends) replays **at-least-once** — the sink is written first so rows
-are never lost, and a downstream exact dedup on (id) absorbs the
-re-append (a transactional table format would collapse the appends
-into one txn).
+no-op; and since r7 the sink append and the ledger append of one
+micro-batch commit through ONE txn.StagedPass manifest, so a crash
+MID-epoch leaves either both visible (the replay's survivors anti-join
+to nothing) or neither (clean replay) — exactly-once at rest on plain
+parquet, the multi-statement-transaction equivalent.  At 100 TB store
+the ledger through :class:`BucketedDigestLedger` so the per-batch
+anti-join never re-shuffles the corpus-sized ledger side.
 """
 
 from __future__ import annotations

@@ -69,8 +69,43 @@ def _components_fixed_prefix(spark, sf_dir):
     )
 
 
+def _semantic_dedup_lsh_k_scaled(spark, sf_dir):
+    """emb_semantic_dedup_lsh with PRODUCTION LSH sizing: plane count
+    k = ceil(log2(N / target_occupancy)), so bucket occupancy — and
+    therefore candidate-pair work — stays constant as the corpus grows.
+    The declared query pins k=4 for its static SQL oracle; with fixed k
+    the candidate count is N^2/2^k (quadratic, measured alpha 2.66 over
+    sf1->sf3) — this variant isolates the algorithm under the sizing a
+    real deployment always applies, exactly like ann's n_cells_target."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import dedup, similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    k = max(4, math.ceil(math.log2(max(2, n / 32))))
+    rng = random.Random(42)
+    planes = [
+        [int(round(rng.gauss(0, 1) * 1000)) for _ in range(64)]
+        for _ in range(k)
+    ]
+    pairs = similarity.embedding_near_dup_pairs_lsh(
+        emb, min_dot_q=350_000_000_000, planes=planes, id_col="vec_id"
+    ).select("a_id", "b_id")
+    comp = dedup.connected_components(pairs, emb.select("vec_id"),
+                                      id_col="vec_id")
+    return comp.select(
+        "vec_id", "component",
+        (F.col("vec_id") == F.col("component")).alias("is_kept"),
+    )
+
+
 EXTRA_QUERIES = {
     "dedup_components[prefix-fixed]": _components_fixed_prefix,
+    "emb_semantic_dedup_lsh[k-scaled]": _semantic_dedup_lsh_k_scaled,
 }
 
 
@@ -92,7 +127,9 @@ def _ann_upsert_setup(spark, sf_dir):
 
     wh = Warehouse(spark, tempfile.mkdtemp(prefix="ann_upsert_bench_"))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    similarity.ivf_build(wh, emb)
+    # production IVF sizing: hold the cell count fixed so the upsert's
+    # assignment cost doesn't inherit the corpus's linear cell growth
+    similarity.ivf_build(wh, emb, n_cells_target=200)
     batch = (
         spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
         .orderBy("vec_id").limit(500)
