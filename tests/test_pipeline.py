@@ -1424,3 +1424,65 @@ def test_multimodal_real_codec_decodes_fixture(spark):
             multimodal.decode_image(b"\xff\xd8\xff\xe0 not a real jpeg")
     else:  # pragma: no cover - PIL present
         _pytest.skip("PIL present: non-PNG decode is expected to work")
+
+
+def test_ivf_compact_delta_preserves_index(spark, wh):
+    """r7: folding the delta's runs into the base cells preserves the
+    logical index exactly (same rows via ivf_cells), empties the delta,
+    keeps probe results identical — and a crash mid-fold leaves readers
+    on a consistent view (manifest-resolved), with no vector visible in
+    both places."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark import txn as txn_mod
+    from powa_archivist_spark.pipeline import similarity
+    from powa_archivist_spark.txn import GLOBAL_LANE, StagedPass
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    similarity.ivf_build(wh, emb.filter("vec_id % 3 != 2"))
+    for gen in (1, 2):
+        batch = emb.filter("vec_id % 3 = 2").select(
+            (F.col("vec_id") + F.lit(1_000_000 * gen)).alias("vec_id"),
+            "embedding",
+        )
+        similarity.ivf_upsert(wh, batch)
+
+    def snap():
+        return sorted(
+            (r.cell_id, r.vec_id, tuple(r.v))
+            for r in similarity.ivf_cells(wh).collect()
+        )
+
+    before = snap()
+    assert wh.read(similarity.ANN_DELTA_TABLE).count() > 0
+    queries = emb.filter("vec_id in (0, 3)")
+    probe_before = sorted(
+        map(tuple, similarity.ivf_probe(wh, queries, k=5).collect())
+    )
+
+    # crash mid-fold: manifest committed, nothing applied — readers
+    # already see the folded state through the manifest
+    class Boom(RuntimeError):
+        pass
+
+    real_apply = txn_mod._apply_ops
+    txn_mod._apply_ops = lambda w, ops: (_ for _ in ()).throw(Boom())
+    try:
+        similarity.ivf_compact_delta(wh, min_runs=0)
+    except Boom:
+        pass
+    finally:
+        txn_mod._apply_ops = real_apply
+    assert snap() == before, "crash window tore the index view"
+    ids = [v for _c, v, _ in snap()]
+    assert len(ids) == len(set(ids)), "vector visible in two places"
+
+    # recovery + a clean fold converge
+    StagedPass.recover(wh, GLOBAL_LANE, sweep=True)
+    assert snap() == before
+    similarity.ivf_compact_delta(wh, min_runs=0)
+    assert snap() == before
+    assert wh.read(similarity.ANN_DELTA_TABLE).count() == 0
+    assert sorted(
+        map(tuple, similarity.ivf_probe(wh, queries, k=5).collect())
+    ) == probe_before

@@ -420,3 +420,29 @@ def test_no_unbounded_global_window_anywhere(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_ivf_probe_prunes_base_partitions_with_delta(spark, wh):
+    """r7 LSM layout: ivf_probe over base+delta still PRUNES the base
+    scan to the probed cells' partition dirs (PartitionFilters carries
+    cell_id) and pushes the cell filter into the delta's flat scan
+    (row-group pruning via the per-run sort)."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    similarity.ivf_build(wh, emb.filter("vec_id % 3 != 2"))
+    similarity.ivf_upsert(
+        wh,
+        emb.filter("vec_id % 3 = 2").select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            "embedding",
+        ),
+    )
+    out = similarity.ivf_probe(wh, emb.filter("vec_id in (0, 3)"), k=5)
+    part = " ".join(pi.partition_filters(out))
+    assert "cell_id" in part, "base scan lost cell partition pruning"
+    pushed = " ".join(pi.pushed_filters(out))
+    assert "cell_id" in pushed, "delta scan lost the cell filter"
+    assert not pi.has_cartesian(out)
