@@ -1079,6 +1079,53 @@ WHERE rn = least(m, 64)
 """
 
 
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type (p=9, 512
+    registers) in the cross-engine hash family (pipeline/sketches.py
+    ``hll_distinct``); the oracle replays bucket split, register ranks,
+    the exact-integer harmonic sum, and the small-range correction."""
+    from . import sketches
+
+    return sketches.hll_distinct(
+        t(spark, sf_dir, "events"), "user_id", ["event_type"], p=9
+    )
+
+
+ORACLE_HLL_DISTINCT = """
+WITH hashed AS (
+  SELECT event_type,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), regs AS (
+  SELECT event_type, h % 512 AS j,
+         MAX(CASE WHEN h // 512 > 0 THEN 52 - length(bin(h // 512))
+                  ELSE 52 END) AS mj
+  FROM hashed GROUP BY event_type, h % 512
+), agg AS (
+  SELECT event_type,
+         SUM(1::BIGINT << CAST(52 - mj AS INT)) AS s_present,
+         COUNT(*) AS n_regs
+  FROM regs GROUP BY event_type
+), ex AS (
+  SELECT event_type, COUNT(DISTINCT h) AS n_exact
+  FROM hashed GROUP BY event_type
+), est AS (
+  SELECT event_type,
+         0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+           * 4503599627370496.0
+           / CAST(s_present + (512 - n_regs) * (1::BIGINT << 52)
+                  AS DOUBLE) AS raw,
+         512 - n_regs AS zeros
+  FROM agg
+)
+SELECT e.event_type, ex.n_exact,
+       ROUND(CASE WHEN e.raw <= 1280.0 AND e.zeros > 0
+                  THEN 512.0 * ln(512.0 / CAST(e.zeros AS DOUBLE))
+                  ELSE e.raw END, 4) AS est_distinct
+FROM est e JOIN ex USING (event_type)
+"""
+
+
 def multimodal_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blob-level near-dup over the opaque BINARY payload column:
     byte-shingle sets (8-byte windows every 4 bytes, hex-encoded) feed
@@ -1971,6 +2018,7 @@ HAVING COUNT(*) >= 2
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
+    "events_hll_distinct": (events_hll_distinct, ORACLE_HLL_DISTINCT),
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
     "dedup_keep_list": (dedup_keep_list, ORACLE_KEEP_LIST),

@@ -179,3 +179,88 @@ def kmv_distinct(
             .alias("est_distinct"),
         )
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    p: int = 9,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group in the cross-engine
+    md5 hash family — the MERGEABLE counterpart of :func:`kmv_distinct`
+    (reference analog: the exact per-entity counters the SQL schema
+    keeps, e.g. powa--5.2.0.sql's per-qual occurence counts; at 100 TB
+    an exact GROUP BY key is replaced by a 2^p-register sketch).
+
+    Cross-engine determinism is engineered end to end:
+
+    - bucket/rest split uses INTEGER ops (``% m`` / ``shiftright``) —
+      never float division, which loses bits above 2^53;
+    - the register rank is ``(60-p)+1 - bitlength(rest)`` with
+      ``bitlength = length(bin(x))`` (both engines' ``bin`` render
+      minimal binary strings, so this is integer-exact);
+    - the harmonic sum is kept RATIONAL: ``S = sum(2^(R - M_j))`` over
+      all m registers (empty ones contribute ``2^R``) is an exact
+      BIGINT (< 2^(R+p+1) < 2^63), so the only float ops are one final
+      division, one optional ``ln`` in the small-range correction, and
+      a ROUND(4) that absorbs any last-ulp libm skew.
+
+    Spark shape at scale: groupBy(group, bucket).max(rank) partial-
+    aggregates map-side to <= m rows per group per partition; the final
+    groupBy(group) folds m rows per group.  Registers merge by MAX, so
+    the sketch is associative across partitions, days, and clusters —
+    the property KMV's k-min buffer only has via re-sort.  Output keeps
+    ``n_exact`` (true distinct-hash count) so the estimate's error is
+    visible; at real scale you would drop it and keep only the sketch.
+    """
+    m = 1 << p
+    wbits = 60 - p
+    rmax = wbits + 1  # rank of a zero rest (all wbits leading zeros)
+    h = cross_engine_hash64(F.col(key_col))
+    rest = F.shiftright(h, p)
+    rank = F.when(
+        rest > 0, F.lit(rmax) - F.length(F.bin(rest))
+    ).otherwise(F.lit(rmax))
+    hashed = df.select(
+        *group_cols, (h % m).alias("j"), rank.alias("r"), h.alias("h")
+    )
+    regs = hashed.groupBy(*group_cols, "j").agg(F.max("r").alias("mj"))
+    agg = regs.groupBy(*group_cols).agg(
+        # SQL expr: pyspark's shiftleft() only takes a literal shift
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - mj)")).alias(
+            "s_present"
+        ),
+        F.count("*").alias("n_regs"),
+    )
+    n_exact = (
+        hashed.select(*group_cols, "h")
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count("*").alias("n_exact"))
+    )
+    # alpha_m * m^2 * 2^R, evaluated in THIS literal order on both
+    # engines so the IEEE result is bit-identical
+    c = 0.7213 / (1.0 + 1.079 / float(m)) * float(m) * float(m) * float(
+        1 << rmax
+    )
+    zeros = F.lit(m) - F.col("n_regs")
+    s_total = (
+        F.col("s_present").cast("long")
+        + zeros.cast("long") * F.lit(1 << rmax)
+    )
+    raw = F.lit(c) / s_total.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    a_a, n_a = agg.alias("a"), n_exact.alias("n")
+    cond = None
+    for g in group_cols:
+        eq = F.col(f"a.{g}").eqNullSafe(F.col(f"n.{g}"))
+        cond = eq if cond is None else (cond & eq)
+    return a_a.join(n_a, cond).select(
+        *[F.col(f"a.{g}").alias(g) for g in group_cols],
+        "n_exact",
+        F.round(est, 4).alias("est_distinct"),
+    )
