@@ -604,3 +604,79 @@ def token_budget_select(
         cum.alias("cum_tokens"),
         (cum <= budget_tokens).alias("selected"),
     )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-duplicate counterpart
+    of :func:`ngram_decontaminate` (exact n-gram) and
+    :func:`bloom_decontaminate` (approximate-membership exact): flag
+    every corpus document whose shingle Jaccard against ANY held-out
+    evaluation document reaches ``threshold``, via cross-corpus MinHash
+    banded LSH.  Paraphrased or lightly-edited benchmark leaks that
+    exact n-grams miss are exactly what this pass catches.
+
+    Plan shape at 100 TB: the corpus side pays ONE explode+groupBy to
+    build signatures (inherent); the eval side — thousands of docs next
+    to a 100 TB corpus — has its band table AND its shingle arrays
+    **broadcast** (``broadcast_eval``), so both the candidate probe and
+    the verify join are map-side against the corpus stream; the only
+    corpus shuffle after signatures is the candidate-bounded exchange on
+    corpus doc id for the final per-doc top-match pick.  Collision
+    recall at s=threshold is 1-(1-s^r)^bands (r = num_perm/bands) —
+    deterministic given the hash family, so the SQL oracle replays the
+    same candidate set, misses included.
+
+    Returns one row per CONTAMINATED corpus doc: (id, eval_id, jaccard)
+    for its best-matching eval doc (ties broken by smallest eval id).
+    Shingle frames are cached for the duration of this plan's first
+    materialization (same lifetime contract as minhash_dedup_pairs)."""
+    from .dedup import minhash_bands, shingle_arrays
+
+    tr_sh = shingle_arrays(docs, shingle_n, text_col, id_col).persist()
+    ev_sh = shingle_arrays(eval_docs, shingle_n, text_col, id_col)
+    tr_bands = minhash_bands(
+        docs, num_perm, bands, shingle_n, text_col, id_col,
+        shingle_df=tr_sh, hash_fn=hash_fn,
+    )
+    ev_bands = minhash_bands(
+        eval_docs, num_perm, bands, shingle_n, text_col, id_col,
+        shingle_df=ev_sh, hash_fn=hash_fn,
+    ).select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("eval_id")
+    )
+    ev_sh_j = ev_sh.select(
+        F.col(id_col).alias("eval_id"), F.col("sh").alias("ev_sh")
+    )
+    if broadcast_eval:
+        ev_bands = F.broadcast(ev_bands)
+        ev_sh_j = F.broadcast(ev_sh_j)
+    cands = (
+        tr_bands.join(ev_bands, ["band", "bucket"])
+        .select(id_col, "eval_id")
+        .distinct()
+    )
+    joined = cands.join(tr_sh, id_col).join(ev_sh_j, "eval_id")
+    inter = F.size(F.array_intersect("sh", "ev_sh"))
+    union = F.size("sh") + F.size("ev_sh") - inter
+    scored = joined.select(
+        F.col(id_col), F.col("eval_id"), (inter / union).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("jaccard"), F.asc("eval_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1534,6 +1534,83 @@ LEFT JOIN flagged f USING (doc_id)
 """
 
 
+def corpus_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination (r7) — third member of the decontam family
+    (exact grams: corpus_decontam; Bloom-gated exact: corpus_bloom_
+    decontam): corpus docs whose 3-shingle Jaccard against any eval doc
+    (doc_id %% 20 == 0) reaches 0.5, found by cross-corpus MinHash
+    banded LSH with the eval side broadcast
+    (pipeline/corpus.py ``fuzzy_decontaminate``).  md5 hash family so
+    the oracle replays signatures, bands, candidate probe (misses
+    included), exact verify, and the per-doc best-match pick."""
+    from . import corpus
+
+    docs = t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    corp = docs.filter(F.col("doc_id") % 20 != 0)
+    return corpus.fuzzy_decontaminate(
+        corp, ev, threshold=0.5, hash_fn="md5"
+    ).orderBy("doc_id")
+
+
+ORACLE_FUZZY_DECONTAM = f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           list_distinct([
+             array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             for i in generate_series(1, len(string_split(text, ' ')) - 2)
+           ])
+         ELSE [] END AS sh
+  FROM documents
+), exploded AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS h
+  FROM sh
+), seeds(seed, a1, a2, b) AS (
+  VALUES {", ".join(f"({i}, {a1}, {a2}, {b})"
+                    for i, (a1, a2, b) in enumerate(_PERMS))}
+), mins AS (
+  SELECT doc_id, seed,
+         MIN((a1 * (h >> 30) + a2 * (h & 1073741823) + b)
+             % {dedup.MINHASH_P}) AS h
+  FROM exploded CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), sigs AS (
+  SELECT doc_id, list(h ORDER BY seed) AS sig FROM mins GROUP BY doc_id
+), bands AS (
+  SELECT unnest(generate_series(0, 7)) AS band
+), banded AS (
+  SELECT doc_id, band,
+         ('0x' || substring(
+            md5(array_to_string(sig[band*4+1 : band*4+4], '|')), 1, 15)
+         )::BIGINT AS bucket
+  FROM sigs CROSS JOIN bands
+), cands AS (
+  SELECT DISTINCT c.doc_id, e.doc_id AS eval_id
+  FROM banded c JOIN banded e USING (band, bucket)
+  WHERE c.doc_id % 20 <> 0 AND e.doc_id % 20 = 0
+), scored AS (
+  SELECT c.doc_id, c.eval_id,
+         CAST(len(list_intersect(sc.sh, se.sh)) AS DOUBLE)
+           / (len(sc.sh) + len(se.sh) - len(list_intersect(sc.sh, se.sh)))
+           AS jaccard
+  FROM cands c
+  JOIN sh sc ON sc.doc_id = c.doc_id
+  JOIN sh se ON se.doc_id = c.eval_id
+)
+SELECT doc_id, eval_id, jaccard
+FROM (
+  SELECT doc_id, eval_id, jaccard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard DESC, eval_id) AS rn
+  FROM scored WHERE jaccard >= 0.5
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary construction (r6): top-100 tokens by frequency
     with occurrence + document counts and a deterministic global rank
@@ -2063,6 +2140,7 @@ PIPELINE_QUERIES = {
     ),
     "corpus_dataset_split": (corpus_dataset_split, ORACLE_DATASET_SPLIT),
     "corpus_bloom_decontam": (corpus_bloom_decontam, ORACLE_BLOOM_DECONTAM),
+    "corpus_fuzzy_decontam": (corpus_fuzzy_decontam, ORACLE_FUZZY_DECONTAM),
     "corpus_vocab_topk": (corpus_vocab_topk, ORACLE_VOCAB_TOPK),
     "corpus_quality_gate": (corpus_quality_gate, ORACLE_QUALITY_GATE),
     "ann_index_upsert": (ann_index_upsert, ORACLE_ANN_UPSERT),

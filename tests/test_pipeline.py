@@ -1540,3 +1540,44 @@ def test_hll_distinct_keeps_null_group(spark):
     out = {r.grp: r.n_exact for r in
            hll_distinct(df, "v", ["grp"]).collect()}
     assert out == {"a": 10, None: 5}
+
+
+def test_fuzzy_decontaminate_flags_paraphrased_leak(spark):
+    """A train doc sharing most (not all) of an eval doc's shingles is
+    flagged with that eval doc as best match; an unrelated doc is not.
+    Exact n-gram decontam would need a full 13-gram hit — here only
+    shingle-level overlap exists."""
+    from powa_archivist_spark.pipeline import corpus
+
+    eval_text = "the quick brown fox jumps over the lazy dog today"
+    leak_text = "the quick brown fox jumps over the lazy cat today"
+    clean_text = "completely different words about spark query planning"
+    train = spark.createDataFrame(
+        [(1, leak_text), (2, clean_text)], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(100, eval_text)],
+                               "doc_id long, text string")
+    out = corpus.fuzzy_decontaminate(
+        train, ev, threshold=0.5, hash_fn="md5"
+    ).collect()
+    assert [(r.doc_id, r.eval_id) for r in out] == [(1, 100)]
+    assert 0.5 <= out[0].jaccard < 1.0
+
+
+def test_fuzzy_decontaminate_identical_doc_jaccard_one(spark):
+    """An exact copy of an eval doc scores jaccard 1.0 (LSH cannot miss
+    an identical signature) and ties on best-match break to the
+    smallest eval id."""
+    from powa_archivist_spark.pipeline import corpus
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame([(7, txt)], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(200, txt), (100, txt)], "doc_id long, text string"
+    )
+    out = corpus.fuzzy_decontaminate(
+        train, ev, threshold=0.5, hash_fn="md5"
+    ).collect()
+    assert [(r.doc_id, r.eval_id, r.jaccard) for r in out] == [
+        (7, 100, 1.0)
+    ]

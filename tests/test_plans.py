@@ -446,3 +446,22 @@ def test_ivf_probe_prunes_base_partitions_with_delta(spark, wh):
     pushed = " ".join(pi.pushed_filters(out))
     assert "cell_id" in pushed, "delta scan lost the cell filter"
     assert not pi.has_cartesian(out)
+
+
+def test_fuzzy_decontam_broadcasts_eval_side(spark):
+    """Cross-corpus fuzzy decontamination: the eval corpus is tiny next
+    to the train corpus, so BOTH its band table and its shingle arrays
+    must arrive broadcast — the candidate probe and the verify join are
+    map-side against the corpus stream (>= 2 broadcast joins), and no
+    cartesian product anywhere."""
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = docs.filter("doc_id % 20 = 0")
+    out = corpus.fuzzy_decontaminate(
+        docs.filter("doc_id % 20 <> 0"), ev, threshold=0.5, hash_fn="md5"
+    )
+    assert pi.broadcast_join_count(out) >= 2
+    assert not pi.has_cartesian(out)
