@@ -680,3 +680,44 @@ def fuzzy_decontaminate(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def source_caps(
+    docs: DataFrame,
+    cap: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source document caps — the Common-Crawl-style domain cap: a
+    handful of mega-domains would otherwise dominate the training mix,
+    so within each source only the ``cap`` highest-quality documents
+    survive.  Quality = distinct-token ratio (lexical diversity, the
+    same signal quality_gate thresholds on), ties broken by smaller id
+    so the cut is deterministic.
+
+    Plan shape: ONE window partitioned by source with an explicit
+    row_number — never a global sort; each source's rows meet on one
+    reducer, bounded further at true scale by pre-aggregating a
+    per-partition top-``cap`` (the TakeOrdered pattern) when single
+    sources skew.  Returns the kept docs only:
+    (id, source, quality, src_rank)."""
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    n_tokens = F.when(
+        text.isNull(), F.lit(None).cast("int")
+    ).otherwise(F.size(toks))
+    quality = (
+        F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    return (
+        docs.select(
+            F.col(id_col), F.col(source_col),
+            F.coalesce(quality, F.lit(0.0)).alias("quality"),
+        )
+        .withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= cap)
+    )

@@ -1611,6 +1611,38 @@ ORDER BY doc_id
 """
 
 
+def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (r7): keep the 10 highest-quality docs
+    per source (pipeline/corpus.py ``source_caps``) — the domain-cap
+    curation step; one partitioned window, never a global sort."""
+    from . import corpus
+
+    return corpus.source_caps(
+        t(spark, sf_dir, "documents"), cap=10
+    ).orderBy("source", "src_rank")
+
+
+ORACLE_SOURCE_CAPS = r"""
+WITH q AS (
+  SELECT doc_id, source,
+         COALESCE(
+           CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                AS DOUBLE)
+             / len(string_split_regex(trim(text), '\s+')), 0.0) AS quality
+  FROM documents
+)
+SELECT doc_id, source, quality, CAST(rn AS INT) AS src_rank
+FROM (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM q
+)
+WHERE rn <= 10
+ORDER BY source, src_rank
+"""
+
+
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary construction (r6): top-100 tokens by frequency
     with occurrence + document counts and a deterministic global rank
@@ -2141,6 +2173,7 @@ PIPELINE_QUERIES = {
     "corpus_dataset_split": (corpus_dataset_split, ORACLE_DATASET_SPLIT),
     "corpus_bloom_decontam": (corpus_bloom_decontam, ORACLE_BLOOM_DECONTAM),
     "corpus_fuzzy_decontam": (corpus_fuzzy_decontam, ORACLE_FUZZY_DECONTAM),
+    "corpus_source_caps": (corpus_source_caps, ORACLE_SOURCE_CAPS),
     "corpus_vocab_topk": (corpus_vocab_topk, ORACLE_VOCAB_TOPK),
     "corpus_quality_gate": (corpus_quality_gate, ORACLE_QUALITY_GATE),
     "ann_index_upsert": (ann_index_upsert, ORACLE_ANN_UPSERT),

@@ -1581,3 +1581,26 @@ def test_fuzzy_decontaminate_identical_doc_jaccard_one(spark):
     assert [(r.doc_id, r.eval_id, r.jaccard) for r in out] == [
         (7, 100, 1.0)
     ]
+
+
+def test_source_caps_keeps_top_quality_per_source(spark):
+    """Within each source only the cap highest-diversity docs survive;
+    ties break to the smaller id; NULL text ranks at quality 0."""
+    from powa_archivist_spark.pipeline import corpus
+
+    rows = [
+        (1, "s1", "a b c d"),          # quality 1.0
+        (2, "s1", "a a a a"),          # quality 0.25
+        (3, "s1", "a b a b"),          # quality 0.5
+        (4, "s2", None),               # quality 0 (null text)
+        (5, "s2", "x y"),              # quality 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.source, r.src_rank): (r.doc_id, r.quality) for r in
+           corpus.source_caps(df, cap=2).collect()}
+    assert out == {
+        ("s1", 1): (1, 1.0),
+        ("s1", 2): (3, 0.5),
+        ("s2", 1): (5, 1.0),
+        ("s2", 2): (4, 0.0),
+    }
