@@ -1643,6 +1643,46 @@ ORDER BY source, src_rank
 """
 
 
+def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing (r7): 4 difficulty tiers split at exact
+    global token-count quartiles, computed histogram-style (no global
+    sort; pipeline/corpus.py ``curriculum_buckets``)."""
+    from . import corpus
+
+    return corpus.curriculum_buckets(
+        t(spark, sf_dir, "documents"), n_buckets=4
+    ).orderBy("doc_id")
+
+
+ORACLE_CURRICULUM = r"""
+WITH d AS (
+  SELECT doc_id,
+         COALESCE(len(string_split_regex(trim(text), '\s+')), 0)
+           AS difficulty
+  FROM documents
+), freq AS (
+  SELECT difficulty, count(*) AS c FROM d GROUP BY difficulty
+), cum AS (
+  SELECT difficulty,
+         SUM(c) OVER (ORDER BY difficulty) AS cum,
+         SUM(c) OVER () AS n
+  FROM freq
+), cuts AS (
+  SELECT
+    MIN(CASE WHEN cum >= (n * 25 + 99) // 100 THEN difficulty END) AS c25,
+    MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN difficulty END) AS c50,
+    MIN(CASE WHEN cum >= (n * 75 + 99) // 100 THEN difficulty END) AS c75
+  FROM cum
+)
+SELECT doc_id, CAST(difficulty AS INT) AS difficulty,
+       CAST(1 + CAST(difficulty > c25 AS INT)
+              + CAST(difficulty > c50 AS INT)
+              + CAST(difficulty > c75 AS INT) AS INT) AS bucket
+FROM d CROSS JOIN cuts
+ORDER BY doc_id
+"""
+
+
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary construction (r6): top-100 tokens by frequency
     with occurrence + document counts and a deterministic global rank
@@ -2174,6 +2214,7 @@ PIPELINE_QUERIES = {
     "corpus_bloom_decontam": (corpus_bloom_decontam, ORACLE_BLOOM_DECONTAM),
     "corpus_fuzzy_decontam": (corpus_fuzzy_decontam, ORACLE_FUZZY_DECONTAM),
     "corpus_source_caps": (corpus_source_caps, ORACLE_SOURCE_CAPS),
+    "corpus_curriculum": (corpus_curriculum, ORACLE_CURRICULUM),
     "corpus_vocab_topk": (corpus_vocab_topk, ORACLE_VOCAB_TOPK),
     "corpus_quality_gate": (corpus_quality_gate, ORACLE_QUALITY_GATE),
     "ann_index_upsert": (ann_index_upsert, ORACLE_ANN_UPSERT),

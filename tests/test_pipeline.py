@@ -1604,3 +1604,26 @@ def test_source_caps_keeps_top_quality_per_source(spark):
         ("s2", 1): (5, 1.0),
         ("s2", 2): (4, 0.0),
     }
+
+
+def test_curriculum_buckets_quartile_split(spark):
+    """16 docs of strictly increasing length land 4 per bucket; ties
+    share the bucket of their cutoff value; partitioning-invariant."""
+    from powa_archivist_spark.pipeline import corpus
+
+    rows = [(i, " ".join(["w"] * (i + 1))) for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bucket for r in
+           corpus.curriculum_buckets(df, n_buckets=4).collect()}
+    assert [out[i] for i in range(16)] == [1] * 4 + [2] * 4 + [3] * 4 + [4] * 4
+    out2 = {r.doc_id: r.bucket for r in
+            corpus.curriculum_buckets(df.repartition(7), n_buckets=4)
+            .collect()}
+    assert out2 == out
+    # all-equal difficulties: every doc shares bucket 1
+    same = spark.createDataFrame(
+        [(i, "a b c") for i in range(8)], "doc_id long, text string"
+    )
+    outs = {r.bucket for r in
+            corpus.curriculum_buckets(same, n_buckets=4).collect()}
+    assert outs == {1}
