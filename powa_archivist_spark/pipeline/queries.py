@@ -1683,6 +1683,49 @@ ORDER BY doc_id
 """
 
 
+def corpus_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (r7): top-50 adjacent-pair collocations by
+    rational PMI (pipeline/textstats.py ``pmi_bigrams``); broadcast
+    unigram dims, TakeOrdered final ranking."""
+    from . import textstats
+
+    return textstats.pmi_bigrams(
+        t(spark, sf_dir, "documents"), top_k=50, min_count=2
+    )
+
+
+ORACLE_PMI_BIGRAMS = r"""
+WITH tk AS (
+  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+), uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS n FROM uni
+), pairs AS (
+  SELECT string_split(pair, ' ')[1] AS tok_a,
+         string_split(pair, ' ')[2] AS tok_b,
+         count(*) AS n_pair
+  FROM (
+    SELECT unnest(CASE WHEN len(t) >= 2 THEN
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+           ELSE [] END) AS pair
+    FROM tk
+  ) GROUP BY pair
+  HAVING count(*) >= 2
+)
+SELECT p.tok_a, p.tok_b, p.n_pair,
+       CAST(p.n_pair AS DOUBLE) * CAST(tot.n AS DOUBLE)
+         / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS pmi_ratio
+FROM pairs p
+JOIN uni ca ON ca.tok = p.tok_a
+JOIN uni cb ON cb.tok = p.tok_b
+CROSS JOIN tot
+ORDER BY pmi_ratio DESC, p.tok_a, p.tok_b
+LIMIT 50
+"""
+
+
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary construction (r6): top-100 tokens by frequency
     with occurrence + document counts and a deterministic global rank
@@ -2215,6 +2258,7 @@ PIPELINE_QUERIES = {
     "corpus_fuzzy_decontam": (corpus_fuzzy_decontam, ORACLE_FUZZY_DECONTAM),
     "corpus_source_caps": (corpus_source_caps, ORACLE_SOURCE_CAPS),
     "corpus_curriculum": (corpus_curriculum, ORACLE_CURRICULUM),
+    "corpus_pmi_bigrams": (corpus_pmi_bigrams, ORACLE_PMI_BIGRAMS),
     "corpus_vocab_topk": (corpus_vocab_topk, ORACLE_VOCAB_TOPK),
     "corpus_quality_gate": (corpus_quality_gate, ORACLE_QUALITY_GATE),
     "ann_index_upsert": (ann_index_upsert, ORACLE_ANN_UPSERT),

@@ -457,3 +457,64 @@ def winnow_dedup_pairs(docs: DataFrame, min_shared: int = 2,
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    top_k: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation mining: the ``top_k`` adjacent token pairs by
+    pointwise mutual information — the phrase-detection pre-pass
+    (word2phrase and tokenizer-vocab induction both start here).
+
+    Like :func:`tfidf_topk`, the score is the RATIONAL PMI argument
+    ``c_ab * N / (c_a * c_b)`` rather than its log — identical ranking
+    (log is monotone), pure IEEE division, bit-replayable by the SQL
+    oracle (transcendental ``ln`` is not guaranteed to match across
+    engines to the last ulp).
+
+    Plan shape: bigram counting is ONE explode + groupBy (map-side
+    combinable); the unigram table is vocabulary-bounded and joined
+    twice via **broadcast**; the final top-k is TakeOrdered
+    (orderBy+limit) — never a global sort of the pair table."""
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    pair_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok_rows = docs.select(F.explode(toks).alias("tok"))
+    uni = tok_rows.groupBy("tok").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("n_tokens"))
+    pairs = (
+        docs.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+        .select(
+            F.split(F.col("pair"), " ")[0].alias("tok_a"),
+            F.split(F.col("pair"), " ")[1].alias("tok_b"),
+            "n_pair",
+        )
+    )
+    ua = F.broadcast(uni.select(F.col("tok").alias("tok_a"),
+                                F.col("c").alias("c_a")))
+    ub = F.broadcast(uni.select(F.col("tok").alias("tok_b"),
+                                F.col("c").alias("c_b")))
+    ratio = (
+        F.col("n_pair").cast("double") * F.col("n_tokens").cast("double")
+    ) / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    return (
+        pairs.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(total))
+        .select("tok_a", "tok_b", "n_pair", ratio.alias("pmi_ratio"))
+        .orderBy(F.desc("pmi_ratio"), "tok_a", "tok_b")
+        .limit(top_k)
+    )

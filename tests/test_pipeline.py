@@ -1627,3 +1627,24 @@ def test_curriculum_buckets_quartile_split(spark):
     outs = {r.bucket for r in
             corpus.curriculum_buckets(same, n_buckets=4).collect()}
     assert outs == {1}
+
+
+def test_pmi_bigrams_ranks_collocations(spark):
+    """A pair that always co-occurs ('new york') outranks frequent
+    independent tokens; min_count prunes singletons; ratio matches the
+    hand computation c_ab*N/(c_a*c_b)."""
+    from powa_archivist_spark.pipeline import textstats
+
+    rows = [
+        (1, "new york new york the the the"),
+        (2, "new york the cat the dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.pmi_bigrams(df, top_k=10, min_count=2).collect()
+    top = out[0]
+    assert (top.tok_a, top.tok_b) == ("new", "york")
+    # N=13 tokens, c_ab=3, c_new=3, c_york=3 -> 3*13/9
+    assert abs(top.pmi_ratio - 3 * 13 / 9) < 1e-12
+    # 'the the' appears twice (doc1) but low ratio; singleton pairs gone
+    names = {(r.tok_a, r.tok_b) for r in out}
+    assert ("cat", "the") not in names  # n_pair=1 < min_count
