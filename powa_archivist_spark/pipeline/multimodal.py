@@ -329,3 +329,102 @@ def binary_shingles(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return df.select(F.col(id_col), arr.alias("sh"))
+
+
+def cdc_chunks(
+    df: DataFrame,
+    window_bytes: int = 8,
+    divisor: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking over an opaque BINARY column — the
+    rolling-boundary split every chunk-level blob dedup store runs
+    (rsync/LBFS/FastCDC lineage): a chunk boundary falls AFTER byte
+    position i whenever the hash of the ``window_bytes`` window ending
+    at i satisfies ``h % divisor == 0``.  Because boundaries depend
+    only on local content, an insertion early in a blob shifts — but
+    does not rewrite — the chunk set, so edited re-uploads share most
+    chunks with the original (the property fixed-size blocks lack).
+
+    Pure Catalyst expressions, sibling of :func:`binary_shingles`: the
+    payload is hex-encoded once; windows/boundaries/chunks are array
+    ops over it; each chunk is emitted as (id, chunk_idx, n_bytes,
+    chunk digest).  Blobs shorter than ``window_bytes`` yield one
+    whole-blob chunk.  The md5 chunk digest keeps the whole operator —
+    boundaries included — replayable by the SQL oracle."""
+    from .dedup import cross_engine_hash64
+
+    hx = F.hex(F.col(payload_col))
+    n_bytes = (F.length(hx) / 2).cast("int")
+    # candidate boundary after byte i (1-based, i >= window, i < n):
+    # hash the window hex [2*(i-window)+1 .. 2*i]
+    win_hex = lambda i: hx.substr(  # noqa: E731
+        (i - window_bytes) * 2 + 1, F.lit(window_bytes * 2)
+    )
+    cut_after = F.when(
+        n_bytes > window_bytes,
+        F.filter(
+            F.sequence(F.lit(window_bytes), n_bytes - 1),
+            lambda i: cross_engine_hash64(win_hex(i)) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # chunk byte-ranges: starts = [0] + cuts, ends = cuts + [n]
+    starts = F.concat(F.array(F.lit(0)), F.col("cuts"))
+    ends = F.concat(F.col("cuts"), F.array(F.col("nb")))
+    chunks = F.transform(
+        starts,
+        lambda s, idx: F.struct(
+            idx.alias("chunk_idx"),
+            (F.element_at(ends, idx + 1) - s).alias("chunk_bytes"),
+            F.md5(
+                F.substring(
+                    F.col("hx"), s * 2 + 1,
+                    (F.element_at(ends, idx + 1) - s) * 2,
+                )
+            ).alias("digest"),
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col), hx.alias("hx"), n_bytes.alias("nb"),
+            cut_after.alias("cuts"),
+        )
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_idx", "c.chunk_bytes", "c.digest")
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    window_bytes: int = 8,
+    divisor: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level dedup accounting over :func:`cdc_chunks`: per blob,
+    how many of its chunks (and bytes) already exist elsewhere in the
+    corpus — the dedup-ratio report a content-addressed blob store
+    produces.  A chunk is 'shared' when its digest occurs under more
+    than one blob id.  ONE digest-keyed aggregation (map-side
+    combinable) builds the reference counts; the join back is keyed on
+    the bounded digest table."""
+    ch = cdc_chunks(df, window_bytes, divisor, payload_col, id_col)
+    refs = ch.groupBy("digest").agg(
+        F.count_distinct(F.col(id_col)).alias("n_blobs")
+    )
+    return (
+        ch.join(refs, "digest")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_bytes").alias("n_bytes"),
+            F.sum(F.when(F.col("n_blobs") > 1, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+            F.sum(
+                F.when(F.col("n_blobs") > 1, F.col("chunk_bytes"))
+                .otherwise(F.lit(0))
+            ).alias("n_shared_bytes"),
+        )
+    )

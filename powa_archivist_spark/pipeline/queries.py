@@ -1079,6 +1079,63 @@ WHERE rn = least(m, 64)
 """
 
 
+def multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup accounting (r7) over the opaque
+    binary payload (pipeline/multimodal.py ``cdc_dedup_stats``):
+    rolling-boundary chunks (8-byte window, divisor 64), md5 chunk
+    digests, per-blob shared-chunk/byte counts.  The oracle replays
+    boundaries, chunk slicing, digests, and reference counting."""
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.cdc_dedup_stats(
+        multimodal.with_payload(docs), window_bytes=8, divisor=64
+    ).orderBy("doc_id")
+
+
+ORACLE_CDC_DEDUP = """
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS INT) AS nb
+  FROM documents
+), cut AS (
+  SELECT doc_id, hx, nb,
+         CASE WHEN nb > 8 THEN
+           list_filter(range(8, nb),
+             i -> ('0x' || substring(md5(substring(hx, CAST((i-8)*2+1 AS INT), 16)),
+                   1, 15))::BIGINT % 64 = 0)
+         ELSE [] END AS cuts
+  FROM hx
+), bounds AS (
+  SELECT doc_id, hx, list_prepend(0, cuts) AS starts,
+         list_append(cuts, nb) AS ends
+  FROM cut
+), chunk AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(starts) + 1), k ->
+           struct_pack(
+             cb := ends[k] - starts[k],
+             dg := md5(substring(hx, CAST(starts[k]*2 + 1 AS INT),
+                                 CAST((ends[k] - starts[k])*2 AS INT)))
+           ))) AS c
+  FROM bounds
+), chunks AS (
+  SELECT doc_id, c.cb AS chunk_bytes, c.dg AS digest FROM chunk
+), refs AS (
+  SELECT digest, COUNT(DISTINCT doc_id) AS n_blobs
+  FROM chunks GROUP BY digest
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(c.chunk_bytes) AS BIGINT) AS n_bytes,
+       CAST(SUM(CASE WHEN r.n_blobs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       CAST(SUM(CASE WHEN r.n_blobs > 1 THEN c.chunk_bytes ELSE 0 END)
+            AS BIGINT) AS n_shared_bytes
+FROM chunks c JOIN refs r USING (digest)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
 def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate per event_type (p=9, 512
     registers) in the cross-engine hash family (pipeline/sketches.py
@@ -2259,6 +2316,7 @@ PIPELINE_QUERIES = {
     "corpus_source_caps": (corpus_source_caps, ORACLE_SOURCE_CAPS),
     "corpus_curriculum": (corpus_curriculum, ORACLE_CURRICULUM),
     "corpus_pmi_bigrams": (corpus_pmi_bigrams, ORACLE_PMI_BIGRAMS),
+    "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),
     "corpus_vocab_topk": (corpus_vocab_topk, ORACLE_VOCAB_TOPK),
     "corpus_quality_gate": (corpus_quality_gate, ORACLE_QUALITY_GATE),
     "ann_index_upsert": (ann_index_upsert, ORACLE_ANN_UPSERT),

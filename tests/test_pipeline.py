@@ -1648,3 +1648,47 @@ def test_pmi_bigrams_ranks_collocations(spark):
     # 'the the' appears twice (doc1) but low ratio; singleton pairs gone
     names = {(r.tok_a, r.tok_b) for r in out}
     assert ("cat", "the") not in names  # n_pair=1 < min_count
+
+
+def test_cdc_chunks_insertion_shifts_not_rewrites(spark):
+    """The CDC property: inserting bytes near the start of a blob
+    changes only the chunks up to the first unchanged boundary — the
+    tail chunks keep their digests (fixed-size blocking would rewrite
+    every block after the edit)."""
+    from powa_archivist_spark.pipeline import multimodal
+
+    base = "aaaaaaaa" * 8 + "bbbbbbbb" * 8 + "cccccccc" * 8
+    edited = "XY" + base
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    ).withColumn("payload", F.encode("text", "UTF-8"))
+    ch = multimodal.cdc_chunks(df, window_bytes=8, divisor=16).collect()
+    d1 = {r.digest for r in ch if r.doc_id == 1}
+    d2 = {r.digest for r in ch if r.doc_id == 2}
+    # repeated content -> both blobs share at least one chunk digest,
+    # and each also has at least one private chunk (the edited head)
+    assert d1 & d2
+    assert d2 - d1
+
+
+def test_cdc_dedup_stats_counts_shared_chunks(spark):
+    """Two identical blobs share every chunk; a unique blob shares
+    none; byte totals reconcile with payload sizes."""
+    from powa_archivist_spark.pipeline import multimodal
+
+    t1 = "hello world " * 10
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, "completely different content here")],
+        "doc_id long, text string",
+    ).withColumn("payload", F.encode("text", "UTF-8"))
+    out = {r.doc_id: r for r in
+           multimodal.cdc_dedup_stats(df).collect()}
+    assert out[1].n_shared_chunks == out[1].n_chunks
+    assert out[2].n_shared_chunks == out[2].n_chunks
+    assert out[3].n_shared_chunks == 0
+    assert out[1].n_bytes == len(t1.encode())
+    assert out[3].n_shared_bytes == 0
