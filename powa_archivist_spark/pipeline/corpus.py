@@ -734,18 +734,20 @@ def curriculum_buckets(
     standard length proxy) split at exact global quantiles — the
     ordering pre-pass for curriculum-style training schedules.
 
-    Exact global quantiles WITHOUT a global sort: (1) one map-side-
-    combinable ``groupBy(difficulty).count()`` collapses the corpus to
-    its difficulty-value histogram — cardinality bounded by max doc
-    length, NOT corpus size; (2) a cumulative-sum window over that
-    small table finds each nearest-rank cutoff (integer rank
-    arithmetic, same convention as operators/quantiles.py); (3) the
-    one-row cutoff frame is broadcast and bucket assignment is a
-    map-only expression.  The single-partition window in step 2 runs
-    over the bounded histogram, never the corpus — the pattern the
-    top-consumers fix (r7) mandates.  Ties share a bucket by
-    construction (comparisons against cutoff VALUES), so the split is
-    deterministic across engines and partitionings."""
+    Exact global quantiles WITHOUT a global sort — and without ANY
+    Window node (the whole-surface fence
+    test_no_unbounded_global_window_anywhere stays strict): (1) one
+    map-side-combinable ``groupBy(difficulty).count()`` collapses the
+    corpus to its difficulty-value histogram — cardinality bounded by
+    max doc length, NOT corpus size; (2) the histogram folds into ONE
+    row via ``sort_array(collect_list(...))`` (bounded by the same
+    value cardinality) and each nearest-rank cutoff falls out of a
+    cumulative scan with the ``aggregate`` higher-order function
+    (integer rank arithmetic, same convention as
+    operators/quantiles.py); (3) the one-row cutoff frame is broadcast
+    and bucket assignment is a map-only expression.  Ties share a
+    bucket by construction (comparisons against cutoff VALUES), so the
+    split is deterministic across engines and partitionings."""
     text = F.col(text_col)
     toks = F.split(F.trim(text), r"\s+")
     difficulty = F.coalesce(
@@ -756,30 +758,37 @@ def curriculum_buckets(
     )
     d = docs.select(F.col(id_col), difficulty.alias("difficulty"))
     freq = d.groupBy("difficulty").agg(F.count("*").alias("c"))
-    w_cum = Window.orderBy("difficulty").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.orderBy("difficulty").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = freq.select(
-        "difficulty",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("n"),
+    hist = freq.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("difficulty").alias("d"), "c"))
+        ).alias("h")
+    ).select(
+        "h",
+        F.aggregate(
+            "h", F.lit(0).cast("long"), lambda acc, x: acc + x["c"]
+        ).alias("n"),
     )
     pcts = [i * 100 // n_buckets for i in range(1, n_buckets)]
-    cuts = cum.agg(
-        *[
-            F.min(
-                F.when(
-                    F.col("cum")
-                    >= ((F.col("n") * p + 99) / 100).cast("long"),
-                    F.col("difficulty"),
-                )
-            ).alias(f"c{p}")
-            for p in pcts
-        ]
-    )
+
+    def cutoff(p: int):
+        target = ((F.col("n") * p + 99) / 100).cast("long")
+        init = F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("int").alias("cut"),
+        )
+        return F.aggregate(
+            "h",
+            init,
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["c"]).alias("cum"),
+                F.coalesce(
+                    acc["cut"],
+                    F.when(acc["cum"] + x["c"] >= target, x["d"]),
+                ).alias("cut"),
+            ),
+        )["cut"]
+
+    cuts = hist.select(*[cutoff(p).alias(f"c{p}") for p in pcts])
     bucket = F.lit(1)
     for p in pcts:
         bucket = bucket + (F.col("difficulty") > F.col(f"c{p}")).cast(
