@@ -1079,6 +1079,71 @@ WHERE rn = least(m, 64)
 """
 
 
+def stream_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-batch replay of the STREAMING at-rest HLL
+    profile (streaming/profile.py): events arrive in four fixed
+    micro-batches (event_id % 4, in order), each folding its registers
+    into the at-rest table; the final estimate reads the table alone.
+    MAX-merge associativity makes the result EQUAL to the one-pass
+    batch sketch, so the oracle is the batch HLL oracle (no n_exact —
+    the at-rest sketch deliberately never stores raw keys)."""
+    import shutil
+    import tempfile
+
+    from ..storage import Warehouse
+    from ..streaming.profile import hll_profile, process_hll_batch
+
+    ev = t(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="hll_profile_")
+    try:
+        wh = Warehouse(spark, scratch)
+        for b in range(4):
+            process_hll_batch(
+                wh, ev.filter(F.col("event_id") % 4 == b),
+                "user_id", ["event_type"],
+            )
+        return (
+            hll_profile(wh, ["event_type"])
+            .orderBy("event_type")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+ORACLE_STREAM_HLL_PROFILE = """
+WITH hashed AS (
+  SELECT event_type,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), regs AS (
+  SELECT event_type, h % 512 AS j,
+         MAX(CASE WHEN h // 512 > 0 THEN 52 - length(bin(h // 512))
+                  ELSE 52 END) AS mj
+  FROM hashed GROUP BY event_type, h % 512
+), agg AS (
+  SELECT event_type,
+         SUM(1::BIGINT << CAST(52 - mj AS INT)) AS s_present,
+         COUNT(*) AS n_regs
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type,
+         0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+           * 4503599627370496.0
+           / CAST(s_present + (512 - n_regs) * (1::BIGINT << 52)
+                  AS DOUBLE) AS raw,
+         512 - n_regs AS zeros
+  FROM agg
+)
+SELECT event_type,
+       ROUND(CASE WHEN raw <= 1280.0 AND zeros > 0
+                  THEN 512.0 * ln(512.0 / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 4) AS est_distinct
+FROM est
+ORDER BY event_type
+"""
+
+
 def multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined-chunking dedup accounting (r7) over the opaque
     binary payload (pipeline/multimodal.py ``cdc_dedup_stats``):
@@ -2317,6 +2382,7 @@ PIPELINE_QUERIES = {
     "corpus_curriculum": (corpus_curriculum, ORACLE_CURRICULUM),
     "corpus_pmi_bigrams": (corpus_pmi_bigrams, ORACLE_PMI_BIGRAMS),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),
+    "stream_hll_profile": (stream_hll_profile, ORACLE_STREAM_HLL_PROFILE),
     "corpus_vocab_topk": (corpus_vocab_topk, ORACLE_VOCAB_TOPK),
     "corpus_quality_gate": (corpus_quality_gate, ORACLE_QUALITY_GATE),
     "ann_index_upsert": (ann_index_upsert, ORACLE_ANN_UPSERT),

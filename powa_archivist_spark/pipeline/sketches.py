@@ -214,30 +214,81 @@ def hll_distinct(
     ``n_exact`` (true distinct-hash count) so the estimate's error is
     visible; at real scale you would drop it and keep only the sketch.
     """
+    hashed = _hll_hashed(df, key_col, group_cols, p)
+    regs = hll_registers(df, key_col, group_cols, p)
+    agg = hll_estimate(regs, group_cols, p)
+    n_exact = (
+        hashed.select(*group_cols, "h")
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count("*").alias("n_exact"))
+    )
+    a_a, n_a = agg.alias("a"), n_exact.alias("n")
+    cond = None
+    for g in group_cols:
+        eq = F.col(f"a.{g}").eqNullSafe(F.col(f"n.{g}"))
+        cond = eq if cond is None else (cond & eq)
+    return a_a.join(n_a, cond).select(
+        *[F.col(f"a.{g}").alias(g) for g in group_cols],
+        "n_exact",
+        F.col("a.est_distinct").alias("est_distinct"),
+    )
+
+
+def _hll_hashed(df: DataFrame, key_col: str,
+                group_cols: Sequence[str], p: int) -> DataFrame:
+    """(group..., j, r, h) rows: bucket, register rank, raw hash."""
     m = 1 << p
-    wbits = 60 - p
-    rmax = wbits + 1  # rank of a zero rest (all wbits leading zeros)
+    rmax = (60 - p) + 1  # rank of a zero rest (all leading zeros)
     h = cross_engine_hash64(F.col(key_col))
     rest = F.shiftright(h, p)
     rank = F.when(
         rest > 0, F.lit(rmax) - F.length(F.bin(rest))
     ).otherwise(F.lit(rmax))
-    hashed = df.select(
+    return df.select(
         *group_cols, (h % m).alias("j"), rank.alias("r"), h.alias("h")
     )
-    regs = hashed.groupBy(*group_cols, "j").agg(F.max("r").alias("mj"))
+
+
+def hll_registers(df: DataFrame, key_col: str,
+                  group_cols: Sequence[str], p: int = 9) -> DataFrame:
+    """The sketch STATE: (group..., j, mj) register maxima — ≤ 2^p rows
+    per group, MAX-mergeable with any other register frame of the same
+    (p, hash family).  This is what an at-rest profile table stores;
+    :func:`hll_estimate` turns any such frame into estimates."""
+    return (
+        _hll_hashed(df, key_col, group_cols, p)
+        .groupBy(*group_cols, "j")
+        .agg(F.max("r").alias("mj"))
+    )
+
+
+def hll_merge(*reg_frames: DataFrame, group_cols: Sequence[str]
+              ) -> DataFrame:
+    """MAX-merge register frames (daily sketches -> monthly, at-rest
+    table + new batch): union, one groupBy(group, j).max — associative
+    and idempotent, so replaying a batch cannot inflate the sketch."""
+    it = iter(reg_frames)
+    u = next(it)
+    for f in it:
+        u = u.unionByName(f)
+    return u.groupBy(*group_cols, "j").agg(F.max("mj").alias("mj"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: Sequence[str],
+                 p: int = 9) -> DataFrame:
+    """Estimates from a register frame: exact-BIGINT harmonic sum
+    ``S = sum(2^(R-M_j))`` (empty registers contribute ``2^R``), one
+    float division, small-range correction ``m*ln(m/zeros)``, ROUND(4)
+    absorbing last-ulp libm skew (see :func:`hll_distinct`)."""
+    m = 1 << p
+    rmax = (60 - p) + 1
     agg = regs.groupBy(*group_cols).agg(
         # SQL expr: pyspark's shiftleft() only takes a literal shift
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - mj)")).alias(
             "s_present"
         ),
         F.count("*").alias("n_regs"),
-    )
-    n_exact = (
-        hashed.select(*group_cols, "h")
-        .distinct()
-        .groupBy(*group_cols)
-        .agg(F.count("*").alias("n_exact"))
     )
     # alpha_m * m^2 * 2^R, evaluated in THIS literal order on both
     # engines so the IEEE result is bit-identical
@@ -254,13 +305,6 @@ def hll_distinct(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
-    a_a, n_a = agg.alias("a"), n_exact.alias("n")
-    cond = None
-    for g in group_cols:
-        eq = F.col(f"a.{g}").eqNullSafe(F.col(f"n.{g}"))
-        cond = eq if cond is None else (cond & eq)
-    return a_a.join(n_a, cond).select(
-        *[F.col(f"a.{g}").alias(g) for g in group_cols],
-        "n_exact",
-        F.round(est, 4).alias("est_distinct"),
+    return agg.select(
+        *group_cols, F.round(est, 4).alias("est_distinct")
     )

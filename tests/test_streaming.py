@@ -931,3 +931,68 @@ def test_bucketed_digest_ledger_dedups_and_plan(spark, wh):
         for t in spark.catalog.listTables():
             if t.name.startswith("led_bkt_t"):
                 drop_table(spark, t.name)
+
+
+def test_hll_profile_equals_batch_sketch_and_replay_safe(spark, wh):
+    """The at-rest register table folded batch-by-batch yields the SAME
+    estimate as the one-pass batch sketch (MAX-merge associativity),
+    and re-processing a batch (crash replay) cannot inflate it
+    (idempotence)."""
+    from pyspark.sql import functions as F
+    from powa_archivist_spark.pipeline import sketches
+    from powa_archivist_spark.streaming.profile import (
+        HLL_TABLE,
+        hll_profile,
+        process_hll_batch,
+    )
+
+    rows = [("a", i) for i in range(3000)] + [("b", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    for b in range(3):
+        process_hll_batch(wh, df.filter(F.col("k") % 3 == b), "k", ["g"])
+    streamed = {r.g: r.est_distinct for r in
+                hll_profile(wh, ["g"]).collect()}
+    batch = {r.g: r.est_distinct for r in
+             sketches.hll_distinct(df, "k", ["g"]).collect()}
+    assert streamed == batch
+    # register table is bounded: <= 512 rows per group
+    assert wh.read(HLL_TABLE).groupBy("g").count().agg(
+        F.max("count")).collect()[0][0] <= 512
+    # replay batch 0: idempotent merge, estimates unchanged
+    process_hll_batch(wh, df.filter(F.col("k") % 3 == 0), "k", ["g"])
+    assert {r.g: r.est_distinct for r in
+            hll_profile(wh, ["g"]).collect()} == streamed
+
+
+def test_stream_hll_profile_runtime(spark, wh):
+    """The foreachBatch wrapper through the real streaming runtime with
+    epoch markers."""
+    import os
+    import tempfile
+
+    from powa_archivist_spark.streaming.profile import (
+        hll_profile,
+        stream_hll_profile,
+    )
+
+    schema = "g string, k long"
+    landing = tempfile.mkdtemp(prefix="hlllanding_")
+    ckpt = tempfile.mkdtemp(prefix="hllckpt_")
+    b1 = spark.createDataFrame(
+        [("a", i) for i in range(100)], schema
+    )
+    b1.coalesce(1).write.parquet(os.path.join(landing, "b1"))
+    q = stream_hll_profile(spark, landing + "/*", b1.schema, ckpt, wh,
+                           "k", ["g"])
+    q.awaitTermination(60)
+    est1 = {r.g: r.est_distinct for r in hll_profile(wh, ["g"]).collect()}
+    assert 85 < est1["a"] < 115  # ~100 distinct, small-range corrected
+    b2 = spark.createDataFrame(
+        [("a", i) for i in range(50, 150)], schema  # 50 new keys
+    )
+    b2.coalesce(1).write.parquet(os.path.join(landing, "b2"))
+    q = stream_hll_profile(spark, landing + "/*", b1.schema, ckpt, wh,
+                           "k", ["g"])
+    q.awaitTermination(60)
+    est2 = {r.g: r.est_distinct for r in hll_profile(wh, ["g"]).collect()}
+    assert 130 < est2["a"] < 170  # ~150 distinct after the union
