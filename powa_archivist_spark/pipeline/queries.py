@@ -740,6 +740,50 @@ GROUP BY cell_id, i
 """
 
 
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers (r7): the 5 vectors farthest from
+    their own label centroid on the exact-integer grid
+    (pipeline/similarity.py ``embedding_outliers``); the oracle replays
+    quantization, floored centroid means, int dots, and the tie-broken
+    bottom-k pick."""
+    return similarity.embedding_outliers(
+        t(spark, sf_dir, "embeddings"), k=5
+    ).orderBy("label", "rank")
+
+
+ORACLE_EMB_OUTLIERS = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), cent_dims AS (
+  SELECT label, i AS dim,
+         CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+  FROM e,
+       (SELECT unnest(generate_series(1,
+          (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
+  GROUP BY label, i
+), cents AS (
+  SELECT label, list(cx ORDER BY dim) AS cv FROM cent_dims GROUP BY label
+), scored AS (
+  SELECT e.label, e.vec_id,
+         CAST(list_sum(list_transform(list_zip(e.v, c.cv),
+           x -> x[1] * x[2])) AS BIGINT) AS dot_c
+  FROM e JOIN cents c USING (label)
+)
+SELECT label, vec_id, dot_c, CAST(rank AS INT) AS rank
+FROM (
+  SELECT label, vec_id, dot_c,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dot_c ASC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY label, rank
+"""
+
+
 def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus prep: lang gate -> quality gate -> exact dedup
     -> near-dup dedup, as one composed plan (pipeline/corpus.py)."""
@@ -2383,6 +2427,7 @@ PIPELINE_QUERIES = {
     "corpus_pmi_bigrams": (corpus_pmi_bigrams, ORACLE_PMI_BIGRAMS),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),
     "stream_hll_profile": (stream_hll_profile, ORACLE_STREAM_HLL_PROFILE),
+    "emb_outliers": (emb_outliers, ORACLE_EMB_OUTLIERS),
     "corpus_vocab_topk": (corpus_vocab_topk, ORACLE_VOCAB_TOPK),
     "corpus_quality_gate": (corpus_quality_gate, ORACLE_QUALITY_GATE),
     "ann_index_upsert": (ann_index_upsert, ORACLE_ANN_UPSERT),

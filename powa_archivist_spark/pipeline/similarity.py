@@ -965,3 +965,55 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot_q", "rank")
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding outlier audit: the ``k`` vectors of each
+    label FARTHEST from their own label centroid (lowest quantized dot)
+    — the standard screen for mislabeled rows, noisy embeddings, and
+    poisoned/contaminated clusters before the corpus ships.
+
+    All arithmetic follows :func:`ivf_refine`'s exact-integer
+    convention: centroids are dimension-wise floored means ON THE
+    QUANTIZED GRID (int64 sums — order-independent, engine-portable),
+    distances are exact int64 dots, so the SQL oracle replays
+    everything including ties (id tie-break).
+
+    Plan shape: one posexplode -> (label, dim) SUM/COUNT groupBy (two
+    map-side-combinable aggregations) -> sorted collect_list
+    reassembles each centroid; the centroid dim is label-bounded and
+    **broadcast**; the final pick is a window partitioned by label
+    (bounded fan-in), never a global sort."""
+    vecs = emb.select(
+        F.col(label_col), F.col(id_col), quantized(F.col(vec_col)).alias("v")
+    )
+    dims = vecs.select(
+        label_col, F.posexplode("v").alias("dim", "x")
+    )
+    cent_dims = dims.groupBy(label_col, "dim").agg(
+        F.floor(
+            F.sum("x").cast("double") / F.count("*")
+        ).cast("long").alias("cx")
+    )
+    cents = cent_dims.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+            lambda s: s["cx"],
+        ).alias("cv")
+    )
+    scored = vecs.join(F.broadcast(cents), label_col).select(
+        label_col, id_col, int_dot(F.col("v"), F.col("cv")).alias("dot_c")
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.asc("dot_c"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

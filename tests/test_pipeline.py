@@ -1692,3 +1692,25 @@ def test_cdc_dedup_stats_counts_shared_chunks(spark):
     assert out[3].n_shared_chunks == 0
     assert out[1].n_bytes == len(t1.encode())
     assert out[3].n_shared_bytes == 0
+
+
+def test_embedding_outliers_flags_planted_outlier(spark):
+    """A vector pointing away from its label's tight cluster ranks as
+    that label's worst outlier (lowest centroid dot, rank 1)."""
+    from powa_archivist_spark.pipeline import similarity
+
+    tight = [(i, [1.0, 0.0, 0.0], 0) for i in range(6)]
+    planted = [(99, [-1.0, 0.0, 0.0], 0)]
+    other = [(200 + i, [0.0, 1.0, 0.0], 1) for i in range(3)]
+    df = spark.createDataFrame(
+        tight + planted + other,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.embedding_outliers(df, k=2).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append(r)
+    assert by_label[0][0].vec_id == 99
+    assert by_label[0][0].rank == 1
+    # the planted outlier's dot is far below the cluster members'
+    assert by_label[0][0].dot_c < by_label[0][1].dot_c
