@@ -16,6 +16,8 @@ extra columns are absorbed identically regardless of wire format:
   directly.
 - ``csv``: header row expected, staging schema applied for the same
   determinism; ``timestampFormat`` defaults to ISO-8601.
+- ``orc``: columnar like parquet (Hive-lineage collectors); types ride
+  along, schema shim absorbs layout drift.
 
 At 100 TB the landing dir is object storage partitioned by arrival
 time; these readers are also the batch halves of the streaming ingest
@@ -30,7 +32,7 @@ from pyspark.sql import types as T
 from ..specs import DatasourceSpec
 from .readers import shim_to_schema
 
-_FORMATS = ("parquet", "json", "csv")
+_FORMATS = ("parquet", "json", "csv", "orc")
 
 
 def _relaxed(schema: T.StructType) -> T.StructType:
@@ -58,6 +60,8 @@ def read_landing(
     reader = spark.read.options(**opts)
     if fmt == "parquet":
         df = reader.parquet(path)
+    elif fmt == "orc":
+        df = reader.orc(path)
     elif fmt == "json":
         df = reader.schema(_relaxed(spec.staging_schema)).json(path)
     else:  # csv

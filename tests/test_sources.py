@@ -425,8 +425,9 @@ def test_catalog_priority_order(spark, wh):
 
 
 def test_landing_formats_agree(spark, wh, tmp_path):
-    """JSON and CSV collector drops land identically to parquet through
-    the staging shim, and feed the snapshot operator unchanged."""
+    """JSON, CSV, and ORC collector drops land identically to parquet
+    through the staging shim, and feed the snapshot operator
+    unchanged."""
     import json as jsonlib
 
     from powa_archivist_spark.operators.snapshot import snapshot
@@ -440,6 +441,8 @@ def test_landing_formats_agree(spark, wh, tmp_path):
 
     pq = str(tmp_path / "drop_parquet")
     df.coalesce(1).write.parquet(pq)
+    oc = str(tmp_path / "drop_orc")
+    df.coalesce(1).write.orc(oc)
     jpath = tmp_path / "drop.json"
     with open(jpath, "w") as f:
         for r in df.collect():
@@ -455,11 +458,12 @@ def test_landing_formats_agree(spark, wh, tmp_path):
                 for n in names) + "\n")
 
     got = {}
-    for fmt, p in (("parquet", pq), ("json", str(jpath)), ("csv", str(cpath))):
+    for fmt, p in (("parquet", pq), ("orc", oc), ("json", str(jpath)),
+                   ("csv", str(cpath))):
         landed = read_landing(spark, p, PG_STAT_BGWRITER, fmt=fmt)
         assert [f.name for f in landed.schema.fields] == names
         got[fmt] = sorted(map(tuple, landed.collect()))
-    assert got["parquet"] == got["json"] == got["csv"]
+    assert got["parquet"] == got["json"] == got["csv"] == got["orc"]
 
     # a landed frame is a valid snapshot capture
     n = snapshot(wh, PG_STAT_BGWRITER, 1, capture=read_landing(
