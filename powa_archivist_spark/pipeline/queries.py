@@ -1188,6 +1188,57 @@ ORDER BY event_type
 """
 
 
+def events_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed HLL (r7): distinct users per (event_type, day) —
+    the tumbling-window form of the sketch; at scale each day's
+    registers persist independently and roll up to weeks/months by
+    MAX-merge (sketches.hll_merge) without rescanning history."""
+    from . import sketches
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return sketches.hll_distinct(
+        ev, "user_id", ["event_type", "day"], p=9
+    ).orderBy("event_type", "day")
+
+
+ORACLE_HLL_WINDOWED = """
+WITH hashed AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), regs AS (
+  SELECT event_type, day, h % 512 AS j,
+         MAX(CASE WHEN h // 512 > 0 THEN 52 - length(bin(h // 512))
+                  ELSE 52 END) AS mj
+  FROM hashed GROUP BY event_type, day, h % 512
+), agg AS (
+  SELECT event_type, day,
+         SUM(1::BIGINT << CAST(52 - mj AS INT)) AS s_present,
+         COUNT(*) AS n_regs
+  FROM regs GROUP BY event_type, day
+), ex AS (
+  SELECT event_type, day, COUNT(DISTINCT h) AS n_exact
+  FROM hashed GROUP BY event_type, day
+), est AS (
+  SELECT event_type, day,
+         0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+           * 4503599627370496.0
+           / CAST(s_present + (512 - n_regs) * (1::BIGINT << 52)
+                  AS DOUBLE) AS raw,
+         512 - n_regs AS zeros
+  FROM agg
+)
+SELECT e.event_type, e.day, ex.n_exact,
+       ROUND(CASE WHEN e.raw <= 1280.0 AND e.zeros > 0
+                  THEN 512.0 * ln(512.0 / CAST(e.zeros AS DOUBLE))
+                  ELSE e.raw END, 4) AS est_distinct
+FROM est e JOIN ex USING (event_type, day)
+ORDER BY e.event_type, e.day
+"""
+
+
 def multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined-chunking dedup accounting (r7) over the opaque
     binary payload (pipeline/multimodal.py ``cdc_dedup_stats``):
@@ -2377,6 +2428,7 @@ PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
     "events_hll_distinct": (events_hll_distinct, ORACLE_HLL_DISTINCT),
+    "events_hll_windowed": (events_hll_windowed, ORACLE_HLL_WINDOWED),
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
     "dedup_keep_list": (dedup_keep_list, ORACLE_KEEP_LIST),
