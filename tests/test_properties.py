@@ -587,3 +587,33 @@ def test_mixture_sample_copy_bounds(spark, ids, rate_thousandths):
         assert got in {lo, hi}, (i, got, r)
     if float(lo) == r:  # integer rate: exact
         assert all(per_doc.get(i, 0) == lo for i in ids)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=5000),
+                  min_size=1, max_size=200),
+    split=st.integers(min_value=2, max_value=5),
+)
+@SLOW
+def test_hll_merge_associativity_on_random_splits(spark, keys, split):
+    """For ANY split of the data into batches, MAX-merging the batch
+    register frames equals the one-pass sketch — the contract that
+    makes at-rest HLL tables (streaming/profile.py) correct under
+    every arrival order."""
+    from pyspark.sql import functions as F
+    from powa_archivist_spark.pipeline import sketches
+
+    df = spark.createDataFrame([("g", k) for k in keys], "g string, k long")
+    whole = sketches.hll_estimate(
+        sketches.hll_registers(df, "k", ["g"]), ["g"]
+    ).collect()[0].est_distinct
+    parts = [
+        sketches.hll_registers(
+            df.filter(F.col("k") % split == i), "k", ["g"]
+        )
+        for i in range(split)
+    ]
+    merged = sketches.hll_estimate(
+        sketches.hll_merge(*parts, group_cols=["g"]), ["g"]
+    ).collect()[0].est_distinct
+    assert merged == whole
