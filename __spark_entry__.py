@@ -26,11 +26,14 @@ from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 
 # The driver's hard correctness gate replays the FIRST 50 entries of
 # ``queries()`` (dict insertion order).  Round 7 completes the gate
-# rotation started in round 6: the window now carries the flagship plus
-# the 49 queries that had NO driver-verified CORRECTNESS row in round 6,
-# so that across r6+r7 every declared query has been driver-verified at
-# least once.  The 49 displaced round-6 queries stay enforced by
-# tests/test_oracle_full.py (full-surface value-hash replay in pytest).
+# rotation started in round 6: the window carries the flagship plus 49
+# queries with NO driver-verified CORRECTNESS row in round 6 — 39
+# never-gated round-≤6 tail queries plus ALL TEN round-7 additions
+# (HLL sketches, LSH semantic dedup, fuzzy decontamination, source
+# caps, curriculum bucketing, PMI bigrams, CDC binary dedup, embedding
+# outliers), mirroring round 6's practice of gating its own flagships.
+# Every displaced query stays enforced by tests/test_oracle_full.py
+# (full-surface value-hash replay in pytest) and ORACLE_FULL.txt.
 _GATE_ORDER = [
     # --- flagship (always gated) ---
     "q01_pricing_summary",
@@ -41,16 +44,10 @@ _GATE_ORDER = [
     "events_rank_distribution",
     "events_value_histogram",
     "events_grouped_quantiles",
-    "events_range_read",
     "events_window_bounds",
     "events_top_consumers",
-    "events_pivot_counts",
-    "events_two_level_rollup",
     "events_history_rates",
-    "events_rollup_sets",
-    "events_sampled_rates",
     "salted_rollup",
-    "salted_join_rollup",
     # --- core: filters / joins / case ---
     "events_ignored_users",
     "docs_regex_filter",
@@ -71,8 +68,6 @@ _GATE_ORDER = [
     # --- pipeline: multimodal ---
     "multimodal_meta",
     "multimodal_frames",
-    "multimodal_resize",
-    "multimodal_features",
     # --- pipeline: text analysis ---
     "token_counts",
     "lang_id",
@@ -81,14 +76,23 @@ _GATE_ORDER = [
     "dedup_winnow_pairs",
     # --- pipeline: corpus curation (round-6 additions, never gated) ---
     "corpus_prep_funnel",
-    "corpus_token_stats",
     "corpus_shuffle_shards",
-    "corpus_chunks",
     "corpus_vocab_topk",
     "corpus_quality_gate",
     "corpus_mixture_sample",
     "corpus_token_budget_select",
     "stream_curation_corpus",
+    # --- round-7 additions (never gated; this round's flagships) ---
+    "events_hll_distinct",
+    "events_hll_windowed",
+    "stream_hll_profile",
+    "emb_semantic_dedup_lsh",
+    "emb_outliers",
+    "corpus_fuzzy_decontam",
+    "corpus_source_caps",
+    "corpus_curriculum",
+    "corpus_pmi_bigrams",
+    "multimodal_cdc_dedup",
 ]
 
 _MERGED = {**CORE_QUERIES, **PIPELINE_QUERIES}
