@@ -1943,6 +1943,50 @@ LIMIT 50
 """
 
 
+def corpus_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (r7): fasttext-style hashed
+    bag-of-words linear classifier inference
+    (pipeline/textstats.py ``classifier_score``) with the deterministic
+    512-bucket weight table standing in for a trained model.  Broadcast
+    model join onto the token stream, integer cross-multiplied verdict:
+    keep iff the per-token average weight >= -534/2 (the corpus median,
+    so the gate actually discriminates — a production deployment
+    calibrates this cut on a labeled sample exactly the same way)."""
+    from . import textstats
+
+    docs = t(spark, sf_dir, "documents")
+    w = textstats.classifier_weights(spark, n_buckets=512, seed=7)
+    return textstats.classifier_score(
+        docs, w, n_buckets=512, threshold_num=-534, threshold_den=2
+    )
+
+
+ORACLE_CLASSIFIER_FILTER = r"""
+WITH w AS (
+  SELECT CAST(range AS INT) AS bucket,
+         CAST(((range * 1103515245 + 12352) % 2001) - 1000 AS BIGINT)
+           AS weight
+  FROM range(512)
+), tk AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(token), 1, 15))::BIGINT % 512
+              AS INT) AS bucket
+  FROM tk
+)
+SELECT f.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(w.weight) AS BIGINT) AS score,
+       (CAST(SUM(w.weight) AS BIGINT) * 2 >= -534 * COUNT(*))
+         AS quality_pass
+FROM feats f JOIN w ON w.bucket = f.bucket
+GROUP BY f.doc_id
+"""
+
+
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary construction (r6): top-100 tokens by frequency
     with occurrence + document counts and a deterministic global rank
@@ -2477,6 +2521,8 @@ PIPELINE_QUERIES = {
     "corpus_source_caps": (corpus_source_caps, ORACLE_SOURCE_CAPS),
     "corpus_curriculum": (corpus_curriculum, ORACLE_CURRICULUM),
     "corpus_pmi_bigrams": (corpus_pmi_bigrams, ORACLE_PMI_BIGRAMS),
+    "corpus_classifier_filter": (corpus_classifier_filter,
+                                 ORACLE_CLASSIFIER_FILTER),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),
     "stream_hll_profile": (stream_hll_profile, ORACLE_STREAM_HLL_PROFILE),
     "emb_outliers": (emb_outliers, ORACLE_EMB_OUTLIERS),

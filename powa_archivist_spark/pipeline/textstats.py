@@ -518,3 +518,77 @@ def pmi_bigrams(
         .orderBy(F.desc("pmi_ratio"), "tok_a", "tok_b")
         .limit(top_k)
     )
+
+
+def classifier_weights(spark, n_buckets: int = 512,
+                       seed: int = 7) -> DataFrame:
+    """Deterministic stand-in for a TRAINED linear quality model: one
+    integer weight per hashed feature bucket,
+
+        w(b) = ((b * 1103515245 + 12345 + seed) % 2001) - 1000
+
+    (an LCG step over the bucket id — uniform-ish in [-1000, 1000] and
+    bit-identical in any engine).  In production this table is the
+    learned fasttext/logistic-regression weight vector loaded from a
+    model artifact; everything downstream (broadcast, join, scoring)
+    only assumes "n_buckets rows of (bucket, weight)", so swapping in
+    real learned weights changes no plan."""
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") * F.lit(1103515245) + F.lit(12345 + seed)) % 2001
+         - 1000).cast("long").alias("weight"),
+    )
+
+
+def classifier_score(docs: DataFrame, weights: DataFrame,
+                     n_buckets: int = 512,
+                     threshold_num: int = 0, threshold_den: int = 1,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Model-based quality filtering (CCNet / DCLM / FineWeb-edu
+    lineage): fasttext-style linear classifier inference over hashed
+    bag-of-words features.  Each whitespace token hashes to one of
+    ``n_buckets`` feature buckets (cross-engine md5 family,
+    ``dedup.cross_engine_hash64``); the document score is the sum of
+    the bucket weights, and the keep verdict compares the PER-TOKEN
+    average weight against ``threshold_num / threshold_den`` by integer
+    cross-multiplication (``score * den >= num * n_tokens``) — no
+    float division, so the oracle replays the verdict exactly.
+
+    Plan (100 TB): tokenize + bucket-hash are map-only expressions; the
+    model is a fixed-size dim (``n_buckets`` rows) joined via
+    **broadcast** onto the exploded token stream — no shuffle on the
+    fat side; the only exchange is the per-doc sum, which partial
+    aggregation reduces to ~one row per document before it moves.
+    NULL-text docs have no tokens and drop out of the output on both
+    engines (explode of a NULL array), mirroring quality_gate's
+    'null_text' contract.
+
+    Reference analog: powa has no ML scoring; this extends the §2.12
+    curation layer (quality_gate is the heuristic form, this the
+    model-based form both sitting before the dedup passes)."""
+    from .dedup import cross_engine_hash64
+
+    feats = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).select(
+        F.col(id_col),
+        (cross_engine_hash64(F.col("token")) % n_buckets)
+        .cast("int").alias("bucket"),
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("weight").alias("score"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        "score",
+        (F.col("score") * F.lit(threshold_den)
+         >= F.lit(threshold_num) * F.col("n_tokens")).alias("quality_pass"),
+    )

@@ -1714,3 +1714,67 @@ def test_embedding_outliers_flags_planted_outlier(spark):
     assert by_label[0][0].rank == 1
     # the planted outlier's dot is far below the cluster members'
     assert by_label[0][0].dot_c < by_label[0][1].dot_c
+
+
+def test_classifier_score_matches_hand_computation(spark):
+    """The hashed-linear-classifier score equals the Python-side replay
+    (md5 bucket -> LCG weight, summed per doc); the verdict is the
+    integer cross-multiplied per-token-average threshold; NULL-text
+    docs drop out (no tokens to score)."""
+    import hashlib
+
+    from powa_archivist_spark.pipeline import textstats
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "a b a b a"),
+        (3, None),
+        (4, "   solo   "),  # trims to one token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = textstats.classifier_weights(spark, n_buckets=64, seed=7)
+    out = {
+        r.doc_id: r
+        for r in textstats.classifier_score(
+            docs, w, n_buckets=64, threshold_num=0, threshold_den=1
+        ).collect()
+    }
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    def weight(b: int) -> int:
+        return ((b * 1103515245 + 12352) % 2001) - 1000
+
+    for doc_id, text in rows:
+        if text is None:
+            assert doc_id not in out
+            continue
+        toks = text.strip().split()
+        exp_score = sum(weight(bucket(t)) for t in toks)
+        r = out[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.score == exp_score
+        assert r.quality_pass == (exp_score >= 0)
+
+
+def test_classifier_threshold_cross_multiplication(spark):
+    """A positive threshold num/den gates on the PER-TOKEN average:
+    score*den >= num*n_tokens — doc length alone must not flip the
+    verdict the way a raw-sum threshold would."""
+    from powa_archivist_spark.pipeline import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x x x x")], "doc_id long, text string"
+    )
+    w = textstats.classifier_weights(spark, n_buckets=8, seed=7)
+    rows = {
+        r.doc_id: r
+        for r in textstats.classifier_score(
+            docs, w, n_buckets=8, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    # both docs have identical per-token score (same single token
+    # repeated) so the verdict must agree despite 4x the raw sum
+    assert rows[1].quality_pass == rows[2].quality_pass
+    assert rows[2].score == 4 * rows[1].score

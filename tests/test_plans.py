@@ -465,3 +465,21 @@ def test_fuzzy_decontam_broadcasts_eval_side(spark):
     )
     assert pi.broadcast_join_count(out) >= 2
     assert not pi.has_cartesian(out)
+
+
+def test_classifier_score_broadcasts_model(spark):
+    """Model-based quality filter: the weight table (n_buckets rows)
+    must arrive broadcast onto the exploded token stream — never a
+    sort-merge join — and the only exchange is the per-doc sum (one
+    hashpartitioning; partial agg makes it ~one row per doc)."""
+    from powa_archivist_spark.pipeline import textstats
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    w = textstats.classifier_weights(spark, n_buckets=512)
+    out = textstats.classifier_score(docs, w, n_buckets=512)
+    assert pi.broadcast_join_count(out) == 1
+    assert pi.sort_merge_join_count(out) == 0
+    assert pi.exchange_count(out) == 1
+    assert pi.window_count(out) == 0
