@@ -41,7 +41,6 @@ _GATE_ORDER = [
     "events_funnel",
     "events_cohort_retention",
     "events_window_frames",
-    "events_rank_distribution",
     "events_value_histogram",
     "events_grouped_quantiles",
     "events_window_bounds",
@@ -93,6 +92,7 @@ _GATE_ORDER = [
     "corpus_curriculum",
     "corpus_pmi_bigrams",
     "multimodal_cdc_dedup",
+    "corpus_classifier_filter",
 ]
 
 _MERGED = {**CORE_QUERIES, **PIPELINE_QUERIES}
