@@ -273,6 +273,10 @@ def _int_planes(n_planes: int = 4, dim: int = 64,
 
 
 LSH_PLANES = _int_planes()
+# Prefix-stable: _int_planes generates plane-by-plane from one seeded
+# rng, so LSH_PLANES_16[:4] == LSH_PLANES — the k-scaled dedup's bucket
+# is a strict prefix extension of the fixed-k queries' bucket.
+LSH_PLANES_16 = _int_planes(16)
 
 
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1459,18 +1463,40 @@ FROM walk GROUP BY node
 """
 
 
+def lsh_planes_for_count(n: int, target_occupancy: int = 32,
+                         min_k: int = 4, max_k: int = 16) -> int:
+    """PRODUCTION LSH sizing (r8, VERDICT r7 task 3): plane count
+    k = ceil(log2(N / target_occupancy)) clamped to [min_k, max_k], so
+    expected bucket occupancy — and therefore candidate-pair work per
+    row — stays constant as the corpus grows.  A FIXED k makes the
+    candidate count ~N^2/2^k (measured alpha 2.66 over sf1->sf3 with
+    k=4); the count-derived k measured alpha 0.28.  Pure arithmetic on
+    the corpus count so the DuckDB oracle derives the SAME k from
+    COUNT(*)."""
+    import math
+
+    return max(
+        min_k,
+        min(max_k, math.ceil(math.log2(max(2, n / target_occupancy)))),
+    )
+
+
 def emb_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-quadratic semantic dedup (r7): the LSH-bucketed candidate
-    graph (same integer hyperplanes as ``knn_cosine_lsh``, so the
-    bucket assignment is exact cross-engine arithmetic) verified with
-    the exact quantized dot, then the same connected-components keep
-    rule as ``emb_semantic_dedup``.  The exact all-pairs form is
-    O(N^2) compute by semantics (PERF.md sf1->sf3 alpha 1.38); this is
-    the declared 100 TB route — candidate work bounded by bucket
-    occupancy, recall traded via plane count."""
+    """Sub-quadratic semantic dedup (r7; k-scaled in r8): the
+    LSH-bucketed candidate graph (integer hyperplanes, so the bucket
+    assignment is exact cross-engine arithmetic) verified with the
+    exact quantized dot, then the same connected-components keep rule
+    as ``emb_semantic_dedup``.  The exact all-pairs form is O(N^2)
+    compute by semantics (PERF.md sf1->sf3 alpha 1.38); this is the
+    declared 100 TB route — 16 pregenerated planes, the used
+    plane-prefix length derived from the corpus count
+    (:func:`lsh_planes_for_count`) so bucket occupancy holds flat at
+    any scale.  The oracle derives the same k from COUNT(*) and masks
+    the same 16-bit bucket to k bits."""
     emb = t(spark, sf_dir, "embeddings")
+    k = lsh_planes_for_count(emb.count())
     pairs = similarity.embedding_near_dup_pairs_lsh(
-        emb, min_dot_q=MIN_DOT_Q, planes=LSH_PLANES, id_col="vec_id"
+        emb, min_dot_q=MIN_DOT_Q, planes=LSH_PLANES_16[:k], id_col="vec_id"
     ).select("a_id", "b_id")
     comp = dedup.connected_components(
         pairs, emb.select("vec_id"), id_col="vec_id"
@@ -1482,20 +1508,29 @@ def emb_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_emb_semantic_dedup_lsh() -> str:
+    # All 16 pregenerated sign bits; the prefix mask `% (1 << k)` with
+    # k = ceil(log2(COUNT(*)/32)) clamped to [4,16] (scalar subquery)
+    # replays exactly the Spark side's planes[:k] bucket.
     plane_sum = " + ".join(
         f"""(CASE WHEN list_sum(list_transform(list_zip(v, {_plane_sql(p)}),
              x -> x[1] * CAST(x[2] AS BIGINT))) >= 0
            THEN {1 << i} ELSE 0 END)"""
-        for i, p in enumerate(LSH_PLANES)
+        for i, p in enumerate(LSH_PLANES_16)
     )
     return f"""
-WITH RECURSIVE e AS (
+WITH RECURSIVE kk AS (
+  SELECT GREATEST(4, LEAST(16,
+           CAST(CEIL(LOG2(GREATEST(2, COUNT(*) / 32.0))) AS INT))) AS k
+  FROM embeddings
+), e AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
   FROM embeddings
 ), bucketed AS (
-  SELECT vec_id, v, {plane_sum} AS bucket FROM e
+  SELECT vec_id, v,
+         ({plane_sum}) % (1 << (SELECT k FROM kk)) AS bucket
+  FROM e
 ), pairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
   FROM bucketed a JOIN bucketed b
@@ -2019,8 +2054,14 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed keep/drop curation verdict (r6): Gopher-style bounds on
     token count, lexical diversity, and the repetition fractions, with
     a sorted reasons array naming every violated rule — ONE map-only
-    select (the repetition metrics thread the text through, no join)."""
-    return textstats.quality_gate(
+    select (the repetition metrics thread the text through, no join).
+
+    The declared form CSV-serializes ``reasons`` for a representation-
+    stable compare (same pattern as ``constvalues_history_pack``): the
+    driver's pandas canonicalizer cannot sort unhashable list cells.
+    Library callers keep the typed array via
+    :func:`textstats.quality_gate`."""
+    gated = textstats.quality_gate(
         t(spark, sf_dir, "documents"),
         thresholds={
             "min_tokens": 20,
@@ -2030,6 +2071,7 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_top_token_frac": 0.45,
         },
     )
+    return gated.withColumn("reasons", F.array_join("reasons", ","))
 
 
 ORACLE_QUALITY_GATE = r"""
@@ -2079,7 +2121,12 @@ WITH b AS (
   FROM m
 )
 SELECT doc_id, n_tokens, distinct_ratio, dup_2gram_frac, top_token_frac,
-       reasons, len(reasons) = 0 AS keep
+       -- CSV-serialized for a representation-stable compare (the
+       -- declared Spark query array_joins identically)
+       -- COALESCE: duckdb's array_to_string is string_agg underneath,
+       -- so an empty list yields NULL where Spark's array_join yields ''
+       COALESCE(array_to_string(reasons, ','), '') AS reasons,
+       len(reasons) = 0 AS keep
 FROM judged
 """
 
@@ -2093,8 +2140,14 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 50 == 0, vector reversed) — the replaced ids must move to
     their new argmax cell and the untouched cells keep their files.
     The per-cell summary (counts, id sums, first-component sums) value-
-    hashes the final assignment; the oracle replays the fixed-centroid
-    argmax over the post-upsert vector set."""
+    hashes the final assignment; the oracle replays the sized-centroid
+    argmax over the post-upsert vector set.
+
+    r8 (VERDICT r7 task 4): the build is SIZED — ``n_cells_target``
+    holds the cell count ~constant (mod = ceil(N/target)) so assignment
+    compute is O(N x target), not the fixed-mod O(N^2/97) cliff
+    (measured alpha 1.41 -> -0.04 for the fixed-batch upsert).  The
+    oracle derives the same mod from the build-set COUNT(*)."""
     import shutil
     import tempfile
 
@@ -2105,7 +2158,7 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         wh = Warehouse(spark, scratch)
         build = emb.filter(F.col("vec_id") % 5 != 4)
-        similarity.ivf_build(wh, build)
+        similarity.ivf_build(wh, build, n_cells_target=ANN_CELLS_TARGET)
         batch = emb.filter(F.col("vec_id") % 5 == 4).unionByName(
             emb.filter(F.col("vec_id") % 50 == 0)
             .withColumn("embedding", F.reverse("embedding"))
@@ -2125,15 +2178,23 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+ANN_CELLS_TARGET = 64
+
 ORACLE_ANN_UPSERT = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
   FROM embeddings
+), m AS (
+  -- sized build: mod = ceil(N_build / target), same arithmetic as
+  -- ivf_build(n_cells_target={ANN_CELLS_TARGET})
+  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {ANN_CELLS_TARGET}.0) AS BIGINT))
+           AS cmod
+  FROM embeddings WHERE vec_id % 5 <> 4
 ), cents AS (
   SELECT vec_id AS cell_id, v AS cv
-  FROM q WHERE vec_id % 97 = 0 AND vec_id % 5 <> 4
+  FROM q WHERE vec_id % (SELECT cmod FROM m) = 0 AND vec_id % 5 <> 4
 ), final AS (
   SELECT vec_id,
          CASE WHEN vec_id % 50 = 0 THEN list_reverse(v) ELSE v END AS v

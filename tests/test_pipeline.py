@@ -1166,8 +1166,11 @@ def test_quality_gate_oracle_parity_on_null_text(spark, tmp_path):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'"
     )
+    # the oracle CSV-serializes `reasons` (r8: representation-stable
+    # driver compare); split back to the library's array form
     duck_rows = sorted(
-        (r[0], r[1], r[2], r[3], r[4], tuple(r[5]), r[6])
+        (r[0], r[1], r[2], r[3], r[4],
+         tuple(x for x in r[5].split(",") if x), r[6])
         for r in con.execute(ORACLE_QUALITY_GATE).fetchall()
     )
     assert spark_rows == duck_rows
