@@ -152,8 +152,16 @@ def sample_frames(docs_with_payload: DataFrame,
                     rows_per = max(1, h // n_frames)
                     stride = w * ch
                     for i in range(n_frames):
-                        strip = px[i * rows_per * stride:
-                                   (i + 1) * rows_per * stride]
+                        # last strip extends to the buffer end: when
+                        # h % n_frames != 0 a fixed-width slice would
+                        # drop the trailing rows from every checksum
+                        # (ADVICE r7), under-representing the image in
+                        # frame-level dedup
+                        end = (
+                            len(px) if i == n_frames - 1
+                            else (i + 1) * rows_per * stride
+                        )
+                        strip = px[i * rows_per * stride:end]
                         ids.append(doc_id)
                         idxs.append(i)
                         sums.append(zlib.crc32(strip))
@@ -337,6 +345,7 @@ def cdc_chunks(
     divisor: int = 64,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Content-defined chunking over an opaque BINARY column — the
     rolling-boundary split every chunk-level blob dedup store runs
@@ -351,9 +360,20 @@ def cdc_chunks(
     payload is hex-encoded once; windows/boundaries/chunks are array
     ops over it; each chunk is emitted as (id, chunk_idx, n_bytes,
     chunk digest).  Blobs shorter than ``window_bytes`` yield one
-    whole-blob chunk.  The md5 chunk digest keeps the whole operator —
-    boundaries included — replayable by the SQL oracle."""
-    from .dedup import cross_engine_hash64
+    whole-blob chunk.
+
+    ``hash_fn`` picks the BOUNDARY hash family (r8, VERDICT r7 task 5 —
+    one hash per byte position, the operator's hot loop): ``"md5"``
+    keeps the whole operator — boundaries included — replayable by the
+    SQL oracle (the declared-query surface); ``"xxhash64"`` is the
+    production default of every other sketch operator (dedup._hash64),
+    ~an order of magnitude cheaper per position.  Boundary POSITIONS
+    differ between families (different hashes hit ``% divisor == 0`` at
+    different offsets) but the chunking guarantees — content-defined,
+    insert-shift-stable, identical across reuploads — hold for both.
+    The chunk DIGEST stays md5 either way (it names content, not
+    boundaries, and must be engine-portable)."""
+    from .dedup import _hash64
 
     hx = F.hex(F.col(payload_col))
     n_bytes = (F.length(hx) / 2).cast("int")
@@ -366,7 +386,8 @@ def cdc_chunks(
         n_bytes > window_bytes,
         F.filter(
             F.sequence(F.lit(window_bytes), n_bytes - 1),
-            lambda i: cross_engine_hash64(win_hex(i)) % divisor == 0,
+            lambda i: F.pmod(_hash64(hash_fn, win_hex(i)),
+                             F.lit(divisor)) == 0,
         ),
     ).otherwise(F.array().cast("array<int>"))
     # chunk byte-ranges: starts = [0] + cuts, ends = cuts + [n]
@@ -401,6 +422,7 @@ def cdc_dedup_stats(
     divisor: int = 64,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Chunk-level dedup accounting over :func:`cdc_chunks`: per blob,
     how many of its chunks (and bytes) already exist elsewhere in the
@@ -409,7 +431,7 @@ def cdc_dedup_stats(
     than one blob id.  ONE digest-keyed aggregation (map-side
     combinable) builds the reference counts; the join back is keyed on
     the bounded digest table."""
-    ch = cdc_chunks(df, window_bytes, divisor, payload_col, id_col)
+    ch = cdc_chunks(df, window_bytes, divisor, payload_col, id_col, hash_fn)
     refs = ch.groupBy("digest").agg(
         F.count_distinct(F.col(id_col)).alias("n_blobs")
     )

@@ -37,6 +37,21 @@ from .ingest import with_epoch_marker as _with_epoch_marker
 REJECT_TABLE = "corpus_rejects"
 
 
+def _reject_schema(id_col: str):
+    """Declared reader schema for the reject ledger (long ids — the
+    pipeline's document-id contract): pre-r7 files that predate the
+    epoch/stream_gen columns surface them as nulls instead of steering
+    schema inference."""
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("reasons", T.ArrayType(T.StringType())),
+        T.StructField("epoch", T.LongType()),
+        T.StructField("stream_gen", T.StringType()),
+    ])
+
+
 def _stream_generation(checkpoint_dir: str) -> str:
     """A per-checkpoint generation id (uuid written once into the
     checkpoint dir): epoch ids restart at 0 whenever a stream gets a
@@ -95,8 +110,14 @@ def process_curation_batch(
         and stream_gen is not None
         and wh.exists(REJECT_TABLE)
     ):
+        # declared schema (ADVICE r7): a pre-r7 reject table lacks the
+        # epoch/stream_gen columns — schema inference over the mixed
+        # files could surface the OLD two-column shape and make this
+        # filter raise (failing every batch) or match nothing; with the
+        # declared reader schema old files read as null epoch/gen and
+        # simply never match a replay key
         already = (
-            wh.read(REJECT_TABLE)
+            wh.read(REJECT_TABLE, schema=_reject_schema(id_col))
             .filter(
                 (F.col("epoch") == int(epoch_id))
                 & (F.col("stream_gen") == stream_gen)

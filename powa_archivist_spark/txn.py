@@ -31,6 +31,7 @@ multi-table transactions.
 
 from __future__ import annotations
 
+import contextlib
 import datetime as dt
 import json
 import os
@@ -293,7 +294,10 @@ class StagedPass:
             json.dump({"srvid": self.srvid, "ops": self._ops}, f)
         os.replace(tmp, self._intent_path())  # <- THE commit
         _apply_ops(self.wh, self._ops)
-        os.remove(self._intent_path())
+        # a reader's heal_table may have folded-and-retired a
+        # single-table pass concurrently (both applications idempotent)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(self._intent_path())
         self._ops = []
 
     # ---- recovery --------------------------------------------------------
@@ -341,7 +345,8 @@ class StagedPass:
                 except (OSError, json.JSONDecodeError):
                     continue
                 _apply_ops(wh, rec.get("ops", []))
-                os.remove(p)
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(p)
                 done += 1
         if not sweep:
             return done
@@ -415,9 +420,13 @@ def heal_table(wh, table: str) -> int:
     directory stats, no locks.  Called by every ``Warehouse``
     read/exists/mutation entry point; application is idempotent and
     serialized per table on the warehouse write lock, so racing the
-    publisher's own fold (or another reader) is safe.  The manifest is
-    NOT removed here — other tables' ops may still be unfolded; retire
-    stays with the publisher / :meth:`StagedPass.recover`.
+    publisher's own fold (or another reader) is safe.  Each op re-stats
+    the manifest under the table lock (``intent_path``) so a pass the
+    publisher retires mid-heal is not replayed (ADVICE r7).  A manifest
+    whose ops ALL target this table is retired here after folding —
+    otherwise every subsequent read of the table would re-walk its ops
+    until recover() runs; multi-table manifests stay for the publisher /
+    :meth:`StagedPass.recover` (other tables' ops may be unfolded).
 
     Returns the number of ops folded (0 on the fast path)."""
     txn_root = os.path.join(wh.root, "_txn")
@@ -431,29 +440,45 @@ def heal_table(wh, table: str) -> int:
         for name in os.listdir(d):
             if not name.endswith(".intent"):
                 continue
+            p = os.path.join(d, name)
             try:
-                with open(os.path.join(d, name)) as f:
+                with open(p) as f:
                     rec = json.load(f)
             except (OSError, json.JSONDecodeError):
                 continue  # being retired / torn: nothing to fold
-            ops = [op for op in rec.get("ops", []) if op.get("table") == table]
+            all_ops = rec.get("ops", [])
+            ops = [op for op in all_ops if op.get("table") == table]
             if ops:
-                _apply_ops(wh, ops)
+                _apply_ops(wh, ops, intent_path=p)
                 folded += len(ops)
+                if len(ops) == len(all_ops):
+                    # single-table pass: fully folded -> retire (the
+                    # publisher's own remove may race us; both tolerate)
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(p)
     return folded
 
 
-def _apply_ops(wh, ops: list[dict]) -> None:
+def _apply_ops(wh, ops: list[dict], intent_path: str | None = None) -> None:
     """Apply staged ops idempotently (safe to re-run after any crash,
     from the publisher, recover(), or a reader's heal_table()).  Each op
     runs under its owning table's write lock, serializing against every
     other mutation path — including maintenance.compact's
     list→trash→delete cycle, which could otherwise trash a staged file
-    moved in after its listing (ADVICE r6)."""
+    moved in after its listing (ADVICE r6).
+
+    ``intent_path`` (ADVICE r7, medium): a healer passes the manifest it
+    loaded the ops from; each op re-stats it UNDER the table write lock
+    and stops once it is gone — the publisher (or recover) retired the
+    pass, meaning every op already applied, so the healer's replay would
+    be pure redundant work (and, for append_files, a redundant
+    REFRESH/DROP round)."""
     for op in ops:
         stage, table_kind = op["stage"], op["kind"]
         part_dir = os.path.dirname(stage)
         with wh._write_lock(op["table"]):
+            if intent_path is not None and not os.path.exists(intent_path):
+                return
             if table_kind == "append":
                 if os.path.isdir(stage):
                     os.makedirs(part_dir, exist_ok=True)
@@ -510,17 +535,25 @@ def _apply_ops(wh, ops: list[dict]) -> None:
                 token = op["token"]
                 own = set(op.get("files", []))
                 trash = os.path.join(live_root, f".__swapout-flat__{token}")
-                if os.path.isdir(live_root):
-                    os.makedirs(trash, exist_ok=True)
-                    for f in os.listdir(live_root):
-                        # retire old content, but never this pass's own
-                        # already-moved staged files (crash re-apply)
-                        if (f.endswith(".parquet")
-                                and not f.startswith((".", "_"))
-                                and f not in own):
-                            os.replace(os.path.join(live_root, f),
-                                       os.path.join(trash, f))
+                # Stage-guard (ADVICE r7, high): once the stage dir is
+                # consumed the replace HAS happened — a re-apply (crash
+                # replay, reader heal racing the publisher's fold) must
+                # not retire again, or it would trash files a LATER op
+                # in the same manifest appended to this table (the
+                # ivf_upsert replace-then-append pattern); those run
+                # files are not in `own` and would be silently lost.
                 if os.path.isdir(stage):
+                    if os.path.isdir(live_root):
+                        os.makedirs(trash, exist_ok=True)
+                        for f in os.listdir(live_root):
+                            # retire old content, but never this pass's
+                            # own already-moved staged files (re-apply
+                            # after a crash mid-move)
+                            if (f.endswith(".parquet")
+                                    and not f.startswith((".", "_"))
+                                    and f not in own):
+                                os.replace(os.path.join(live_root, f),
+                                           os.path.join(trash, f))
                     os.makedirs(live_root, exist_ok=True)
                     for f in os.listdir(stage):
                         if f.endswith(".parquet"):

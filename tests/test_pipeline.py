@@ -1272,6 +1272,124 @@ def test_ivf_upsert_crash_atomicity(spark, wh):
     assert snapshot_cells() == post
 
 
+def test_ivf_upsert_replay_keeps_batch_replacing_delta_ids(spark, wh):
+    """r8 (ADVICE r7, high): a batch replacing ids that sit in the DELTA
+    stages replace_flat(delta-minus-batch) AND append_flat(run) on the
+    SAME table in one manifest.  On a crash-replay (manifest applied but
+    not yet retired), the replace_flat retire loop used to trash the
+    batch's already-appended run files (not in its own staged-file list)
+    — silently losing the vectors while the id Bloom still marks them
+    present.  The stage-guard must make the replay a no-op."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark import txn as txn_mod
+    from powa_archivist_spark.pipeline import similarity
+    from powa_archivist_spark.txn import GLOBAL_LANE, StagedPass
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    similarity.ivf_build(wh, emb.filter("vec_id % 5 != 4"))
+    # batch 1: fresh ids -> they land in the delta as one run
+    batch1 = emb.filter("vec_id % 5 = 4")
+    similarity.ivf_upsert(wh, batch1)
+    delta_ids = {
+        r.vec_id for r in wh.read(similarity.ANN_DELTA_TABLE)
+        .select("vec_id").collect()
+    }
+    batch2 = batch1.withColumn("embedding", F.reverse("embedding"))
+    b2_ids = {r.vec_id for r in batch2.select("vec_id").collect()}
+    assert b2_ids <= delta_ids, "precondition: batch2 ids sit in the delta"
+
+    class Boom(RuntimeError):
+        pass
+
+    # crash AFTER the ops applied but BEFORE the manifest is retired
+    real_apply = txn_mod._apply_ops
+
+    def apply_then_die(w, ops, intent_path=None):
+        real_apply(w, ops, intent_path=intent_path)
+        raise Boom()
+
+    txn_mod._apply_ops = apply_then_die
+    try:
+        similarity.ivf_upsert(wh, batch2)
+    except Boom:
+        pass
+    finally:
+        txn_mod._apply_ops = real_apply
+
+    import glob
+    import os
+
+    intents = glob.glob(os.path.join(wh.root, "_txn", "*", "*.intent"))
+    assert intents, "crash simulation must leave the manifest in place"
+
+    def snapshot_cells():
+        return sorted(
+            (r.cell_id, r.vec_id, tuple(r.v))
+            for r in similarity.ivf_cells(wh).collect()
+        )
+
+    post = snapshot_cells()
+    # the replay (recover or any reader's heal): batch2 must survive
+    StagedPass.recover(wh, GLOBAL_LANE, sweep=True)
+    assert snapshot_cells() == post, "manifest replay lost or moved rows"
+    got_ids = [vec_id for _c, vec_id, _v in snapshot_cells()]
+    assert len(got_ids) == len(set(got_ids))
+    assert b2_ids <= set(got_ids), "replay trashed the batch's run files"
+    # reversed embedding really took effect (replace, not stale keep)
+    one = sorted(b2_ids)[0]
+    want = [
+        tuple(similarity_quantize(r.embedding))
+        for r in batch2.filter(F.col("vec_id") == one).collect()
+    ][0]
+    got = [v for _c, i, v in snapshot_cells() if i == one][0]
+    assert got == want
+    assert not glob.glob(os.path.join(wh.root, "_txn", "*", "*.intent"))
+
+
+def similarity_quantize(vec):
+    from powa_archivist_spark.pipeline.similarity import QUANT
+
+    return [int(round(float(x) * QUANT)) for x in vec]
+
+
+def test_heal_table_retires_single_table_manifest(spark, wh):
+    """r8 (ADVICE r7, medium): heal_table used to fold a manifest's ops
+    on every read without retiring it, re-walking (and for append_files
+    re-executing SQL on) the same pass until recover() ran.  A manifest
+    whose ops all target the healed table is now retired by the heal."""
+    import glob
+    import os
+
+    from powa_archivist_spark import txn as txn_mod
+    from powa_archivist_spark.txn import StagedPass, heal_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    sp = StagedPass(wh, 0)
+    sp.stage_append_flat(df, "heal_probe_table")
+
+    class Boom(RuntimeError):
+        pass
+
+    real_apply = txn_mod._apply_ops
+    txn_mod._apply_ops = lambda *a, **k: (_ for _ in ()).throw(Boom())
+    try:
+        sp.publish()
+    except Boom:
+        pass
+    finally:
+        txn_mod._apply_ops = real_apply
+
+    pat = os.path.join(wh.root, "_txn", "*", "*.intent")
+    assert glob.glob(pat), "manifest must be committed but unfolded"
+    folded = heal_table(wh, "heal_probe_table")
+    assert folded == 1
+    assert wh.read("heal_probe_table").count() == 2
+    # retired: subsequent heals are the fast path, not a re-fold
+    assert not glob.glob(pat)
+    assert heal_table(wh, "heal_probe_table") == 0
+
+
 def test_jaccard_probe_route_is_observable(spark, caplog):
     """r7 (VERDICT r6 task 5): strategy='probe' silently flipped
     bitmask->prefix when the vocabulary crossed 63 tokens — a measured
@@ -1410,6 +1528,10 @@ def test_multimodal_real_codec_decodes_fixture(spark):
     assert [f.frame_idx for f in frames] == [0, 1, 2, 3]
     stride = 8 * 3
     assert frames[0].frame_checksum == zlib.crc32(px[:stride])
+    # ADVICE r7: h=6 over 4 frames -> rows_per=1; the LAST strip must
+    # extend to the buffer end (rows 3..5), not drop the trailing rows
+    # from the frame-level dedup signal
+    assert frames[3].frame_checksum == zlib.crc32(px[3 * stride:])
 
     (r,) = multimodal.resize_images(df, 4, 3, codec="real").collect()
     assert (r.out_w, r.out_h) == (4, 3)
@@ -1674,6 +1796,52 @@ def test_cdc_chunks_insertion_shifts_not_rewrites(spark):
     # and each also has at least one private chunk (the edited head)
     assert d1 & d2
     assert d2 - d1
+
+
+def test_cdc_chunks_hash_family_pluggable(spark):
+    """r8 (VERDICT r7 task 5): the boundary hash family is pluggable —
+    md5 keeps the oracle-replayable declared path, xxhash64 is the
+    production default of the other sketch operators.  For EACH family:
+    chunking is deterministic, boundaries reconstruct the blob exactly,
+    and the content-defined property (insert shifts, not rewrites)
+    holds.  Families are genuinely different hash streams, so their
+    boundary sets differ on a long blob."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import multimodal
+
+    base = "aaaaaaaa" * 8 + "bbbbbbbb" * 8 + "cccccccc" * 8
+    edited = "XY" + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    ).withColumn("payload", F.encode("text", "UTF-8"))
+
+    per_family = {}
+    for fam in ("md5", "xxhash64"):
+        rows = multimodal.cdc_chunks(
+            df, window_bytes=8, divisor=16, hash_fn=fam
+        ).collect()
+        again = multimodal.cdc_chunks(
+            df, window_bytes=8, divisor=16, hash_fn=fam
+        ).collect()
+        key = lambda r: (r.doc_id, r.chunk_idx)  # noqa: E731
+        assert sorted(map(key, rows)) == sorted(map(key, again))
+        # chunks tile the blob: per-doc byte totals reconcile
+        tot = {}
+        for r in rows:
+            tot[r.doc_id] = tot.get(r.doc_id, 0) + r.chunk_bytes
+        assert tot == {1: len(base), 2: len(edited)}
+        d1 = {r.digest for r in rows if r.doc_id == 1}
+        d2 = {r.digest for r in rows if r.doc_id == 2}
+        assert d1 & d2, f"{fam}: edit rewrote every chunk"
+        assert d2 - d1, f"{fam}: edited head not a private chunk"
+        per_family[fam] = frozenset(
+            (r.doc_id, r.chunk_idx, r.chunk_bytes) for r in rows
+        )
+    if per_family["md5"] == per_family["xxhash64"]:  # pragma: no cover
+        _pytest.fail("families produced identical boundary streams — "
+                     "the hash_fn knob is not actually plugged in")
 
 
 def test_cdc_dedup_stats_counts_shared_chunks(spark):

@@ -863,6 +863,46 @@ def test_curation_batch_commit_is_atomic_and_replay_idempotent(spark, wh):
     assert wh.read(REJECT_TABLE).count() == 2        # audit row per gen
 
 
+def test_curation_replay_check_survives_pre_r7_reject_schema(spark, wh):
+    """r8 (ADVICE r7): a reject table written BEFORE the epoch/
+    stream_gen columns existed must not break the replay short-circuit
+    — inference over the mixed files could surface the old two-column
+    shape and make the F.col('epoch') filter raise on every batch.  The
+    declared reader schema surfaces old files as null epoch/gen (never
+    matching a replay key) and keeps the epoch gate exact."""
+    from powa_archivist_spark.streaming.curation import (
+        REJECT_TABLE,
+        process_curation_batch,
+    )
+
+    # pre-r7 ledger shape: (doc_id, reasons) only
+    old = spark.createDataFrame(
+        [(99, ["too_short"])], "doc_id long, reasons array<string>"
+    )
+    wh.append(old, REJECT_TABLE)
+
+    good = " ".join(f"tok{i}" for i in range(30))
+    batch = spark.createDataFrame(
+        [(0, good), (1, "tiny doc")], "doc_id long, text string"
+    )
+    thr = {"min_tokens": 20}
+    process_curation_batch(wh, batch, "old_sink", thr,
+                           epoch_id=0, stream_gen="g1")
+    assert sorted(r.doc_id for r in wh.read("old_sink").collect()) == [0]
+    # replay of the published epoch still short-circuits exactly
+    process_curation_batch(wh, batch, "old_sink", thr,
+                           epoch_id=0, stream_gen="g1")
+    assert wh.read("old_sink").count() == 1
+    # old rows intact, new row carries the replay key
+    from powa_archivist_spark.streaming.curation import _reject_schema
+
+    rows = {r.doc_id: (r.epoch, r.stream_gen)
+            for r in wh.read(REJECT_TABLE,
+                             schema=_reject_schema("doc_id")).collect()}
+    assert rows[99] == (None, None)
+    assert rows[1] == (0, "g1")
+
+
 def test_bucketed_digest_ledger_dedups_and_plan(spark, wh):
     """r7 (VERDICT r6 task 8): with the digest ledger stored BUCKETED on
     text_hash, the per-batch anti-join reads the ledger side with ZERO
