@@ -25,25 +25,29 @@ from powa_archivist_spark.pipeline.queries import PIPELINE_QUERIES  # noqa: E402
 from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 
 # The driver's hard correctness gate replays the FIRST 50 entries of
-# ``queries()`` (dict insertion order).  Round 7 completes the gate
-# rotation started in round 6: the window carries the flagship plus 49
-# queries with NO driver-verified CORRECTNESS row in round 6 — 39
-# never-gated round-≤6 tail queries plus ALL TEN round-7 additions
-# (HLL sketches, LSH semantic dedup, fuzzy decontamination, source
-# caps, curriculum bucketing, PMI bigrams, CDC binary dedup, embedding
-# outliers), mirroring round 6's practice of gating its own flagships.
-# Every displaced query stays enforced by tests/test_oracle_full.py
-# (full-surface value-hash replay in pytest) and ORACLE_FULL.txt.
+# ``queries()`` (dict insertion order).  Round 8 (VERDICT r7 tasks 1-2)
+# closes the rotation: the window carries the flagship, the FIVE
+# queries that never had a driver-verified row (multimodal_resize,
+# multimodal_features, corpus_token_stats, corpus_chunks, and the
+# canonicalizer-fixed corpus_quality_gate), the two queries whose
+# declared form CHANGED this round (emb_semantic_dedup_lsh now
+# k-scaled, ann_index_upsert now built sized), the new
+# corpus_ngram_ppl, and the remainder held over from round 7's window.
+# Displaced r7-green entries stay enforced by
+# tests/test_oracle_full.py (full-surface value-hash replay in pytest)
+# and ORACLE_FULL.txt.
 _GATE_ORDER = [
     # --- flagship (always gated) ---
     "q01_pricing_summary",
+    # --- never driver-verified until r8 (VERDICT r7 task 2) ---
+    "multimodal_resize",
+    "multimodal_features",
+    "corpus_token_stats",
+    "corpus_chunks",
+    # --- changed in r8 (re-gate) / new in r8 ---
+    "ann_index_upsert",
+    "corpus_ngram_ppl",
     # --- core: windows / frames / rollup analytics ---
-    "events_funnel",
-    "events_cohort_retention",
-    "events_window_frames",
-    "events_value_histogram",
-    "events_grouped_quantiles",
-    "events_window_bounds",
     "events_top_consumers",
     "events_history_rates",
     "salted_rollup",

@@ -1996,6 +1996,72 @@ def corpus_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_ngram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram LM perplexity scoring (r8, VERDICT r7 task 8 — CCNet
+    lineage): add-one-smoothed bigram model trained on the held-out
+    clean slice (doc_id % 5 != 0), every document scored with two
+    exact-integer aggregates — whole-bit log2 surprisal (bits/token)
+    and fixed-point mean inverse probability — plus their derived
+    per-token doubles (single exactly-rounded divisions).  Broadcast
+    model joins, zero windows; see textstats.ngram_perplexity for the
+    exact-integer discipline and the 100 TB plan shape."""
+    from . import textstats
+
+    docs = t(spark, sf_dir, "documents")
+    return textstats.ngram_perplexity(
+        docs, train_docs=docs.filter(F.col("doc_id") % 5 != 0),
+        min_count=2, scale=1000,
+    )
+
+
+ORACLE_NGRAM_PPL = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), train AS (
+  SELECT toks FROM tk WHERE doc_id % 5 <> 0
+), uni AS (
+  SELECT ctx, COUNT(*) AS c_a
+  FROM (SELECT UNNEST(toks) AS ctx FROM train) GROUP BY ctx
+), vocab AS (
+  SELECT COUNT(*) + 1 AS v FROM uni
+), bi AS (
+  SELECT pair, COUNT(*) AS c_ab
+  FROM (
+    SELECT UNNEST(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS pair
+    FROM train WHERE len(toks) >= 2
+  ) GROUP BY pair HAVING COUNT(*) >= 2
+), occ AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS pair,
+         UNNEST(list_transform(range(1, len(toks)), i -> toks[i])) AS ctx
+  FROM tk WHERE len(toks) >= 2
+), scored AS (
+  SELECT o.doc_id,
+         COALESCE(b.c_ab, 0) + 1 AS num,
+         COALESCE(u.c_a, 0) + (SELECT v FROM vocab) AS den
+  FROM occ o
+  LEFT JOIN bi b ON o.pair = b.pair
+  LEFT JOIN uni u ON o.ctx = u.ctx
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM((den * 1000) // num) AS BIGINT) AS sum_inv_p_q,
+         -- floor(log2(den/num)) without logs: bitlen(den div num) - 1
+         -- (exact; den >= num always since c_ab <= c_a and V >= 1)
+         CAST(SUM(length(bin(den // num)) - 1) AS BIGINT) AS sum_bits
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, sum_inv_p_q, sum_bits,
+       CAST(sum_bits AS DOUBLE) / n_bigrams AS bits_per_token,
+       CAST(sum_inv_p_q AS DOUBLE) / (n_bigrams * 1000)
+         AS avg_inv_p
+FROM agg
+"""
+
+
 ORACLE_CLASSIFIER_FILTER = r"""
 WITH w AS (
   SELECT CAST(range AS INT) AS bucket,
@@ -2584,6 +2650,7 @@ PIPELINE_QUERIES = {
     "corpus_pmi_bigrams": (corpus_pmi_bigrams, ORACLE_PMI_BIGRAMS),
     "corpus_classifier_filter": (corpus_classifier_filter,
                                  ORACLE_CLASSIFIER_FILTER),
+    "corpus_ngram_ppl": (corpus_ngram_ppl, ORACLE_NGRAM_PPL),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),
     "stream_hll_profile": (stream_hll_profile, ORACLE_STREAM_HLL_PROFILE),
     "emb_outliers": (emb_outliers, ORACLE_EMB_OUTLIERS),

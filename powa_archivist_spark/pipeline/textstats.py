@@ -592,3 +592,120 @@ def classifier_score(docs: DataFrame, weights: DataFrame,
         (F.col("score") * F.lit(threshold_den)
          >= F.lit(threshold_num) * F.col("n_tokens")).alias("quality_pass"),
     )
+
+
+def ngram_perplexity(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    min_count: int = 2,
+    scale: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity scoring under a smoothed bigram LM (CCNet lineage) —
+    the third leg of the quality stack next to the heuristic
+    :func:`quality_gate` and the discriminative
+    :func:`classifier_score`: train token/bigram counts on a held-out
+    clean corpus (``train_docs``; defaults to ``docs`` itself), then
+    score EVERY document's bigram stream under the add-one-smoothed
+    conditional
+
+        p(b | a) = (c(a,b) + 1) / (c(a) + V)
+
+    with V = |train vocabulary| + 1 (the OOV symbol).  Bigrams below
+    ``min_count`` are pruned from the model (standard LM pruning; it
+    also keeps the broadcast side bounded) and back off to the
+    smoothing floor.
+
+    EXACT-INTEGER score discipline (same reason :func:`pmi_bigrams`
+    ships the rational PMI argument instead of its log: transcendental
+    ``ln`` is not bit-replayable across engines, and neither is a
+    float SUM under different partition orders).  num/den are exact
+    int64, and two deterministic per-occurrence integers aggregate:
+
+    - ``sum_bits``: per-bigram whole-bit surprisal
+      ``floor(log2(den/num))`` — computed WITHOUT logs as
+      ``bitlen(den div num) - 1`` (exact: den >= num always, since
+      c(a,b) <= c(a) and V >= 1).  ``bits_per_token`` =
+      sum_bits/n is the standard bits-per-word log2-perplexity,
+      floor-quantized per bigram.
+    - ``sum_inv_p_q``: fixed-point mean inverse probability
+      ``(den * scale) div num`` — the finer-grained (linear-space)
+      surprise signal; AM >= GM, so it upper-bounds true perplexity.
+
+    The only floats are two final single divisions of exact integers
+    (exactly-rounded IEEE, engine-identical).  Documents with fewer
+    than two tokens have no bigram stream and drop out (both engines).
+
+    Plan (100 TB): the model build is two wordcount-shaped groupBys
+    (map-side combinable, vocabulary/bigram-type bounded after
+    pruning); scoring explodes the bigram stream, joins the model via
+    **broadcast** (two BroadcastHashJoins, zero shuffle on the corpus
+    side), and the per-doc groupBy's partial aggregation collapses
+    each document's occurrences inside its input partition, so the
+    one exchange moves ~one row per document.  ZERO windows.
+
+    Reference analog: none (powa has no ML scoring); extends SURVEY
+    §2.12 like classifier_score."""
+    train = train_docs if train_docs is not None else docs
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    pair_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    uni = (
+        train.select(F.explode(toks).alias("ctx"))
+        .groupBy("ctx").agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    vocab = uni.agg((F.count(F.lit(1)) + 1).alias("v"))
+    bi = (
+        train.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair").agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+
+    occ = docs.select(
+        F.col(id_col),
+        F.explode(pair_arr).alias("pair"),
+    ).select(
+        F.col(id_col), "pair",
+        F.split(F.col("pair"), " ")[0].alias("ctx"),
+    )
+    scored = (
+        occ.join(F.broadcast(bi), "pair", "left")
+        .join(F.broadcast(uni), "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.col("c_ab"), F.lit(0)) + 1).alias("num"),
+            (F.coalesce(F.col("c_a"), F.lit(0)) + F.col("v")).alias("den"),
+        )
+    )
+    agg = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr(f"(den * {int(scale)}) div num"))
+            .alias("sum_inv_p_q"),
+            F.sum(
+                F.length(F.conv(F.expr("den div num").cast("string"),
+                                10, 2)) - 1
+            ).cast("long").alias("sum_bits"),
+        )
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_bigrams",
+        "sum_inv_p_q",
+        "sum_bits",
+        (F.col("sum_bits").cast("double") / F.col("n_bigrams"))
+        .alias("bits_per_token"),
+        (F.col("sum_inv_p_q").cast("double")
+         / (F.col("n_bigrams") * F.lit(int(scale))))
+        .alias("avg_inv_p"),
+    )

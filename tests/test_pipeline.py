@@ -1949,3 +1949,40 @@ def test_classifier_threshold_cross_multiplication(spark):
     # repeated) so the verdict must agree despite 4x the raw sum
     assert rows[1].quality_pass == rows[2].quality_pass
     assert rows[2].score == 4 * rows[1].score
+
+
+def test_ngram_perplexity_exact_integer_scores(spark):
+    """r8: hand-checked add-one bigram LM scoring.  Train corpus:
+    'a b a b a b' + 'a b c' -> bigram counts ab=4, ba=2, bc=1 (pruned
+    at min_count=2), unigrams a=4 b=4 c=1, V = 3 + 1 = 4.  Scoring
+    'a b c': ab -> num=5, den=c(a)+V=8; bc -> pruned num=1, den=8.
+    bits = bitlen(den div num)-1 = [0, 3]; inv_q = den*1000 div num =
+    [1600, 8000]."""
+    from powa_archivist_spark.pipeline import textstats
+
+    train = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b c"), (11, "z")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in textstats.ngram_perplexity(
+        score, train_docs=train, min_count=2
+    ).collect()}
+    assert set(rows) == {10}, "single-token doc has no bigram stream"
+    r = rows[10]
+    assert (r.n_bigrams, r.sum_bits, r.sum_inv_p_q) == (2, 3, 9600)
+    assert r.bits_per_token == 1.5
+    assert r.avg_inv_p == 4.8
+
+    # self-train default: familiar text scores fewer bits/token than
+    # out-of-distribution gibberish
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the cat sat again"),
+         (2, "the cat sat on the mat and the dog sat too"),
+         (3, "zq xv qj wk vv zz pq qq ww ee rr tt")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bits_per_token
+           for r in textstats.ngram_perplexity(docs, min_count=1).collect()}
+    assert out[3] > out[1] and out[3] > out[2]

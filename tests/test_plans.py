@@ -483,3 +483,29 @@ def test_classifier_score_broadcasts_model(spark):
     assert pi.sort_merge_join_count(out) == 0
     assert pi.exchange_count(out) == 1
     assert pi.window_count(out) == 0
+
+
+def test_ngram_perplexity_broadcasts_model_zero_windows(spark):
+    """r8 (VERDICT r7 task 8): the bigram-LM scorer joins BOTH model
+    dims (pruned bigram table, unigram context table) plus the 1-row
+    vocab count via broadcast onto the exploded bigram stream — never
+    a sort-merge join, ZERO windows.  Exchanges exist only on the
+    model-build side (wordcount groupBys, vocabulary-bounded) and the
+    per-doc sum (partial agg collapses each doc's occurrences before
+    the move)."""
+    from powa_archivist_spark.pipeline import textstats
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = textstats.ngram_perplexity(
+        docs, train_docs=docs.filter("doc_id % 5 != 0")
+    )
+    assert pi.broadcast_join_count(out) == 2   # bi + uni model dims
+    assert pi.sort_merge_join_count(out) == 0
+    assert pi.window_count(out) == 0
+    plan = pi.plan_string(out)
+    # the 1-row vocab count arrives as a broadcast cross, never a
+    # cartesian product of row iterators
+    assert "BroadcastNestedLoopJoin Cross" in plan
+    assert "CartesianProduct" not in plan
