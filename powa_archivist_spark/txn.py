@@ -96,6 +96,32 @@ class TxnLog:
             self.commit(rec["token"])
 
 
+def _staged_files(stage_dir: str) -> list[str]:
+    """Parquet file names just written into a stage dir.  Recorded in
+    the op (r8) so a READ-ONLY out-of-process reader
+    (:mod:`powa_archivist_spark.reader`) can resolve a table's logical
+    file set purely from the manifest, without having to distinguish
+    already-moved staged files from retired-pending live files by
+    listing races."""
+    return sorted(
+        f for f in os.listdir(stage_dir) if f.endswith(".parquet")
+    )
+
+
+def _staged_children(stage_dir: str) -> dict[str, list[str]]:
+    """Per-partition-leaf file names of a staged tree (same purpose as
+    :func:`_staged_files`)."""
+    out: dict[str, list[str]] = {}
+    for child in sorted(os.listdir(stage_dir)):
+        p = os.path.join(stage_dir, child)
+        if child.startswith((".", "_")) or not os.path.isdir(p):
+            continue
+        out[child] = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        )
+    return out
+
+
 class StagedPass:
     """Atomic multi-sink publish for one (srvid, pass) — crash
     INVISIBILITY, upgrading the begin/commit markers above (crash
@@ -133,11 +159,14 @@ class StagedPass:
        :meth:`recover` completes the fold and drops the manifest.
 
     Residual scope: atomicity holds for every reader that goes through
-    this Warehouse (the engine's single-driver deployment shape).  An
-    out-of-process ``spark.read.parquet`` pointed directly at the table
-    path bypasses manifest resolution and can still observe the fold
-    mid-flight; a transactional table format (Delta/Iceberg) is the
-    documented swap-in for multi-process readers.
+    this Warehouse (the engine's single-driver deployment shape) AND —
+    since r8 — for out-of-process readers that resolve through
+    :class:`powa_archivist_spark.reader.SnapshotReader` (read-only
+    manifest replay + hard-linked snapshot pinning; every staged op
+    records its file names for exactly this).  Only a foreign engine
+    pointed RAW at the table path (no manifest resolution at all) can
+    still observe a fold mid-flight; a transactional table format
+    (Delta/Iceberg) remains the swap-in that removes even that.
 
     Concurrency: stage dirs and manifests are per (srvid, pass); the
     orchestrator's per-srvid lock serializes passes, so recover()'s
@@ -190,7 +219,10 @@ class StagedPass:
             f".__stage__{self.pass_id}__{len(self._ops)}",
         )
         df.drop("srvid").write.mode("overwrite").parquet(d)
-        self._ops.append({"kind": "append", "table": table, "stage": d})
+        self._ops.append({
+            "kind": "append", "table": table, "stage": d,
+            "files": _staged_files(d),
+        })
 
     def stage_append_flat(self, df, table: str) -> None:
         """Stage an append to an UNPARTITIONED table (streaming sinks,
@@ -205,7 +237,10 @@ class StagedPass:
             f".__stage__{self.pass_id}__{len(self._ops)}",
         )
         df.write.mode("overwrite").parquet(d)
-        self._ops.append({"kind": "append", "table": table, "stage": d})
+        self._ops.append({
+            "kind": "append", "table": table, "stage": d,
+            "files": _staged_files(d),
+        })
 
     def stage_replace(self, df, table: str) -> None:
         """Stage a full replace of the srvid partition of ``table``."""
@@ -215,7 +250,10 @@ class StagedPass:
             f".__stageswap__srvid={self.srvid}__{self.pass_id}__{len(self._ops)}",
         )
         df.drop("srvid").write.mode("overwrite").parquet(d)
-        self._ops.append({"kind": "replace", "table": table, "stage": d})
+        self._ops.append({
+            "kind": "replace", "table": table, "stage": d,
+            "files": _staged_files(d),
+        })
 
     def stage_append_tree(
         self, df, table: str, partition_by: list[str],
@@ -235,7 +273,7 @@ class StagedPass:
         w.parquet(d)
         self._ops.append({
             "kind": "append_tree", "table": table, "stage": d,
-            "token": token,
+            "token": token, "children": _staged_children(d),
         })
 
     def stage_replace_flat(self, df, table: str) -> None:
@@ -275,6 +313,7 @@ class StagedPass:
         self._ops.append({
             "kind": "replace_tree", "table": table, "stage": d,
             "token": token, "drops": list(drops),
+            "children": _staged_children(d),
         })
 
     # ---- publish ---------------------------------------------------------
