@@ -47,9 +47,9 @@ _GATE_ORDER = [
     # --- changed in r8 (re-gate) / new in r8 ---
     "ann_index_upsert",
     "corpus_ngram_ppl",
+    "corpus_segment_dedup",
+    "emb_decontam",
     # --- core: windows / frames / rollup analytics ---
-    "events_top_consumers",
-    "events_history_rates",
     "salted_rollup",
     # --- core: filters / joins / case ---
     "events_ignored_users",

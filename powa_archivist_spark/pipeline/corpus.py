@@ -802,3 +802,74 @@ def curriculum_buckets(
             bucket.cast("int").alias("bucket"),
         )
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    df_threshold: int = 2,
+    segment_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus SEGMENT-level boilerplate removal (r8 — the
+    FineWeb/CCNet "line dedup" pass): split every document into
+    segments, count each distinct segment's document frequency across
+    the WHOLE corpus, and strip segments appearing in ``df_threshold``
+    or more documents — navigation chrome, cookie banners, license
+    headers, template footers.  Whole-doc dedup never sees these (the
+    surrounding text differs); this is the standard complement that
+    removes the repeated fragment itself while keeping the document.
+
+    Segmentation here is fixed ``segment_tokens``-token windows (the
+    synthetic corpus has no newlines); a production corpus splits on
+    newline boundaries instead — swap the segment expression, the rest
+    of the plan is identical.
+
+    Returns one row per non-NULL-text doc: (id, n_segments, n_removed,
+    clean_text) with surviving segments rejoined in order.
+
+    Plan (100 TB): segment DF counting is ONE wordcount-shaped groupBy
+    (map-side combinable); the boilerplate set — bounded above by
+    total_segments / df_threshold — joins back **broadcast** onto the
+    posexploded segment stream, and the per-doc reassembly groupBy
+    collapses inside each input partition (posexplode keeps a doc's
+    segments co-partitioned), so ~one row per doc crosses the wire.
+    ZERO windows, no self-join."""
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    n_segs = F.ceil(F.size(toks) / F.lit(segment_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * segment_tokens + 1, segment_tokens)
+        ),
+    )
+    segd = docs.filter(text.isNotNull()).select(
+        F.col(id_col), F.posexplode(segs).alias("idx", "seg")
+    )
+    freq = (
+        segd.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") >= df_threshold)
+        .select("seg", F.lit(True).alias("boiler"))
+    )
+    joined = segd.join(F.broadcast(freq), "seg", "left")
+    kept_struct = F.when(
+        F.col("boiler").isNull(),
+        F.struct(F.col("idx"), F.col("seg")),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("boiler").isNotNull().cast("int")).cast("long")
+            .alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["seg"],
+                ),
+            ).alias("clean_text"),
+        )
+    )

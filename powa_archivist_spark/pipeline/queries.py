@@ -1551,6 +1551,92 @@ FROM walk GROUP BY node
 """
 
 
+def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus segment-level boilerplate removal (r8, FineWeb/CCNet
+    line-dedup lineage): 4-token segments appearing in >= 2 documents
+    are stripped; docs return with surviving segments rejoined in
+    order plus removal counts.  ONE segment-DF groupBy, broadcast
+    boilerplate set, partial-agg-collapsed reassembly; zero windows
+    (pipeline/corpus.py ``segment_dedup``)."""
+    from . import corpus
+
+    return corpus.segment_dedup(
+        t(spark, sf_dir, "documents"), df_threshold=2, segment_tokens=4
+    )
+
+
+ORACLE_SEGMENT_DEDUP = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), sg AS (
+  -- struct list built HERE: duckdb cannot bind lateral columns inside
+  -- a struct_pack under UNNEST, but a plain column unnests fine
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(ceil(len(toks) / 4.0) AS INT)),
+           i -> struct_pack(
+             idx := i,
+             seg := array_to_string(toks[i*4+1:i*4+4], ' '))) AS segs
+  FROM tk
+), segd AS (
+  SELECT doc_id, UNNEST(segs).idx AS idx, UNNEST(segs).seg AS seg
+  FROM sg
+), fr AS (
+  SELECT seg FROM segd GROUP BY seg
+  HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN f.seg IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed,
+       COALESCE(string_agg(CASE WHEN f.seg IS NULL THEN s.seg END, ' '
+                           ORDER BY s.idx), '') AS clean_text
+FROM segd s LEFT JOIN fr f ON s.seg = f.seg
+GROUP BY s.doc_id
+"""
+
+
+def emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination (r8) — fourth member of the decontam
+    family (exact grams / Bloom-gated exact / fuzzy MinHash): corpus
+    vectors (vec_id %% 20 != 0) whose exact quantized dot against any
+    eval vector (vec_id %% 20 == 0) reaches MIN_DOT_Q, with the
+    best-matching eval id per contaminated item.  Broadcast eval side,
+    map-side integer dots, max_by collapse — no window
+    (pipeline/similarity.py ``embedding_decontaminate``)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.embedding_decontaminate(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        min_dot_q=MIN_DOT_Q,
+    )
+
+
+ORACLE_EMB_DECONTAM = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), scored AS (
+  SELECT c.vec_id, e.vec_id AS eval_id,
+         CAST(list_sum(list_transform(list_zip(c.v, e.v),
+           x -> x[1] * x[2])) AS BIGINT) AS dot_q
+  FROM q c JOIN q e
+    ON c.vec_id % 20 <> 0 AND e.vec_id % 20 = 0
+  WHERE CAST(list_sum(list_transform(list_zip(c.v, e.v),
+    x -> x[1] * x[2])) AS BIGINT) >= {MIN_DOT_Q}
+), ranked AS (
+  SELECT vec_id, eval_id, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dot_q DESC, eval_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, eval_id, dot_q FROM ranked WHERE rn = 1
+"""
+
+
 def corpus_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic salted-hash train/val/test split with per-(lang,
     split) counts — the assignment itself is value-hash-checked through
@@ -2651,6 +2737,8 @@ PIPELINE_QUERIES = {
     "corpus_classifier_filter": (corpus_classifier_filter,
                                  ORACLE_CLASSIFIER_FILTER),
     "corpus_ngram_ppl": (corpus_ngram_ppl, ORACLE_NGRAM_PPL),
+    "corpus_segment_dedup": (corpus_segment_dedup, ORACLE_SEGMENT_DEDUP),
+    "emb_decontam": (emb_decontam, ORACLE_EMB_DECONTAM),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),
     "stream_hll_profile": (stream_hll_profile, ORACLE_STREAM_HLL_PROFILE),
     "emb_outliers": (emb_outliers, ORACLE_EMB_OUTLIERS),

@@ -1017,3 +1017,56 @@ def embedding_outliers(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_emb: DataFrame,
+    min_dot_q: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination (r8) — fourth member of the
+    decontam family (exact n-grams, Bloom-gated exact, fuzzy MinHash):
+    flag every corpus item whose embedding cosine against ANY held-out
+    evaluation item reaches the threshold.  Catches rewrites and
+    translations that share no surface n-grams at all — the leak class
+    the text-based passes cannot see (Phi/GPT-4 technical-report
+    methodology).
+
+    One row per contaminated corpus item: (id, eval_id, dot_q) for its
+    best-matching eval item (ties -> smallest eval id).  Exact
+    quantized-integer dots (:func:`quantized`/:func:`int_dot`), so the
+    SQL oracle replays the verdict bit-for-bit.
+
+    Plan (100 TB): the eval set — thousands of rows next to the corpus
+    — is **broadcast**; scoring is map-side against the corpus stream,
+    and the per-corpus-id ``max_by`` pick is a partial-aggregation
+    collapse (~one row per contaminated doc crosses the wire).  No
+    window, no corpus-side shuffle before the collapse.  The LSH/IVF
+    machinery above applies unchanged if the eval side ever outgrows a
+    broadcast."""
+    c = corpus.select(
+        F.col(id_col), quantized(F.col(vec_col)).alias("cv")
+    )
+    e = eval_emb.select(
+        F.col(id_col).alias("eval_id"),
+        quantized(F.col(vec_col)).alias("ev"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(e))
+        .select(
+            id_col, "eval_id",
+            int_dot(F.col("cv"), F.col("ev")).alias("dot_q"),
+        )
+        .filter(F.col("dot_q") >= min_dot_q)
+    )
+    best = F.max_by(
+        F.struct(F.col("eval_id"), F.col("dot_q")),
+        F.struct(F.col("dot_q"), (-F.col("eval_id")).alias("neg")),
+    ).alias("best")
+    return (
+        scored.groupBy(id_col)
+        .agg(best)
+        .select(id_col, "best.eval_id", "best.dot_q")
+    )

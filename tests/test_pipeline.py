@@ -1986,3 +1986,60 @@ def test_ngram_perplexity_exact_integer_scores(spark):
     out = {r.doc_id: r.bits_per_token
            for r in textstats.ngram_perplexity(docs, min_count=1).collect()}
     assert out[3] > out[1] and out[3] > out[2]
+
+
+def test_segment_dedup_strips_boilerplate_keeps_order(spark):
+    """r8: the FineWeb-style segment dedup — a license-header segment
+    shared by two docs is stripped from both, unique content survives
+    in order, and counts reconcile; a doc of PURE boilerplate comes
+    back empty rather than vanishing."""
+    from powa_archivist_spark.pipeline import corpus
+
+    header = "l1 l2 l3 l4"
+    docs = spark.createDataFrame(
+        [(1, f"{header} u1 u2 u3 u4 v1 v2 v3 v4"),
+         (2, f"{header} w1 w2 w3 w4"),
+         (3, "x1 x2 x3 x4 y1 y2 y3 y4"),
+         (4, header),
+         (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in corpus.segment_dedup(
+        docs, df_threshold=2, segment_tokens=4
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4}, "NULL text drops; others stay"
+    assert out[1].clean_text == "u1 u2 u3 u4 v1 v2 v3 v4"
+    assert (out[1].n_segments, out[1].n_removed) == (3, 1)
+    assert out[2].clean_text == "w1 w2 w3 w4"
+    assert out[3].clean_text == "x1 x2 x3 x4 y1 y2 y3 y4"
+    assert out[3].n_removed == 0
+    assert out[4].clean_text == "" and out[4].n_removed == 1
+
+
+def test_embedding_decontaminate_flags_and_picks_best(spark):
+    """r8: semantic decontam — a corpus vector near an eval vector is
+    flagged with its BEST eval match (ties -> smallest eval id); a
+    far-away vector is not flagged."""
+    from powa_archivist_spark.pipeline import similarity
+
+    def unit(i, j):
+        v = [0.0] * 8
+        v[i] = 0.8
+        v[j] = 0.6
+        return v
+
+    corpus = spark.createDataFrame(
+        [(1, unit(0, 1)), (2, unit(4, 5))],
+        "vec_id long, embedding array<float>",
+    )
+    evals = spark.createDataFrame(
+        [(100, unit(0, 1)), (101, unit(0, 2)), (102, unit(6, 7))],
+        "vec_id long, embedding array<float>",
+    )
+    q = similarity.QUANT
+    rows = {r.vec_id: r for r in similarity.embedding_decontaminate(
+        corpus, evals, min_dot_q=int(0.5 * q * q)
+    ).collect()}
+    assert set(rows) == {1}
+    assert rows[1].eval_id == 100        # exact match beats 0.64 cosine
+    assert rows[1].dot_q == q * q        # 0.8^2 + 0.6^2 = 1.0 exactly

@@ -509,3 +509,42 @@ def test_ngram_perplexity_broadcasts_model_zero_windows(spark):
     # cartesian product of row iterators
     assert "BroadcastNestedLoopJoin Cross" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_broadcasts_boilerplate_zero_windows(spark):
+    """r8: segment dedup joins the bounded boilerplate set broadcast
+    onto the posexploded segment stream — no sort-merge join, no
+    window; the reassembly groupBy is the only corpus-side exchange
+    after the segment-DF count."""
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = corpus.segment_dedup(docs, df_threshold=2, segment_tokens=4)
+    assert pi.broadcast_join_count(out) == 1
+    assert pi.sort_merge_join_count(out) == 0
+    assert pi.window_count(out) == 0
+
+
+def test_embedding_decontaminate_broadcasts_eval_no_window(spark):
+    """r8: semantic decontam broadcasts the eval side; the corpus side
+    is map-scored and collapses via max_by partial aggregation — ONE
+    exchange, zero windows, no sort-merge join."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    out = similarity.embedding_decontaminate(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        min_dot_q=350_000_000_000,
+    )
+    plan = pi.plan_string(out)
+    assert "BroadcastNestedLoopJoin" in plan or \
+        pi.broadcast_join_count(out) >= 1
+    assert "CartesianProduct" not in plan
+    assert pi.sort_merge_join_count(out) == 0
+    assert pi.window_count(out) == 0
+    assert pi.exchange_count(out) == 1
