@@ -49,11 +49,14 @@ _GATE_ORDER = [
     "corpus_ngram_ppl",
     "corpus_segment_dedup",
     "emb_decontam",
+    "corpus_dsir_select",
+    "docs_dup_spans",
     # --- core: windows / frames / rollup analytics ---
     "salted_rollup",
-    # --- core: filters / joins / case ---
-    "events_ignored_users",
-    "docs_regex_filter",
+    # --- core: filters / joins / case (events_ignored_users and
+    # docs_regex_filter rotated out: both r7-gate green, displaced by
+    # the two late-r8 additions above; still enforced by
+    # tests/test_oracle_full.py) ---
     "orders_filtered_counts",
     "user_nation_resolution",
     "lineitem_xor_case",

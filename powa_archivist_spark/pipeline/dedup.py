@@ -823,3 +823,103 @@ def simhash_near_dup_pairs(
     return cands.select(
         "a_id", "b_id", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def duplicate_spans(docs: DataFrame, k: int = 5, min_docs: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    hash_fn: str = "md5") -> DataFrame:
+    """Cross-document duplicated-span detection (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    lineage): instead of the paper's suffix array — inherently
+    sequential — the same signal distributes as a hashed k-gram
+    inverted index.  Every token position contributes its k-gram hash;
+    a gram occurring in >= ``min_docs`` DISTINCT documents is a
+    cross-document duplicate, and the token positions its occurrences
+    cover are merged into maximal spans per document (two overlapping
+    or adjacent duplicated grams fuse — exactly the repeated-substring
+    regions the suffix-array pass marks, quantized to k-gram
+    boundaries).  Output per document (docs with >= k tokens):
+    ``n_dup_grams`` (duplicated k-gram occurrences), ``covered_tokens``
+    (tokens inside some duplicated span), ``n_spans`` (maximal merged
+    spans), ``n_tokens``, and the exact-division ``dup_fraction``.
+
+    Plan (100 TB): the gram stream is map-only (one row per token
+    position, hashed immediately — the k-token string never outlives
+    its expression); duplicate discovery is ONE wordcount-shaped
+    groupBy on the gram hash with a two-phase COUNT(DISTINCT doc);
+    join-back is keyed on the same hash (sort-merge; AQE may broadcast
+    when the duplicate set is small).  Span merge needs positions to
+    meet per document — a window partitioned by ``id_col`` (never
+    unpartitioned) over the k-bounded covered-position explode.
+    ``hash_fn``: production default stays the declared-surface
+    "md5" twin here ONLY because the oracle replays it; pass
+    "xxhash64" in production like every other sketch operator."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        _hash64(
+                            hash_fn,
+                            F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                        ).alias("gh"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<pos:int,gh:long>>")
+            )
+        ).alias("g"),
+    ).select(F.col(id_col), F.col("g.pos").alias("pos"),
+             F.col("g.gh").alias("gh"))
+
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh")
+
+    per_doc_hits = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_grams"))
+
+    covered = (
+        hits.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"),
+                                 F.col("pos") + F.lit(k - 1))).alias("cpos"),
+        ).distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("cpos")
+    spans = (
+        covered.withColumn(
+            "span_start",
+            (F.lag("cpos").over(w).isNull()
+             | (F.lag("cpos").over(w) != F.col("cpos") - 1)).cast("long"),
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("covered_tokens"),
+             F.sum("span_start").alias("n_spans"))
+    )
+
+    base = docs.select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= k)
+    return (
+        base.join(per_doc_hits, id_col, "left")
+        .join(spans, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            (F.coalesce("covered_tokens", F.lit(0)).cast("double")
+             / F.col("n_tokens")).alias("dup_fraction"),
+        )
+    )

@@ -2681,6 +2681,130 @@ HAVING COUNT(*) >= 2
 """
 
 
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (r8 — Xie et al. 2023 lineage):
+    hashed unigram+bigram importance weights estimated between the
+    clean target slice (doc_id % 5 == 0) and the raw corpus, then
+    every document scored + gated on its per-feature average weight.
+    The fourth leg of the quality stack (heuristic gate /
+    discriminative classifier / generative perplexity /
+    distribution-matching importance weights); see
+    textstats.dsir_model + dsir_select for the overflow-free
+    whole-bit log-ratio discipline and the 100 TB broadcast plan."""
+    docs = t(spark, sf_dir, "documents")
+    model = textstats.dsir_model(
+        docs, target_docs=docs.filter(F.col("doc_id") % 5 == 0))
+    return textstats.dsir_select(docs, model)
+
+
+ORACLE_DSIR_SELECT = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id,
+         UNNEST(list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram
+  FROM tk
+), feats AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(gram), 1, 15))::BIGINT % 512
+              AS INT) AS bucket
+  FROM grams
+), tc AS (
+  SELECT bucket, COUNT(*) AS c_t FROM feats
+  WHERE doc_id % 5 = 0 GROUP BY bucket
+), rc AS (
+  SELECT bucket, COUNT(*) AS c_r FROM feats GROUP BY bucket
+), tot AS (
+  SELECT (SELECT COALESCE(SUM(c_t), 0) FROM tc) AS t_tot,
+         (SELECT COALESCE(SUM(c_r), 0) FROM rc) AS r_tot
+), model AS (
+  -- term-wise whole-bit log2 ratio; every blog argument is >= 1 so
+  -- blog(x) = length(bin(x)) exactly (no zero indicator needed)
+  SELECT b.range AS bucket,
+         CAST(length(bin(COALESCE(tc.c_t, 0) + 1))
+              - length(bin(COALESCE(rc.c_r, 0) + 1))
+              + length(bin((SELECT r_tot FROM tot) + 512))
+              - length(bin((SELECT t_tot FROM tot) + 512))
+           AS BIGINT) AS weight
+  FROM range(512) b
+  LEFT JOIN tc ON tc.bucket = b.range
+  LEFT JOIN rc ON rc.bucket = b.range
+)
+SELECT f.doc_id,
+       COUNT(*) AS n_feats,
+       CAST(SUM(m.weight) AS BIGINT) AS dsir_weight,
+       (CAST(SUM(m.weight) AS BIGINT) * 1 >= 0 * COUNT(*)) AS keep
+FROM feats f JOIN model m ON m.bucket = f.bucket
+GROUP BY f.doc_id
+"""
+
+
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span stats (r8 — Lee et al. 2022
+    suffix-array dedup lineage, distributed as a hashed k-gram
+    inverted index): 5-gram occurrences shared by >= 2 documents,
+    merged into maximal per-document spans with coverage fractions.
+    See dedup.duplicate_spans for the 100 TB plan shape (one
+    wordcount groupBy + keyed join-back + per-doc-partitioned
+    window)."""
+    return dedup.duplicate_spans(t(spark, sf_dir, "documents"),
+                                 k=5, min_docs=2)
+
+
+ORACLE_DUP_SPANS = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id,
+         UNNEST(range(0, len(toks) - 4)) AS pos,
+         UNNEST(list_transform(range(0, len(toks) - 4),
+           i -> ('0x' || substring(
+                   md5(array_to_string(toks[i+1:i+5], ' ')),
+                   1, 15))::BIGINT)) AS gh
+  FROM tk WHERE len(toks) >= 5
+), dup AS (
+  SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)
+), per_doc_hits AS (
+  SELECT doc_id, COUNT(*) AS n_dup_grams FROM hits GROUP BY doc_id
+), covered AS (
+  SELECT DISTINCT doc_id, UNNEST(range(pos, pos + 5)) AS cpos FROM hits
+), marked AS (
+  SELECT doc_id, cpos,
+         CASE WHEN lag(cpos) OVER (PARTITION BY doc_id ORDER BY cpos)
+                     IS NULL
+                   OR lag(cpos) OVER (PARTITION BY doc_id ORDER BY cpos)
+                     <> cpos - 1
+              THEN 1 ELSE 0 END AS span_start
+  FROM covered
+), spans AS (
+  SELECT doc_id, COUNT(*) AS covered_tokens,
+         CAST(SUM(span_start) AS BIGINT) AS n_spans
+  FROM marked GROUP BY doc_id
+), base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM tk WHERE len(toks) >= 5
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(h.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(s.covered_tokens, 0) AS covered_tokens,
+       COALESCE(s.n_spans, 0) AS n_spans,
+       CAST(COALESCE(s.covered_tokens, 0) AS DOUBLE) / b.n_tokens
+         AS dup_fraction
+FROM base b
+LEFT JOIN per_doc_hits h ON h.doc_id = b.doc_id
+LEFT JOIN spans s ON s.doc_id = b.doc_id
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -2737,6 +2861,8 @@ PIPELINE_QUERIES = {
     "corpus_classifier_filter": (corpus_classifier_filter,
                                  ORACLE_CLASSIFIER_FILTER),
     "corpus_ngram_ppl": (corpus_ngram_ppl, ORACLE_NGRAM_PPL),
+    "corpus_dsir_select": (corpus_dsir_select, ORACLE_DSIR_SELECT),
+    "docs_dup_spans": (docs_dup_spans, ORACLE_DUP_SPANS),
     "corpus_segment_dedup": (corpus_segment_dedup, ORACLE_SEGMENT_DEDUP),
     "emb_decontam": (emb_decontam, ORACLE_EMB_DECONTAM),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),

@@ -709,3 +709,145 @@ def ngram_perplexity(
          / (F.col("n_bigrams") * F.lit(int(scale))))
         .alias("avg_inv_p"),
     )
+
+
+def _bitlen(col: Column) -> Column:
+    """floor(log2(x)) + 1 for x >= 1, and 0 for x == 0 — via the binary
+    string length (DuckDB twin: ``length(bin(x)) - (x = 0)``; Spark's
+    ``conv(x, 10, 2)`` of 0 is '0', length 1, so subtract the zero
+    indicator on both engines)."""
+    return (F.length(F.conv(col.cast("string"), 10, 2))
+            - (col == 0).cast("int")).cast("long")
+
+
+def dsir_model(docs: DataFrame, target_docs: DataFrame,
+               n_buckets: int = 512, text_col: str = "text") -> DataFrame:
+    """Importance-weight model for DSIR-style data selection (Xie et
+    al. 2023 lineage, "Data Selection for Language Models via
+    Importance Resampling"): hashed unigram+bigram bag-of-ngrams
+    distributions are estimated on a small TARGET (clean/domain)
+    sample and on the RAW corpus, and each of the ``n_buckets`` hashed
+    feature buckets gets one integer importance weight
+
+        w(b) = blog(c_t(b)+1) - blog(c_r(b)+1) + blog(R+B) - blog(T+B)
+
+    where blog = floor(log2)+1 (whole-bit, computed without
+    transcendental logs — same discipline as
+    :func:`ngram_perplexity`), c_t/c_r are the bucket's feature counts
+    under target/raw, T/R their totals, and B = n_buckets (the add-one
+    smoothing mass).  The four terms compose the add-one-smoothed
+    log-likelihood ratio log2(p_target(b)/p_raw(b)) TERM-WISE — each
+    blog is taken of a single int64 count, never of a cross-term
+    product, so the weight table is overflow-free at ANY corpus size
+    (the exact-ratio form (c_t+1)(R+B) vs (c_r+1)(T+B) would overflow
+    int64 near ~7e10 tokens); the composition differs from the exact
+    whole-bit ratio by <= 2 bits, well inside the resolution a hashed
+    512-bucket model carries.
+
+    Plan (100 TB): two wordcount-shaped groupBys over the hashed
+    feature streams (map-side combinable, output bounded at
+    ``n_buckets`` rows each), totals as 1-row aggregates — the result
+    is a fixed-size dim ready to broadcast into
+    :func:`dsir_select`."""
+    from .dedup import cross_engine_hash64
+
+    def buckets(df: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(
+            F.explode(F.concat(toks, pairs)).alias("gram")
+        ).select(
+            (cross_engine_hash64(F.col("gram")) % n_buckets)
+            .cast("int").alias("bucket")
+        )
+
+    t_counts = (buckets(target_docs).groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("c_t")))
+    r_counts = (buckets(docs).groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("c_r")))
+    t_total = t_counts.agg(F.sum("c_t").alias("t_tot"))
+    r_total = r_counts.agg(F.sum("c_r").alias("r_tot"))
+
+    spark = docs.sparkSession
+    all_buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    b = F.lit(int(n_buckets))
+    return (
+        all_buckets
+        .join(t_counts, "bucket", "left")
+        .join(r_counts, "bucket", "left")
+        .crossJoin(t_total).crossJoin(r_total)
+        .select(
+            "bucket",
+            (_bitlen(F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+             - _bitlen(F.coalesce(F.col("c_r"), F.lit(0)) + 1)
+             + _bitlen(F.col("r_tot") + b)
+             - _bitlen(F.col("t_tot") + b)).cast("long").alias("weight"),
+        )
+    )
+
+
+def dsir_select(docs: DataFrame, model: DataFrame,
+                n_buckets: int = 512,
+                threshold_num: int = 0, threshold_den: int = 1,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Score + select documents under a :func:`dsir_model` weight
+    table — the importance-resampling leg of the quality stack (the
+    heuristic :func:`quality_gate`, the discriminative
+    :func:`classifier_score`, the generative :func:`ngram_perplexity`,
+    and this distribution-matching pass are the four standard filters
+    a pre-training curation pipeline layers).  Each document's
+    importance weight is the sum of its hashed unigram+bigram bucket
+    weights; ``keep`` compares the PER-FEATURE average against
+    ``threshold_num/threshold_den`` by integer cross-multiplication
+    (``weight * den >= num * n_feats`` — exact, no float division;
+    deterministic rank-free analog of DSIR's Gumbel resampling).
+    NULL/empty-text documents have no features and drop out on both
+    engines (classifier_score's contract).
+
+    Plan (100 TB): tokenize + hash are map-only; the model is an
+    ``n_buckets``-row dim joined via **broadcast** onto the exploded
+    feature stream (zero shuffle on the corpus side); the per-doc sum
+    partial-aggregates to ~one row per document before the single
+    exchange.  ZERO windows — same audited shape as classifier_score.
+
+    Reference analog: none (powa has no ML scoring); extends SURVEY
+    §2.12 like classifier_score/ngram_perplexity."""
+    from .dedup import cross_engine_hash64
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        F.col(id_col),
+        F.explode(F.concat(toks, pairs)).alias("gram"),
+    ).select(
+        F.col(id_col),
+        (cross_engine_hash64(F.col("gram")) % n_buckets)
+        .cast("int").alias("bucket"),
+    )
+    scored = (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("weight").alias("dsir_weight"),
+        )
+    )
+    return scored.select(
+        F.col(id_col), "n_feats", "dsir_weight",
+        (F.col("dsir_weight") * F.lit(int(threshold_den))
+         >= F.lit(int(threshold_num)) * F.col("n_feats")).alias("keep"),
+    )

@@ -2043,3 +2043,96 @@ def test_embedding_decontaminate_flags_and_picks_best(spark):
     assert set(rows) == {1}
     assert rows[1].eval_id == 100        # exact match beats 0.64 cosine
     assert rows[1].dot_q == q * q        # 0.8^2 + 0.6^2 = 1.0 exactly
+
+
+def test_dsir_weights_match_python_replica(spark):
+    """r8: DSIR importance selection — the Spark model + scores equal
+    an independent pure-Python replica of the hashed-ngram whole-bit
+    log-ratio (hashlib md5, int.bit_length), and the weights point the
+    right way: a doc made of target-only features outweighs one made
+    of raw-only features."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    rows = [(1, "good data clean data"), (2, "bad junk junk spam"),
+            (3, "good data bad junk"), (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") == 1)
+    n_buckets = 64
+
+    def feats(text):
+        toks = text.split()
+        return toks + [" ".join(toks[i:i + 2])
+                       for i in range(len(toks) - 1)]
+
+    def bucket(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15],
+                   16) % n_buckets
+
+    c_t, c_r = {}, {}
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        for g in feats(text):
+            b = bucket(g)
+            c_r[b] = c_r.get(b, 0) + 1
+            if doc_id == 1:
+                c_t[b] = c_t.get(b, 0) + 1
+    t_tot, r_tot = sum(c_t.values()), sum(c_r.values())
+    exp_w = {
+        b: ((c_t.get(b, 0) + 1).bit_length()
+            - (c_r.get(b, 0) + 1).bit_length()
+            + (r_tot + n_buckets).bit_length()
+            - (t_tot + n_buckets).bit_length())
+        for b in range(n_buckets)
+    }
+
+    model = textstats.dsir_model(docs, target, n_buckets=n_buckets)
+    got_w = {r.bucket: r.weight for r in model.collect()}
+    assert got_w == exp_w
+
+    out = {r.doc_id: r for r in textstats.dsir_select(
+        docs, model, n_buckets=n_buckets).collect()}
+    assert set(out) == {1, 2, 3}, "NULL text drops out"
+    for doc_id, text in rows[:3]:
+        fs = feats(text)
+        weight = sum(exp_w[bucket(g)] for g in fs)
+        assert (out[doc_id].n_feats, out[doc_id].dsir_weight) \
+            == (len(fs), weight)
+        assert out[doc_id].keep == (weight >= 0)
+    assert out[1].dsir_weight > out[2].dsir_weight, \
+        "target-matching doc must outweigh raw-only doc"
+
+
+def test_duplicate_spans_hand_computed(spark):
+    """r8: cross-doc duplicated 5-gram spans — overlapping duplicated
+    grams fuse into one maximal span, disjoint ones stay separate,
+    no-dup docs report zeros, and sub-k docs drop out."""
+    from powa_archivist_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"),
+         (2, "x a b c d e f y"),
+         (3, "p q r s t u"),
+         (4, "s t u"),
+         (5, "a b c d e z z z z z z d e f g h")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.duplicate_spans(
+        docs, k=5, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 5}, "3-token doc has no 5-gram"
+    # doc1: dup grams at pos 0,1,3 -> covered 0-7 fuses into ONE span
+    assert (out[1].n_dup_grams, out[1].covered_tokens,
+            out[1].n_spans, out[1].n_tokens) == (3, 8, 1, 8)
+    assert out[1].dup_fraction == 1.0
+    # doc2: dup grams at pos 1,2 -> covered 1-6, one span
+    assert (out[2].n_dup_grams, out[2].covered_tokens,
+            out[2].n_spans) == (2, 6, 1)
+    # doc3: no cross-doc gram
+    assert (out[3].n_dup_grams, out[3].covered_tokens,
+            out[3].n_spans) == (0, 0, 0)
+    # doc5: 'a b c d e' at pos 0 + 'd e f g h' at pos 11 -> TWO spans
+    assert (out[5].n_dup_grams, out[5].covered_tokens,
+            out[5].n_spans, out[5].n_tokens) == (2, 10, 2, 16)
+    assert out[5].dup_fraction == 10 / 16

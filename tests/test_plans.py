@@ -548,3 +548,41 @@ def test_embedding_decontaminate_broadcasts_eval_no_window(spark):
     assert pi.sort_merge_join_count(out) == 0
     assert pi.window_count(out) == 0
     assert pi.exchange_count(out) == 1
+
+
+def test_dsir_select_broadcasts_model_zero_windows(spark):
+    """r8: DSIR selection must be classifier_score's audited shape —
+    the 512-row weight model arrives broadcast onto the exploded
+    hashed-feature stream (no sort-merge join), the per-doc sum is the
+    only corpus-side exchange, ZERO windows.  The model BUILD holds
+    two wordcount groupBys + two 1-row totals, all bucket-bounded."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import textstats
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    model = textstats.dsir_model(
+        docs, docs.filter(F.col("doc_id") % 5 == 0))
+    out = textstats.dsir_select(docs, model)
+    assert pi.broadcast_join_count(out) >= 1   # the model dim
+    assert pi.sort_merge_join_count(out) == 0
+    assert pi.window_count(out) == 0
+    assert "CartesianProduct" not in pi.plan_string(out)
+
+
+def test_duplicate_spans_no_global_window_keyed_joins(spark):
+    """r8: duplicated-span detection — the only Window is partitioned
+    by doc_id (never global), no cartesian product anywhere; duplicate
+    discovery + join-back shuffle on the gram hash / doc key only."""
+    from powa_archivist_spark.pipeline import dedup
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dedup.duplicate_spans(docs, k=5, min_docs=2)
+    assert pi.unbounded_global_windows(out) == []
+    plan = pi.plan_string(out)
+    assert "CartesianProduct" not in plan
+    assert pi.window_count(out) == 1
