@@ -2805,6 +2805,47 @@ LEFT JOIN spans s ON s.doc_id = b.doc_id
 """
 
 
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training pairs (r8 — DPR /
+    SimCSE lineage): every 25th vector queries for its top-5
+    most-similar DIFFERENT-label corpus items on the exact quantized
+    integer grid.  The query slice is a FIXED 100-id workload (vec_id
+    < 100), not a corpus fraction — mining cost stays linear in the
+    corpus as it grows (a %-of-corpus slice would re-create the
+    quadratic shape the k-scaled LSH dedup exists to avoid); see
+    similarity.hard_negatives for the broadcast / per-query-window
+    100 TB plan."""
+    return similarity.hard_negatives(
+        t(spark, sf_dir, "embeddings"), k=5,
+        query_pred=F.col("vec_id") < 100,
+    )
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+)
+SELECT query_id, neg_id, neg_label, dot_q, rank
+FROM (
+  SELECT query_id, neg_id, neg_label, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neg_id) AS rank
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+           c.label AS neg_label,
+           CAST(list_sum(list_transform(list_zip(q.v, c.v),
+             x -> x[1] * x[2])) AS BIGINT) AS dot_q
+    FROM e q, e c
+    WHERE q.vec_id < 100 AND c.label != q.label
+  ) s
+) r
+WHERE rank <= 5
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -2863,6 +2904,7 @@ PIPELINE_QUERIES = {
     "corpus_ngram_ppl": (corpus_ngram_ppl, ORACLE_NGRAM_PPL),
     "corpus_dsir_select": (corpus_dsir_select, ORACLE_DSIR_SELECT),
     "docs_dup_spans": (docs_dup_spans, ORACLE_DUP_SPANS),
+    "emb_hard_negatives": (emb_hard_negatives, ORACLE_HARD_NEGATIVES),
     "corpus_segment_dedup": (corpus_segment_dedup, ORACLE_SEGMENT_DEDUP),
     "emb_decontam": (emb_decontam, ORACLE_EMB_DECONTAM),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),

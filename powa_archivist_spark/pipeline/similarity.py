@@ -11,7 +11,7 @@ All JVM-side (zip_with / aggregate); no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 QUANT = 1_000_000  # 1e6 quantization: 64-dim unit vectors -> dot < 6.5e13
@@ -1069,4 +1069,61 @@ def embedding_decontaminate(
         scored.groupBy(id_col)
         .agg(best)
         .select(id_col, "best.eval_id", "best.dot_q")
+    )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data (DPR / SimCSE
+    / E5 lineage): for every query item, the top-``k`` most-similar
+    corpus items carrying a DIFFERENT label — the near-boundary
+    negatives that make contrastive batches informative (random
+    negatives are trivially separable; same-label neighbors are
+    positives, not negatives).  ``query_pred`` selects the query slice
+    (default: every vector queries, classic in-corpus mining).  Exact
+    quantized-integer dots (:func:`quantized` / :func:`int_dot`), ties
+    broken on the smaller neighbor id, so the SQL oracle replays the
+    ranking bit-for-bit.
+
+    Plan (100 TB): the query slice is **broadcast** onto the corpus
+    stream (map-side scoring, no corpus shuffle); the per-query top-k
+    is a window partitioned by query_id — never global.  When the
+    query slice outgrows a broadcast, mine in label-blocked batches or
+    route through :func:`knn_lsh` / :func:`ivf_probe` with a
+    post-filter on the label — the candidate generation machinery is
+    shared."""
+    q = emb
+    if query_pred is not None:
+        q = emb.filter(query_pred)
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        quantized(F.col(vec_col)).alias("qv"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        quantized(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("neg_label") != F.col("query_label"))
+        .select(
+            "query_id", "neg_id", "neg_label",
+            int_dot(F.col("qv"), F.col("cv")).alias("dot_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neg_id", "neg_label", "dot_q", "rank")
     )

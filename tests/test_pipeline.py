@@ -2136,3 +2136,32 @@ def test_duplicate_spans_hand_computed(spark):
     assert (out[5].n_dup_grams, out[5].covered_tokens,
             out[5].n_spans, out[5].n_tokens) == (2, 10, 2, 16)
     assert out[5].dup_fraction == 10 / 16
+
+
+def test_hard_negatives_excludes_own_label_ranks_by_dot(spark):
+    """r8: hard-negative mining — same-label neighbors are never
+    returned (they are positives), ranking is by exact integer dot
+    with smaller-id tie-break, and k truncates."""
+    from powa_archivist_spark.pipeline import similarity
+    from pyspark.sql import functions as F
+
+    def v(x, y):
+        return [float(x), float(y)]
+
+    emb = spark.createDataFrame(
+        [(0, v(1, 0), 0),       # query
+         (1, v(1, 0), 0),       # same label: excluded despite dot=1
+         (2, v(0.9, 0.1), 1),   # best negative
+         (3, v(0.8, 0.2), 1),
+         (4, v(0, 1), 2),       # orthogonal: worst
+         (5, v(0.8, 0.2), 2)],  # ties with 3 on dot -> id 3 first
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.hard_negatives(
+        emb, k=3, query_pred=F.col("vec_id") == 0)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neg_id for r in rows] == [2, 3, 5]
+    assert all(r.query_id == 0 and r.neg_label != 0 for r in rows)
+    q = similarity.QUANT
+    assert rows[0].dot_q == int(0.9 * q) * q
+    assert rows[1].dot_q == rows[2].dot_q, "3 and 5 tie on the dot"

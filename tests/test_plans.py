@@ -586,3 +586,24 @@ def test_duplicate_spans_no_global_window_keyed_joins(spark):
     plan = pi.plan_string(out)
     assert "CartesianProduct" not in plan
     assert pi.window_count(out) == 1
+
+
+def test_hard_negatives_broadcast_queries_partitioned_window(spark):
+    """r8: hard-negative mining broadcasts the query slice onto the
+    corpus stream; the only Window is partitioned by query_id (never
+    global)."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    out = similarity.hard_negatives(
+        emb, k=5, query_pred=F.col("vec_id") % 25 == 0)
+    plan = pi.plan_string(out)
+    # label-inequality join: broadcast nested-loop (query side tiny),
+    # never a CartesianProduct of row iterators
+    assert "BroadcastNestedLoopJoin" in plan or \
+        pi.broadcast_join_count(out) >= 1
+    assert "CartesianProduct" not in plan
+    assert pi.sort_merge_join_count(out) == 0
+    assert pi.unbounded_global_windows(out) == []
