@@ -52,14 +52,15 @@ _GATE_ORDER = [
     "corpus_dsir_select",
     "docs_dup_spans",
     "emb_hard_negatives",
+    "corpus_bpe_merges",
     # --- core: windows / frames / rollup analytics ---
     "salted_rollup",
     # --- core: filters / joins / case (events_ignored_users and
     # docs_regex_filter rotated out: both r7-gate green, displaced by
     # the two late-r8 additions above; still enforced by
     # tests/test_oracle_full.py; orders_filtered_counts likewise
-    # rotated out for emb_hard_negatives) ---
-    "user_nation_resolution",
+    # rotated out for emb_hard_negatives; user_nation_resolution for
+    # corpus_bpe_merges) ---
     "lineitem_xor_case",
     "constvalues_history_pack",
     "price_above_global_avg",

@@ -873,3 +873,106 @@ def segment_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+#: BPE segmentation separator — a control char that cannot appear in
+#: whitespace-split tokens; both engines treat it as a literal.
+BPE_SEP = "\x01"
+
+
+def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The BPE trainer's working set: corpus -> (word, cnt, s) where
+    ``s`` is the word's initial character segmentation serialized as
+    ``SEP c1 SEP c2 SEP ... SEP``.  ONE wordcount-shaped groupBy — this
+    is the only pass that touches the full corpus; everything after
+    operates on the vocabulary-bounded word table (exactly how
+    sentencepiece/subword-nmt train: on word frequencies, not raw
+    text)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = docs.filter(F.col(text_col).isNotNull()).select(
+        F.explode(toks).alias("word")
+    ).filter(F.col("word") != "")
+    counted = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    seg = F.concat(
+        F.lit(BPE_SEP),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.expr("word").substr(i, F.lit(1)),
+            ),
+            BPE_SEP,
+        ),
+        F.lit(BPE_SEP),
+    )
+    return counted.select("word", "cnt", seg.alias("s"))
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = 6,
+               text_col: str = "text") -> DataFrame:
+    """Byte-pair-encoding merge induction (Sennrich et al. 2016) — the
+    tokenizer-training pass of a pre-training pipeline, distributed the
+    way industrial trainers actually run: the CORPUS contributes one
+    wordcount groupBy (:func:`bpe_word_counts`, the 100 TB-scale part);
+    the merge loop then iterates on the vocabulary-bounded word table.
+    Each round counts adjacent symbol pairs weighted by word frequency
+    (one map-side-combinable groupBy over the word table), picks the
+    max-count pair (count desc, then lexicographic left/right — fully
+    deterministic), and applies the merge to every word's segmentation.
+
+    Segmentations are serialized as separator-joined strings and the
+    merge is a LITERAL string replace of ``SEP l SEP r SEP`` with
+    ``SEP lr SEP`` — left-to-right non-overlapping, byte-identical
+    semantics in Spark and DuckDB (and the same greedy behavior as the
+    classic per-word fold: 'aaa' under (a,a) -> [aa, a]), which is what
+    makes the whole training loop SQL-oracle-replayable.
+
+    Returns the learned merge table: (rank, left, right, pair_count) —
+    the model artifact a tokenizer consumes.
+
+    Plan (100 TB): one corpus-wide groupBy, then ``n_merges`` rounds of
+    (pair-count groupBy + argmax + map-only replace) over the word
+    table (vocabulary-bounded, e.g. ~10M rows for web corpora); the
+    only driver transfer is ONE argmax row per round.  The word table
+    is localCheckpointed once so rounds never re-scan the corpus; the
+    per-round merges stack as narrow nested replace expressions."""
+    spark = docs.sparkSession
+    words = bpe_word_counts(docs, text_col=text_col).localCheckpoint()
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        syms = F.filter(F.split(F.col("s"), BPE_SEP),
+                        lambda x: x != "")
+        pairs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(syms) - 2),
+                lambda i: F.struct(
+                    F.element_at(syms, i + 1).alias("l"),
+                    F.element_at(syms, i + 2).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            words.select(F.col("cnt"), F.explode(pairs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if best is None:
+            break
+        l, r, c = best.l, best.r, best.c
+        merges.append((rank, l, r, int(c)))
+        old = BPE_SEP + l + BPE_SEP + r + BPE_SEP
+        new = BPE_SEP + l + r + BPE_SEP
+        # nested replace expressions stay narrow (n_merges deep) over
+        # the checkpointed word table — cheaper than a materialization
+        # job per round
+        words = words.select(
+            "word", "cnt",
+            F.replace(F.col("s"), F.lit(old), F.lit(new)).alias("s"),
+        )
+
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )

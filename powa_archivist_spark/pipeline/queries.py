@@ -2846,6 +2846,72 @@ WHERE rank <= 5
 """
 
 
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training merge induction (r8 — Sennrich et al.
+    2016): six merge rounds learned from the documents word-frequency
+    table.  The corpus pays ONE wordcount groupBy; the merge loop
+    iterates on the vocabulary-bounded word table with one argmax row
+    crossing the driver per round.  See corpus.bpe_merges for the
+    serialized-segmentation literal-replace discipline that makes the
+    whole training loop SQL-replayable."""
+    from . import corpus
+
+    return corpus.bpe_merges(t(spark, sf_dir, "documents"), n_merges=6)
+
+
+def _oracle_bpe_merges(n_merges: int = 6) -> str:
+    """Static unrolling of the BPE training loop: each round is a
+    (pair-count, argmax, literal-replace) CTE triple chained off the
+    previous round's word table — the SQL twin of corpus.bpe_merges."""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        rounds.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT pr[1] AS l, pr[2] AS r_, SUM(cnt) AS c
+  FROM (
+    SELECT cnt,
+           UNNEST(list_transform(range(1, len(syms)),
+                                 i -> [syms[i], syms[i+1]])) AS pr
+    FROM (SELECT cnt,
+                 list_filter(string_split(s, chr(1)), x -> x <> '') AS syms
+          FROM {prev})
+  ) GROUP BY 1, 2
+), b{r} AS MATERIALIZED (
+  SELECT l, r_, c FROM p{r} ORDER BY c DESC, l, r_ LIMIT 1
+), w{r} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s,
+                 chr(1) || (SELECT l FROM b{r}) || chr(1)
+                   || (SELECT r_ FROM b{r}) || chr(1),
+                 chr(1) || (SELECT l FROM b{r})
+                   || (SELECT r_ FROM b{r}) || chr(1)) AS s
+  FROM {prev}
+)""")
+        # w{n_merges} is never consumed, but keeping every round the
+        # same shape keeps the generator trivial to audit
+    finals = "\n  UNION ALL\n".join(
+        f'  SELECT CAST({r} AS BIGINT) AS "rank", l AS "left",'
+        f' r_ AS "right", CAST(c AS BIGINT) AS pair_count FROM b{r}'
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+), w0 AS (
+  SELECT word, COUNT(*) AS cnt,
+         chr(1) || array_to_string(
+           list_transform(range(1, len(word) + 1), i -> word[i:i]),
+           chr(1)) || chr(1) AS s
+  FROM words WHERE word <> '' GROUP BY word
+),{",".join(rounds)}
+SELECT * FROM (
+{finals}
+)
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -2905,6 +2971,7 @@ PIPELINE_QUERIES = {
     "corpus_dsir_select": (corpus_dsir_select, ORACLE_DSIR_SELECT),
     "docs_dup_spans": (docs_dup_spans, ORACLE_DUP_SPANS),
     "emb_hard_negatives": (emb_hard_negatives, ORACLE_HARD_NEGATIVES),
+    "corpus_bpe_merges": (corpus_bpe_merges, _oracle_bpe_merges()),
     "corpus_segment_dedup": (corpus_segment_dedup, ORACLE_SEGMENT_DEDUP),
     "emb_decontam": (emb_decontam, ORACLE_EMB_DECONTAM),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),

@@ -2165,3 +2165,33 @@ def test_hard_negatives_excludes_own_label_ranks_by_dot(spark):
     q = similarity.QUANT
     assert rows[0].dot_q == int(0.9 * q) * q
     assert rows[1].dot_q == rows[2].dot_q, "3 and 5 tie on the dot"
+
+
+def test_bpe_merges_sennrich_toy(spark):
+    """r8: BPE merge induction on the classic low/lower/lowest toy —
+    four hand-computed rounds including the count-5 tie broken
+    lexicographically ((l,o) before (o,w)) and the greedy
+    left-to-right overlap semantics ('aaa' under (a,a) -> [aa, a])."""
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    got = [(r.rank, r.left, r.right, r.pair_count)
+           for r in corpus.bpe_merges(docs, n_merges=4)
+           .orderBy("rank").collect()]
+    assert got == [
+        (1, "l", "o", 5),    # ties (l,o)/(o,w) at 5 -> lexicographic
+        (2, "lo", "w", 5),
+        (3, "e", "w", 4),    # ties (e,w)/(n,e)/(w,e) at 4
+        (4, "n", "ew", 4),
+    ]
+
+    rep = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    got = [(r.rank, r.left, r.right, r.pair_count)
+           for r in corpus.bpe_merges(rep, n_merges=2)
+           .orderBy("rank").collect()]
+    # 'aaa' holds TWO (a,a) positions; after the greedy merge each word
+    # is [aa, a], leaving one (aa, a) pair per word
+    assert got == [(1, "a", "a", 4), (2, "aa", "a", 2)]
