@@ -53,6 +53,7 @@ _GATE_ORDER = [
     "docs_dup_spans",
     "emb_hard_negatives",
     "corpus_bpe_merges",
+    "knn_pq_topk",
     # --- core: windows / frames / rollup analytics ---
     "salted_rollup",
     # --- core: filters / joins / case (events_ignored_users and
@@ -60,8 +61,7 @@ _GATE_ORDER = [
     # the two late-r8 additions above; still enforced by
     # tests/test_oracle_full.py; orders_filtered_counts likewise
     # rotated out for emb_hard_negatives; user_nation_resolution for
-    # corpus_bpe_merges) ---
-    "lineitem_xor_case",
+    # corpus_bpe_merges; lineitem_xor_case for knn_pq_topk) ---
     "constvalues_history_pack",
     "price_above_global_avg",
     "priority_line_counts",

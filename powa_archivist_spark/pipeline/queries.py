@@ -2912,6 +2912,100 @@ SELECT * FROM (
 """
 
 
+def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (r8 — Jégou et al. 2011): train an 8-
+    subspace integer-Lloyd codebook, encode the corpus to 8 codes per
+    vector (the 32x-compressed index), and answer 5 queries by
+    asymmetric lookup-table distance.  The oracle replays TRAIN,
+    ENCODE and SEARCH end-to-end on the exact integer grid; see
+    similarity.pq_train/pq_encode/pq_search for the 100 TB broadcast
+    plan shapes."""
+    emb = t(spark, sf_dir, "embeddings")
+    # SIZED codebook (the ivf_build lesson): ~64 codes per subspace
+    # regardless of corpus size, so per-vector encode cost is constant;
+    # the oracle derives the same mod from COUNT(*)
+    # the codebook (bounded dim) and the codes table (the INDEX —
+    # production writes it to the warehouse like ivf_build's cells) are
+    # lazily checkpointed: search references each twice, and without a
+    # materialization barrier the train subtree re-executes per
+    # reference (measured alpha 1.73 at sf3 un-checkpointed vs flat
+    # stage-by-stage)
+    cb = similarity.pq_train(emb, m=8, n_codes_target=64) \
+        .localCheckpoint(eager=False)
+    enc = similarity.pq_encode(emb, cb, m=8).localCheckpoint(eager=False)
+    return similarity.pq_search(
+        emb, cb, enc, query_ids=[0, 1, 2, 3, 4], k=10, m=8
+    )
+
+
+ORACLE_PQ_TOPK = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), dm AS MATERIALIZED (
+  SELECT CAST(MAX(len(v)) / 8 AS INT) AS w FROM e
+), sv AS MATERIALIZED (
+  SELECT vec_id, s AS sub,
+         v[s * (SELECT w FROM dm) + 1 : (s + 1) * (SELECT w FROM dm)] AS sv
+  FROM e, (SELECT unnest(generate_series(0, 7)) AS s)
+), mo AS MATERIALIZED (
+  -- sized seeding: mod = ceil(N / 64) in exact integer arithmetic,
+  -- mirroring pq_train(n_codes_target=64)
+  SELECT GREATEST(1, (COUNT(*) + 63) // 64) AS md FROM embeddings
+), seeds AS MATERIALIZED (
+  SELECT sub, vec_id AS code, sv AS cv0 FROM sv
+  WHERE vec_id % (SELECT md FROM mo) = 0
+), assign AS MATERIALIZED (
+  SELECT sub, code, sv FROM (
+    SELECT v.sub, s.code, v.sv,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+             ORDER BY CAST(list_sum(list_transform(list_zip(v.sv, s.cv0),
+                         x -> (x[1] - x[2]) * (x[1] - x[2])))
+                      AS BIGINT) ASC, s.code ASC) AS rn
+    FROM sv v JOIN seeds s USING (sub)
+  ) WHERE rn = 1
+), cb_dims AS MATERIALIZED (
+  SELECT sub, code, i AS dim,
+         CAST(floor(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+  FROM assign,
+       (SELECT unnest(generate_series(1, (SELECT w FROM dm))) AS i)
+  GROUP BY sub, code, i
+), cb AS MATERIALIZED (
+  SELECT sub, code, list(cx ORDER BY dim) AS cv
+  FROM cb_dims GROUP BY sub, code
+), enc AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT v.vec_id, v.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+             ORDER BY CAST(list_sum(list_transform(list_zip(v.sv, c.cv),
+                         x -> (x[1] - x[2]) * (x[1] - x[2])))
+                      AS BIGINT) ASC, c.code ASC) AS rn
+    FROM sv v JOIN cb c USING (sub)
+  ) WHERE rn = 1
+), lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, q.sub, c.code,
+         CAST(list_sum(list_transform(list_zip(q.sv, c.cv),
+              x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d2
+  FROM sv q JOIN cb c USING (sub)
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+), scored AS MATERIALIZED (
+  SELECT l.query_id, n.vec_id AS neighbor_id,
+         CAST(SUM(l.d2) AS BIGINT) AS adist_q
+  FROM enc n JOIN lut l ON l.sub = n.sub AND l.code = n.code
+  WHERE n.vec_id != l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adist_q, rank FROM (
+  SELECT query_id, neighbor_id, adist_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist_q ASC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -2972,6 +3066,7 @@ PIPELINE_QUERIES = {
     "docs_dup_spans": (docs_dup_spans, ORACLE_DUP_SPANS),
     "emb_hard_negatives": (emb_hard_negatives, ORACLE_HARD_NEGATIVES),
     "corpus_bpe_merges": (corpus_bpe_merges, _oracle_bpe_merges()),
+    "knn_pq_topk": (knn_pq_topk, ORACLE_PQ_TOPK),
     "corpus_segment_dedup": (corpus_segment_dedup, ORACLE_SEGMENT_DEDUP),
     "emb_decontam": (emb_decontam, ORACLE_EMB_DECONTAM),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),

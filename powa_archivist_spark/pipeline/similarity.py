@@ -1127,3 +1127,201 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neg_id", "neg_label", "dot_q", "rank")
     )
+
+
+def _pq_subvecs(vcol: Column, m: int) -> Column:
+    """Split a quantized vector into ``m`` equal subvectors:
+    array<struct<sub:int, sv:array<long>>>.  The subspace width comes
+    from the data (size/m), so regenerated embeddings of any divisible
+    dimensionality keep working."""
+    dm = (F.size(vcol) / m).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("sub"),
+            F.slice(vcol, s * dm + 1, dm).alias("sv"),
+        ),
+    )
+
+
+def _l2_q(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between quantized subvectors — the PQ
+    assignment metric (dot ranking is only distance-equivalent for
+    whole unit vectors; SUBvector norms vary, so encode must minimize
+    true L2).  Max value d_m * (2 QUANT)^2 ~ 3.2e13 for d_m=8: int64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    centroid_mod: int = 97,
+    n_codes_target: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook training (Jégou et al. 2011) — the
+    ANN MEMORY story at 100 TB: a 64-dim float vector compresses to
+    ``m`` one-byte-ish codes (here 8 codes, 32x), which is what lets a
+    corpus-scale index live in executor memory while the raw vectors
+    stay on disk.  Per subspace, centroids seed from the deterministic
+    id-mod slice (``ivf_refine``'s discipline) and take ONE Lloyd round
+    ON THE QUANTIZED INTEGER GRID: int64 L2 assignment (ties -> lower
+    code), dimension-wise floored means — order-independent, so a SQL
+    oracle replays training to the bit.
+
+    SIZING (the ivf_build / k-scaled-LSH lesson, PERF.md): pass
+    ``n_codes_target`` to derive ``centroid_mod = ceil(N / target)``
+    from the corpus count, holding the codebook — and therefore the
+    per-vector encode cost — CONSTANT as the corpus grows; a fixed mod
+    makes the codebook linear in N and encoding quadratic.  The count
+    is one bounded aggregate job; the oracle replays the same mod via
+    a scalar COUNT(*) subquery.
+
+    Returns (sub, code, cv): the codebook dim, bounded at
+    m x (seeds) rows — always broadcastable.
+
+    Plan (100 TB): seed slice is a filter; assignment explodes each
+    vector into m subvector rows and scores against the broadcast
+    per-subspace seed dim (map-side); the recompute is one
+    (sub, code, dim) SUM/COUNT groupBy (map-side combinable) + one
+    bounded reassembly groupBy.  No windows, no corpus self-join."""
+    if n_codes_target is not None:
+        n = emb.count()
+        centroid_mod = max(1, -(-n // n_codes_target))  # ceil(N/target)
+    v = quantized(F.col(vec_col))
+    sv = emb.select(
+        F.col(id_col), F.explode(_pq_subvecs(v, m)).alias("p")
+    ).select(F.col(id_col), F.col("p.sub").alias("sub"),
+             F.col("p.sv").alias("sv"))
+    seeds = sv.filter(F.col(id_col) % centroid_mod == 0).select(
+        "sub", F.col(id_col).alias("code"), F.col("sv").alias("cv0")
+    )
+    assigned = (
+        sv.join(F.broadcast(seeds), "sub")
+        .select(
+            id_col, "sub", "sv", "code",
+            _l2_q(F.col("sv"), F.col("cv0")).alias("d2"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min_by(
+            F.struct(F.col("code"), F.col("sv")),
+            F.struct(F.col("d2"), F.col("code")),
+        ).alias("best"))
+        .select("sub", F.col("best.code").alias("code"),
+                F.col("best.sv").alias("sv"))
+    )
+    by_dim = assigned.select(
+        "sub", "code", F.posexplode("sv").alias("dim", "x")
+    ).groupBy("sub", "code", "dim").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        by_dim.withColumn(
+            "cx", F.floor(F.col("sx") / F.col("n")).cast("long")
+        )
+        .groupBy("sub", "code")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("cx")))
+                ),
+                lambda s: s.getField("cx"),
+            ).alias("cv")
+        )
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its ``m`` nearest-centroid codes (exact
+    int64 L2, ties -> lower code): (id, codes array<long>) — the
+    compressed index rows.  Map-side against the broadcast codebook;
+    the per-(id, sub) argmin partial-aggregates before the single
+    per-id exchange; codes reassemble ordered by subspace."""
+    v = quantized(F.col(vec_col))
+    sv = emb.select(
+        F.col(id_col), F.explode(_pq_subvecs(v, m)).alias("p")
+    ).select(F.col(id_col), F.col("p.sub").alias("sub"),
+             F.col("p.sv").alias("sv"))
+    best = (
+        sv.join(F.broadcast(codebook), "sub")
+        .select(
+            id_col, "sub", "code",
+            _l2_q(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min_by(F.col("code"),
+                      F.struct(F.col("d2"), F.col("code"))).alias("code"))
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub"), F.col("code")))
+                ),
+                lambda s: s.getField("code"),
+            ).alias("codes")
+        )
+    )
+
+
+def pq_search(
+    emb: DataFrame,
+    codebook: DataFrame,
+    encoded: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ search (ADC): each query precomputes one
+    int64 L2 entry per (subspace, code) — the lookup table — and every
+    encoded vector's approximate distance is the SUM of its codes' LUT
+    entries.  Top-``k`` per query, ascending distance, ties -> lower
+    neighbor id; queries never compare against themselves.
+
+    Plan (100 TB): the LUT (|queries| x m x |codes| rows) broadcasts
+    onto the exploded code stream; the per-(query, vector) sum
+    partial-aggregates before its exchange; ranking is a window
+    partitioned per query — never global.  The raw vectors are only
+    read for the QUERY side: the corpus pays the codes table alone
+    (the 32x-compressed representation)."""
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_pq_subvecs(quantized(F.col(vec_col)), m)).alias("p"),
+    ).select("query_id", F.col("p.sub").alias("sub"),
+             F.col("p.sv").alias("qv"))
+    lut = q.join(F.broadcast(codebook), "sub").select(
+        "query_id", "sub", "code",
+        _l2_q(F.col("qv"), F.col("cv")).alias("d2"),
+    )
+    code_rows = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub", "code"),
+    ).withColumn("sub", F.col("sub").cast("int"))
+    scored = (
+        code_rows.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist_q", "rank")
+    )

@@ -2195,3 +2195,35 @@ def test_bpe_merges_sennrich_toy(spark):
     # 'aaa' holds TWO (a,a) positions; after the greedy merge each word
     # is [aa, a], leaving one (aa, a) pair per word
     assert got == [(1, "a", "a", 4), (2, "aa", "a", 2)]
+
+
+def test_pq_train_encode_search_hand_computed(spark):
+    """r8: product quantization on a crafted corpus where Lloyd is a
+    fixed point — codebook equals the seeds, duplicates encode to the
+    seed's codes, self-identical vectors sit at asymmetric distance 0,
+    and equidistant neighbors tie-break on the smaller id."""
+    from powa_archivist_spark.pipeline import similarity
+
+    a = [1.0, 0.0] * 4
+    b = [0.0, 1.0] * 4
+    emb = spark.createDataFrame(
+        [(0, a), (1, a), (2, b), (3, b)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = similarity.pq_train(emb, m=4, centroid_mod=2)
+    rows = {(r.sub, r.code): r.cv for r in cb.collect()}
+    q = similarity.QUANT
+    assert set(rows) == {(s, c) for s in range(4) for c in (0, 2)}
+    assert all(rows[(s, 0)] == [q, 0] for s in range(4))
+    assert all(rows[(s, 2)] == [0, q] for s in range(4))
+
+    enc = similarity.pq_encode(emb, cb, m=4)
+    codes = {r.vec_id: r.codes for r in enc.collect()}
+    assert codes[0] == codes[1] == [0, 0, 0, 0]
+    assert codes[2] == codes[3] == [2, 2, 2, 2]
+
+    out = similarity.pq_search(emb, cb, enc, query_ids=[0], k=3, m=4)
+    got = [(r.neighbor_id, r.adist_q, r.rank)
+           for r in out.orderBy("rank").collect()]
+    # v1 is code-identical (adist 0); v2/v3 tie at 4 subs x 2 q^2
+    assert got == [(1, 0, 1), (2, 8 * q * q, 2), (3, 8 * q * q, 3)]

@@ -607,3 +607,20 @@ def test_hard_negatives_broadcast_queries_partitioned_window(spark):
     assert "CartesianProduct" not in plan
     assert pi.sort_merge_join_count(out) == 0
     assert pi.unbounded_global_windows(out) == []
+
+
+def test_pq_search_broadcasts_codebook_and_lut(spark):
+    """r8: the PQ chain joins the codebook and the per-query lookup
+    table via broadcast onto the corpus-side streams — zero sort-merge
+    joins, zero cartesian products; ranking windows partition per
+    (vector, subspace) / query, never globally."""
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    cb = similarity.pq_train(emb, m=8, centroid_mod=97)
+    enc = similarity.pq_encode(emb, cb, m=8)
+    out = similarity.pq_search(emb, cb, enc, query_ids=[0, 1], k=5, m=8)
+    assert pi.broadcast_join_count(out) >= 2
+    assert pi.sort_merge_join_count(out) == 0
+    assert pi.unbounded_global_windows(out) == []
+    assert "CartesianProduct" not in pi.plan_string(out)
