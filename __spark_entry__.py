@@ -54,6 +54,7 @@ _GATE_ORDER = [
     "emb_hard_negatives",
     "corpus_bpe_merges",
     "knn_pq_topk",
+    "stream_pq_index",
     # --- core: windows / frames / rollup analytics ---
     "salted_rollup",
     # --- core: filters / joins / case (events_ignored_users and
@@ -61,8 +62,8 @@ _GATE_ORDER = [
     # the two late-r8 additions above; still enforced by
     # tests/test_oracle_full.py; orders_filtered_counts likewise
     # rotated out for emb_hard_negatives; user_nation_resolution for
-    # corpus_bpe_merges; lineitem_xor_case for knn_pq_topk) ---
-    "constvalues_history_pack",
+    # corpus_bpe_merges; lineitem_xor_case for knn_pq_topk;
+    # constvalues_history_pack for stream_pq_index) ---
     "price_above_global_avg",
     "priority_line_counts",
     "cheapest_supplier_per_part",

@@ -3006,6 +3006,108 @@ SELECT query_id, neighbor_id, adist_q, rank FROM (
 """
 
 
+def stream_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-batch replay of the STREAMING PQ index loop
+    (streaming/pq_ingest.py): the codebook trains ONCE on the
+    bootstrap slice (vec_id % 4 == 0, sized seeding) and freezes;
+    batches 1-3 arrive as micro-batches, each encoding map-side
+    against the frozen broadcast codebook and appending through a
+    staged manifest.  Because encoding is deterministic and the
+    codebook frozen, the at-rest codes table EQUALS the batch
+    pq_encode of the union — which is exactly what the oracle replays
+    (the stream_hll_profile associativity argument, PQ form).  Codes
+    serialize to CSV for the driver's canonical compare
+    (constvalues_history_pack discipline)."""
+    import shutil
+    import tempfile
+
+    from ..storage import Warehouse
+    from ..streaming.pq_ingest import (
+        pq_bootstrap, pq_codes, process_pq_batch,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="pq_ingest_")
+    try:
+        wh = Warehouse(spark, scratch)
+        pq_bootstrap(wh, emb.filter(F.col("vec_id") % 4 == 0),
+                     m=8, n_codes_target=64)
+        for b in (1, 2, 3):
+            process_pq_batch(
+                wh, emb.filter(F.col("vec_id") % 4 == b),
+                m=8, epoch_id=b, stream_gen="replay",
+            )
+        return (
+            pq_codes(wh)
+            .select(
+                "vec_id",
+                F.array_join("codes", ",").alias("codes_csv"),
+                "epoch",
+            )
+            .orderBy("vec_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+ORACLE_STREAM_PQ = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), dm AS MATERIALIZED (
+  SELECT CAST(MAX(len(v)) / 8 AS INT) AS w FROM e
+), sv AS MATERIALIZED (
+  SELECT vec_id, s AS sub,
+         v[s * (SELECT w FROM dm) + 1 : (s + 1) * (SELECT w FROM dm)] AS sv
+  FROM e, (SELECT unnest(generate_series(0, 7)) AS s)
+), boot AS MATERIALIZED (
+  SELECT * FROM sv WHERE vec_id % 4 = 0
+), mo AS MATERIALIZED (
+  SELECT GREATEST(1, (COUNT(*) + 63) // 64) AS md
+  FROM embeddings WHERE vec_id % 4 = 0
+), seeds AS MATERIALIZED (
+  SELECT sub, vec_id AS code, sv AS cv0 FROM boot
+  WHERE vec_id % (SELECT md FROM mo) = 0
+), assign AS MATERIALIZED (
+  SELECT sub, code, sv FROM (
+    SELECT v.sub, s.code, v.sv,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+             ORDER BY CAST(list_sum(list_transform(list_zip(v.sv, s.cv0),
+                         x -> (x[1] - x[2]) * (x[1] - x[2])))
+                      AS BIGINT) ASC, s.code ASC) AS rn
+    FROM boot v JOIN seeds s USING (sub)
+  ) WHERE rn = 1
+), cb_dims AS MATERIALIZED (
+  SELECT sub, code, i AS dim,
+         CAST(floor(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+  FROM assign,
+       (SELECT unnest(generate_series(1, (SELECT w FROM dm))) AS i)
+  GROUP BY sub, code, i
+), cb AS MATERIALIZED (
+  SELECT sub, code, list(cx ORDER BY dim) AS cv
+  FROM cb_dims GROUP BY sub, code
+), enc AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT v.vec_id, v.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+             ORDER BY CAST(list_sum(list_transform(list_zip(v.sv, c.cv),
+                         x -> (x[1] - x[2]) * (x[1] - x[2])))
+                      AS BIGINT) ASC, c.code ASC) AS rn
+    FROM sv v JOIN cb c USING (sub)
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       array_to_string(list(code ORDER BY sub), ',') AS codes_csv,
+       CAST(CASE WHEN vec_id % 4 = 0 THEN -1 ELSE vec_id % 4 END
+            AS BIGINT) AS epoch
+FROM enc
+GROUP BY vec_id
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -3067,6 +3169,7 @@ PIPELINE_QUERIES = {
     "emb_hard_negatives": (emb_hard_negatives, ORACLE_HARD_NEGATIVES),
     "corpus_bpe_merges": (corpus_bpe_merges, _oracle_bpe_merges()),
     "knn_pq_topk": (knn_pq_topk, ORACLE_PQ_TOPK),
+    "stream_pq_index": (stream_pq_index, ORACLE_STREAM_PQ),
     "corpus_segment_dedup": (corpus_segment_dedup, ORACLE_SEGMENT_DEDUP),
     "emb_decontam": (emb_decontam, ORACLE_EMB_DECONTAM),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),

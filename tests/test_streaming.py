@@ -1036,3 +1036,61 @@ def test_stream_hll_profile_runtime(spark, wh):
     q.awaitTermination(60)
     est2 = {r.g: r.est_distinct for r in hll_profile(wh, ["g"]).collect()}
     assert 130 < est2["a"] < 170  # ~150 distinct after the union
+
+
+def test_stream_pq_ingest_runtime(spark, wh):
+    """r8: the streaming PQ index loop through the real runtime —
+    frozen codebook, per-epoch encode+append, batch-equality of the
+    at-rest codes table, and replay idempotence (both the epoch-marker
+    skip and the manifest-level (gen, epoch) short-circuit)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline.similarity import pq_encode
+    from powa_archivist_spark.streaming.pq_ingest import (
+        PQ_CODES_TABLE,
+        pq_bootstrap,
+        pq_codes,
+        process_pq_batch,
+        stream_pq_ingest,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 40)
+    pq_bootstrap(wh, emb.filter(F.col("vec_id") % 4 == 0),
+                 m=8, n_codes_target=8)
+
+    landing = tempfile.mkdtemp(prefix="pqlanding_")
+    ckpt = tempfile.mkdtemp(prefix="pqckpt_")
+    for i, b in enumerate((1, 2)):
+        emb.filter(F.col("vec_id") % 4 == b).coalesce(1).write.parquet(
+            os.path.join(landing, f"b{i}")
+        )
+    q = stream_pq_ingest(spark, landing + "/*", emb.schema, ckpt, wh, m=8)
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = emb.filter(F.col("vec_id") % 4 != 3)
+    expect = {
+        r.vec_id: r.codes
+        for r in pq_encode(streamed, wh.read("pq_codebook"), m=8).collect()
+    }
+    got = {r.vec_id: r.codes for r in pq_codes(wh).collect()}
+    assert got == expect, "at-rest codes must equal batch encode"
+
+    # restart on the same checkpoint: no new files -> no new rows
+    n0 = pq_codes(wh).count()
+    q = stream_pq_ingest(spark, landing + "/*", emb.schema, ckpt, wh, m=8)
+    q.processAllAvailable()
+    q.stop()
+    assert pq_codes(wh).count() == n0
+
+    # marker-less replay of a published epoch: the (gen, epoch)
+    # short-circuit must see the rows and skip the append
+    gen = os.path.basename(ckpt.rstrip("/"))
+    process_pq_batch(wh, emb.filter(F.col("vec_id") % 4 == 1),
+                     m=8, epoch_id=0, stream_gen=gen)
+    assert pq_codes(wh).count() == n0
