@@ -55,6 +55,7 @@ _GATE_ORDER = [
     "corpus_bpe_merges",
     "knn_pq_topk",
     "stream_pq_index",
+    "knn_ivfpq_topk",
     # --- core: windows / frames / rollup analytics ---
     "salted_rollup",
     # --- core: filters / joins / case (events_ignored_users and
@@ -63,8 +64,8 @@ _GATE_ORDER = [
     # tests/test_oracle_full.py; orders_filtered_counts likewise
     # rotated out for emb_hard_negatives; user_nation_resolution for
     # corpus_bpe_merges; lineitem_xor_case for knn_pq_topk;
-    # constvalues_history_pack for stream_pq_index) ---
-    "price_above_global_avg",
+    # constvalues_history_pack for stream_pq_index;
+    # price_above_global_avg for knn_ivfpq_topk) ---
     "priority_line_counts",
     "cheapest_supplier_per_part",
     "promo_revenue_share",

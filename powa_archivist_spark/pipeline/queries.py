@@ -3108,6 +3108,120 @@ GROUP BY vec_id
 """
 
 
+def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (r8 — the FAISS IVFADC recipe): sized coarse cells,
+    sized residual product quantizer, asymmetric search over the
+    probed cells' compressed rows only.  Every stage is exact integer
+    arithmetic, so the oracle replays coarse assignment, residual PQ
+    training, encoding, probing and ADC scoring end-to-end.  The three
+    index artifacts are lazily checkpointed (the knn_pq_topk
+    materialization lesson); see similarity.ivfpq_build/ivfpq_search
+    for the partition-pruned 100 TB plan."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents, cb, index = similarity.ivfpq_build(
+        emb, m=8, n_cells_target=8, n_codes_target=64
+    )
+    cents = cents.localCheckpoint(eager=False)
+    cb = cb.localCheckpoint(eager=False)
+    index = index.localCheckpoint(eager=False)
+    return similarity.ivfpq_search(
+        emb, cents, cb, index, query_ids=[0, 1, 2, 3, 4], k=10, m=8,
+        nprobe=2,
+    )
+
+
+ORACLE_IVFPQ_TOPK = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), mc AS MATERIALIZED (
+  SELECT GREATEST(1, (COUNT(*) + 7) // 8) AS md FROM embeddings
+), cents AS MATERIALIZED (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  WHERE vec_id % (SELECT md FROM mc) = 0
+), cscored AS MATERIALIZED (
+  SELECT e.vec_id, e.v, c.cell_id, c.cv,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY CAST(list_sum(list_transform(list_zip(e.v, c.cv),
+                       x -> x[1] * x[2])) AS BIGINT) DESC,
+                    c.cell_id ASC) AS rn
+  FROM e CROSS JOIN cents c
+), resid AS MATERIALIZED (
+  SELECT vec_id, cell_id,
+         list_transform(list_zip(v, cv), x -> x[1] - x[2]) AS rv
+  FROM cscored WHERE rn = 1
+), dm AS MATERIALIZED (
+  SELECT CAST(MAX(len(rv)) / 8 AS INT) AS w FROM resid
+), rsv AS MATERIALIZED (
+  SELECT vec_id, cell_id, s AS sub,
+         rv[s * (SELECT w FROM dm) + 1 : (s + 1) * (SELECT w FROM dm)] AS sv
+  FROM resid, (SELECT unnest(generate_series(0, 7)) AS s)
+), mo AS MATERIALIZED (
+  SELECT GREATEST(1, (COUNT(*) + 63) // 64) AS md FROM embeddings
+), seeds AS MATERIALIZED (
+  SELECT sub, vec_id AS code, sv AS cv0 FROM rsv
+  WHERE vec_id % (SELECT md FROM mo) = 0
+), passign AS MATERIALIZED (
+  SELECT sub, code, sv FROM (
+    SELECT v.sub, s.code, v.sv,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+             ORDER BY CAST(list_sum(list_transform(list_zip(v.sv, s.cv0),
+                         x -> (x[1] - x[2]) * (x[1] - x[2])))
+                      AS BIGINT) ASC, s.code ASC) AS rn
+    FROM rsv v JOIN seeds s USING (sub)
+  ) WHERE rn = 1
+), cb_dims AS MATERIALIZED (
+  SELECT sub, code, i AS dim,
+         CAST(floor(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+  FROM passign,
+       (SELECT unnest(generate_series(1, (SELECT w FROM dm))) AS i)
+  GROUP BY sub, code, i
+), cb AS MATERIALIZED (
+  SELECT sub, code, list(cx ORDER BY dim) AS cv
+  FROM cb_dims GROUP BY sub, code
+), enc AS MATERIALIZED (
+  SELECT vec_id, cell_id, sub, code FROM (
+    SELECT v.vec_id, v.cell_id, v.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+             ORDER BY CAST(list_sum(list_transform(list_zip(v.sv, c.cv),
+                         x -> (x[1] - x[2]) * (x[1] - x[2])))
+                      AS BIGINT) ASC, c.code ASC) AS rn
+    FROM rsv v JOIN cb c USING (sub)
+  ) WHERE rn = 1
+), probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, cell_id,
+         list_transform(list_zip(v, cv), x -> x[1] - x[2]) AS qr
+  FROM cscored WHERE rn <= 2 AND vec_id IN (0, 1, 2, 3, 4)
+), qsub AS MATERIALIZED (
+  SELECT query_id, cell_id, s AS sub,
+         qr[s * (SELECT w FROM dm) + 1 : (s + 1) * (SELECT w FROM dm)]
+           AS qsv
+  FROM probes, (SELECT unnest(generate_series(0, 7)) AS s)
+), lut AS MATERIALIZED (
+  SELECT q.query_id, q.cell_id, q.sub, c.code,
+         CAST(list_sum(list_transform(list_zip(q.qsv, c.cv),
+              x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d2
+  FROM qsub q JOIN cb c USING (sub)
+), scored AS MATERIALIZED (
+  SELECT l.query_id, n.vec_id AS neighbor_id,
+         CAST(SUM(l.d2) AS BIGINT) AS adist_q
+  FROM enc n
+  JOIN lut l ON l.cell_id = n.cell_id AND l.sub = n.sub
+            AND l.code = n.code
+  WHERE n.vec_id != l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adist_q, rank FROM (
+  SELECT query_id, neighbor_id, adist_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist_q ASC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -3170,6 +3284,7 @@ PIPELINE_QUERIES = {
     "corpus_bpe_merges": (corpus_bpe_merges, _oracle_bpe_merges()),
     "knn_pq_topk": (knn_pq_topk, ORACLE_PQ_TOPK),
     "stream_pq_index": (stream_pq_index, ORACLE_STREAM_PQ),
+    "knn_ivfpq_topk": (knn_ivfpq_topk, ORACLE_IVFPQ_TOPK),
     "corpus_segment_dedup": (corpus_segment_dedup, ORACLE_SEGMENT_DEDUP),
     "emb_decontam": (emb_decontam, ORACLE_EMB_DECONTAM),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),

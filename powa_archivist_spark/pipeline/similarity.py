@@ -1163,6 +1163,7 @@ def pq_train(
     n_codes_target: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = True,
 ) -> DataFrame:
     """Product-quantization codebook training (Jégou et al. 2011) — the
     ANN MEMORY story at 100 TB: a 64-dim float vector compresses to
@@ -1193,7 +1194,9 @@ def pq_train(
     if n_codes_target is not None:
         n = emb.count()
         centroid_mod = max(1, -(-n // n_codes_target))  # ceil(N/target)
-    v = quantized(F.col(vec_col))
+    # quantize=False: vec_col is already on the integer grid (e.g. the
+    # RESIDUAL vectors of ivfpq_build)
+    v = quantized(F.col(vec_col)) if quantize else F.col(vec_col)
     sv = emb.select(
         F.col(id_col), F.explode(_pq_subvecs(v, m)).alias("p")
     ).select(F.col(id_col), F.col("p.sub").alias("sub"),
@@ -1242,13 +1245,14 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = True,
 ) -> DataFrame:
     """Encode every vector as its ``m`` nearest-centroid codes (exact
     int64 L2, ties -> lower code): (id, codes array<long>) — the
     compressed index rows.  Map-side against the broadcast codebook;
     the per-(id, sub) argmin partial-aggregates before the single
     per-id exchange; codes reassemble ordered by subspace."""
-    v = quantized(F.col(vec_col))
+    v = quantized(F.col(vec_col)) if quantize else F.col(vec_col)
     sv = emb.select(
         F.col(id_col), F.explode(_pq_subvecs(v, m)).alias("p")
     ).select(F.col(id_col), F.col("p.sub").alias("sub"),
@@ -1313,6 +1317,166 @@ def pq_search(
     ).withColumn("sub", F.col("sub").cast("int"))
     scored = (
         code_rows.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist_q", "rank")
+    )
+
+
+def ivfpq_build(
+    emb: DataFrame,
+    m: int = 8,
+    n_cells_target: int = 8,
+    n_codes_target: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """IVF-PQ index construction (the FAISS IVFADC recipe — the
+    billion-scale standard): a SIZED coarse quantizer partitions the
+    corpus into cells, and a SIZED product quantizer encodes each
+    vector's RESIDUAL (v - its cell centroid) — residuals concentrate
+    near the origin, so the same code budget quantizes them far more
+    precisely than raw vectors.  Everything stays on the exact integer
+    grid (quantized dots for the coarse argmax, int64 L2 for the PQ
+    argmin, exact residual subtraction), so the whole build replays in
+    SQL.
+
+    Returns (cents, codebook, index):
+    - cents (cell_id, cv) — the coarse dim, n_cells_target-bounded;
+    - codebook (sub, code, cv) — the residual PQ dim,
+      m x n_codes_target-bounded;
+    - index (vec_id, cell_id, codes) — one compressed row per vector
+      (the only corpus-sized output; at scale it partitions by
+      cell_id exactly like ivf_build's cells table).
+
+    Plan (100 TB): coarse assignment is the audited broadcast max_by
+    (no window); residuals are a map-side zip_with after one broadcast
+    centroid join; PQ train/encode reuse :func:`pq_train` /
+    :func:`pq_encode` shapes on the residual rows."""
+    n = emb.count()
+    cell_mod = max(1, -(-n // n_cells_target))
+    cents = emb.filter(F.col(id_col) % cell_mod == 0).select(
+        F.col(id_col).alias("cell_id"), quantized(F.col(vec_col)).alias("cv")
+    )
+    vecs = emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col, "v", "cell_id",
+        int_dot(F.col("v"), F.col("cv")).alias("dot_c"),
+    )
+    assign = (
+        scored.groupBy(id_col)
+        .agg(F.max_by(
+            F.struct(F.col("cell_id"), F.col("v")),
+            F.struct(F.col("dot_c"), (-F.col("cell_id")).alias("neg")),
+        ).alias("best"))
+        .select(id_col, "best.cell_id", "best.v")
+    )
+    resid = assign.join(F.broadcast(cents), "cell_id").select(
+        id_col, "cell_id",
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"),
+    )
+    codebook = pq_train(resid, m=m, n_codes_target=n_codes_target,
+                        id_col=id_col, vec_col="rv", quantize=False)
+    # cell-aware encode: same shape as pq_encode, but cell_id rides the
+    # group keys (functionally dependent on the id) — no corpus-sized
+    # join-back after encoding
+    rsub = resid.select(
+        F.col(id_col), F.col("cell_id"),
+        F.explode(_pq_subvecs(F.col("rv"), m)).alias("p"),
+    ).select(id_col, "cell_id", F.col("p.sub").alias("sub"),
+             F.col("p.sv").alias("sv"))
+    best = (
+        rsub.join(F.broadcast(codebook), "sub")
+        .select(
+            id_col, "cell_id", "sub", "code",
+            _l2_q(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+        .groupBy(id_col, "cell_id", "sub")
+        .agg(F.min_by(F.col("code"),
+                      F.struct(F.col("d2"), F.col("code"))).alias("code"))
+    )
+    index = (
+        best.groupBy(id_col, "cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub"), F.col("code")))
+                ),
+                lambda s: s.getField("code"),
+            ).alias("codes")
+        )
+        .select(id_col, "cell_id", "codes")
+    )
+    return cents, codebook, index
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    cents: DataFrame,
+    codebook: DataFrame,
+    index: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (ADC) search: each query probes its ``nprobe``
+    best-coarse-dot cells, builds one residual lookup table per probed
+    cell (int64 L2 of the query residual against every codebook
+    centroid), and scores ONLY the probed cells' index rows by summing
+    their codes' LUT entries.  Top-``k`` ascending, ties -> lower id.
+
+    Plan (100 TB): coarse probing is window-ranked over |q| x cells
+    broadcast-scored rows; the LUT (|q| x nprobe x m x codes rows)
+    broadcasts onto the index's exploded code stream, whose scan at
+    scale is PARTITION-PRUNED to the probed cells (index partitions by
+    cell_id); the per-(query, neighbor) sum partial-aggregates before
+    its exchange; final ranking windows per query."""
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        quantized(F.col(vec_col)).alias("qv"),
+    )
+    qs = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cell_id",
+        int_dot(F.col("qv"), F.col("cv")).alias("dot_c"),
+        F.col("cv"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_c"), F.asc("cell_id")
+    )
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id", "cell_id",
+            F.zip_with("qv", "cv", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    qsub = probes.select(
+        "query_id", "cell_id",
+        F.explode(_pq_subvecs(F.col("qr"), m)).alias("p"),
+    ).select("query_id", "cell_id", F.col("p.sub").alias("sub"),
+             F.col("p.sv").alias("qsv"))
+    lut = qsub.join(F.broadcast(codebook), "sub").select(
+        "query_id", "cell_id", "sub", "code",
+        _l2_q(F.col("qsv"), F.col("cv")).alias("d2"),
+    )
+    code_rows = index.select(
+        F.col(id_col).alias("neighbor_id"), "cell_id",
+        F.posexplode("codes").alias("sub", "code"),
+    ).withColumn("sub", F.col("sub").cast("int"))
+    scored = (
+        code_rows.join(F.broadcast(lut), ["cell_id", "sub", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2").alias("adist_q"))

@@ -2227,3 +2227,33 @@ def test_pq_train_encode_search_hand_computed(spark):
            for r in out.orderBy("rank").collect()]
     # v1 is code-identical (adist 0); v2/v3 tie at 4 subs x 2 q^2
     assert got == [(1, 0, 1), (2, 8 * q * q, 2), (3, 8 * q * q, 3)]
+
+
+def test_ivfpq_build_search_hand_computed(spark):
+    """r8: IVF-PQ on a two-cluster fixed point — cells capture the
+    clusters exactly, residuals collapse to zero (codebook = zero
+    vectors), the in-cell duplicate sits at asymmetric distance 0 and
+    cross-cell neighbors score the full query-residual energy."""
+    from powa_archivist_spark.pipeline import similarity
+
+    a = [1.0, 0.0] * 4
+    b = [0.0, 1.0] * 4
+    emb = spark.createDataFrame(
+        [(0, a), (1, a), (2, b), (3, b)],
+        "vec_id long, embedding array<float>",
+    )
+    cents, cb, idx = similarity.ivfpq_build(
+        emb, m=4, n_cells_target=2, n_codes_target=2)
+    assert {r.cell_id for r in cents.collect()} == {0, 2}
+    assigned = {r.vec_id: r.cell_id for r in idx.collect()}
+    assert assigned == {0: 0, 1: 0, 2: 2, 3: 2}
+    # residuals are exactly zero -> every codebook centroid is the
+    # zero subvector
+    assert all(r.cv == [0, 0] for r in cb.collect())
+
+    out = similarity.ivfpq_search(
+        emb, cents, cb, idx, query_ids=[0], k=3, nprobe=2, m=4)
+    got = [(r.neighbor_id, r.adist_q, r.rank)
+           for r in out.orderBy("rank").collect()]
+    q = similarity.QUANT
+    assert got == [(1, 0, 1), (2, 8 * q * q, 2), (3, 8 * q * q, 3)]

@@ -624,3 +624,20 @@ def test_pq_search_broadcasts_codebook_and_lut(spark):
     assert pi.sort_merge_join_count(out) == 0
     assert pi.unbounded_global_windows(out) == []
     assert "CartesianProduct" not in pi.plan_string(out)
+
+
+def test_ivfpq_search_broadcasts_probe_lut(spark):
+    """r8: IVF-PQ search — coarse dim, codebook and probe LUT all
+    arrive broadcast; no sort-merge join, no cartesian product, every
+    window partitioned (coarse probe per query, argmin per (id, sub),
+    rank per query)."""
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    cents, cb, idx = similarity.ivfpq_build(emb, m=8)
+    out = similarity.ivfpq_search(emb, cents, cb, idx,
+                                  query_ids=[0, 1], k=5, m=8)
+    assert pi.broadcast_join_count(out) >= 2
+    assert pi.sort_merge_join_count(out) == 0
+    assert pi.unbounded_global_windows(out) == []
+    assert "CartesianProduct" not in pi.plan_string(out)
