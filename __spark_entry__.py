@@ -56,6 +56,7 @@ _GATE_ORDER = [
     "knn_pq_topk",
     "stream_pq_index",
     "knn_ivfpq_topk",
+    "ann_pq_recall",
     # --- core: windows / frames / rollup analytics ---
     "salted_rollup",
     # --- core: filters / joins / case (events_ignored_users and
@@ -65,8 +66,8 @@ _GATE_ORDER = [
     # rotated out for emb_hard_negatives; user_nation_resolution for
     # corpus_bpe_merges; lineitem_xor_case for knn_pq_topk;
     # constvalues_history_pack for stream_pq_index;
-    # price_above_global_avg for knn_ivfpq_topk) ---
-    "priority_line_counts",
+    # price_above_global_avg for knn_ivfpq_topk;
+    # priority_line_counts for ann_pq_recall) ---
     "cheapest_supplier_per_part",
     "promo_revenue_share",
     # --- pipeline: sketches / similarity tail ---

@@ -3222,6 +3222,47 @@ SELECT query_id, neighbor_id, adist_q, rank FROM (
 """
 
 
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-PQ index against the exact brute-force
+    ground truth on the same 5 queries (r8) — the tuning metric every
+    ANN deployment tracks; the oracle composes the two already-proven
+    replay oracles and counts the intersection."""
+    emb = t(spark, sf_dir, "embeddings")
+    exact = similarity.knn_bruteforce(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+    cents, cb, index = similarity.ivfpq_build(
+        emb, m=8, n_cells_target=8, n_codes_target=64
+    )
+    cents = cents.localCheckpoint(eager=False)
+    cb = cb.localCheckpoint(eager=False)
+    index = index.localCheckpoint(eager=False)
+    approx = similarity.ivfpq_search(
+        emb, cents, cb, index, query_ids=[0, 1, 2, 3, 4], k=10, m=8,
+        nprobe=2,
+    )
+    return similarity.ann_recall_at_k(exact, approx, k=10)
+
+
+ORACLE_ANN_RECALL = f"""
+WITH approx AS (
+{ORACLE_IVFPQ_TOPK}
+), exact AS (
+{ORACLE_KNN}
+), hits AS (
+  SELECT e.query_id, COUNT(*) AS hits
+  FROM exact e
+  JOIN approx a ON a.query_id = e.query_id
+              AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(10 AS BIGINT) AS k,
+       CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -3285,6 +3326,7 @@ PIPELINE_QUERIES = {
     "knn_pq_topk": (knn_pq_topk, ORACLE_PQ_TOPK),
     "stream_pq_index": (stream_pq_index, ORACLE_STREAM_PQ),
     "knn_ivfpq_topk": (knn_ivfpq_topk, ORACLE_IVFPQ_TOPK),
+    "ann_pq_recall": (ann_pq_recall, ORACLE_ANN_RECALL),
     "corpus_segment_dedup": (corpus_segment_dedup, ORACLE_SEGMENT_DEDUP),
     "emb_decontam": (emb_decontam, ORACLE_EMB_DECONTAM),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),

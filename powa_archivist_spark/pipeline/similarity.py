@@ -1489,3 +1489,40 @@ def ivfpq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist_q", "rank")
     )
+
+
+def ann_recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact ground
+    truth — the measure-don't-guess loop every ANN deployment runs
+    when tuning nprobe / code budget / plane count: per query,
+    ``hits`` = |approx top-k ∩ exact top-k| and ``recall`` = hits / k.
+    Both inputs are (query_id, neighbor_id, ..., rank) frames as
+    produced by :func:`knn_bruteforce` / :func:`pq_search` /
+    :func:`ivfpq_search`; queries the approximate index missed
+    entirely report recall 0, not an absent row.
+
+    Plan: two rank filters + one keyed semi-join on (query, neighbor)
+    + a per-query count — all bounded by |queries| x k rows, noise
+    next to producing either input."""
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        e.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.lit(int(k)).cast("long").alias("k"),
+            (F.coalesce("hits", F.lit(0)) / F.lit(int(k)))
+            .cast("double").alias("recall"),
+        )
+    )

@@ -2257,3 +2257,30 @@ def test_ivfpq_build_search_hand_computed(spark):
            for r in out.orderBy("rank").collect()]
     q = similarity.QUANT
     assert got == [(1, 0, 1), (2, 8 * q * q, 2), (3, 8 * q * q, 3)]
+
+
+def test_ann_recall_at_k_counts_intersection(spark):
+    """r8: recall@k — hand-built rank frames: query 1 overlaps 2/3,
+    query 2 overlaps 0/3 (and still reports a row)."""
+    from powa_archivist_spark.pipeline import similarity
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2), (1, 99, 3),
+         (2, 98, 1), (2, 97, 2), (2, 96, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {r.query_id: r for r in similarity.ann_recall_at_k(
+        exact, approx, k=3).collect()}
+    assert (out[1].hits, out[1].recall) == (2, 2 / 3)
+    assert (out[2].hits, out[2].recall) == (0, 0.0)
+    # rank filter: beyond-k rows must not count
+    approx2 = approx.union(spark.createDataFrame(
+        [(2, 20, 4)], "query_id long, neighbor_id long, rank int"))
+    out2 = {r.query_id: r for r in similarity.ann_recall_at_k(
+        exact, approx2, k=3).collect()}
+    assert out2[2].hits == 0
