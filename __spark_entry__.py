@@ -33,6 +33,10 @@ from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 # declared form CHANGED this round (emb_semantic_dedup_lsh now
 # k-scaled, ann_index_upsert now built sized), the new
 # corpus_ngram_ppl, and the remainder held over from round 7's window.
+# The EIGHT late-r8 additions (corpus_dsir_select, docs_dup_spans,
+# emb_hard_negatives, corpus_bpe_merges, knn_pq_topk, stream_pq_index,
+# knn_ivfpq_topk, ann_pq_recall) are gated too, each displacing an
+# r7-driver-green core row (named at the displacement sites below).
 # Displaced r7-green entries stay enforced by
 # tests/test_oracle_full.py (full-surface value-hash replay in pytest)
 # and ORACLE_FULL.txt.

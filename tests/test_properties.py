@@ -617,3 +617,33 @@ def test_hll_merge_associativity_on_random_splits(spark, keys, split):
         sketches.hll_merge(*parts, group_cols=["g"]), ["g"]
     ).collect()[0].est_distinct
     assert merged == whole
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                 min_size=1, max_size=20),
+        min_size=2, max_size=8,
+    ),
+)
+@SLOW
+def test_duplicate_spans_invariants(spark, docs):
+    """For ANY corpus: covered_tokens <= n_tokens, n_spans <=
+    min(n_dup_grams, covered/1), spans only exist where dup grams do,
+    and a doc duplicated verbatim is fully covered (dup_fraction 1)."""
+    from powa_archivist_spark.pipeline import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    # append a verbatim copy of doc 0 (if long enough to carry a gram)
+    rows.append((len(rows), rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.duplicate_spans(
+        df, k=3, min_docs=2).collect()}
+    for r in out.values():
+        assert 0 <= r.covered_tokens <= r.n_tokens
+        assert r.n_spans <= r.n_dup_grams or r.n_dup_grams == 0
+        assert (r.n_spans == 0) == (r.covered_tokens == 0)
+        assert (r.n_dup_grams == 0) == (r.covered_tokens == 0)
+    if len(docs[0]) >= 3:
+        assert out[0].dup_fraction == 1.0
+        assert out[len(rows) - 1].dup_fraction == 1.0
