@@ -35,7 +35,8 @@ from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 # corpus_ngram_ppl, and the remainder held over from round 7's window.
 # The EIGHT late-r8 additions (corpus_dsir_select, docs_dup_spans,
 # emb_hard_negatives, corpus_bpe_merges, knn_pq_topk, stream_pq_index,
-# knn_ivfpq_topk, ann_pq_recall) are gated too, each displacing an
+# knn_ivfpq_topk, ann_pq_recall, corpus_bpe_encode) are gated too
+# (NINE with corpus_bpe_encode), each displacing an
 # r7-driver-green core row (named at the displacement sites below).
 # Displaced r7-green entries stay enforced by
 # tests/test_oracle_full.py (full-surface value-hash replay in pytest)
@@ -61,6 +62,7 @@ _GATE_ORDER = [
     "stream_pq_index",
     "knn_ivfpq_topk",
     "ann_pq_recall",
+    "corpus_bpe_encode",
     # --- core: windows / frames / rollup analytics ---
     "salted_rollup",
     # --- core: filters / joins / case (events_ignored_users and
@@ -71,8 +73,8 @@ _GATE_ORDER = [
     # corpus_bpe_merges; lineitem_xor_case for knn_pq_topk;
     # constvalues_history_pack for stream_pq_index;
     # price_above_global_avg for knn_ivfpq_topk;
-    # priority_line_counts for ann_pq_recall) ---
-    "cheapest_supplier_per_part",
+    # priority_line_counts for ann_pq_recall;
+    # cheapest_supplier_per_part for corpus_bpe_encode) ---
     "promo_revenue_share",
     # --- pipeline: sketches / similarity tail ---
     "docs_heavy_tokens",

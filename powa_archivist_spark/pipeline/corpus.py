@@ -976,3 +976,76 @@ def bpe_merges(docs: DataFrame, n_merges: int = 6,
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     )
+
+
+def bpe_apply(docs: DataFrame, n_merges: int = 6,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Tokenize documents with the merges :func:`bpe_merges` learns —
+    the consumer side of BPE training and the real token accountant of
+    a pipeline (whitespace counts under-estimate subword budgets):
+    per document, ``n_words`` (whitespace tokens), ``n_subwords``
+    (BPE symbols after applying the learned merges in rank order,
+    greedy left-to-right — identical semantics to training because
+    both use the same serialized-segmentation literal replace), and
+    ``subwords_per_word`` (exact double division).
+
+    Plan (100 TB): training's word table already holds every word's
+    FINAL segmentation, so application is one broadcast join of the
+    vocabulary-bounded segmentation dim onto the exploded document
+    token stream + a per-doc partial-aggregated sum — no per-doc
+    re-segmentation work at all.  (Here train and apply corpora are
+    the same table; a production split corpus left-joins and falls
+    back to character counts for unseen words.)"""
+    words = bpe_word_counts(docs, text_col=text_col).localCheckpoint()
+    segs = words
+    for _rank in range(1, n_merges + 1):
+        syms = F.filter(F.split(F.col("s"), BPE_SEP), lambda x: x != "")
+        pairs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(syms) - 2),
+                lambda i: F.struct(
+                    F.element_at(syms, i + 1).alias("l"),
+                    F.element_at(syms, i + 2).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            segs.select(F.col("cnt"), F.explode(pairs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if best is None:
+            break
+        old_pat = BPE_SEP + best.l + BPE_SEP + best.r + BPE_SEP
+        new_pat = BPE_SEP + best.l + best.r + BPE_SEP
+        segs = segs.select(
+            "word", "cnt",
+            F.replace(F.col("s"), F.lit(old_pat), F.lit(new_pat))
+            .alias("s"),
+        )
+    seg_dim = segs.select(
+        "word",
+        F.size(F.filter(F.split(F.col("s"), BPE_SEP),
+                        lambda x: x != "")).cast("long").alias("n_syms"),
+    )
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(F.broadcast(seg_dim), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_subwords"),
+        )
+        .select(
+            id_col, "n_words", "n_subwords",
+            (F.col("n_subwords").cast("double") / F.col("n_words"))
+            .alias("subwords_per_word"),
+        )
+    )

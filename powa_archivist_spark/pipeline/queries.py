@@ -2859,10 +2859,14 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bpe_merges(t(spark, sf_dir, "documents"), n_merges=6)
 
 
-def _oracle_bpe_merges(n_merges: int = 6) -> str:
+def _oracle_bpe_merges(n_merges: int = 6, mode: str = "merges") -> str:
     """Static unrolling of the BPE training loop: each round is a
     (pair-count, argmax, literal-replace) CTE triple chained off the
-    previous round's word table — the SQL twin of corpus.bpe_merges."""
+    previous round's word table — the SQL twin of corpus.bpe_merges.
+    ``mode="apply"`` emits the tokenizer-APPLICATION query instead:
+    the final round's word table IS every word's segmentation, so
+    per-doc subword accounting is one join + sum (corpus.bpe_apply's
+    SQL twin)."""
     rounds = []
     for r in range(1, n_merges + 1):
         prev = f"w{r - 1}"
@@ -2895,6 +2899,35 @@ p{r} AS MATERIALIZED (
         f' r_ AS "right", CAST(c AS BIGINT) AS pair_count FROM b{r}'
         for r in range(1, n_merges + 1)
     )
+    if mode == "apply":
+        return f"""
+WITH words AS (
+  SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+), w0 AS (
+  SELECT word, COUNT(*) AS cnt,
+         chr(1) || array_to_string(
+           list_transform(range(1, len(word) + 1), i -> word[i:i]),
+           chr(1)) || chr(1) AS s
+  FROM words WHERE word <> '' GROUP BY word
+),{",".join(rounds)},
+segd AS MATERIALIZED (
+  SELECT word,
+         CAST(len(list_filter(string_split(s, chr(1)), x -> x <> ''))
+              AS BIGINT) AS n_syms
+  FROM w{n_merges}
+), dtok AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(n_syms) AS BIGINT) AS n_subwords,
+       CAST(SUM(n_syms) AS DOUBLE) / COUNT(*) AS subwords_per_word
+FROM (SELECT doc_id, word FROM dtok WHERE word <> '') t
+JOIN segd USING (word)
+GROUP BY doc_id
+"""
     return f"""
 WITH words AS (
   SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS word
@@ -3263,6 +3296,16 @@ LEFT JOIN hits h ON h.query_id = q.query_id
 """
 
 
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned 6-round BPE merges back to the corpus (r8):
+    per-document subword accounting — the real token budget a trainer
+    consumes (whitespace counts under-estimate it).  The segmentation
+    dim is vocabulary-bounded and broadcast; see corpus.bpe_apply."""
+    from . import corpus
+
+    return corpus.bpe_apply(t(spark, sf_dir, "documents"), n_merges=6)
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -3323,6 +3366,8 @@ PIPELINE_QUERIES = {
     "docs_dup_spans": (docs_dup_spans, ORACLE_DUP_SPANS),
     "emb_hard_negatives": (emb_hard_negatives, ORACLE_HARD_NEGATIVES),
     "corpus_bpe_merges": (corpus_bpe_merges, _oracle_bpe_merges()),
+    "corpus_bpe_encode": (corpus_bpe_encode,
+                          _oracle_bpe_merges(mode="apply")),
     "knn_pq_topk": (knn_pq_topk, ORACLE_PQ_TOPK),
     "stream_pq_index": (stream_pq_index, ORACLE_STREAM_PQ),
     "knn_ivfpq_topk": (knn_ivfpq_topk, ORACLE_IVFPQ_TOPK),

@@ -2284,3 +2284,20 @@ def test_ann_recall_at_k_counts_intersection(spark):
     out2 = {r.query_id: r for r in similarity.ann_recall_at_k(
         exact, approx2, k=3).collect()}
     assert out2[2].hits == 0
+
+
+def test_bpe_apply_hand_computed(spark):
+    """r8: BPE application on the Sennrich toy — after 4 merges the
+    segmentations are low=[low], lower=[low,e,r], lowest=[low,e,s,t],
+    new=[new], newer=[new,e,r], newest=[new,e,s,t]."""
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in corpus.bpe_apply(
+        docs, n_merges=4).collect()}
+    assert (out[1].n_words, out[1].n_subwords) == (5, 3 * 1 + 3 + 4)
+    assert (out[2].n_words, out[2].n_subwords) == (4, 2 * 1 + 3 + 4)
+    assert out[1].subwords_per_word == 10 / 5
