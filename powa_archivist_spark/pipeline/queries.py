@@ -2692,8 +2692,11 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     textstats.dsir_model + dsir_select for the overflow-free
     whole-bit log-ratio discipline and the 100 TB broadcast plan."""
     docs = t(spark, sf_dir, "documents")
+    # fused model build (r8 perf): target is IN-corpus, so one explode
+    # + one groupBy computes both distributions (c_t as a conditional
+    # count) — halves the hashed-gram work vs the two-pass form
     model = textstats.dsir_model(
-        docs, target_docs=docs.filter(F.col("doc_id") % 5 == 0))
+        docs, target_pred=F.col("doc_id") % 5 == 0)
     return textstats.dsir_select(docs, model)
 
 

@@ -720,8 +720,9 @@ def _bitlen(col: Column) -> Column:
             - (col == 0).cast("int")).cast("long")
 
 
-def dsir_model(docs: DataFrame, target_docs: DataFrame,
-               n_buckets: int = 512, text_col: str = "text") -> DataFrame:
+def dsir_model(docs: DataFrame, target_docs: DataFrame | None = None,
+               n_buckets: int = 512, text_col: str = "text",
+               target_pred: Column | None = None) -> DataFrame:
     """Importance-weight model for DSIR-style data selection (Xie et
     al. 2023 lineage, "Data Selection for Language Models via
     Importance Resampling"): hashed unigram+bigram bag-of-ngrams
@@ -744,12 +745,18 @@ def dsir_model(docs: DataFrame, target_docs: DataFrame,
     whole-bit ratio by <= 2 bits, well inside the resolution a hashed
     512-bucket model carries.
 
-    Plan (100 TB): two wordcount-shaped groupBys over the hashed
-    feature streams (map-side combinable, output bounded at
-    ``n_buckets`` rows each), totals as 1-row aggregates — the result
-    is a fixed-size dim ready to broadcast into
+    Plan (100 TB): the common in-corpus case — target is a PREDICATE
+    over ``docs`` (pass ``target_pred``) — hashes the raw corpus's
+    feature stream ONCE and folds c_t as a conditional count inside
+    the same wordcount groupBy (one pass, one exchange).  A disjoint
+    ``target_docs`` frame takes the two-pass form.  Either way the
+    result is an ``n_buckets``-row dim ready to broadcast into
     :func:`dsir_select`."""
     from .dedup import cross_engine_hash64
+
+    if (target_docs is None) == (target_pred is None):
+        raise ValueError(
+            "pass exactly one of target_docs / target_pred")
 
     def buckets(df: DataFrame) -> DataFrame:
         toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -767,12 +774,43 @@ def dsir_model(docs: DataFrame, target_docs: DataFrame,
             .cast("int").alias("bucket")
         )
 
-    t_counts = (buckets(target_docs).groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("c_t")))
-    r_counts = (buckets(docs).groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("c_r")))
-    t_total = t_counts.agg(F.sum("c_t").alias("t_tot"))
-    r_total = r_counts.agg(F.sum("c_r").alias("r_tot"))
+    if target_pred is not None:
+        # fused single pass: one explode, one groupBy; c_t is the
+        # conditional partial count
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = docs.select(
+            target_pred.alias("_t"),
+            F.explode(F.concat(toks, pairs)).alias("gram"),
+        ).select(
+            "_t",
+            (cross_engine_hash64(F.col("gram")) % n_buckets)
+            .cast("int").alias("bucket"),
+        )
+        both = feats.groupBy("bucket").agg(
+            F.sum(F.col("_t").cast("long")).alias("c_t"),
+            F.count(F.lit(1)).alias("c_r"),
+        )
+        totals = both.agg(
+            F.sum("c_t").alias("t_tot"), F.sum("c_r").alias("r_tot")
+        )
+        t_counts = both.select("bucket", "c_t")
+        r_counts = both.select("bucket", "c_r")
+        t_total = totals.select("t_tot")
+        r_total = totals.select("r_tot")
+    else:
+        t_counts = (buckets(target_docs).groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("c_t")))
+        r_counts = (buckets(docs).groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("c_r")))
+        t_total = t_counts.agg(F.sum("c_t").alias("t_tot"))
+        r_total = r_counts.agg(F.sum("c_r").alias("r_tot"))
 
     spark = docs.sparkSession
     all_buckets = spark.range(n_buckets).select(

@@ -2301,3 +2301,26 @@ def test_bpe_apply_hand_computed(spark):
     assert (out[1].n_words, out[1].n_subwords) == (5, 3 * 1 + 3 + 4)
     assert (out[2].n_words, out[2].n_subwords) == (4, 2 * 1 + 3 + 4)
     assert out[1].subwords_per_word == 10 / 5
+
+
+def test_dsir_model_fused_equals_two_pass(spark):
+    """r8 perf: the single-pass target_pred model build must produce
+    bit-identical weights to the two-pass target_docs form (c_t as a
+    conditional count inside the same groupBy)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "good data clean data"), (2, "bad junk junk spam"),
+         (3, "good data bad junk"), (4, None)],
+        "doc_id long, text string",
+    )
+    two = {r.bucket: r.weight for r in textstats.dsir_model(
+        docs, target_docs=docs.filter(F.col("doc_id") == 1),
+        n_buckets=64).collect()}
+    one = {r.bucket: r.weight for r in textstats.dsir_model(
+        docs, target_pred=F.col("doc_id") == 1,
+        n_buckets=64).collect()}
+    assert one == two
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        textstats.dsir_model(docs)
