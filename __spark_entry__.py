@@ -63,6 +63,7 @@ _GATE_ORDER = [
     "knn_ivfpq_topk",
     "ann_pq_recall",
     "corpus_bpe_encode",
+    "corpus_decontam_excise",
     # --- core: windows / frames / rollup analytics ---
     "salted_rollup",
     # --- core: filters / joins / case (events_ignored_users and
@@ -74,8 +75,8 @@ _GATE_ORDER = [
     # constvalues_history_pack for stream_pq_index;
     # price_above_global_avg for knn_ivfpq_topk;
     # priority_line_counts for ann_pq_recall;
-    # cheapest_supplier_per_part for corpus_bpe_encode) ---
-    "promo_revenue_share",
+    # cheapest_supplier_per_part for corpus_bpe_encode;
+    # promo_revenue_share for corpus_decontam_excise) ---
     # --- pipeline: sketches / similarity tail ---
     "docs_heavy_tokens",
     "events_kmv_distinct",

@@ -1049,3 +1049,90 @@ def bpe_apply(docs: DataFrame, n_merges: int = 6,
             .alias("subwords_per_word"),
         )
     )
+
+
+def decontaminate_excise(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Decontamination by EXCISION (Lee et al. 2022 appendix /
+    GPT-3-style span removal): instead of dropping every document that
+    shares an n-gram with the held-out eval set
+    (:func:`ngram_decontaminate` — which throws away whole documents
+    for one leaked sentence), cut out exactly the token positions
+    covered by some eval n-gram and keep the rest.  Returns one row
+    per non-NULL-text corpus doc: (id, n_tokens, removed_tokens,
+    clean_text) with survivors rejoined in order; a fully-leaked doc
+    comes back with empty clean_text rather than vanishing
+    (segment_dedup's contract).
+
+    Plan (100 TB): the eval gram set is distinct-ed and **broadcast**
+    (benchmarks are tiny next to the corpus); the corpus gram stream
+    is map-only (one hashed row per position); covered positions
+    explode only from HITS (bounded by leak volume x n).  The kept
+    rows come from ONE left join of the token stream against the
+    covered set keyed on (id, pos), and the per-doc reassembly groupBy
+    partial-aggregates (posexplode keeps a doc's tokens
+    co-partitioned).  ``hash_fn``: "md5" is the oracle-replayable
+    declared family; pass "xxhash64" in production."""
+    from .dedup import _hash64
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def gram_hash(prefix_df):
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    _hash64(hash_fn,
+                            F.concat_ws(" ", F.slice(toks, i + 1, n)))
+                    .alias("gh"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,gh:long>>"))
+        out = prefix_df.select(F.col(id_col), F.explode(g).alias("g"))
+        return out.select(F.col(id_col), F.col("g.pos").alias("pos"),
+                          F.col("g.gh").alias("gh"))
+
+    ev = gram_hash(eval_docs).select("gh").distinct()
+    hits = gram_hash(docs).join(F.broadcast(ev), "gh")
+    covered = hits.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + F.lit(n - 1))).alias("cpos"),
+    ).distinct()
+
+    tok_rows = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    )
+    joined = tok_rows.join(
+        covered.select(
+            F.col(id_col), F.col("cpos").alias("pos"),
+            F.lit(True).alias("cut"),
+        ),
+        [id_col, "pos"], "left",
+    )
+    kept_struct = F.when(
+        F.col("cut").isNull(), F.struct(F.col("pos"), F.col("tok"))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("cut").isNotNull().cast("int")).cast("long")
+            .alias("removed_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["tok"],
+                ),
+            ).alias("clean_text"),
+        )
+    )

@@ -3309,6 +3309,60 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bpe_apply(t(spark, sf_dir, "documents"), n_merges=6)
 
 
+def corpus_decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by excision (r8): the eval slice's 3-gram spans
+    are CUT OUT of every corpus doc (not the whole doc dropped),
+    survivors rejoined in order — the remediation step after
+    corpus_decontam's flagging.  See corpus.decontaminate_excise for
+    the broadcast-eval / single-join 100 TB plan."""
+    from . import corpus
+
+    docs = t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    corp = docs.filter(F.col("doc_id") % 20 != 0)
+    return corpus.decontaminate_excise(corp, ev, n=3)
+
+
+ORACLE_DECONTAM_EXCISE = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), ev AS (
+  SELECT DISTINCT
+         ('0x' || substring(
+            md5(array_to_string(toks[i+1:i+3], ' ')), 1, 15))::BIGINT AS gh
+  FROM (SELECT toks FROM tk WHERE doc_id % 20 = 0),
+       UNNEST(range(0, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+), g AS (
+  SELECT doc_id,
+         UNNEST(range(0, len(toks) - 2)) AS pos,
+         UNNEST(list_transform(range(0, len(toks) - 2),
+           i -> ('0x' || substring(
+                   md5(array_to_string(toks[i+1:i+3], ' ')),
+                   1, 15))::BIGINT)) AS gh
+  FROM tk WHERE doc_id % 20 <> 0 AND len(toks) >= 3
+), cov AS (
+  SELECT DISTINCT doc_id, UNNEST(range(pos, pos + 3)) AS cpos
+  FROM g JOIN ev USING (gh)
+), tok AS (
+  SELECT doc_id,
+         UNNEST(toks) AS tok,
+         UNNEST(range(0, len(toks))) AS pos
+  FROM tk WHERE doc_id % 20 <> 0
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE c.cpos IS NOT NULL) AS BIGINT)
+         AS removed_tokens,
+       COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+                  FILTER (WHERE c.cpos IS NULL), '') AS clean_text
+FROM tok t
+LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+GROUP BY t.doc_id
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -3371,6 +3425,8 @@ PIPELINE_QUERIES = {
     "corpus_bpe_merges": (corpus_bpe_merges, _oracle_bpe_merges()),
     "corpus_bpe_encode": (corpus_bpe_encode,
                           _oracle_bpe_merges(mode="apply")),
+    "corpus_decontam_excise": (corpus_decontam_excise,
+                               ORACLE_DECONTAM_EXCISE),
     "knn_pq_topk": (knn_pq_topk, ORACLE_PQ_TOPK),
     "stream_pq_index": (stream_pq_index, ORACLE_STREAM_PQ),
     "knn_ivfpq_topk": (knn_ivfpq_topk, ORACLE_IVFPQ_TOPK),

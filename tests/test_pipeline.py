@@ -2324,3 +2324,29 @@ def test_dsir_model_fused_equals_two_pass(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         textstats.dsir_model(docs)
+
+
+def test_decontaminate_excise_cuts_spans_keeps_order(spark):
+    """r8: excision — a leaked 3-gram span is cut out, untouched docs
+    survive verbatim, a fully-leaked doc returns empty clean_text,
+    and sub-n docs pass through uncut."""
+    from powa_archivist_spark.pipeline import corpus
+
+    ev = spark.createDataFrame([(100, "leak one two")],
+                               "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "clean text here only safe words"),
+         (2, "prefix leak one two suffix tail"),
+         (3, "leak one two"),
+         (4, "too short"),
+         (5, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.decontaminate_excise(
+        docs, ev, n=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].removed_tokens, out[1].clean_text) == \
+        (0, "clean text here only safe words")
+    assert (out[2].n_tokens, out[2].removed_tokens,
+            out[2].clean_text) == (6, 3, "prefix suffix tail")
+    assert (out[3].removed_tokens, out[3].clean_text) == (3, "")
+    assert (out[4].removed_tokens, out[4].clean_text) == (0, "too short")
