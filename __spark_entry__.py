@@ -64,6 +64,7 @@ _GATE_ORDER = [
     "ann_pq_recall",
     "corpus_bpe_encode",
     "corpus_decontam_excise",
+    "corpus_quality_ensemble",
     # --- core: windows / frames / rollup analytics ---
     "salted_rollup",
     # --- core: filters / joins / case (events_ignored_users and
@@ -76,9 +77,9 @@ _GATE_ORDER = [
     # price_above_global_avg for knn_ivfpq_topk;
     # priority_line_counts for ann_pq_recall;
     # cheapest_supplier_per_part for corpus_bpe_encode;
-    # promo_revenue_share for corpus_decontam_excise) ---
+    # promo_revenue_share for corpus_decontam_excise;
+    # docs_heavy_tokens for corpus_quality_ensemble) ---
     # --- pipeline: sketches / similarity tail ---
-    "docs_heavy_tokens",
     "events_kmv_distinct",
     "emb_near_dup",
     "knn_cosine_blocked",

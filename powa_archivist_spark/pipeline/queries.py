@@ -2697,7 +2697,13 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count) — halves the hashed-gram work vs the two-pass form
     model = textstats.dsir_model(
         docs, target_pred=F.col("doc_id") % 5 == 0)
-    return textstats.dsir_select(docs, model)
+    # keep threshold -1/5 (avg weight >= -0.2): the whole-bit log-ratio
+    # composition biases a homogeneous corpus ~0.2 bits negative (the
+    # target slice is statistically identical to raw here), so the
+    # informative fence sits just below zero; integer cross-multiplied
+    # like every verdict
+    return textstats.dsir_select(docs, model,
+                                 threshold_num=-1, threshold_den=5)
 
 
 ORACLE_DSIR_SELECT = r"""
@@ -2742,7 +2748,7 @@ WITH tk AS (
 SELECT f.doc_id,
        COUNT(*) AS n_feats,
        CAST(SUM(m.weight) AS BIGINT) AS dsir_weight,
-       (CAST(SUM(m.weight) AS BIGINT) * 1 >= 0 * COUNT(*)) AS keep
+       (CAST(SUM(m.weight) AS BIGINT) * 5 >= -1 * COUNT(*)) AS keep
 FROM feats f JOIN model m ON m.bucket = f.bucket
 GROUP BY f.doc_id
 """
@@ -3363,6 +3369,110 @@ GROUP BY t.doc_id
 """
 
 
+def corpus_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full four-filter quality stack voted per document (r8):
+    heuristic gate (Gopher bounds), discriminative classifier
+    (hashed linear model), generative perplexity (bigram LM,
+    whole-bit <= 4.5 bits/token by integer cross-multiplication), and
+    distribution-matching DSIR — the standard layered curation verdict
+    (CCNet -> DCLM lineage).  The gate is the spine (it scores EVERY
+    doc, including NULL text); filters that produced no row for a doc
+    (no tokens / no bigrams) vote False.  All four filters share the
+    same broadcast-dim plan shapes already pinned individually; the
+    ensemble adds three keyed left joins on doc_id."""
+    docs = t(spark, sf_dir, "documents")
+    # same thresholds as the declared corpus_quality_gate (whose oracle
+    # this ensemble's qg CTE reuses verbatim)
+    gate = textstats.quality_gate(docs, thresholds={
+        "min_tokens": 20,
+        "max_tokens": 100_000,
+        "min_distinct_ratio": 0.35,
+        "max_dup_2gram_frac": 0.55,
+        "max_top_token_frac": 0.45,
+    }).select("doc_id", F.col("keep").alias("heuristic_pass"))
+    w = textstats.classifier_weights(spark, n_buckets=512)
+    cls = textstats.classifier_score(
+        docs, w, threshold_num=-534, threshold_den=2
+    ).select("doc_id", F.col("quality_pass").alias("classifier_pass"))
+    ppl = textstats.ngram_perplexity(
+        docs, train_docs=docs.filter(F.col("doc_id") % 5 != 0)
+    ).select(
+        "doc_id",
+        (F.col("sum_bits") * 2 <= F.lit(9) * F.col("n_bigrams"))
+        .alias("ppl_pass"),
+    )
+    model = textstats.dsir_model(
+        docs, target_pred=F.col("doc_id") % 5 == 0)
+    ds = textstats.dsir_select(
+        docs, model, threshold_num=-1, threshold_den=5
+    ).select("doc_id", F.col("keep").alias("dsir_pass"))
+    out = (
+        gate.join(cls, "doc_id", "left")
+        .join(ppl, "doc_id", "left")
+        .join(ds, "doc_id", "left")
+        .select(
+            "doc_id",
+            "heuristic_pass",
+            F.coalesce("classifier_pass", F.lit(False))
+            .alias("classifier_pass"),
+            F.coalesce("ppl_pass", F.lit(False)).alias("ppl_pass"),
+            F.coalesce("dsir_pass", F.lit(False)).alias("dsir_pass"),
+        )
+    )
+    votes = sum(
+        F.col(c).cast("int")
+        for c in ("heuristic_pass", "classifier_pass", "ppl_pass",
+                  "dsir_pass")
+    )
+    return out.select(
+        "*",
+        votes.cast("long").alias("n_passed"),
+        (votes == 4).alias("keep_all"),
+    )
+
+
+def _oracle_quality_ensemble() -> str:
+    """Composes the four filters' PROVEN replay oracles as nested CTEs
+    (the ann_pq_recall composition pattern) and votes them."""
+    return f"""
+WITH qg AS (
+  SELECT doc_id, keep FROM (
+{ORACLE_QUALITY_GATE}
+  ) q
+), cls AS (
+  SELECT doc_id, quality_pass FROM (
+{ORACLE_CLASSIFIER_FILTER}
+  ) c
+), ppl AS (
+  SELECT doc_id, (sum_bits * 2 <= 9 * n_bigrams) AS ppl_pass FROM (
+{ORACLE_NGRAM_PPL}
+  ) p
+), ds AS (
+  SELECT doc_id, keep FROM (
+{ORACLE_DSIR_SELECT}
+  ) d
+), votes AS (
+  SELECT qg.doc_id,
+         qg.keep AS heuristic_pass,
+         COALESCE(cls.quality_pass, FALSE) AS classifier_pass,
+         COALESCE(ppl.ppl_pass, FALSE) AS ppl_pass,
+         COALESCE(ds.keep, FALSE) AS dsir_pass
+  FROM qg
+  LEFT JOIN cls ON cls.doc_id = qg.doc_id
+  LEFT JOIN ppl ON ppl.doc_id = qg.doc_id
+  LEFT JOIN ds ON ds.doc_id = qg.doc_id
+)
+SELECT *,
+       CAST(CAST(heuristic_pass AS INT) + CAST(classifier_pass AS INT)
+            + CAST(ppl_pass AS INT) + CAST(dsir_pass AS INT) AS BIGINT)
+         AS n_passed,
+       (CAST(heuristic_pass AS INT) + CAST(classifier_pass AS INT)
+        + CAST(ppl_pass AS INT) + CAST(dsir_pass AS INT) = 4)
+         AS keep_all
+FROM votes
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -3427,6 +3537,8 @@ PIPELINE_QUERIES = {
                           _oracle_bpe_merges(mode="apply")),
     "corpus_decontam_excise": (corpus_decontam_excise,
                                ORACLE_DECONTAM_EXCISE),
+    "corpus_quality_ensemble": (corpus_quality_ensemble,
+                                _oracle_quality_ensemble()),
     "knn_pq_topk": (knn_pq_topk, ORACLE_PQ_TOPK),
     "stream_pq_index": (stream_pq_index, ORACLE_STREAM_PQ),
     "knn_ivfpq_topk": (knn_ivfpq_topk, ORACLE_IVFPQ_TOPK),

@@ -2350,3 +2350,23 @@ def test_decontaminate_excise_cuts_spans_keeps_order(spark):
             out[2].clean_text) == (6, 3, "prefix suffix tail")
     assert (out[3].removed_tokens, out[3].clean_text) == (3, "")
     assert (out[4].removed_tokens, out[4].clean_text) == (0, "too short")
+
+
+def test_quality_ensemble_vote_consistency(spark):
+    """r8: the four-filter ensemble — votes reconcile (n_passed equals
+    the flag sum, keep_all means 4/4), every doc gets a row, and the
+    spine covers the whole corpus (gate scores NULL text too)."""
+    from powa_archivist_spark.pipeline.queries import (
+        corpus_quality_ensemble,
+    )
+
+    out = corpus_quality_ensemble(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        flags = [r.heuristic_pass, r.classifier_pass, r.ppl_pass,
+                 r.dsir_pass]
+        assert r.n_passed == sum(bool(f) for f in flags)
+        assert r.keep_all == (r.n_passed == 4)
