@@ -65,6 +65,7 @@ _GATE_ORDER = [
     "corpus_bpe_encode",
     "corpus_decontam_excise",
     "corpus_quality_ensemble",
+    "emb_diversity_select",
     # --- core: windows / frames / rollup analytics ---
     "salted_rollup",
     # --- core: filters / joins / case (events_ignored_users and
@@ -78,9 +79,9 @@ _GATE_ORDER = [
     # priority_line_counts for ann_pq_recall;
     # cheapest_supplier_per_part for corpus_bpe_encode;
     # promo_revenue_share for corpus_decontam_excise;
-    # docs_heavy_tokens for corpus_quality_ensemble) ---
+    # docs_heavy_tokens for corpus_quality_ensemble;
+    # events_kmv_distinct for emb_diversity_select) ---
     # --- pipeline: sketches / similarity tail ---
-    "events_kmv_distinct",
     "emb_near_dup",
     "knn_cosine_blocked",
     "ivf_refined_centroids",

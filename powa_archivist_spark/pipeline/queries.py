@@ -3473,6 +3473,53 @@ FROM votes
 """
 
 
+def emb_diversity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style cluster diversification (r8 — Tirumala et al. 2023):
+    sized coarse cells, per-cell prototypicality ranking by centroid
+    dot, top quarter of every cell dropped.  See
+    similarity.diversity_select for the one-window 100 TB plan."""
+    return similarity.diversity_select(
+        t(spark, sf_dir, "embeddings"),
+        n_cells_target=8, drop_top_frac_num=1, drop_top_frac_den=4,
+    )
+
+
+ORACLE_DIVERSITY_SELECT = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), mc AS MATERIALIZED (
+  SELECT GREATEST(1, (COUNT(*) + 7) // 8) AS md FROM embeddings
+), cents AS MATERIALIZED (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  WHERE vec_id % (SELECT md FROM mc) = 0
+), assign AS MATERIALIZED (
+  SELECT vec_id, cell_id, dot_c FROM (
+    SELECT e.vec_id, c.cell_id,
+           CAST(list_sum(list_transform(list_zip(e.v, c.cv),
+             x -> x[1] * x[2])) AS BIGINT) AS dot_c,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(e.v, c.cv),
+                         x -> x[1] * x[2])) AS BIGINT) DESC,
+                      c.cell_id ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), ranked AS (
+  SELECT vec_id, cell_id, dot_c,
+         ROW_NUMBER() OVER (PARTITION BY cell_id
+                            ORDER BY dot_c DESC, vec_id ASC) AS cell_rank,
+         COUNT(*) OVER (PARTITION BY cell_id) AS cell_n
+  FROM assign
+)
+SELECT vec_id, cell_id, dot_c, cell_rank,
+       CAST(cell_n AS BIGINT) AS cell_n,
+       (cell_rank > (cell_n * 1) // 4) AS keep
+FROM ranked
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -3539,6 +3586,8 @@ PIPELINE_QUERIES = {
                                ORACLE_DECONTAM_EXCISE),
     "corpus_quality_ensemble": (corpus_quality_ensemble,
                                 _oracle_quality_ensemble()),
+    "emb_diversity_select": (emb_diversity_select,
+                             ORACLE_DIVERSITY_SELECT),
     "knn_pq_topk": (knn_pq_topk, ORACLE_PQ_TOPK),
     "stream_pq_index": (stream_pq_index, ORACLE_STREAM_PQ),
     "knn_ivfpq_topk": (knn_ivfpq_topk, ORACLE_IVFPQ_TOPK),

@@ -1526,3 +1526,69 @@ def ann_recall_at_k(
             .cast("double").alias("recall"),
         )
     )
+
+
+def diversity_select(
+    emb: DataFrame,
+    n_cells_target: int = 8,
+    drop_top_frac_num: int = 1,
+    drop_top_frac_den: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-based diversification (D4 lineage — Tirumala et al.
+    2023, "D4: Improving LLM Pretraining via Document De-Duplication
+    and Diversification"): after near-dup removal, the remaining
+    redundancy is PROTOTYPICALITY — many documents crowding each
+    semantic cluster's center add little signal.  Assign every vector
+    to a sized coarse cell (the ivf discipline), rank members by dot
+    against their cell centroid (high dot = prototypical, ties -> id),
+    and DROP the top ``drop_top_frac_num/drop_top_frac_den`` fraction
+    of each cell — keeping the cluster's diverse rim plus all of the
+    small cells.  The cut count is exact integer arithmetic
+    (``n_dropped = (n_members * num) div den``), so the verdict
+    replays in SQL.
+
+    Returns one row per vector: (id, cell_id, dot_c, cell_rank,
+    cell_n, keep).
+
+    Plan (100 TB): assignment is the audited broadcast max_by (no
+    window, no corpus self-join); ranking is ONE window partitioned by
+    cell_id (bounded per-cell fan-in by the sized cells); the member
+    count rides the same partitioning, so Catalyst reuses one exchange
+    for both."""
+    n = emb.count()
+    cell_mod = max(1, -(-n // n_cells_target))
+    cents = emb.filter(F.col(id_col) % cell_mod == 0).select(
+        F.col(id_col).alias("cell_id"), quantized(F.col(vec_col)).alias("cv")
+    )
+    vecs = emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col, "v", "cell_id",
+        int_dot(F.col("v"), F.col("cv")).alias("dot_c"),
+    )
+    assign = (
+        scored.groupBy(id_col)
+        .agg(F.max_by(
+            F.struct(F.col("cell_id"), F.col("dot_c")),
+            F.struct(F.col("dot_c"), (-F.col("cell_id")).alias("neg")),
+        ).alias("best"))
+        .select(id_col, "best.cell_id", "best.dot_c")
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.desc("dot_c"), F.asc(id_col)
+    )
+    wc = Window.partitionBy("cell_id")
+    ranked = assign.select(
+        F.col(id_col), "cell_id", "dot_c",
+        F.row_number().over(w).alias("cell_rank"),
+        F.count(F.lit(1)).over(wc).alias("cell_n"),
+    )
+    dropped = F.expr(
+        f"(cell_n * {int(drop_top_frac_num)}) div {int(drop_top_frac_den)}"
+    )
+    return ranked.select(
+        id_col, "cell_id", "dot_c", "cell_rank",
+        F.col("cell_n").cast("long").alias("cell_n"),
+        (F.col("cell_rank") > dropped).alias("keep"),
+    )

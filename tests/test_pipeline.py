@@ -2370,3 +2370,38 @@ def test_quality_ensemble_vote_consistency(spark):
                  r.dsir_pass]
         assert r.n_passed == sum(bool(f) for f in flags)
         assert r.keep_all == (r.n_passed == 4)
+
+
+def test_diversity_select_drops_prototypical_quarter(spark):
+    """r8: D4 diversification — per-cell the top-dot quarter drops
+    (exact integer cut), small cells keep everything, ties rank by
+    id."""
+    from powa_archivist_spark.pipeline import similarity
+
+    def v(x, y):
+        return [float(x), float(y)]
+
+    # cells seed from ids 0 and 4 (8 vecs, target 2 -> mod 4)
+    emb = spark.createDataFrame(
+        [(0, v(1, 0)),       # centroid A
+         (1, v(1, 0)),       # most prototypical in A (ties 0 -> id 0 first)
+         (2, v(0.9, 0.1)),
+         (3, v(0.8, 0.2)),
+         (4, v(0, 1)),       # centroid B
+         (5, v(0.1, 0.9)),
+         (6, v(0.2, 0.8)),
+         (7, v(0, 1))],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in similarity.diversity_select(
+        emb, n_cells_target=2, drop_top_frac_num=1,
+        drop_top_frac_den=4).collect()}
+    a = [r for r in out.values() if r.cell_id == 0]
+    b = [r for r in out.values() if r.cell_id == 4]
+    assert len(a) == len(b) == 4
+    # 4 members * 1/4 -> exactly ONE dropped per cell: the top-ranked
+    dropped_a = [r.vec_id for r in a if not r.keep]
+    dropped_b = [r.vec_id for r in b if not r.keep]
+    assert dropped_a == [0], "dot-tie between 0 and 1 -> id 0 ranks 1st"
+    assert dropped_b == [4], "dot-tie between 4 and 7 -> id 4 ranks 1st"
+    assert all(r.cell_n == 4 for r in out.values())
