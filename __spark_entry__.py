@@ -66,6 +66,7 @@ _GATE_ORDER = [
     "corpus_decontam_excise",
     "corpus_quality_ensemble",
     "emb_diversity_select",
+    "corpus_source_profile",
     # --- core: windows / frames / rollup analytics ---
     "salted_rollup",
     # --- core: filters / joins / case (events_ignored_users and
@@ -80,9 +81,9 @@ _GATE_ORDER = [
     # cheapest_supplier_per_part for corpus_bpe_encode;
     # promo_revenue_share for corpus_decontam_excise;
     # docs_heavy_tokens for corpus_quality_ensemble;
-    # events_kmv_distinct for emb_diversity_select) ---
+    # events_kmv_distinct for emb_diversity_select;
+    # emb_near_dup for corpus_source_profile) ---
     # --- pipeline: sketches / similarity tail ---
-    "emb_near_dup",
     "knn_cosine_blocked",
     "ivf_refined_centroids",
     # --- pipeline: multimodal ---

@@ -3520,6 +3520,108 @@ FROM ranked
 """
 
 
+def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard (r8): the rollup an operator
+    actually watches while a crawl ingests — per source: doc and
+    NULL-text counts, token volume, quality-gate pass rate (declared
+    thresholds), and the exact-duplicate rate (docs whose normalized
+    text occurs more than once CORPUS-wide, attributed back to their
+    source).  All ingredients are the already-audited shapes: one
+    map-only gate pass, one digest groupBy for dup multiplicity, one
+    broadcast-joinable dup set, one final source rollup."""
+    from .dedup import normalized_text
+
+    docs = t(spark, sf_dir, "documents")
+    gate = textstats.quality_gate(docs, thresholds={
+        "min_tokens": 20,
+        "max_tokens": 100_000,
+        "min_distinct_ratio": 0.35,
+        "max_dup_2gram_frac": 0.55,
+        "max_top_token_frac": 0.45,
+    }).select("doc_id", "keep")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id", "source",
+        F.col("text").isNull().alias("null_text"),
+        F.when(F.col("text").isNotNull(), F.size(toks))
+        .otherwise(F.lit(0)).cast("long").alias("n_tokens"),
+        F.md5(normalized_text(F.col("text"))).alias("th"),
+    )
+    dup_keys = (
+        base.filter(~F.col("null_text"))
+        .groupBy("th").agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("th")
+    )
+    flagged = base.join(
+        F.broadcast(dup_keys.select("th", F.lit(True).alias("is_dup"))),
+        "th", "left",
+    ).join(gate, "doc_id", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("null_text").cast("int")).cast("long")
+            .alias("n_null_text"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("keep"), F.lit(False)).cast("int"))
+            .cast("long").alias("n_gate_pass"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(False)).cast("int"))
+            .cast("long").alias("n_exact_dups"),
+        )
+        .select(
+            "*",
+            (F.col("n_gate_pass").cast("double") / F.col("n_docs"))
+            .alias("gate_pass_rate"),
+            (F.col("n_exact_dups").cast("double") / F.col("n_docs"))
+            .alias("dup_rate"),
+        )
+    )
+
+
+def _oracle_source_profile() -> str:
+    """Composes the proven gate oracle with a dup-multiplicity CTE and
+    rolls both up by source."""
+    return f"""
+WITH qg AS (
+  SELECT doc_id, keep FROM (
+{ORACLE_QUALITY_GATE}
+  ) q
+), base AS (
+  SELECT doc_id, source,
+         (text IS NULL) AS null_text,
+         CASE WHEN text IS NOT NULL
+              THEN CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT)
+              ELSE 0 END AS n_tokens,
+         md5(regexp_replace(trim(translate(text,
+             'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+             'abcdefghijklmnopqrstuvwxyz')), '\\s+', ' ', 'g')) AS th
+  FROM documents
+), dups AS (
+  SELECT th FROM base WHERE NOT null_text
+  GROUP BY th HAVING COUNT(*) > 1
+)
+SELECT b.source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE b.null_text) AS BIGINT)
+         AS n_null_text,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) FILTER (WHERE COALESCE(g.keep, FALSE)) AS BIGINT)
+         AS n_gate_pass,
+       CAST(COUNT(*) FILTER (WHERE d.th IS NOT NULL) AS BIGINT)
+         AS n_exact_dups,
+       CAST(COUNT(*) FILTER (WHERE COALESCE(g.keep, FALSE)) AS DOUBLE)
+         / COUNT(*) AS gate_pass_rate,
+       CAST(COUNT(*) FILTER (WHERE d.th IS NOT NULL) AS DOUBLE)
+         / COUNT(*) AS dup_rate
+FROM base b
+LEFT JOIN qg g ON g.doc_id = b.doc_id
+LEFT JOIN dups d ON d.th = b.th
+GROUP BY b.source
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -3588,6 +3690,8 @@ PIPELINE_QUERIES = {
                                 _oracle_quality_ensemble()),
     "emb_diversity_select": (emb_diversity_select,
                              ORACLE_DIVERSITY_SELECT),
+    "corpus_source_profile": (corpus_source_profile,
+                              _oracle_source_profile()),
     "knn_pq_topk": (knn_pq_topk, ORACLE_PQ_TOPK),
     "stream_pq_index": (stream_pq_index, ORACLE_STREAM_PQ),
     "knn_ivfpq_topk": (knn_ivfpq_topk, ORACLE_IVFPQ_TOPK),

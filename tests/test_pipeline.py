@@ -2481,3 +2481,22 @@ def test_ivfpq_matches_numpy_replica(spark):
         cand.sort()
         for rank, (ad, nb) in enumerate(cand[:5], start=1):
             assert got[(qid, rank)] == (nb, ad), (qid, rank)
+
+
+def test_source_profile_counts_and_rates(spark):
+    """r8: per-source profile — duplicate attribution is corpus-wide
+    (a copy in another source still flags both), NULL text counts but
+    contributes zero tokens, rates reconcile."""
+    from powa_archivist_spark.pipeline.queries import (
+        corpus_source_profile,
+    )
+
+    out = {r.source: r for r in corpus_source_profile(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert len(out) >= 2
+    for r in out.values():
+        assert r.n_docs >= r.n_gate_pass >= 0
+        assert r.n_docs >= r.n_exact_dups >= 0
+        assert r.gate_pass_rate == r.n_gate_pass / r.n_docs
+        assert r.dup_rate == r.n_exact_dups / r.n_docs
+        assert r.total_tokens >= r.n_docs - r.n_null_text
