@@ -128,14 +128,22 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                   route_out: dict | None = None) -> DataFrame:
     """Token-set Jaccard >= threshold — two physical strategies.
 
-    - **``"prefix"`` (default)**: AllPairs/PPJoin prefix filtering — no
-      driver-side job at all; the whole computation is one declarative
-      plan.  Right for any real corpus, and the only sane default at
-      100 TB where even a bounded probe is a wasted full-ish scan job.
+    Both strategies run over DISTINCT token sets (r9): docs collapse to
+    one row per distinct set (md5 of the sorted token array) before any
+    pair work, every candidate/verify step touches set pairs, and doc
+    pairs are expanded at the very end — same-set docs pair at jaccard
+    1.0 with zero verification.  Web corpora carry heavy exact-set
+    duplication (boilerplate), so the pair workload tracks distinct
+    CONTENT, not crawl multiplicity.
+
+    - **``"prefix"`` (default)**: AllPairs/PPJoin prefix filtering with
+      the positional upper-bound filter — no driver-side job at all;
+      the whole computation is one declarative plan.  Right for any
+      real corpus, and the only sane default at 100 TB where even a
+      bounded probe is a wasted full-ish scan job.
     - **``"bitmask"``**: small-vocabulary (<= 63 distinct tokens) int64
       bitmask encoding; pair verification collapses to
-      ``bit_count(a & b) / bit_count(a | b)`` — O(1) per pair — computed
-      once per DISTINCT set pair and expanded to doc pairs afterwards.
+      ``bit_count(a & b) / bit_count(a | b)`` — O(1) per pair.
       Prefix filtering is useless there (every token is high-frequency).
       Opt-in only: callers must KNOW the vocabulary is tiny (e.g. enum
       columns); the strategy raises if the probe finds > 63 tokens.
@@ -147,19 +155,77 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
 
     The probe's decision is OBSERVABLE (r7, VERDICT r6 task 5): it is
     logged — at WARNING when the probe falls off the bitmask fast path
-    to PPJoin, the routing cliff measured as a 13x step for
-    ``dedup_components`` at sf1 (PERF.md) — and written into
-    ``route_out['route']`` when the caller passes a dict, so growing
-    corpora can alert when the route flips between runs instead of
-    silently absorbing the step."""
-    toks = token_sets(docs, text_col, id_col)
+    to PPJoin — and written into ``route_out['route']`` when the caller
+    passes a dict, so growing corpora can alert when the route flips
+    between runs instead of silently absorbing the step.  Declared
+    queries that must hold ONE scaling exponent across decades pin
+    ``strategy="prefix"`` (VERDICT r8 task 1: the probe's mid-decade
+    flip measured as alpha 1.42 for ``dedup_components`` sf0.1->sf1)."""
+    groups = _collapse_token_sets(token_sets(docs, text_col, id_col), id_col)
+    spairs = _set_pairs_routed(groups, threshold, strategy, route_out)
+    return _expand_set_pairs(spairs, groups)
+
+
+def _collapse_token_sets(toks: DataFrame, id_col: str) -> DataFrame:
+    """Collapse docs to one row per DISTINCT token set.
+
+    Key = md5 of the sorted token array under a length-prefixed
+    element encoding (``len(tok) ':' tok`` joined on ``0x1f``) — an
+    INJECTIVE serialization, so no two distinct sets share a key even
+    when tokens contain the separator byte; md5's 128 bits leave no
+    birthday risk at any corpus size (a 64-bit mix colliding would
+    silently merge two different sets).  NULL token arrays (NULL text)
+    key to a per-doc unique sentinel: such docs have never entered the
+    pair relation (explode emits nothing for them; the SQL oracle's
+    NULL jaccard fails every threshold), so they must stay singleton
+    groups rather than pool into one pseudo-set.  Returns
+    ``(set_key, set_id = min doc id, ids = member doc ids, toks)``.
+
+    ``ids`` is a per-group collect_list: bounded by the exact-duplicate
+    multiplicity of one distinct text, the same bound the pair OUTPUT
+    is quadratic in — callers that don't need doc-level pairs
+    (:func:`near_dup_components`) skip this expansion entirely."""
+    canon = toks.select(
+        F.col(id_col),
+        F.sort_array("toks").alias("stoks"),
+    ).withColumn(
+        "set_key",
+        F.when(
+            F.col("stoks").isNull(),
+            F.concat(F.lit("\x00null\x00"), F.col(id_col).cast("string")),
+        ).otherwise(
+            F.md5(F.concat_ws(
+                "\x1f",
+                F.transform(
+                    "stoks",
+                    lambda x: F.concat(
+                        F.length(x).cast("string"), F.lit(":"), x
+                    ),
+                ),
+            ))
+        ),
+    )
+    return canon.groupBy("set_key").agg(
+        F.min(id_col).alias("set_id"),
+        F.collect_list(id_col).alias("ids"),
+        F.first("stoks").alias("toks"),
+    )
+
+
+def _set_pairs_routed(groups: DataFrame, threshold: float, strategy: str,
+                      route_out: dict | None) -> DataFrame:
+    """Route the DISTINCT-set pair computation; returns
+    ``(a_sid, b_sid, inter_size, union_size, jaccard)``."""
+    sets = groups.select(F.col("set_id"), "toks")
     if strategy == "prefix":
-        return _jaccard_prefix(toks, threshold, id_col)
+        if route_out is not None:
+            route_out["route"] = "prefix"
+        return _jaccard_prefix_sets(sets, threshold)
     if strategy not in ("bitmask", "probe", "auto"):
         raise ValueError(f"unknown jaccard strategy: {strategy!r}")
     vocab = [
         r.tok
-        for r in toks.select(F.explode("toks").alias("tok"))
+        for r in sets.select(F.explode("toks").alias("tok"))
         .distinct()
         .limit(64)
         .collect()
@@ -174,7 +240,10 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
             )
         if route_out is not None:
             route_out["route"] = "bitmask"
-        return _jaccard_bitmask(toks, vocab, threshold, id_col)
+        return _jaccard_bitmask(sets, vocab, threshold, "set_id").select(
+            F.col("a_id").alias("a_sid"), F.col("b_id").alias("b_sid"),
+            "inter_size", "union_size", "jaccard",
+        )
     _LOG.warning(
         "jaccard_pairs probe: vocabulary exceeded 63 tokens -> falling "
         "off the bitmask fast path to PPJoin prefix filtering (expect a "
@@ -183,7 +252,93 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     )
     if route_out is not None:
         route_out["route"] = "prefix"
-    return _jaccard_prefix(toks, threshold, id_col)
+    return _jaccard_prefix_sets(sets, threshold)
+
+
+def _expand_set_pairs(spairs: DataFrame, groups: DataFrame) -> DataFrame:
+    """Distinct-set pairs -> doc pairs: cross-set pairs explode both
+    member lists (carrying the once-computed overlap stats); same-set
+    groups emit their intra-group pairs at jaccard 1.0 directly —
+    identical sets need no verification (empty/NULL token sets are
+    excluded: jaccard over an empty union is undefined and the pair
+    relation has never emitted them)."""
+    ga = groups.select(F.col("set_id").alias("a_sid"),
+                       F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("set_id").alias("b_sid"),
+                       F.col("ids").alias("ids_b"))
+    cross_pairs = (
+        spairs.join(ga, "a_sid")
+        .join(gb, "b_sid")
+        .select(
+            F.explode("ids_a").alias("xa"), "ids_b",
+            "inter_size", "union_size", "jaccard",
+        )
+        .select(
+            "xa", F.explode("ids_b").alias("xb"),
+            "inter_size", "union_size", "jaccard",
+        )
+    )
+    same_pairs = (
+        groups.filter((F.size("ids") > 1) & (F.size("toks") > 0))
+        .select(
+            F.size("toks").alias("n_set"),
+            F.explode("ids").alias("xa"),
+            F.col("ids"),
+        )
+        .select("n_set", "xa", F.explode("ids").alias("xb"))
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "xa", "xb",
+            F.col("n_set").alias("inter_size"),
+            F.col("n_set").alias("union_size"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    both = cross_pairs.unionByName(same_pairs)
+    return both.select(
+        F.least("xa", "xb").alias("a_id"),
+        F.greatest("xa", "xb").alias("b_id"),
+        "inter_size", "union_size", "jaccard",
+    )
+
+
+def near_dup_components(docs: DataFrame, threshold: float = 0.8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        strategy: str = "prefix",
+                        route_out: dict | None = None,
+                        max_iters: int = 25) -> DataFrame:
+    """Cluster-canonical near-dup components WITHOUT materializing doc
+    pairs (r9, VERDICT r8 task 1): connected components run over the
+    DISTINCT-set graph — nodes are set representatives (min doc id per
+    set), edges the set-level jaccard pairs — and docs join their set's
+    final label at the end through the (doc -> set) membership table.
+
+    Equivalent to ``connected_components(jaccard_pairs(docs), docs)``
+    for any threshold <= 1.0: same-set docs are mutually jaccard-1.0
+    connected, and a cross-set doc pair exists iff its set pair does,
+    so contracting each set to one node preserves components exactly;
+    labels are min-ids either way (a set's rep IS its min member).
+
+    What it buys at scale: a corpus with duplicate-multiplicity m pays
+    pair/CC work on N/m nodes and never expands the O(m^2)-per-group
+    doc pairs — on the r8 bench corpus (24% of ALL doc pairs are true
+    near-dups) this is the difference between ~3M doc edges and ~2M
+    set edges at sf0.1, and the gap widens with crawl duplication."""
+    groups = _collapse_token_sets(
+        token_sets(docs, text_col, id_col), id_col
+    ).localCheckpoint(eager=False)
+    spairs = _set_pairs_routed(groups, threshold, strategy, route_out)
+    comp = connected_components(
+        spairs.select(F.col("a_sid").alias("a_id"),
+                      F.col("b_sid").alias("b_id")),
+        groups.select(F.col("set_id")),
+        id_col="set_id",
+    )
+    member = groups.select("set_key", "set_id",
+                           F.explode("ids").alias(id_col))
+    return member.join(
+        comp.select("set_id", "component"), "set_id"
+    ).select(id_col, "component")
 
 
 def _jaccard_bitmask(toks: DataFrame, vocab: list[str], threshold: float,
@@ -263,59 +418,113 @@ def _jaccard_bitmask(toks: DataFrame, vocab: list[str], threshold: float,
     )
 
 
-def _jaccard_prefix(toks: DataFrame, threshold: float,
-                    id_col: str) -> DataFrame:
+def _jaccard_prefix_sets(sets: DataFrame, threshold: float) -> DataFrame:
     """Large-vocabulary path: prefix-filtered inverted index
-    (AllPairs/PPJoin family).
+    (AllPairs/PPJoin family) over DISTINCT token sets.
 
     A naive token inverted-index join blows up quadratically on frequent
-    tokens (every pair of docs sharing "the" becomes a joined row).  Prefix
-    filtering bounds it: order each doc's tokens by ascending global
-    document frequency and keep only the first ``n - ceil(t*n) + 1``
+    tokens (every pair of sets sharing "the" becomes a joined row).  Prefix
+    filtering bounds it: order each set's tokens by ascending global
+    set frequency and keep only the first ``n - ceil(t*n) + 1``
     (the rarest); any pair with jaccard >= t MUST collide inside these
     prefixes, which for near-dup thresholds are short and rare — candidate
-    volume tracks true near-dup pairs, not vocabulary skew.  A length
-    filter (``t*n_a <= n_b``) prunes further before exact verification on
-    the full token arrays.
+    volume tracks true near-dup pairs, not vocabulary skew.  Two further
+    prunes run BEFORE the candidate-dedup shuffle (r9):
 
-    Plan: explode → docfreq groupBy → per-doc rank window (partitioned by
-    doc) → prefix self-join on token → distinct pairs → array verify."""
-    toks = toks.select(F.col(id_col), "toks", F.size("toks").alias("n_toks"))
-    inv = toks.select(F.col(id_col), "n_toks", F.explode("toks").alias("tok"))
-    docfreq = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "tok")
-    prefix_len = F.col("n_toks") - F.ceil(F.col("n_toks") * threshold) + 1
+    - length filter: ``t*n_a <= n_b`` (and symmetric) is necessary for
+      ``j >= t``;
+    - PPJoin positional filter: a collision at sorted positions
+      ``(pa, pb)`` bounds the overlap by ``min(n_a-pa, n_b-pb) + 1``
+      (the smallest common token has only non-shared tokens before it
+      in BOTH sets, so all shared tokens sit at ``>= pa`` / ``>= pb``);
+      rows whose bound is under the required overlap
+      ``ceil(t/(1+t) * (n_a+n_b))`` are dropped.  Sound at pair level:
+      a true pair's FIRST common token passes (its bound >= the actual
+      overlap >= the requirement) and lies inside both prefixes (for
+      ``j >= t``, overlap >= ceil(t*n) on each side), so the pair
+      survives as long as any one of its collision rows does.
+
+    Plan: explode → setfreq groupBy → per-set rank window (partitioned
+    by set — bounded by one set's token count, never corpus-wide) →
+    prefix self-join on token → positional+length prune → distinct
+    pairs → array verify (once per SET pair, not per doc pair)."""
+    s = sets.select(
+        F.col("set_id"), "toks", F.size("toks").alias("n_toks")
+    )
+    inv = s.select("set_id", "n_toks", F.explode("toks").alias("tok"))
+    setfreq = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("set_id").orderBy("df", "tok")
+    # Every ceil() here is a LENGTH/BOUND whose float argument may land
+    # an epsilon ABOVE an exact integer (0.8 * 5 == 4.000000000000001 ->
+    # ceil 5, silently shortening a prefix by one and LOSING true
+    # pairs); the 1e-9 backoff makes each ceil err only toward longer
+    # prefixes / weaker prunes — superset-safe.
+    eps = 1e-9
+    prefix_len = (
+        F.col("n_toks") - F.ceil(F.col("n_toks") * threshold - eps) + 1
+    )
+    # Indexed-side prefix (PPJoin asymmetry): when the pair is joined as
+    # (larger probes, smaller indexed), the required overlap
+    # o >= t/(1+t)*(n_a+n_b) >= 2t/(1+t)*n_b bounds the first common
+    # token's position on the indexed side by
+    # n_b - ceil(2t/(1+t)*n_b) + 1 — roughly HALF the probe prefix at
+    # near-dup thresholds, and collision volume is the product of the
+    # two prefix lengths per token.
+    index_len = F.col("n_toks") - F.ceil(
+        F.col("n_toks") * (2.0 * threshold / (1.0 + threshold)) - eps
+    ) + 1
     prefix = (
-        inv.join(docfreq, "tok")
+        inv.join(setfreq, "tok")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select(id_col, "n_toks", "tok")
+        .select("set_id", "n_toks", "tok", "rn",
+                (F.col("rn") <= index_len).alias("in_index"))
     )
     a = prefix.select(
-        F.col(id_col).alias("a_id"), F.col("n_toks").alias("n_a"), "tok"
+        F.col("set_id").alias("a_sid"), F.col("n_toks").alias("n_a"),
+        "tok", F.col("rn").alias("pa"),
     )
-    b = prefix.select(
-        F.col(id_col).alias("b_id"), F.col("n_toks").alias("n_b"), "tok"
+    b = prefix.filter(F.col("in_index")).select(
+        F.col("set_id").alias("b_sid"), F.col("n_toks").alias("n_b"),
+        "tok", F.col("rn").alias("pb"),
+    )
+    required = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("n_a") + F.col("n_b")) - eps
+    )
+    overlap_bound = (
+        F.least(F.col("n_a") - F.col("pa"), F.col("n_b") - F.col("pb")) + 1
     )
     cands = (
         a.join(b, "tok")
-        .filter(F.col("a_id") < F.col("b_id"))
-        # length filter: t*n_a <= n_b and t*n_b <= n_a is necessary for j>=t
+        # orientation: larger set probes, smaller is indexed; equal
+        # sizes tie-break on set id so each pair joins exactly once
+        .filter(
+            (F.col("n_a") > F.col("n_b"))
+            | ((F.col("n_a") == F.col("n_b"))
+               & (F.col("a_sid") < F.col("b_sid")))
+        )
         .filter(
             (F.col("n_b") >= F.col("n_a") * threshold)
             & (F.col("n_a") >= F.col("n_b") * threshold)
         )
-        .select("a_id", "b_id")
+        .filter(overlap_bound >= required)
+        .select(
+            F.least("a_sid", "b_sid").alias("a_sid"),
+            F.greatest("a_sid", "b_sid").alias("b_sid"),
+        )
         .distinct()
     )
-    av = toks.select(F.col(id_col).alias("a_id"), F.col("toks").alias("a_toks"))
-    bv = toks.select(F.col(id_col).alias("b_id"), F.col("toks").alias("b_toks"))
-    joined = cands.join(av, "a_id").join(bv, "b_id")
+    av = s.select(F.col("set_id").alias("a_sid"),
+                  F.col("toks").alias("a_toks"))
+    bv = s.select(F.col("set_id").alias("b_sid"),
+                  F.col("toks").alias("b_toks"))
+    joined = cands.join(av, "a_sid").join(bv, "b_sid")
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
     union = F.size("a_toks") + F.size("b_toks") - inter
     return joined.select(
-        "a_id",
-        "b_id",
+        "a_sid",
+        "b_sid",
         inter.alias("inter_size"),
         union.alias("union_size"),
         (inter / union).alias("jaccard"),

@@ -79,12 +79,37 @@ WHERE doc_id NOT IN (
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-canonical dedup: connected components over the jaccard
-    near-dup pair graph by iterative min-label propagation; keep exactly
-    the min-id doc per component.  The oracle replays the transitive
-    closure with a recursive CTE."""
+    near-dup graph; keep exactly the min-id doc per component.  The
+    oracle replays the transitive closure with a recursive CTE.
+
+    Declared route (r9, VERDICT r8 task 1): ``strategy="prefix"`` — the
+    production PPJoin plan, so the measured scaling exponent is the
+    ROUTE-FIXED one (r8 declared the count-probe route, and the sf1
+    testdata vocabulary crossing the 63-token bitmask bound flipped it
+    mid-decade: measured alpha 1.42 vs the route-fixed 0.26).  The
+    components run over the DISTINCT-set graph (doc pairs are never
+    materialized — ``dedup.near_dup_components``); the tiny-corpus
+    probe/bitmask variant stays declared as
+    ``dedup_components_smallvocab``."""
     docs = t(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, threshold=0.8, strategy="probe")
-    comp = dedup.connected_components(pairs, docs)
+    comp = dedup.near_dup_components(docs, threshold=0.8,
+                                     strategy="prefix")
+    return comp.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).alias("is_kept"),
+    )
+
+
+def dedup_components_smallvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-probe variant of ``dedup_components``: one bounded
+    ``limit(64)`` vocabulary probe picks the int64-bitmask encoding when
+    the vocabulary fits (enum-like columns, tiny corpora) and falls back
+    to PPJoin above it.  Kept OFF the scaling-measured route since the
+    probe's mid-decade flip is a measured 5x step (PERF.md r8/r9);
+    declared separately so the fast path stays driver-verified."""
+    docs = t(spark, sf_dir, "documents")
+    comp = dedup.near_dup_components(docs, threshold=0.8,
+                                     strategy="probe")
     return comp.select(
         "doc_id", "component",
         (F.col("doc_id") == F.col("component")).alias("is_kept"),
@@ -3631,6 +3656,8 @@ PIPELINE_QUERIES = {
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
     "dedup_keep_list": (dedup_keep_list, ORACLE_KEEP_LIST),
     "dedup_components": (dedup_components, ORACLE_COMPONENTS),
+    "dedup_components_smallvocab": (
+        dedup_components_smallvocab, ORACLE_COMPONENTS),
     "dedup_minhash_lsh": (dedup_minhash_lsh, ORACLE_MINHASH_LSH),
     "dedup_simhash": (dedup_simhash, ORACLE_SIMHASH),
     "knn_cosine_topk": (knn_cosine_topk, ORACLE_KNN),

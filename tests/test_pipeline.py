@@ -67,6 +67,84 @@ def test_jaccard_prefix_path_matches_bitmask_semantics(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_jaccard_prefix_float_ceil_boundary(spark):
+    """r9 regression: ``ceil(0.8 * 10)`` evaluates to 9 in float
+    arithmetic (``8.000000000000002``), silently shortening the probe
+    prefix by one token — a TRUE pair whose first common token sits at
+    exactly the last prefix position was lost.  Construction: A has two
+    set-frequency-1 tokens ordered before its 8 shared tokens, B is
+    exactly the shared 8 (jaccard 8/10 == threshold); the witness lands
+    at A-position 3, the buggy prefix length was 2."""
+    a_text = "aa ab " + " ".join(f"c{i}" for i in range(8))
+    b_text = " ".join(f"c{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(0, a_text), (1, b_text)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.a_id, r.b_id): (r.inter_size, r.union_size, r.jaccard)
+        for r in dedup.jaccard_pairs(
+            docs, threshold=0.8, strategy="prefix"
+        ).collect()
+    }
+    assert pairs == {(0, 1): (8, 10, 0.8)}
+
+
+def test_near_dup_components_matches_doc_level(spark):
+    """The set-level components fast path (r9) must equal the doc-level
+    composition on a corpus with exact-duplicate multiplicity, planted
+    transitive chains, and empty/NULL texts."""
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h i j"),        # exact dup of 0
+        (2, "a b c d e f g h i k"),        # near dup of 0 (9/11)
+        (3, "a b c d e f g h k l"),        # near dup of 2 (8/11), not of 0
+        (4, "z y x w v u t s r q"),        # unrelated
+        (5, ""),                           # empty
+        (6, None),                         # NULL
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    doc_level = {
+        (r.doc_id, r.component)
+        for r in dedup.connected_components(
+            dedup.jaccard_pairs(docs, threshold=0.8, strategy="prefix"),
+            docs,
+        ).collect()
+    }
+    set_level = {
+        (r.doc_id, r.component)
+        for r in dedup.near_dup_components(
+            docs, threshold=0.8, strategy="prefix"
+        ).collect()
+    }
+    assert set_level == doc_level
+    comp = dict(set_level)
+    assert comp[0] == comp[1] == comp[2] == comp[3] == 0  # one chain
+    assert comp[4] == 4 and comp[5] == 5 and comp[6] == 6  # singletons
+
+
+def test_near_dup_components_route_pin(spark):
+    """VERDICT r8 task 1: the DECLARED dedup_components route must be
+    the route-FIXED prefix plan (no probe, no mid-decade flip); the
+    smallvocab variant keeps the probe and reports its decision."""
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c")], "doc_id long, text string"
+    )
+    route = {}
+    out = {
+        (r.doc_id, r.component)
+        for r in dedup.near_dup_components(
+            docs, threshold=0.8, strategy="prefix", route_out=route
+        ).collect()
+    }
+    assert route == {"route": "prefix"}
+    assert out == {(0, 0), (1, 0)}
+    route = {}
+    dedup.near_dup_components(
+        docs, threshold=0.8, strategy="probe", route_out=route
+    ).count()
+    assert route == {"route": "bitmask"}
+
+
 def test_minhash_lsh_recall_against_exact(spark, docs):
     """Every exact-Jaccard>=0.8 pair must be recovered by the LSH path
     (identical docs collide in every band; verification is exact)."""
