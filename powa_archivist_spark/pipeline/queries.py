@@ -3553,7 +3553,15 @@ def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     text occurs more than once CORPUS-wide, attributed back to their
     source).  All ingredients are the already-audited shapes: one
     map-only gate pass, one digest groupBy for dup multiplicity, one
-    broadcast-joinable dup set, one final source rollup."""
+    KEYED dup-set join back on the digest, one final source rollup.
+
+    The dup set is corpus-PROPORTIONAL at web dup rates (20-50% of
+    docs), so it joins as a plain shuffle join on ``th`` (r9, VERDICT
+    r8 task 2) — it co-partitions with the digest groupBy that produced
+    it, so the exchange is shared; the r8 form broadcast it, which
+    works at sf-bench sizes and detonates past the broadcast threshold
+    at 100 TB.  Plan-pinned: tests/test_plans.py asserts no
+    BroadcastExchange feeds the dup-set join."""
     from .dedup import normalized_text
 
     docs = t(spark, sf_dir, "documents")
@@ -3579,7 +3587,7 @@ def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("th")
     )
     flagged = base.join(
-        F.broadcast(dup_keys.select("th", F.lit(True).alias("is_dup"))),
+        dup_keys.select("th", F.lit(True).alias("is_dup")).hint("shuffle_hash"),
         "th", "left",
     ).join(gate, "doc_id", "left")
     return (

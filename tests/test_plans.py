@@ -641,3 +641,24 @@ def test_ivfpq_search_broadcasts_probe_lut(spark):
     assert pi.sort_merge_join_count(out) == 0
     assert pi.unbounded_global_windows(out) == []
     assert "CartesianProduct" not in pi.plan_string(out)
+
+
+def test_source_profile_dup_set_never_broadcast(spark):
+    """r9 (VERDICT r8 task 2): the exact-duplicate digest set in
+    corpus_source_profile is corpus-PROPORTIONAL at web dup rates, so
+    its join back onto the corpus must be a KEYED shuffle join on the
+    digest (sharing the exchange of the groupBy that produced it) —
+    never a forced broadcast.  The r8 form pinned F.broadcast() around
+    it, which detonates past the driver/executor broadcast limits at
+    100 TB."""
+    from powa_archivist_spark.pipeline.queries import corpus_source_profile
+
+    df = corpus_source_profile(spark, SF)
+    plan = pi.plan_string(df, "simple")
+    th_joins = [
+        ln for ln in plan.splitlines()
+        if "Join [th" in ln or ("Join" in ln and "[th#" in ln)
+    ]
+    assert th_joins, "expected a join keyed on the dup digest th"
+    assert all("ShuffledHashJoin" in ln or "SortMergeJoin" in ln
+               for ln in th_joins), th_joins
