@@ -2578,3 +2578,42 @@ def test_source_profile_counts_and_rates(spark):
         assert r.gate_pass_rate == r.n_gate_pass / r.n_docs
         assert r.dup_rate == r.n_exact_dups / r.n_docs
         assert r.total_tokens >= r.n_docs - r.n_null_text
+
+
+def test_routed_emb_pairs_route_pin(spark):
+    """VERDICT r8 task 3: the declared emb_near_dup/emb_semantic_dedup
+    pair relation must route off the exact O(N^2) form past the count
+    bound — exact under it (bitwise oracle semantics), LSH-bucketed
+    above, decision observable via route_out, LSH recall a subset of
+    the exact relation."""
+    import math
+
+    from powa_archivist_spark.pipeline.queries import _routed_emb_pairs
+
+    def unit(seed):
+        vals = [((seed * 31 + i * 7) % 13) - 6.0 for i in range(64)]
+        nrm = math.sqrt(sum(v * v for v in vals))
+        return [v / nrm for v in vals]
+
+    rows = [(i, unit(i // 2)) for i in range(6)]  # 3 duplicate pairs
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    route = {}
+    exact = {
+        (r.a_id, r.b_id)
+        for r in _routed_emb_pairs(emb, route_out=route).collect()
+    }
+    assert route == {"route": "allpairs"}
+    assert {(0, 1), (2, 3), (4, 5)} <= exact
+
+    route = {}
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in _routed_emb_pairs(
+            emb, exact_max_rows=4, route_out=route
+        ).collect()
+    }
+    assert route == {"route": "lsh"}
+    # identical vectors share every bucket: the planted dups survive;
+    # verification is exact, so LSH never adds pairs
+    assert {(0, 1), (2, 3), (4, 5)} <= lsh <= exact
