@@ -40,10 +40,14 @@ resolution is milliseconds, so this converges in practice; a pathological
 publish storm raises after the retry budget rather than returning a torn
 view.
 
-Not covered: catalog-managed bucketed ledger tables (``append_files``
-ops target a Spark-catalog location, not ``root/<table>``) — external
-readers use the catalog for those; and tables written by engines other
-than this package.
+Catalog-managed bucketed ledger tables (``append_files`` ops — the
+streaming dedup/PQ digest ledgers) are covered since r9 (VERDICT r8
+task 4): their ops record the staged bucket file names and both the
+stage and the live location, so resolution works the same way — the
+caller passes the table's catalog ``location=`` to :meth:`snapshot`
+(an external engine knows the warehouse dir it's pointed at; it has no
+session catalog to ask).  Still not covered: tables written by engines
+other than this package.
 
 Reference analog: readers of powa's one-statement wCTE snapshots
 (powa--5.2.0.sql:4006-4108) get this from PostgreSQL MVCC; plain
@@ -126,10 +130,12 @@ def _op_files(op: dict) -> list[str]:
     return files
 
 
-def _resolve(root: str, table: str) -> dict[str, dict[str, list[str]]]:
+def _resolve(root: str, table: str,
+             table_root: str | None = None) -> dict[str, dict[str, list[str]]]:
     """One resolution attempt: relative dir -> {name -> candidate
     absolute paths, in preference order}."""
-    table_root = os.path.join(root, table)
+    if table_root is None:
+        table_root = os.path.join(root, table)
     ops = _pending_ops(root, table)
     live = _live_listing(table_root)
     out: dict[str, dict[str, list[str]]] = {
@@ -199,7 +205,17 @@ def _resolve(root: str, table: str) -> dict[str, dict[str, list[str]]]:
                     ])
             for leaf in op.get("drops", []):
                 drop_dir(rel_of(os.path.join(live_root, leaf)))
-        # "append_files": catalog-managed bucketed table — out of scope
+        elif kind == "append_files":
+            # catalog-managed bucketed ledger (r9): the op records the
+            # live catalog location in ``dest``; staged bucket files
+            # (bucket id in the file name) land flat in it
+            dest = op["dest"]
+            rel = rel_of(dest)
+            for name in _op_files(op):
+                add(rel, name, [
+                    os.path.join(dest, name),
+                    os.path.join(stage, name),
+                ])
     return out
 
 
@@ -235,14 +251,21 @@ class SnapshotReader:
         self.retries = retries
         self._snap_root = os.path.join(root, "_snapshots")
 
-    def snapshot(self, table: str, dest: str | None = None) -> str:
+    def snapshot(self, table: str, dest: str | None = None,
+                 location: str | None = None) -> str:
         """Resolve ``table`` through the manifest protocol and return a
         hard-linked snapshot directory (hive partition structure
         preserved).  The caller owns the directory; :meth:`release` (or
-        plain rmtree) frees it."""
+        plain rmtree) frees it.
+
+        ``location`` (r9): the table's data directory when it is NOT
+        ``<root>/<table>`` — i.e. a catalog-managed bucketed ledger
+        (``BucketedDigestLedger``/``BucketedPQLedger``), whose location
+        lives in the Spark catalog of the publishing session.  External
+        engines pass the path they were configured with."""
         last_missing = None
         for _ in range(self.retries):
-            resolved = _resolve(self.root, table)
+            resolved = _resolve(self.root, table, location)
             if dest is None:
                 os.makedirs(self._snap_root, exist_ok=True)
                 out = tempfile.mkdtemp(

@@ -129,11 +129,19 @@ class BucketedDigestLedger:
         stage_tbl = f"{self.table}__stage_{sp.pass_id}_{len(sp._ops)}"
         write_bucketed(df.select("text_hash"), stage_tbl,
                        ["text_hash"], self.n_buckets)
+        stage_loc = self._location(stage_tbl)
         sp._ops.append({
             "kind": "append_files",
             "table": self.table,
-            "stage": self._location(stage_tbl),
+            "stage": stage_loc,
             "dest": self._location(self.table),
+            # recorded names (r9): lets an OUT-OF-PROCESS SnapshotReader
+            # resolve this op's post-commit file set without racing the
+            # fold — each staged bucket file is at exactly one of
+            # stage/<name> or dest/<name> at any instant
+            "files": sorted(
+                f for f in os.listdir(stage_loc) if f.endswith(".parquet")
+            ),
             "drop_stage_table": stage_tbl,
             "refresh": self.table,
         })
