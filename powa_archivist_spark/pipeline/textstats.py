@@ -637,9 +637,14 @@ def ngram_perplexity(
     (exactly-rounded IEEE, engine-identical).  Documents with fewer
     than two tokens have no bigram stream and drop out (both engines).
 
-    Plan (100 TB): the model build is two wordcount-shaped groupBys
-    (map-side combinable, vocabulary/bigram-type bounded after
-    pruning); scoring explodes the bigram stream, joins the model via
+    Plan (100 TB): the model build is ONE wordcount-shaped groupBy
+    (r9, VERDICT r8 task 5 — the DSIR fused-build template): unigrams
+    and bigrams ride ONE explode of the concatenated gram array and
+    split back apart after the count (a bigram always contains the
+    space a token never can), halving the train-corpus scans; the
+    fused count table is lazily checkpointed so its three consumers
+    (unigram dim, bigram dim, vocab scalar) share one materialization.
+    Scoring explodes the bigram stream, joins the model via
     **broadcast** (two BroadcastHashJoins, zero shuffle on the corpus
     side), and the per-doc groupBy's partial aggregation collapses
     each document's occurrences inside its input partition, so the
@@ -658,16 +663,19 @@ def ngram_perplexity(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    uni = (
-        train.select(F.explode(toks).alias("ctx"))
-        .groupBy("ctx").agg(F.count(F.lit(1)).alias("c_a"))
+    gram_counts = (
+        train.select(F.explode(F.concat(toks, pair_arr)).alias("gram"))
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    is_bigram = F.col("gram").contains(" ")
+    uni = gram_counts.filter(~is_bigram).select(
+        F.col("gram").alias("ctx"), F.col("c").alias("c_a")
     )
     vocab = uni.agg((F.count(F.lit(1)) + 1).alias("v"))
-    bi = (
-        train.select(F.explode(pair_arr).alias("pair"))
-        .groupBy("pair").agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= min_count)
-    )
+    bi = gram_counts.filter(is_bigram).select(
+        F.col("gram").alias("pair"), F.col("c").alias("c_ab")
+    ).filter(F.col("c_ab") >= min_count)
 
     occ = docs.select(
         F.col(id_col),
