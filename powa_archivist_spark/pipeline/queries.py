@@ -1198,6 +1198,61 @@ WHERE rn = least(m, 64)
 """
 
 
+def events_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile profile per event_type (r9, VERDICT r8 task
+    7): the deterministic level-sampling sketch — a KLL-lineage
+    compactor whose promotion levels come from the cross-engine md5
+    row hash instead of coin flips (``h mod 2^c == 0`` keeps a row at
+    level c; nested survivor sets, compaction = raise c and
+    re-filter), so the ENTIRE chain — population count, cut level,
+    survivor selection, nearest-rank picks — replays exactly in the
+    DuckDB oracle.  Closes the sketch-family gap named in VERDICT r8:
+    distinct counts had mergeable forms (KMV, HLL) but quantiles were
+    exact-only (``events_grouped_quantiles``)."""
+    from . import sketches
+
+    sk = sketches.level_sample_sketch(
+        t(spark, sf_dir, "events"), "value", "event_id",
+        ["event_type"], k=256,
+    )
+    return sketches.level_sample_quantiles(sk, ["event_type"])
+
+
+ORACLE_KLL_QUANTILES = """
+WITH vals AS (
+  SELECT event_type, value,
+         ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM events WHERE value IS NOT NULL
+), cuts AS (
+  SELECT event_type, COUNT(*) AS n,
+         CASE WHEN (COUNT(*) - 1) // 256 = 0 THEN 0
+              ELSE length(bin((COUNT(*) - 1) // 256)) END AS cut
+  FROM vals GROUP BY event_type
+), surv AS (
+  SELECT v.event_type, v.value, v.h, c.n, c.cut
+  FROM vals v JOIN cuts c USING (event_type)
+  WHERE v.h % (1::BIGINT << c.cut) = 0
+), ranked AS (
+  SELECT event_type, n, cut, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM surv
+)
+SELECT event_type,
+       MAX(n) AS n_values,
+       CAST(MAX(cut) AS INT) AS cut_level,
+       CAST(MAX(m) AS BIGINT) AS m_survivors,
+       MAX(CASE WHEN rn = (m * 50 + 99) // 100 THEN value END) AS p50,
+       MAX(CASE WHEN rn = (m * 90 + 99) // 100 THEN value END) AS p90,
+       MAX(CASE WHEN rn = (m * 95 + 99) // 100 THEN value END) AS p95,
+       MAX(CASE WHEN rn = (m * 99 + 99) // 100 THEN value END) AS p99
+FROM ranked
+GROUP BY event_type
+"""
+
+
 def stream_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 4-batch replay of the STREAMING at-rest HLL
     profile (streaming/profile.py): events arrive in four fixed
@@ -1223,6 +1278,39 @@ def stream_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return (
             hll_profile(wh, ["event_type"])
+            .orderBy("event_type")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def stream_kll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-batch replay of the STREAMING at-rest quantile
+    profile (streaming/quantiles.py): events arrive in four fixed
+    micro-batches (event_id % 4, in order), each appending its
+    level-sampling sketch epoch through one manifest; the final
+    profile reads the ledger alone.  Disjoint-merge determinism makes
+    the result EQUAL to the one-shot batch sketch, so the oracle is
+    the batch quantile oracle — the same relationship
+    stream_hll_profile has to its batch HLL."""
+    import shutil
+    import tempfile
+
+    from ..storage import Warehouse
+    from ..streaming.quantiles import process_quantile_batch, quantile_profile
+
+    ev = t(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="kll_profile_")
+    try:
+        wh = Warehouse(spark, scratch)
+        for b in range(4):
+            process_quantile_batch(
+                wh, ev.filter(F.col("event_id") % 4 == b), b,
+                "value", "event_id", ["event_type"],
+            )
+        return (
+            quantile_profile(wh, ["event_type"])
             .orderBy("event_type")
             .localCheckpoint()
         )
@@ -3711,6 +3799,8 @@ GROUP BY b.source
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
+    "events_kll_quantiles": (events_kll_quantiles, ORACLE_KLL_QUANTILES),
+    "stream_kll_profile": (stream_kll_profile, ORACLE_KLL_QUANTILES),
     "events_hll_distinct": (events_hll_distinct, ORACLE_HLL_DISTINCT),
     "events_hll_windowed": (events_hll_windowed, ORACLE_HLL_WINDOWED),
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),

@@ -308,3 +308,148 @@ def hll_estimate(regs: DataFrame, group_cols: Sequence[str],
     return agg.select(
         *group_cols, F.round(est, 4).alias("est_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (r9, VERDICT r8 task 7)
+# ---------------------------------------------------------------------------
+
+def _bitlen(col: Column) -> Column:
+    """floor(log2(x)) + 1 for x >= 1, 0 for x == 0 — no transcendental
+    log (same whole-bit discipline as textstats): length of the base-2
+    string.  SQL twin: ``CASE WHEN x = 0 THEN 0 ELSE length(bin(x))
+    END``."""
+    return F.when(col == 0, F.lit(0)).otherwise(
+        F.length(F.conv(col.cast("string"), 10, 2))
+    ).cast("int")
+
+
+def level_sample_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: Sequence[str],
+    k: int = 256,
+) -> DataFrame:
+    """Deterministic level-sampling quantile sketch (KLL-lineage
+    compactor in the cross-engine md5 hash family).
+
+    Every row is assigned a PROMOTION LEVEL by its row hash: row i
+    survives level c iff ``h(i) mod 2^c == 0`` (survivors at level c+1
+    are a subset of survivors at level c — the nesting KLL gets from
+    its coin flips, here derived from the hash so it is deterministic,
+    order-independent, and SQL-replayable).  The sketch keeps the
+    survivors at the smallest level c with ``n / 2^c <= k`` — an
+    expected-size-k uniform sample whose selection is a pure function
+    of the data, so two engines (or two partitions of one corpus)
+    agree bit-for-bit.  COMPACTION = raising c and re-filtering, which
+    is how :func:`level_sample_merge` folds sketches together.
+
+    Error: quantile estimates off a size-k uniform sample carry
+    O(sqrt(1/k)) rank error — weaker than KLL's optimal bound at equal
+    k, traded here for exact cross-engine replay (a randomized
+    compactor cannot be oracle-checked).  n is CARRIED in the sketch,
+    so the rank arithmetic downstream is exact.
+
+    Plan: one map-side-combinable count groupBy; the per-group cut dim
+    (one row per group) broadcasts back onto the corpus; the survivor
+    filter is map-only.  The only corpus-sized exchange is the final
+    survivor shuffle, expected <= k rows per group.
+
+    Returns ``(group..., n, cut, value, h)`` — one row per survivor.
+    ``id_col`` must be row-unique and non-NULL (the hash ties the
+    sampling decision to the ROW, never the value, keeping duplicates
+    unbiased)."""
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.col(value_col).alias("value"),
+        cross_engine_hash64(F.col(id_col)).alias("h"),
+    )
+    counts = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    cuts = counts.select(
+        *group_cols, "n",
+        _bitlen(F.expr(f"(n - 1) div {int(k)}")).alias("cut"),
+    )
+    joined = base.join(F.broadcast(cuts), list(group_cols))
+    return joined.filter(
+        F.expr("h % shiftleft(CAST(1 AS BIGINT), cut) = 0")
+    ).select(*group_cols, "n", "cut", "value", "h")
+
+
+def level_sample_merge(
+    sketches: Sequence[DataFrame],
+    group_cols: Sequence[str],
+    k: int = 256,
+) -> DataFrame:
+    """Merge level-sampling sketches over DISJOINT row sets: sum the
+    populations, recompute the cut for the merged n, and re-filter the
+    unioned survivors at the (never lower) merged cut — the
+    deterministic compaction.  Identical to sketching the union
+    directly: survivor nesting means re-filtering the union of level-
+    c_i survivor sets at c_merged >= max(c_i) yields exactly the
+    union's level-c_merged survivors."""
+    allrows = sketches[0]
+    # per-sketch group populations BEFORE the union: within one sketch
+    # (n, cut) is constant per group, so distinct yields one row per
+    # group; across sketches equal (group, n) rows are REAL duplicates
+    # and must both count, so the union keeps them
+    per_sketch_n = sketches[0].select(*group_cols, "n").distinct()
+    for s in sketches[1:]:
+        allrows = allrows.unionByName(s)
+        per_sketch_n = per_sketch_n.unionByName(
+            s.select(*group_cols, "n").distinct()
+        )
+    merged_n = per_sketch_n.groupBy(*group_cols).agg(
+        F.sum("n").alias("n")
+    )
+    cuts = merged_n.select(
+        *group_cols, "n",
+        _bitlen(F.expr(f"(n - 1) div {int(k)}")).alias("cut"),
+    )
+    return (
+        allrows.drop("n", "cut")
+        .join(F.broadcast(cuts), list(group_cols))
+        .filter(F.expr("h % shiftleft(CAST(1 AS BIGINT), cut) = 0"))
+        .select(*group_cols, "n", "cut", "value", "h")
+    )
+
+
+def level_sample_quantiles(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    percents: Sequence[int] = (50, 90, 95, 99),
+) -> DataFrame:
+    """Quantile profile off a level-sampling sketch: nearest-rank picks
+    over the survivor sample (uniform per-group weights cancel, so the
+    weighted-rank arithmetic reduces to plain ranks).  Rank for
+    percentile P over m survivors is the EXACT integer
+    ``(m*P + 99) div 100`` (= ceil(m*P/100) with no float round-trip).
+    The window partitions by group over <= ~k survivor rows — bounded,
+    never corpus-wide."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("value", "h")
+    wc = Window.partitionBy(*group_cols)
+    ranked = sketch.select(
+        *group_cols, "n", "cut", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("m"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(m * {int(p)} + 99) div 100"),
+                F.col("value"),
+            )
+        ).alias(f"p{p}")
+        for p in percents
+    ]
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.max("n").alias("n_values"),
+            F.max("cut").cast("int").alias("cut_level"),
+            F.max("m").alias("m_survivors"),
+            *picks,
+        )
+    )

@@ -2617,3 +2617,68 @@ def test_routed_emb_pairs_route_pin(spark):
     # identical vectors share every bucket: the planted dups survive;
     # verification is exact, so LSH never adds pairs
     assert {(0, 1), (2, 3), (4, 5)} <= lsh <= exact
+
+
+def test_level_sample_quantiles_small_groups_exact(spark):
+    """Under k survivors the sketch IS the data: cut 0, every row kept,
+    nearest-rank picks equal the exact grouped quantiles."""
+    from powa_archivist_spark.pipeline import sketches
+
+    rows = [(i, "g", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "event_id long, g string, value double")
+    sk = sketches.level_sample_sketch(df, "value", "event_id", ["g"], k=256)
+    out = sketches.level_sample_quantiles(sk, ["g"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_values, r.cut_level, r.m_survivors) == (100, 0, 100)
+    # nearest-rank over 1..100: pP = P
+    assert (r.p50, r.p90, r.p95, r.p99) == (50.0, 90.0, 95.0, 99.0)
+
+
+def test_level_sample_merge_equals_one_shot(spark):
+    """The compaction contract: sketches over disjoint thirds, merged,
+    must equal the one-shot sketch BIT-FOR-BIT (deterministic hash
+    promotion; re-filtering nested survivor sets at the merged cut is
+    exactly the union's cut-level selection)."""
+    from powa_archivist_spark.pipeline import sketches
+
+    rows = [(i, f"g{i % 2}", float((i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, g string, value double")
+
+    one = sketches.level_sample_quantiles(
+        sketches.level_sample_sketch(df, "value", "event_id", ["g"], k=64),
+        ["g"],
+    )
+    parts = [
+        sketches.level_sample_sketch(
+            df.filter(df.event_id % 3 == i), "value", "event_id",
+            ["g"], k=64,
+        )
+        for i in range(3)
+    ]
+    merged = sketches.level_sample_quantiles(
+        sketches.level_sample_merge(parts, ["g"], k=64), ["g"]
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    # and the sketch really compacted: cut > 0, m bounded near k
+    r = {x.g: x for x in one.collect()}
+    assert all(v.cut_level >= 1 and v.m_survivors <= 2 * 64
+               for v in r.values())
+
+
+def test_level_sample_rank_error_bound(spark):
+    """Statistical sanity on a known distribution: the sampled p50/p90
+    of 1..4000 must sit within a few sigma of truth (k=256 -> rank
+    sigma ~ n/sqrt(k) ~ 250)."""
+    from powa_archivist_spark.pipeline import sketches
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(1, 4001)],
+        "event_id long, g string, value double",
+    )
+    sk = sketches.level_sample_sketch(df, "value", "event_id", ["g"], k=256)
+    (r,) = sketches.level_sample_quantiles(sk, ["g"]).collect()
+    assert abs(r.p50 - 2000) < 750
+    assert abs(r.p90 - 3600) < 750

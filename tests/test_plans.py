@@ -662,3 +662,16 @@ def test_source_profile_dup_set_never_broadcast(spark):
     assert th_joins, "expected a join keyed on the dup digest th"
     assert all("ShuffledHashJoin" in ln or "SortMergeJoin" in ln
                for ln in th_joins), th_joins
+
+
+def test_kll_quantiles_plan_bounded_windows(spark):
+    """r9: the level-sampling quantile profile — the corpus-side
+    survivor filter is map-only against the BROADCAST per-group cut
+    dim; the only windows are per-group over the <= ~k survivor rows
+    (no global window); no cartesian product."""
+    from powa_archivist_spark.pipeline.queries import events_kll_quantiles
+
+    df = events_kll_quantiles(spark, SF)
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.broadcast_join_count(df) >= 1
+    assert not pi.has_cartesian(df)

@@ -1094,3 +1094,51 @@ def test_stream_pq_ingest_runtime(spark, wh):
     process_pq_batch(wh, emb.filter(F.col("vec_id") % 4 == 1),
                      m=8, epoch_id=0, stream_gen=gen)
     assert pq_codes(wh).count() == n0
+
+
+def test_quantile_profile_replay_and_compaction(spark, wh):
+    """r9: the at-rest quantile-sketch ledger — a checkpoint-replayed
+    epoch is a no-op (the merge is NOT idempotent, so the short-circuit
+    is load-bearing, unlike the HLL fold), and compaction folds the
+    epochs without changing the profile."""
+    from powa_archivist_spark.streaming.quantiles import (
+        compact_profile,
+        process_quantile_batch,
+        quantile_profile,
+    )
+
+    rows = [(i, "a" if i % 2 else "b", float((i * 53) % 997))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "event_id long, g string, value double")
+
+    for b in range(3):
+        assert process_quantile_batch(
+            wh, df.filter(df.event_id % 3 == b), b,
+            "value", "event_id", ["g"], k=64, table="q_prof_t",
+        )
+    base = sorted(map(tuple, quantile_profile(
+        wh, ["g"], k=64, table="q_prof_t").collect()))
+
+    # replayed epoch: short-circuit, profile unchanged
+    assert not process_quantile_batch(
+        wh, df.filter(df.event_id % 3 == 1), 1,
+        "value", "event_id", ["g"], k=64, table="q_prof_t",
+    )
+    assert sorted(map(tuple, quantile_profile(
+        wh, ["g"], k=64, table="q_prof_t").collect())) == base
+
+    # one-shot equality (disjoint-merge determinism through the ledger)
+    from powa_archivist_spark.pipeline import sketches
+
+    one = sorted(map(tuple, sketches.level_sample_quantiles(
+        sketches.level_sample_sketch(df, "value", "event_id", ["g"], k=64),
+        ["g"],
+    ).collect()))
+    assert base == one
+
+    # compaction: ledger shrinks to one epoch, profile identical
+    compact_profile(wh, ["g"], k=64, table="q_prof_t")
+    led = wh.read("q_prof_t")
+    assert led.select("epoch").distinct().count() == 1
+    assert sorted(map(tuple, quantile_profile(
+        wh, ["g"], k=64, table="q_prof_t").collect())) == base
