@@ -25,33 +25,48 @@ from powa_archivist_spark.pipeline.queries import PIPELINE_QUERIES  # noqa: E402
 from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 
 # The driver's hard correctness gate replays the FIRST 50 entries of
-# ``queries()`` (dict insertion order).  Round 8 (VERDICT r7 tasks 1-2)
-# closes the rotation: the window carries the flagship, the FIVE
-# queries that never had a driver-verified row (multimodal_resize,
-# multimodal_features, corpus_token_stats, corpus_chunks, and the
-# canonicalizer-fixed corpus_quality_gate), the two queries whose
-# declared form CHANGED this round (emb_semantic_dedup_lsh now
-# k-scaled, ann_index_upsert now built sized), the new
-# corpus_ngram_ppl, and the remainder held over from round 7's window.
-# The EIGHT late-r8 additions (corpus_dsir_select, docs_dup_spans,
-# emb_hard_negatives, corpus_bpe_merges, knn_pq_topk, stream_pq_index,
-# knn_ivfpq_topk, ann_pq_recall, corpus_bpe_encode) are gated too
-# (NINE with corpus_bpe_encode), each displacing an
-# r7-driver-green core row (named at the displacement sites below).
-# Displaced r7-green entries stay enforced by
-# tests/test_oracle_full.py (full-surface value-hash replay in pytest)
-# and ORACLE_FULL.txt.
+# ``queries()`` (dict insertion order).  Round 9 keeps the r8 rotation
+# protocol (VERDICT r8 task 8): the window carries the flagship, every
+# query whose DECLARED FORM changed this round, and the round's new
+# additions; each newcomer displaces a prior-round driver-green row,
+# named at its displacement site below.  Displaced entries stay
+# enforced by tests/test_oracle_full.py (full-surface value-hash
+# replay in pytest) and ORACLE_FULL.txt.
+#
+# r9 changed forms: dedup_components (route-fixed prefix over distinct
+# sets), dedup_jaccard_pairs + dedup_keep_list (set-collapsed pair
+# machinery upstream), emb_near_dup + emb_semantic_dedup (count-probe
+# LSH guard), corpus_source_profile (de-broadcast dup set),
+# corpus_ngram_ppl (fused model build).  r9 new: dedup_components_
+# smallvocab, events_kll_quantiles, stream_kll_profile.
 _GATE_ORDER = [
     # --- flagship (always gated) ---
     "q01_pricing_summary",
-    # --- never driver-verified until r8 (VERDICT r7 task 2) ---
+    # --- changed in r9 (re-gate) ---
+    "dedup_components",
+    "dedup_jaccard_pairs",
+    "dedup_keep_list",
+    "emb_near_dup",
+    "emb_semantic_dedup",
+    "corpus_source_profile",
+    "corpus_ngram_ppl",
+    # --- new in r9.  The eight fresh slots this round (five re-gated
+    # changed forms above beyond corpus_source_profile/corpus_ngram_ppl
+    # which were already in the r8 window, plus the three new queries
+    # here) displace eight r8-gate-green rows: events_hll_distinct,
+    # emb_outliers, corpus_fuzzy_decontam, corpus_source_caps,
+    # corpus_curriculum, corpus_pmi_bigrams, multimodal_cdc_dedup,
+    # corpus_classifier_filter ---
+    "dedup_components_smallvocab",
+    "events_kll_quantiles",
+    "stream_kll_profile",
+    # --- r8 window held over (r8-gate green; kept so the heavy
+    # pipeline additions stay continuously driver-verified) ---
     "multimodal_resize",
     "multimodal_features",
     "corpus_token_stats",
     "corpus_chunks",
-    # --- changed in r8 (re-gate) / new in r8 ---
     "ann_index_upsert",
-    "corpus_ngram_ppl",
     "corpus_segment_dedup",
     "emb_decontam",
     "corpus_dsir_select",
@@ -66,23 +81,8 @@ _GATE_ORDER = [
     "corpus_decontam_excise",
     "corpus_quality_ensemble",
     "emb_diversity_select",
-    "corpus_source_profile",
     # --- core: windows / frames / rollup analytics ---
     "salted_rollup",
-    # --- core: filters / joins / case (events_ignored_users and
-    # docs_regex_filter rotated out: both r7-gate green, displaced by
-    # the two late-r8 additions above; still enforced by
-    # tests/test_oracle_full.py; orders_filtered_counts likewise
-    # rotated out for emb_hard_negatives; user_nation_resolution for
-    # corpus_bpe_merges; lineitem_xor_case for knn_pq_topk;
-    # constvalues_history_pack for stream_pq_index;
-    # price_above_global_avg for knn_ivfpq_topk;
-    # priority_line_counts for ann_pq_recall;
-    # cheapest_supplier_per_part for corpus_bpe_encode;
-    # promo_revenue_share for corpus_decontam_excise;
-    # docs_heavy_tokens for corpus_quality_ensemble;
-    # events_kmv_distinct for emb_diversity_select;
-    # emb_near_dup for corpus_source_profile) ---
     # --- pipeline: sketches / similarity tail ---
     "knn_cosine_blocked",
     "ivf_refined_centroids",
@@ -95,7 +95,7 @@ _GATE_ORDER = [
     "pii_scrub_stats",
     "text_tfidf_topk",
     "dedup_winnow_pairs",
-    # --- pipeline: corpus curation (round-6 additions, never gated) ---
+    # --- pipeline: corpus curation ---
     "corpus_prep_funnel",
     "corpus_shuffle_shards",
     "corpus_vocab_topk",
@@ -103,18 +103,10 @@ _GATE_ORDER = [
     "corpus_mixture_sample",
     "corpus_token_budget_select",
     "stream_curation_corpus",
-    # --- round-7 additions (never gated; this round's flagships) ---
-    "events_hll_distinct",
+    # --- round-7/8 sketch + similarity flagships held over ---
+    "emb_semantic_dedup_lsh",
     "events_hll_windowed",
     "stream_hll_profile",
-    "emb_semantic_dedup_lsh",
-    "emb_outliers",
-    "corpus_fuzzy_decontam",
-    "corpus_source_caps",
-    "corpus_curriculum",
-    "corpus_pmi_bigrams",
-    "multimodal_cdc_dedup",
-    "corpus_classifier_filter",
 ]
 
 _MERGED = {**CORE_QUERIES, **PIPELINE_QUERIES}
