@@ -1764,17 +1764,26 @@ GROUP BY s.doc_id
 
 
 def emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SEMANTIC decontamination (r8) — fourth member of the decontam
-    family (exact grams / Bloom-gated exact / fuzzy MinHash): corpus
-    vectors (vec_id %% 20 != 0) whose exact quantized dot against any
-    eval vector (vec_id %% 20 == 0) reaches MIN_DOT_Q, with the
+    """SEMANTIC decontamination (r8; eval slice FIXED in r9) — fourth
+    member of the decontam family (exact grams / Bloom-gated exact /
+    fuzzy MinHash): corpus vectors (vec_id %% 20 != 0) whose exact
+    quantized dot against any eval vector reaches MIN_DOT_Q, with the
     best-matching eval id per contaminated item.  Broadcast eval side,
     map-side integer dots, max_by collapse — no window
-    (pipeline/similarity.py ``embedding_decontaminate``)."""
+    (pipeline/similarity.py ``embedding_decontaminate``).
+
+    r9: the eval set is the FIXED-SIZE slice ``vec_id %% 20 == 0 AND
+    vec_id < 10000`` (<= 500 items at any scale) — a benchmark suite
+    does not grow with the crawl, and the r8 form's corpus-
+    proportional 5%% slice was the %%-of-corpus quadratic trap
+    (measured alpha 2.01 sf1->sf3; the same trap emb_hard_negatives'
+    fixed query slice avoids).  At the oracle-gate scales the bound is
+    not binding, so the declared result there is unchanged."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.embedding_decontaminate(
         emb.filter(F.col("vec_id") % 20 != 0),
-        emb.filter(F.col("vec_id") % 20 == 0),
+        emb.filter((F.col("vec_id") % 20 == 0)
+                   & (F.col("vec_id") < 10_000)),
         min_dot_q=MIN_DOT_Q,
     )
 
@@ -1790,7 +1799,7 @@ WITH q AS (
          CAST(list_sum(list_transform(list_zip(c.v, e.v),
            x -> x[1] * x[2])) AS BIGINT) AS dot_q
   FROM q c JOIN q e
-    ON c.vec_id % 20 <> 0 AND e.vec_id % 20 = 0
+    ON c.vec_id % 20 <> 0 AND e.vec_id % 20 = 0 AND e.vec_id < 10000
   WHERE CAST(list_sum(list_transform(list_zip(c.v, e.v),
     x -> x[1] * x[2])) AS BIGINT) >= {MIN_DOT_Q}
 ), ranked AS (
