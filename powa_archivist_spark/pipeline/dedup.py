@@ -160,10 +160,66 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     between runs instead of silently absorbing the step.  Declared
     queries that must hold ONE scaling exponent across decades pin
     ``strategy="prefix"`` (VERDICT r8 task 1: the probe's mid-decade
-    flip measured as alpha 1.42 for ``dedup_components`` sf0.1->sf1)."""
-    groups = _collapse_token_sets(token_sets(docs, text_col, id_col), id_col)
-    spairs = _set_pairs_routed(groups, threshold, strategy, route_out)
-    return _expand_set_pairs(spairs, groups)
+    flip measured as alpha 1.42 for ``dedup_components`` sf0.1->sf1).
+
+    Only the prefix route pays the explicit collapse groupBy: the
+    bitmask route's mask grouping IS a distinct-set collapse already
+    (equal masks == equal sets), so a second digest pass there is pure
+    overhead (r9 A/B: +25% on the probe-declared queries)."""
+    toks = token_sets(docs, text_col, id_col)
+    if strategy == "prefix":
+        if route_out is not None:
+            route_out["route"] = "prefix"
+        groups = _collapse_token_sets(toks, id_col)
+        return _expand_set_pairs(
+            _jaccard_prefix_sets(groups.select(F.col("set_id"), "toks"),
+                                 threshold),
+            groups,
+        )
+    vocab = _probe_vocab(toks, strategy)
+    if vocab is not None:
+        if route_out is not None:
+            route_out["route"] = "bitmask"
+        return _jaccard_bitmask(toks, vocab, threshold, id_col)
+    if route_out is not None:
+        route_out["route"] = "prefix"
+    groups = _collapse_token_sets(toks, id_col)
+    return _expand_set_pairs(
+        _jaccard_prefix_sets(groups.select(F.col("set_id"), "toks"),
+                             threshold),
+        groups,
+    )
+
+
+def _probe_vocab(toks: DataFrame, strategy: str) -> list | None:
+    """Run the bounded ``limit(64)`` vocabulary probe; returns the
+    vocabulary when the bitmask route applies, None for the PPJoin
+    fall-through (logged at WARNING — the observable cliff)."""
+    if strategy not in ("bitmask", "probe", "auto"):
+        raise ValueError(f"unknown jaccard strategy: {strategy!r}")
+    vocab = [
+        r.tok
+        for r in toks.select(F.explode("toks").alias("tok"))
+        .distinct()
+        .limit(64)
+        .collect()
+    ]
+    if strategy == "bitmask" or len(vocab) <= 63:
+        if len(vocab) > 63:
+            raise ValueError("bitmask strategy needs a <=63-token vocabulary")
+        if strategy in ("probe", "auto"):
+            _LOG.info(
+                "jaccard_pairs probe: vocabulary <=63 tokens -> bitmask "
+                "fast path"
+            )
+        return vocab
+    _LOG.warning(
+        "jaccard_pairs probe: vocabulary exceeded 63 tokens -> falling "
+        "off the bitmask fast path to PPJoin prefix filtering (expect a "
+        "step change in runtime if earlier runs took the bitmask route; "
+        "pin strategy='prefix' for growing corpora)"
+    )
+    return None
 
 
 def _collapse_token_sets(toks: DataFrame, id_col: str) -> DataFrame:
@@ -210,49 +266,6 @@ def _collapse_token_sets(toks: DataFrame, id_col: str) -> DataFrame:
         F.collect_list(id_col).alias("ids"),
         F.first("stoks").alias("toks"),
     )
-
-
-def _set_pairs_routed(groups: DataFrame, threshold: float, strategy: str,
-                      route_out: dict | None) -> DataFrame:
-    """Route the DISTINCT-set pair computation; returns
-    ``(a_sid, b_sid, inter_size, union_size, jaccard)``."""
-    sets = groups.select(F.col("set_id"), "toks")
-    if strategy == "prefix":
-        if route_out is not None:
-            route_out["route"] = "prefix"
-        return _jaccard_prefix_sets(sets, threshold)
-    if strategy not in ("bitmask", "probe", "auto"):
-        raise ValueError(f"unknown jaccard strategy: {strategy!r}")
-    vocab = [
-        r.tok
-        for r in sets.select(F.explode("toks").alias("tok"))
-        .distinct()
-        .limit(64)
-        .collect()
-    ]
-    if strategy == "bitmask" or len(vocab) <= 63:
-        if len(vocab) > 63:
-            raise ValueError("bitmask strategy needs a <=63-token vocabulary")
-        if strategy in ("probe", "auto"):
-            _LOG.info(
-                "jaccard_pairs probe: vocabulary <=63 tokens -> bitmask "
-                "fast path"
-            )
-        if route_out is not None:
-            route_out["route"] = "bitmask"
-        return _jaccard_bitmask(sets, vocab, threshold, "set_id").select(
-            F.col("a_id").alias("a_sid"), F.col("b_id").alias("b_sid"),
-            "inter_size", "union_size", "jaccard",
-        )
-    _LOG.warning(
-        "jaccard_pairs probe: vocabulary exceeded 63 tokens -> falling "
-        "off the bitmask fast path to PPJoin prefix filtering (expect a "
-        "step change in runtime if earlier runs took the bitmask route; "
-        "pin strategy='prefix' for growing corpora)"
-    )
-    if route_out is not None:
-        route_out["route"] = "prefix"
-    return _jaccard_prefix_sets(sets, threshold)
 
 
 def _expand_set_pairs(spairs: DataFrame, groups: DataFrame) -> DataFrame:
@@ -323,16 +336,35 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.8,
     pair/CC work on N/m nodes and never expands the O(m^2)-per-group
     doc pairs — on the r8 bench corpus (24% of ALL doc pairs are true
     near-dups) this is the difference between ~3M doc edges and ~2M
-    set edges at sf0.1, and the gap widens with crawl duplication."""
-    groups = _collapse_token_sets(
-        token_sets(docs, text_col, id_col), id_col
-    ).localCheckpoint(eager=False)
-    spairs = _set_pairs_routed(groups, threshold, strategy, route_out)
+    set edges at sf0.1, and the gap widens with crawl duplication.
+
+    The bitmask route (probe-selected tiny vocabulary) runs CC over
+    the doc-level pairs instead: its mask grouping already collapses
+    identical sets during pair generation, and the tiny corpora it
+    serves don't profit from a second digest pass (r9)."""
+    toks = token_sets(docs, text_col, id_col)
+    if strategy != "prefix":
+        vocab = _probe_vocab(toks, strategy)
+        if vocab is not None:
+            if route_out is not None:
+                route_out["route"] = "bitmask"
+            pairs = _jaccard_bitmask(toks, vocab, threshold, id_col)
+            return connected_components(
+                pairs, toks.select(F.col(id_col)), id_col=id_col,
+                max_iters=max_iters,
+            )
+    if route_out is not None:
+        route_out["route"] = "prefix"
+    groups = _collapse_token_sets(toks, id_col).localCheckpoint(eager=False)
+    spairs = _jaccard_prefix_sets(
+        groups.select(F.col("set_id"), "toks"), threshold
+    )
     comp = connected_components(
         spairs.select(F.col("a_sid").alias("a_id"),
                       F.col("b_sid").alias("b_id")),
         groups.select(F.col("set_id")),
         id_col="set_id",
+        max_iters=max_iters,
     )
     member = groups.select("set_key", "set_id",
                            F.explode("ids").alias(id_col))
