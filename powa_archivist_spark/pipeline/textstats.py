@@ -663,19 +663,25 @@ def ngram_perplexity(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
+    is_bigram = F.col("gram").contains(" ")
+    # prune BEFORE the checkpoint: the materialization holds only what
+    # the model keeps — every unigram (the vocabulary) plus bigrams at
+    # or above min_count.  Checkpointing the raw gram table stored the
+    # sub-threshold bigram tail for nothing (r9 A/B: +25% on the
+    # quality-ensemble stack that embeds this model).
     gram_counts = (
         train.select(F.explode(F.concat(toks, pair_arr)).alias("gram"))
         .groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+        .filter(~is_bigram | (F.col("c") >= min_count))
         .localCheckpoint(eager=False)
     )
-    is_bigram = F.col("gram").contains(" ")
     uni = gram_counts.filter(~is_bigram).select(
         F.col("gram").alias("ctx"), F.col("c").alias("c_a")
     )
     vocab = uni.agg((F.count(F.lit(1)) + 1).alias("v"))
     bi = gram_counts.filter(is_bigram).select(
         F.col("gram").alias("pair"), F.col("c").alias("c_ab")
-    ).filter(F.col("c_ab") >= min_count)
+    )
 
     occ = docs.select(
         F.col(id_col),
