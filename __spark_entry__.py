@@ -56,10 +56,12 @@ _GATE_ORDER = [
     # here) displace eight r8-gate-green rows: events_hll_distinct,
     # emb_outliers, corpus_fuzzy_decontam, corpus_source_caps,
     # corpus_curriculum, corpus_pmi_bigrams, multimodal_cdc_dedup,
-    # corpus_classifier_filter ---
+    # corpus_classifier_filter; docs_substring_dedup (late r9)
+    # displaces stream_hll_profile (r8-gate green) ---
     "dedup_components_smallvocab",
     "events_kll_quantiles",
     "stream_kll_profile",
+    "docs_substring_dedup",
     # --- r8 window held over (r8-gate green; kept so the heavy
     # pipeline additions stay continuously driver-verified) ---
     "multimodal_resize",
@@ -106,7 +108,6 @@ _GATE_ORDER = [
     # --- round-7/8 sketch + similarity flagships held over ---
     "emb_semantic_dedup_lsh",
     "events_hll_windowed",
-    "stream_hll_profile",
 ]
 
 _MERGED = {**CORE_QUERIES, **PIPELINE_QUERIES}

@@ -1136,3 +1136,101 @@ def decontaminate_excise(
             ).alias("clean_text"),
         )
     )
+
+
+def substring_dedup_excise(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """CORPUS-INTERNAL exact-substring dedup by excision (Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better" —
+    the ExactSubstr pass proper): token spans covered by a k-gram that
+    occurs in >= ``min_docs`` DISTINCT documents are kept in exactly
+    ONE canonical document (the min doc id over the gram's occurrences)
+    and cut everywhere else.  Document-level dedup misses this entirely
+    — boilerplate headers/footers ride inside otherwise-unique pages —
+    and the span-DETECTION operator (:func:`..dedup.duplicate_spans`)
+    only reports; this one produces the cleaned corpus.
+
+    Output one row per non-NULL-text doc: (id, n_tokens,
+    removed_tokens, clean_text), survivors rejoined in order; docs made
+    empty stay present (segment_dedup's contract).
+
+    Plan (100 TB): the gram stream is map-only (one hashed row per
+    token position — the paper's suffix array is inherently sequential;
+    the hashed k-gram inverted index distributes); duplicate discovery
+    + canonical-owner pick is ONE wordcount-shaped groupBy on the gram
+    hash (count(distinct doc) and min(doc) fold into the same
+    aggregate); the join-back is keyed on the hash; covered positions
+    explode from non-owner HITS only (bounded by duplicate volume x k);
+    the reassembly is decontaminate_excise's shape — one keyed
+    (id, pos) left join + a per-doc partial-aggregated groupBy.  ZERO
+    windows, no cross join.  ``hash_fn``: "md5" is the
+    oracle-replayable declared family; pass "xxhash64" in production."""
+    from .dedup import _hash64
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    g = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                _hash64(hash_fn,
+                        F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:long>>"))
+    grams = docs.select(F.col(id_col), F.explode(g).alias("g")).select(
+        F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")
+    )
+    dup_owner = (
+        grams.groupBy("gh")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("owner"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh", "owner")
+    )
+    cut_hits = grams.join(dup_owner, "gh").filter(
+        F.col(id_col) != F.col("owner")
+    )
+    covered = cut_hits.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + F.lit(k - 1))).alias("cpos"),
+    ).distinct()
+
+    tok_rows = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    )
+    joined = tok_rows.join(
+        covered.select(
+            F.col(id_col), F.col("cpos").alias("pos"),
+            F.lit(True).alias("cut"),
+        ),
+        [id_col, "pos"], "left",
+    )
+    kept_struct = F.when(
+        F.col("cut").isNull(), F.struct(F.col("pos"), F.col("tok"))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("cut").isNotNull().cast("int")).cast("long")
+            .alias("removed_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["tok"],
+                ),
+            ).alias("clean_text"),
+        )
+    )

@@ -2941,6 +2941,61 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  k=5, min_docs=2)
 
 
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal exact-substring dedup by excision (r9, Lee et
+    al. 2022 ExactSubstr): spans covered by a 5-gram occurring in >= 2
+    distinct docs survive only in the gram's canonical owner (min doc
+    id) and are cut everywhere else; docs return with survivors
+    rejoined in order (pipeline/corpus.py ``substring_dedup_excise``).
+    Completes the substring family: ``docs_dup_spans`` detects,
+    ``corpus_decontam_excise`` cuts against an EXTERNAL eval set, this
+    cuts corpus-internally."""
+    from . import corpus
+
+    return corpus.substring_dedup_excise(
+        t(spark, sf_dir, "documents"), k=5, min_docs=2
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id,
+         UNNEST(range(0, len(toks) - 4)) AS pos,
+         UNNEST(list_transform(range(0, len(toks) - 4),
+           i -> ('0x' || substring(
+                   md5(array_to_string(toks[i+1:i+5], ' ')),
+                   1, 15))::BIGINT)) AS gh
+  FROM tk WHERE len(toks) >= 5
+), dup AS (
+  SELECT gh, MIN(doc_id) AS owner
+  FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+), cut_hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)
+  WHERE g.doc_id <> dup.owner
+), covered AS (
+  SELECT DISTINCT doc_id, UNNEST(range(pos, pos + 5)) AS cpos
+  FROM cut_hits
+), tok_rows AS (
+  SELECT doc_id,
+         UNNEST(range(0, len(toks))) AS pos,
+         UNNEST(toks) AS tok
+  FROM tk
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE c.cpos IS NOT NULL) AS BIGINT)
+         AS removed_tokens,
+       COALESCE(string_agg(CASE WHEN c.cpos IS NULL THEN t.tok END, ' '
+                           ORDER BY t.pos), '') AS clean_text
+FROM tok_rows t
+LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+GROUP BY t.doc_id
+"""
+
+
 ORACLE_DUP_SPANS = r"""
 WITH tk AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
@@ -3867,6 +3922,7 @@ PIPELINE_QUERIES = {
     "corpus_ngram_ppl": (corpus_ngram_ppl, ORACLE_NGRAM_PPL),
     "corpus_dsir_select": (corpus_dsir_select, ORACLE_DSIR_SELECT),
     "docs_dup_spans": (docs_dup_spans, ORACLE_DUP_SPANS),
+    "docs_substring_dedup": (docs_substring_dedup, ORACLE_SUBSTRING_DEDUP),
     "emb_hard_negatives": (emb_hard_negatives, ORACLE_HARD_NEGATIVES),
     "corpus_bpe_merges": (corpus_bpe_merges, _oracle_bpe_merges()),
     "corpus_bpe_encode": (corpus_bpe_encode,

@@ -2682,3 +2682,28 @@ def test_level_sample_rank_error_bound(spark):
     (r,) = sketches.level_sample_quantiles(sk, ["g"]).collect()
     assert abs(r.p50 - 2000) < 750
     assert abs(r.p90 - 3600) < 750
+
+
+def test_substring_dedup_excise_owner_keeps(spark):
+    """r9: corpus-internal ExactSubstr — the canonical owner (min doc
+    id over the gram's occurrences) keeps the duplicated span; every
+    other doc loses exactly the covered positions; unique content
+    survives untouched."""
+    from powa_archivist_spark.pipeline import corpus
+
+    boiler = "one two three four five"          # the shared 5-gram
+    rows = [
+        (0, boiler + " alpha beta gamma delta epsilon"),
+        (1, "x1 x2 " + boiler + " zeta"),        # loses the boilerplate
+        (2, "totally unique words here nothing shared at all ok"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.substring_dedup_excise(
+        docs, k=5, min_docs=2).collect()}
+    assert out[0].removed_tokens == 0
+    assert out[0].clean_text.startswith(boiler)
+    assert out[1].removed_tokens == 5
+    assert out[1].clean_text == "x1 x2 zeta"
+    assert out[2].removed_tokens == 0
+    assert 3 not in out  # NULL text has no token rows
