@@ -3860,6 +3860,122 @@ GROUP BY b.source
 """
 
 
+
+
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source content-overlap estimates from bounded KMV
+    sketches (pipeline/sketches.kmv_set_overlap): estimated union /
+    intersection cardinality and Jaccard of each source pair's distinct
+    text-digest sets.  The curation question this answers at 100 TB —
+    "how much of source B is already in source A?" — without ever
+    joining the corpus against itself: one map-side sketch pass, then
+    G^2 bounded sketch rows.  The oracle replays the k-min sketch and
+    the estimator arithmetic exactly in the md5 hash family."""
+    from . import sketches
+
+    return sketches.kmv_set_overlap(
+        t(spark, sf_dir, "documents"), "text", "source", k=256
+    )
+
+
+ORACLE_SOURCE_OVERLAP = """
+WITH hashed AS MATERIALIZED (
+  SELECT DISTINCT source AS g,
+         ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+  FROM documents WHERE text IS NOT NULL
+), ranked AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+  FROM hashed
+), sk AS MATERIALIZED (
+  SELECT g, list(h ORDER BY h) AS mins
+  FROM ranked WHERE rn <= 256 GROUP BY g
+), pairs AS (
+  SELECT a.g AS ga, b.g AS gb, a.mins AS ma, b.mins AS mb
+  FROM sk a JOIN sk b ON a.g < b.g
+), calc AS (
+  SELECT ga, gb,
+         list_sort(list_distinct(list_concat(ma, mb))) AS uall,
+         list_sort(list_intersect(ma, mb)) AS boths
+  FROM pairs
+), c2 AS (
+  SELECT ga, gb, len(uall) AS m_all, uall[1:256] AS u, boths FROM calc
+), c3 AS (
+  SELECT ga, gb, m_all, boths,
+         len(list_intersect(u, boths)) AS rho_n,
+         u[least(len(u), 256)] AS kth
+  FROM c2
+)
+SELECT ga AS group_a, gb AS group_b,
+       CASE WHEN m_all < 256 THEN CAST(m_all AS DOUBLE)
+            ELSE 1152921504606846976.0 * 255 / CAST(kth AS DOUBLE)
+       END AS est_union,
+       CASE WHEN m_all < 256 THEN CAST(len(boths) AS DOUBLE)
+            ELSE CAST(rho_n AS DOUBLE) / 256
+                 * (1152921504606846976.0 * 255 / CAST(kth AS DOUBLE))
+       END AS est_inter,
+       CASE WHEN m_all < 256
+            THEN CAST(len(boths) AS DOUBLE) / CAST(m_all AS DOUBLE)
+            ELSE CAST(rho_n AS DOUBLE) / 256
+       END AS est_jaccard
+FROM c3
+"""
+
+
+def knn_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN (the standard first rung of the ANN
+    memory ladder, next to PQ's 32x): per-dimension min/max train on
+    the exact integer grid, 4x-compressed codes, symmetric scaled-L2
+    search over 5 probe queries.  The oracle replays TRAIN, ENCODE and
+    SEARCH end-to-end in exact integer arithmetic; see
+    similarity.sq_train/sq_encode/sq_search for the broadcast plan
+    shapes (stats and codes are lazily checkpointed for the same
+    re-execution reason as knn_pq_topk)."""
+    emb = t(spark, sf_dir, "embeddings")
+    stats = similarity.sq_train(emb).localCheckpoint(eager=False)
+    enc = similarity.sq_encode(emb, stats).localCheckpoint(eager=False)
+    return similarity.sq_search(enc, stats, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+ORACLE_SQ_TOPK = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), dm AS MATERIALIZED (SELECT MAX(len(v)) AS d FROM e),
+st AS MATERIALIZED (
+  SELECT i, MIN(v[i]) AS mn, (MAX(v[i]) - MIN(v[i])) // 255 AS stp
+  FROM e, (SELECT unnest(generate_series(1, (SELECT d FROM dm))) AS i)
+  GROUP BY i
+), sl AS MATERIALIZED (
+  SELECT list(mn ORDER BY i) AS mins, list(stp ORDER BY i) AS steps FROM st
+), enc AS MATERIALIZED (
+  -- sl/dm are cross-joined single rows: DuckDB lambdas may reference
+  -- row columns but not subqueries
+  SELECT vec_id,
+         list_transform(range(1, d + 1),
+           i -> CASE WHEN steps[i] > 0
+                THEN least(255, greatest(0, (v[i] - mins[i]) // steps[i]))
+                ELSE 0 END) AS codes
+  FROM e, sl, dm
+), scored AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, dm.d + 1),
+           i -> (n.codes[i] - q.codes[i]) * (n.codes[i] - q.codes[i])
+                * s.steps[i] * s.steps[i]))
+           AS BIGINT) AS sq_dist
+  FROM enc n, enc q, sl s, dm
+  WHERE q.vec_id IN (0, 1, 2, 3, 4) AND n.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, sq_dist, rank FROM (
+  SELECT query_id, neighbor_id, sq_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sq_dist ASC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -3954,4 +4070,6 @@ PIPELINE_QUERIES = {
     "stream_curation_corpus": (stream_curation_corpus,
                                ORACLE_STREAM_CURATION),
     "dedup_winnow_pairs": (dedup_winnow_pairs, ORACLE_WINNOW_PAIRS),
+    "source_overlap_kmv": (source_overlap_kmv, ORACLE_SOURCE_OVERLAP),
+    "knn_sq_topk": (knn_sq_topk, ORACLE_SQ_TOPK),
 }

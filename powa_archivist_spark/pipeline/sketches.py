@@ -453,3 +453,86 @@ def level_sample_quantiles(
             *picks,
         )
     )
+
+
+def kmv_set_overlap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-operation estimates between groups from KMV sketches
+    alone (Beyer et al. 2007; the theta-sketch set semantics): for every
+    unordered group pair estimate |A u B|, |A n B| and the Jaccard
+    similarity of the groups' distinct-key sets.
+
+    The scale story is the whole point: each group is reduced to a
+    BOUNDED k-min sketch (the same two-stage local/merge shape as
+    ``kmv_distinct`` — the shuffle never exceeds partitions x k rows per
+    group), and the pairwise combine runs on G^2 sketch rows where G is
+    the number of groups (sources), never on the corpus.  At 100 TB the
+    corpus is touched exactly once, map-side.
+
+    Estimator, on the k smallest distinct hashes U of A u B:
+
+        est_union = (k-1) * 2^60 / U_(k)      (kth minimum; KMV)
+        rho       = |{h in U : h in A_mins and h in B_mins}| / k
+        est_inter = rho * est_union           (theta-sketch intersection)
+        jaccard   = rho
+
+    When the UNION holds fewer than k distinct hashes both sketches were
+    unsaturated, so every hash of both sets is present and the three
+    outputs are exact (modulo 60-bit hash collisions), mirroring
+    ``kmv_distinct``'s m < k branch.  Hash family: the md5-based
+    cross-engine 60-bit family, so a SQL oracle replays the sketch —
+    production would swap in xxhash64 (see ``cross_engine_hash64``)."""
+    h = cross_engine_hash64(F.col(key_col))
+    hashed = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(group_col).alias("g"), h.alias("h")
+    )
+    local = hashed.mapInPandas(_kmv_local(["g"], k), schema=hashed.schema)
+    # lazy checkpoint: the self-join below references the sketch frame
+    # twice, and without a materialization barrier each reference
+    # re-executes the whole corpus scan (the knn_pq_topk lesson) — the
+    # checkpointed frame is G bounded rows
+    merged = local.groupBy("g").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k
+        ).alias("mins")
+    ).localCheckpoint(eager=False)
+    a, b = merged.alias("a"), merged.alias("b")
+    # G sketch rows per side: the pair frame is G^2 bounded arrays —
+    # broadcast, never shuffled on the corpus
+    pairs = a.join(F.broadcast(b), F.col("a.g") < F.col("b.g")).select(
+        F.col("a.g").alias("group_a"),
+        F.col("b.g").alias("group_b"),
+        F.col("a.mins").alias("ma"),
+        F.col("b.mins").alias("mb"),
+    )
+    u_all = F.array_sort(F.array_distinct(F.concat("ma", "mb")))
+    both = F.array_intersect("ma", "mb")
+    calc = pairs.select(
+        "group_a", "group_b",
+        F.size(u_all).alias("m_all"),
+        F.slice(u_all, 1, k).alias("u"),
+        both.alias("both"),
+    )
+    m_u = F.size("u")
+    kth = F.element_at("u", F.least(m_u, F.lit(k)))
+    rho_n = F.size(F.array_intersect("u", "both"))
+    est_union = F.when(
+        F.col("m_all") < k, F.col("m_all").cast("double")
+    ).otherwise(F.lit(_HASH_SPACE) * (k - 1) / kth.cast("double"))
+    est_inter = F.when(
+        F.col("m_all") < k, F.size("both").cast("double")
+    ).otherwise(rho_n.cast("double") / k * est_union)
+    jaccard = F.when(
+        F.col("m_all") < k,
+        F.size("both").cast("double") / F.col("m_all").cast("double"),
+    ).otherwise(rho_n.cast("double") / k)
+    return calc.select(
+        "group_a", "group_b",
+        est_union.alias("est_union"),
+        est_inter.alias("est_inter"),
+        jaccard.alias("est_jaccard"),
+    )

@@ -2707,3 +2707,100 @@ def test_substring_dedup_excise_owner_keeps(spark):
     assert out[1].clean_text == "x1 x2 zeta"
     assert out[2].removed_tokens == 0
     assert 3 not in out  # NULL text has no token rows
+
+
+def test_kmv_set_overlap_exact_below_k(spark):
+    """When the pairwise UNION sketch is unsaturated the three outputs
+    are the exact set-operation values, for every pair, independent of
+    partitioning."""
+    from powa_archivist_spark.pipeline import sketches
+
+    rows = (
+        [("a", f"k{i}") for i in range(20)]
+        + [("b", f"k{i}") for i in range(10, 30)]   # |a n b| = 10
+        + [("c", f"x{i}") for i in range(5)]        # disjoint from a, b
+    ) * 2  # duplicates must not matter: set semantics
+    df = spark.createDataFrame(rows, "src string, key string")
+    out = {(r.group_a, r.group_b): r for r in
+           sketches.kmv_set_overlap(df, "key", "src", k=64).collect()}
+    ab = out[("a", "b")]
+    assert ab.est_union == 30.0
+    assert ab.est_inter == 10.0
+    assert abs(ab.est_jaccard - 10 / 30) < 1e-12
+    ac = out[("a", "c")]
+    assert ac.est_union == 25.0
+    assert ac.est_inter == 0.0
+    assert ac.est_jaccard == 0.0
+    out2 = {(r.group_a, r.group_b): r.est_union for r in
+            sketches.kmv_set_overlap(df.repartition(7), "key", "src", k=64)
+            .collect()}
+    assert out2[("a", "b")] == 30.0
+
+
+def test_kmv_set_overlap_estimates_above_k(spark):
+    """Saturated sketches estimate in the right ballpark: two sources
+    sharing half their keys should report Jaccard near 1/3 and union
+    near the truth, deterministically across partitionings."""
+    from powa_archivist_spark.pipeline import sketches
+
+    n = 2000
+    rows = [("a", f"k{i}") for i in range(n)] + [
+        ("b", f"k{i}") for i in range(n // 2, n + n // 2)
+    ]  # true union = 3000, inter = 1000, jaccard = 1/3
+    df = spark.createDataFrame(rows, "src string, key string")
+    (r,) = sketches.kmv_set_overlap(df, "key", "src", k=256).collect()
+    assert 2000 < r.est_union < 4500
+    assert 500 < r.est_inter < 2000
+    assert 0.15 < r.est_jaccard < 0.55
+    (r2,) = sketches.kmv_set_overlap(
+        df.repartition(11), "key", "src", k=256
+    ).collect()
+    assert r2.est_union == r.est_union and r2.est_jaccard == r.est_jaccard
+
+
+def test_sq_encode_codes_bounded_and_exact_duplicate_distance(spark):
+    """SQ codes are 8-bit, a duplicated vector encodes identically
+    (distance 0 to its twin), and search ranks the twin first."""
+    import random
+
+    from powa_archivist_spark.pipeline import similarity
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(40)]
+    vecs.append(list(vecs[0]))  # vec_id 40 duplicates vec_id 0
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    stats = similarity.sq_train(emb)
+    enc = similarity.sq_encode(emb, stats)
+    codes = {r.vec_id: r.codes for r in enc.collect()}
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+    assert codes[0] == codes[40]
+    top = similarity.sq_search(enc, stats, query_ids=[0], k=3).collect()
+    assert top[0].neighbor_id == 40 and top[0].sq_dist == 0
+
+
+def test_sq_search_recovers_radial_ordering(spark):
+    """Distances separated by >> one quantization step survive the int8
+    round-trip: docs placed at increasing radii from the query come back
+    in exact radial order, and a far-away cluster never intrudes."""
+    from powa_archivist_spark.pipeline import similarity
+
+    vecs = {}
+    for i in range(20):  # cluster A: doc i at radius 0.03*i along dim 0
+        v = [0.5] * 16
+        v[0] = 0.3 + 0.03 * i
+        vecs[i] = v
+    for i in range(20, 30):  # cluster B: the other orthant, far away
+        v = [-0.5] * 16
+        v[0] = -0.3 - 0.03 * (i - 20)
+        vecs[i] = v
+    emb = spark.createDataFrame(
+        sorted(vecs.items()), "vec_id long, embedding array<float>"
+    )
+    stats = similarity.sq_train(emb)
+    enc = similarity.sq_encode(emb, stats)
+    got = [r.neighbor_id for r in
+           similarity.sq_search(enc, stats, query_ids=[0], k=5).collect()]
+    assert got == [1, 2, 3, 4, 5]  # exact radial order, no cluster-B id

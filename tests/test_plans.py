@@ -675,3 +675,53 @@ def test_kll_quantiles_plan_bounded_windows(spark):
     assert pi.unbounded_global_windows(df) == []
     assert pi.broadcast_join_count(df) >= 1
     assert not pi.has_cartesian(df)
+
+
+def test_kmv_overlap_corpus_read_once_pair_stage_broadcast(spark):
+    """source_overlap_kmv: the corpus parquet is scanned exactly once
+    (one map-side sketch pass); the G^2 pair combine joins the bounded
+    sketch frames via broadcast, never sort-merge; no cartesian."""
+    from powa_archivist_spark.pipeline.dedup import cross_engine_hash64
+    from powa_archivist_spark.pipeline.queries import source_overlap_kmv
+    from powa_archivist_spark.pipeline.sketches import _kmv_local
+
+    df = source_overlap_kmv(spark, SF)
+    plan = pi.plan_string(df)
+    # the corpus enters only through the ONE checkpointed sketch pass:
+    # the pair-combine plan itself touches no parquet at all
+    assert plan.lower().count("scan parquet") == 0
+    assert "BroadcastNestedLoopJoin" in plan
+    assert pi.sort_merge_join_count(df) == 0
+    assert not pi.has_cartesian(df)
+    # the sketch pass (rebuilt without its checkpoint barrier so the
+    # plan is visible): one parquet scan, Arrow-batched local stage,
+    # map-side partial aggregate before the single exchange
+    hashed = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("source").alias("g"),
+            cross_engine_hash64(F.col("text")).alias("h"),
+        )
+    )
+    sk = hashed.mapInPandas(_kmv_local(["g"], 256), schema=hashed.schema) \
+        .groupBy("g").agg(F.collect_list("h").alias("mins"))
+    skp = pi.plan_string(sk)
+    assert skp.count("Location: InMemoryFileIndex") == 1  # one scan node
+    assert "MapInPandas" in skp
+    assert "partial_collect_list" in skp
+    assert pi.exchange_count(sk) == 1
+
+
+def test_sq_chain_broadcast_only_single_query_window(spark):
+    """knn_sq_topk: stats and the probe-query codes travel by broadcast
+    (the corpus codes table is never shuffled for the scan), the only
+    window partitions by query_id, and no cartesian product appears."""
+    from powa_archivist_spark.pipeline.queries import knn_sq_topk
+
+    df = knn_sq_topk(spark, SF)
+    plan = pi.plan_string(df)
+    assert pi.sort_merge_join_count(df) == 0
+    assert not pi.has_cartesian(df)
+    assert pi.unbounded_global_windows(df) == []
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
