@@ -3976,6 +3976,45 @@ SELECT query_id, neighbor_id, sq_dist, rank FROM (
 """
 
 
+
+
+def ann_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the int8 scalar-quantized index against the exact
+    brute-force ground truth on the same 5 queries — together with
+    ann_pq_recall this quantifies the ANN memory ladder's recall cost
+    (4x SQ vs 32x PQ) the way a deployment tunes it.  The oracle
+    composes the two already-proven replay oracles and counts the
+    intersection; the measurement itself is a bounded |q| x k
+    semi-join."""
+    emb = t(spark, sf_dir, "embeddings")
+    exact = similarity.knn_bruteforce(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+    stats = similarity.sq_train(emb).localCheckpoint(eager=False)
+    enc = similarity.sq_encode(emb, stats).localCheckpoint(eager=False)
+    approx = similarity.sq_search(enc, stats, query_ids=[0, 1, 2, 3, 4], k=10)
+    return similarity.ann_recall_at_k(exact, approx, k=10)
+
+
+ORACLE_SQ_RECALL = f"""
+WITH approx AS (
+{ORACLE_SQ_TOPK}
+), exact AS (
+{ORACLE_KNN}
+), hits AS (
+  SELECT e.query_id, COUNT(*) AS hits
+  FROM exact e
+  JOIN approx a ON a.query_id = e.query_id
+              AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(10 AS BIGINT) AS k,
+       CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -4072,4 +4111,5 @@ PIPELINE_QUERIES = {
     "dedup_winnow_pairs": (dedup_winnow_pairs, ORACLE_WINNOW_PAIRS),
     "source_overlap_kmv": (source_overlap_kmv, ORACLE_SOURCE_OVERLAP),
     "knn_sq_topk": (knn_sq_topk, ORACLE_SQ_TOPK),
+    "ann_sq_recall": (ann_sq_recall, ORACLE_SQ_RECALL),
 }

@@ -2804,3 +2804,66 @@ def test_sq_search_recovers_radial_ordering(spark):
     got = [r.neighbor_id for r in
            similarity.sq_search(enc, stats, query_ids=[0], k=5).collect()]
     assert got == [1, 2, 3, 4, 5]  # exact radial order, no cluster-B id
+
+
+def test_sq_matches_numpy_replica(spark):
+    """Third-engine check for the SQ chain (the ivfpq pattern): train,
+    encode and scaled-L2 search re-implemented in integer numpy must
+    reproduce Spark's codes and ranking exactly on random data."""
+    import numpy as np
+
+    from powa_archivist_spark.pipeline import similarity
+
+    rng = np.random.RandomState(11)
+    n, d = 50, 12
+    vecs = rng.randn(n, d).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    stats = similarity.sq_train(emb)
+    enc = similarity.sq_encode(emb, stats)
+    got_codes = {r.vec_id: list(r.codes) for r in enc.collect()}
+    got_top = [(r.neighbor_id, r.sq_dist) for r in
+               similarity.sq_search(enc, stats, query_ids=[3], k=5)
+               .collect()]
+
+    v = np.int64(np.round(vecs.astype("float64") * similarity.QUANT))
+    mn, mx = v.min(0), v.max(0)
+    steps = (mx - mn) // 255
+    codes = np.zeros_like(v)
+    nz = steps > 0
+    codes[:, nz] = np.clip((v[:, nz] - mn[nz]) // steps[nz], 0, 255)
+    for i in range(n):
+        assert got_codes[i] == [int(c) for c in codes[i]], i
+    diff = (codes - codes[3]) * steps
+    dist = (diff * diff).sum(1)
+    cand = sorted((int(dist[i]), i) for i in range(n) if i != 3)
+    assert got_top == [(i, dd) for dd, i in cand[:5]]
+
+
+def test_ann_recall_sq_chain(spark):
+    """ann_recall_at_k over the SQ chain: on UNIT vectors (where the
+    exact dot ranking and the L2 ranking coincide) with angular gaps
+    far above one quantization step, recall@5 is exactly 1.0."""
+    import math
+
+    from powa_archivist_spark.pipeline import similarity
+
+    vecs = {}
+    for i in range(12):  # cluster A: fan of unit vectors, 0.05 rad apart
+        th = 0.05 * i
+        vecs[i] = [math.cos(th), math.sin(th)] + [0.0] * 6
+    for i in range(12, 24):  # cluster B: the opposite half-circle
+        th = math.pi - 0.05 * (i - 12)
+        vecs[i] = [math.cos(th), math.sin(th)] + [0.0] * 6
+    emb = spark.createDataFrame(
+        sorted(vecs.items()), "vec_id long, embedding array<float>"
+    )
+    exact = similarity.knn_bruteforce(emb, query_ids=[0], k=5)
+    stats = similarity.sq_train(emb)
+    enc = similarity.sq_encode(emb, stats)
+    approx = similarity.sq_search(enc, stats, query_ids=[0], k=5)
+    (r,) = similarity.ann_recall_at_k(exact, approx, k=5).collect()
+    assert (r.hits, r.k, r.recall) == (5, 5, 1.0)
