@@ -58,10 +58,12 @@ _GATE_ORDER = [
     # corpus_curriculum, corpus_pmi_bigrams, multimodal_cdc_dedup,
     # corpus_classifier_filter; docs_substring_dedup (late r9)
     # displaces stream_hll_profile (r8-gate green);
-    # source_overlap_kmv + knn_sq_topk + ann_sq_recall (late r9)
-    # displace emb_semantic_dedup_lsh, events_hll_windowed and
-    # stream_curation_corpus (all r8-gate green; all stay replayed
-    # per-commit by tests/test_oracle_full) ---
+    # source_overlap_kmv + knn_sq_topk + ann_sq_recall +
+    # corpus_ngram_ppl_interp (late r9) displace
+    # emb_semantic_dedup_lsh, events_hll_windowed,
+    # stream_curation_corpus and corpus_token_budget_select (all
+    # r8-gate green; all stay replayed per-commit by
+    # tests/test_oracle_full) ---
     "dedup_components_smallvocab",
     "events_kll_quantiles",
     "stream_kll_profile",
@@ -69,6 +71,7 @@ _GATE_ORDER = [
     "source_overlap_kmv",
     "knn_sq_topk",
     "ann_sq_recall",
+    "corpus_ngram_ppl_interp",
     # --- r8 window held over (r8-gate green; kept so the heavy
     # pipeline additions stay continuously driver-verified) ---
     "multimodal_resize",

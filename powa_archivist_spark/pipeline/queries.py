@@ -4015,6 +4015,79 @@ LEFT JOIN hits h ON h.query_id = q.query_id
 """
 
 
+
+
+def corpus_ngram_ppl_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity under the interpolated absolute-discount bigram LM
+    (textstats.ngram_perplexity_interpolated) — the production-shaped
+    filter next to corpus_ngram_ppl's add-one baseline, trained CCNet-
+    style on a small clean slice (20% of the corpus) and scoring the
+    whole corpus.  The oracle replays TRAIN (fused counts, pruning,
+    continuation counts) and SCORE (discount + interpolation on the
+    exact common denominator, whole-bit surprisal) end-to-end."""
+    from . import textstats
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    return textstats.ngram_perplexity_interpolated(docs, train_docs=train)
+
+
+ORACLE_NGRAM_PPL_INTERP = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), train AS (
+  SELECT toks FROM tk WHERE doc_id % 5 = 0
+), uni AS (
+  SELECT ctx, COUNT(*) AS c_a
+  FROM (SELECT UNNEST(toks) AS ctx FROM train) GROUP BY ctx
+), bi AS (
+  SELECT pair, COUNT(*) AS c_ab
+  FROM (
+    SELECT UNNEST(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS pair
+    FROM train WHERE len(toks) >= 2
+  ) GROUP BY pair HAVING COUNT(*) >= 2
+), n1p AS (
+  SELECT string_split(pair, ' ')[1] AS ctx, COUNT(*) AS n1
+  FROM bi GROUP BY 1
+), scal AS (
+  SELECT SUM(c_a) AS n, COUNT(*) + 1 AS v FROM uni
+), occ AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS pair,
+         UNNEST(list_transform(range(1, len(toks)), i -> toks[i])) AS ctx,
+         UNNEST(list_transform(range(1, len(toks)), i -> toks[i+1])) AS tok_b
+  FROM tk WHERE len(toks) >= 2
+), scored AS (
+  SELECT o.doc_id,
+         CASE WHEN u.c_a IS NOT NULL AND p.n1 IS NOT NULL
+              THEN GREATEST(4 * COALESCE(b.c_ab, 0) - 3, 0)
+                     * (s.n + s.v)
+                   + 3 * p.n1 * (COALESCE(ub.c_a, 0) + 1)
+              ELSE COALESCE(ub.c_a, 0) + 1 END AS num,
+         CASE WHEN u.c_a IS NOT NULL AND p.n1 IS NOT NULL
+              THEN 4 * u.c_a * (s.n + s.v)
+              ELSE s.n + s.v END AS den
+  FROM occ o
+  LEFT JOIN bi b ON o.pair = b.pair
+  LEFT JOIN uni u ON o.ctx = u.ctx
+  LEFT JOIN n1p p ON o.ctx = p.ctx
+  LEFT JOIN uni ub ON o.tok_b = ub.ctx
+  CROSS JOIN scal s
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(length(bin(den // num)) - 1) AS BIGINT) AS sum_bits
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, sum_bits,
+       CAST(sum_bits AS DOUBLE) / n_bigrams AS bits_per_token
+FROM agg
+"""
+
+
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
@@ -4112,4 +4185,6 @@ PIPELINE_QUERIES = {
     "source_overlap_kmv": (source_overlap_kmv, ORACLE_SOURCE_OVERLAP),
     "knn_sq_topk": (knn_sq_topk, ORACLE_SQ_TOPK),
     "ann_sq_recall": (ann_sq_recall, ORACLE_SQ_RECALL),
+    "corpus_ngram_ppl_interp": (corpus_ngram_ppl_interp,
+                                ORACLE_NGRAM_PPL_INTERP),
 }

@@ -903,3 +903,134 @@ def dsir_select(docs: DataFrame, model: DataFrame,
         (F.col("dsir_weight") * F.lit(int(threshold_den))
          >= F.lit(int(threshold_num)) * F.col("n_feats")).alias("keep"),
     )
+
+
+def ngram_perplexity_interpolated(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    min_count: int = 2,
+    discount_num: int = 3,
+    discount_den: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity under an INTERPOLATED ABSOLUTE-DISCOUNT bigram LM —
+    the production-shaped upgrade of :func:`ngram_perplexity`'s
+    add-one model (CCNet's filter is a KenLM model of exactly this
+    family: discounting plus interpolation with a lower order, not
+    additive smoothing).  With D = discount_num/discount_den (the
+    classic 0.75):
+
+        p(b | a) = max(c(a,b) - D, 0) / c(a)
+                 + D * n1p(a) / c(a) * (c(b) + 1) / (N + V)
+
+    where n1p(a) = |{b : c(a,b) retained}| is the discount mass
+    redistributed over the add-one unigram target, N = train tokens,
+    V = |vocabulary| + 1.  A context that is out-of-vocabulary OR
+    whose retained-bigram set pruned to empty backs off entirely to
+    the add-one unigram (c(b) + 1) / (N + V) — without that second
+    condition the pruned-to-empty context would score probability 0.
+
+    EXACT-INTEGER discipline (the :func:`ngram_perplexity` contract):
+    on the common denominator ``d_den * c_a * (N + V)`` both sides of
+    the conditional are exact int64 and p <= 1 by the discount
+    construction, so the whole-bit surprisal
+    ``bitlen(den div num) - 1`` is exact.  The cross products bound
+    the TRAIN corpus to ~1.4e9 tokens in int64 — which is the
+    production configuration anyway: CCNet-style filters train on a
+    small clean corpus (the declared query trains on a 20% slice) and
+    only SCORING, which is linear and product-free per occurrence,
+    sees the 100 TB side.  Outputs bits only (n_bigrams, sum_bits,
+    bits_per_token); the linear-space inverse-p moment of the sibling
+    would overflow under the product denominator.
+
+    Plan (100 TB): identical shape to the sibling — the model build is
+    the one fused gram groupBy on the (small) train side; scoring is
+    three broadcast joins (bigram dim, unigram dim twice: context and
+    target) plus the broadcast n1p dim and one-row scalars; the only
+    corpus exchange is the per-doc sum after map-side partial
+    aggregation.  ZERO windows.
+
+    Reference analog: none (powa has no ML scoring); extends SURVEY
+    §2.12 next to ngram_perplexity/classifier_score/dsir.
+    """
+    train = train_docs if train_docs is not None else docs
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    pair_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    is_bigram = F.col("gram").contains(" ")
+    gram_counts = (
+        train.select(F.explode(F.concat(toks, pair_arr)).alias("gram"))
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+        .filter(~is_bigram | (F.col("c") >= min_count))
+        .localCheckpoint(eager=False)
+    )
+    uni = gram_counts.filter(~is_bigram).select(
+        F.col("gram").alias("ctx"), F.col("c").alias("c_a")
+    )
+    bi = gram_counts.filter(is_bigram).select(
+        F.col("gram").alias("pair"), F.col("c").alias("c_ab")
+    )
+    n1p = (
+        bi.select(F.split(F.col("pair"), " ")[0].alias("ctx"))
+        .groupBy("ctx").agg(F.count(F.lit(1)).alias("n1"))
+    )
+    scal = uni.agg(
+        F.sum("c_a").alias("n"), (F.count(F.lit(1)) + 1).alias("v")
+    )
+
+    occ = docs.select(
+        F.col(id_col),
+        F.explode(pair_arr).alias("pair"),
+    ).select(
+        F.col(id_col), "pair",
+        F.split(F.col("pair"), " ")[0].alias("ctx"),
+        F.split(F.col("pair"), " ")[1].alias("tok_b"),
+    )
+    u_b = uni.select(F.col("ctx").alias("tok_b"), F.col("c_a").alias("c_b"))
+    dn, dd = int(discount_num), int(discount_den)
+    nv = F.col("n") + F.col("v")
+    c_ab0 = F.coalesce(F.col("c_ab"), F.lit(0))
+    c_b1 = F.coalesce(F.col("c_b"), F.lit(0)) + 1
+    known = F.col("c_a").isNotNull() & F.col("n1").isNotNull()
+    scored = (
+        occ.join(F.broadcast(bi), "pair", "left")
+        .join(F.broadcast(uni), "ctx", "left")
+        .join(F.broadcast(n1p), "ctx", "left")
+        .join(F.broadcast(u_b), "tok_b", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            F.col(id_col),
+            F.when(
+                known,
+                F.greatest(dd * c_ab0 - dn, F.lit(0)) * nv
+                + dn * F.col("n1") * c_b1,
+            ).otherwise(c_b1).alias("num"),
+            F.when(known, dd * F.col("c_a") * nv)
+            .otherwise(nv).alias("den"),
+        )
+    )
+    agg = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.length(F.conv(F.expr("den div num").cast("string"),
+                                10, 2)) - 1
+            ).cast("long").alias("sum_bits"),
+        )
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_bigrams",
+        "sum_bits",
+        (F.col("sum_bits").cast("double") / F.col("n_bigrams"))
+        .alias("bits_per_token"),
+    )

@@ -2867,3 +2867,30 @@ def test_ann_recall_sq_chain(spark):
     approx = similarity.sq_search(enc, stats, query_ids=[0], k=5)
     (r,) = similarity.ann_recall_at_k(exact, approx, k=5).collect()
     assert (r.hits, r.k, r.recall) == (5, 5, 1.0)
+
+
+def test_ngram_perplexity_interpolated_hand_computed(spark):
+    """Hand-derived absolute-discount arithmetic: train "a b a b a c"
+    gives c_a={a:3,b:2,c:1}, retained bigrams {"a b":2,"b a":2},
+    n1p={a:1,b:1}, N=6, V=4.  Then (on the common denominator):
+    - "a b": known ctx, num = max(4*2-3,0)*10 + 3*1*(2+1) = 59,
+      den = 4*3*10 = 120 -> bits = bitlen(120 div 59) - 1 = 1;
+    - "c a": ctx c in vocab but prune-emptied (n1p null) -> unigram
+      backoff num = c(a)+1 = 4, den = N+V = 10 -> bits = 1;
+    - "z z": OOV ctx -> backoff num = 0+1, den = 10 -> bits = 3."""
+    from powa_archivist_spark.pipeline import textstats
+
+    train = spark.createDataFrame(
+        [(0, "a b a b a c")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "c a"), (12, "z z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           textstats.ngram_perplexity_interpolated(
+               docs, train_docs=train).collect()}
+    assert (out[10].n_bigrams, out[10].sum_bits) == (1, 1)
+    assert (out[11].n_bigrams, out[11].sum_bits) == (1, 1)
+    assert (out[12].n_bigrams, out[12].sum_bits) == (1, 3)
+    assert out[12].bits_per_token == 3.0

@@ -725,3 +725,25 @@ def test_sq_chain_broadcast_only_single_query_window(spark):
     assert not pi.has_cartesian(df)
     assert pi.unbounded_global_windows(df) == []
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ngram_perplexity_interp_broadcasts_model_zero_windows(spark):
+    """Late r9: the interpolated absolute-discount scorer joins FOUR
+    model dims (pruned bigram table, unigram table twice — context and
+    target — and the continuation-count table) plus the 1-row scalars
+    via broadcast onto the exploded bigram stream; never sort-merge,
+    zero windows, no cartesian."""
+    from powa_archivist_spark.pipeline import textstats
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = textstats.ngram_perplexity_interpolated(
+        docs, train_docs=docs.filter("doc_id % 5 = 0")
+    )
+    assert pi.broadcast_join_count(out) == 4   # bi + uni(ctx) + n1p + uni(b)
+    assert pi.sort_merge_join_count(out) == 0
+    assert pi.window_count(out) == 0
+    plan = pi.plan_string(out)
+    assert "BroadcastNestedLoopJoin Cross" in plan
+    assert "CartesianProduct" not in plan
