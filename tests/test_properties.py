@@ -647,3 +647,64 @@ def test_duplicate_spans_invariants(spark, docs):
     if len(docs[0]) >= 3:
         assert out[0].dup_fraction == 1.0
         assert out[len(rows) - 1].dup_fraction == 1.0
+
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        min_size=0, max_size=12,
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@given(docs=corpus_strategy)
+@SLOW
+def test_kmv_set_overlap_exact_branch_matches_set_math(spark, docs):
+    """With k far above the key counts, every pair's union/inter/
+    Jaccard equals exact Python set arithmetic on the per-group key
+    sets (group = parity of the doc index, keys = the doc's tokens)."""
+    from powa_archivist_spark.pipeline import sketches
+
+    rows = [(f"g{i % 2}", tok) for i, d in enumerate(docs) for tok in d]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "src string, key string")
+    got = {(r.group_a, r.group_b): r for r in
+           sketches.kmv_set_overlap(df, "key", "src", k=64).collect()}
+    sets: dict[str, set] = {}
+    for i, d in enumerate(docs):
+        sets.setdefault(f"g{i % 2}", set()).update(d)
+    sets = {g: s for g, s in sets.items() if s}  # empty sets sketch away
+    for ga, gb in combinations(sorted(sets), 2):
+        u, inter = sets[ga] | sets[gb], sets[ga] & sets[gb]
+        r = got[(ga, gb)]
+        assert r.est_union == float(len(u))
+        assert r.est_inter == float(len(inter))
+        assert abs(r.est_jaccard - len(inter) / len(u)) < 1e-12
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]),
+             min_size=0, max_size=10),
+    min_size=1, max_size=10,
+))
+@SLOW
+def test_interpolated_lm_probabilities_stay_proper(spark, docs):
+    """The absolute-discount conditional must stay a probability on
+    every generated corpus: num <= den (bits >= 0) for every scored
+    bigram, and every document with >= 2 tokens gets a row."""
+    from powa_archivist_spark.pipeline import textstats
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = textstats.ngram_perplexity_interpolated(
+        frame, train_docs=frame.filter("doc_id % 2 = 0")
+    ).collect()
+    expect = {i for i, d in enumerate(docs) if len(d) >= 2}
+    assert {r.doc_id for r in out} == expect
+    for r in out:
+        assert r.sum_bits >= 0          # every num <= den
+        assert r.n_bigrams >= 1
