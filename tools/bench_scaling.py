@@ -241,7 +241,10 @@ def main() -> int:
         t_base = run(name, base_dir)         # second, warmed sample
         t_big = run(name, sf1_dir)
         alpha = math.log(t_big / t_base) / math.log(rows_factor)
-        entry_name = f"{name}{label}" if label else name
+        # normalize to the artifact's bracket convention so ad-hoc
+        # labels ("sf1->sf3") and pre-bracketed ones land identically
+        tag = label if (not label or label.startswith("[")) else f"[{label}]"
+        entry_name = f"{name}{tag}" if tag else name
         out[entry_name] = {
             base_key: round(t_base, 2),
             big_key: round(t_big, 2),
