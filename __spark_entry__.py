@@ -72,6 +72,10 @@ _GATE_ORDER = [
     "knn_sq_topk",
     "ann_sq_recall",
     "corpus_ngram_ppl_interp",
+    # events_cms_counts (late r9, Count-Min frequency sketch) displaces
+    # corpus_mixture_sample (r7-gate green; stays replayed per-commit
+    # by tests/test_oracle_full)
+    "events_cms_counts",
     # --- r8 window held over (r8-gate green; kept so the heavy
     # pipeline additions stay continuously driver-verified) ---
     "multimodal_resize",

@@ -1198,6 +1198,71 @@ WHERE rn = least(m, 64)
 """
 
 
+def events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates per (event_type, watchlist user)
+    next to their exact recounts (r9) — the mergeable FREQUENCY member
+    of the sketch family (pipeline/sketches.cms_counts; distinct
+    counts: KMV/HLL, quantiles: KLL, set ops: KMV overlap).  The
+    sketch build touches the corpus once map-side (d hash copies per
+    row, one partially-aggregated groupBy into groups x d x w
+    registers); the probe side is a bounded watchlist — here the 20
+    smallest user ids stand in for the given flag-list a production
+    deployment would supply — so no full per-user GROUP BY ever runs.
+    The md5 hash family makes every register and therefore every
+    estimate replay exactly in the DuckDB oracle; est_cnt >= exact_cnt
+    is the CMS one-sided guarantee, visible per row."""
+    from . import sketches
+
+    ev = t(spark, sf_dir, "events")
+    probes = ev.select("user_id").distinct().orderBy("user_id").limit(20)
+    return sketches.cms_counts(
+        ev, "user_id", ["event_type"], probes, d=4, w=256
+    )
+
+
+ORACLE_CMS_COUNTS = """
+WITH probes AS (
+  SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+  ORDER BY user_id LIMIT 20
+), seeds AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) AS s(seed)
+), sketch AS (
+  SELECT event_type, seed,
+         ('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' ||
+                                CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN seeds
+  GROUP BY 1, 2, 3
+), grid AS (
+  SELECT event_type, user_id
+  FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN probes
+), est AS (
+  SELECT g.event_type, g.user_id,
+         CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_cnt
+  FROM grid g
+  CROSS JOIN seeds s
+  LEFT JOIN sketch sk
+    ON sk.event_type = g.event_type AND sk.seed = s.seed
+   AND sk.bucket = ('0x' || substring(md5(CAST(s.seed AS VARCHAR) || ':' ||
+                                          CAST(g.user_id AS VARCHAR)),
+                                      1, 15))::BIGINT % 256
+  GROUP BY 1, 2
+), exact AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM events
+  WHERE user_id IN (SELECT user_id FROM probes)
+  GROUP BY 1, 2
+)
+SELECT e.event_type, e.user_id,
+       CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt,
+       e.est_cnt
+FROM est e
+LEFT JOIN exact x
+  ON x.event_type = e.event_type AND x.user_id = e.user_id
+"""
+
+
 def events_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile profile per event_type (r9, VERDICT r8 task
     7): the deterministic level-sampling sketch — a KLL-lineage
@@ -4091,6 +4156,7 @@ FROM agg
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
+    "events_cms_counts": (events_cms_counts, ORACLE_CMS_COUNTS),
     "events_kll_quantiles": (events_kll_quantiles, ORACLE_KLL_QUANTILES),
     "stream_kll_profile": (stream_kll_profile, ORACLE_KLL_QUANTILES),
     "events_hll_distinct": (events_hll_distinct, ORACLE_HLL_DISTINCT),

@@ -15,6 +15,10 @@ oracle-checkable:
   cross-engine md5 hash family (`dedup.cross_engine_hash64`), so a SQL
   oracle replays the estimate bit-for-bit; per-partition k-min buffers
   bound the shuffle to partitions x k rows per group.
+- :func:`cms_counts` — Count-Min frequency estimates for a bounded
+  probe watchlist; the register table is groups x d x w integers and
+  merging two corpora's sketches is elementwise addition, so the
+  estimate replays exactly in SQL.
 """
 
 from __future__ import annotations
@@ -535,4 +539,82 @@ def kmv_set_overlap(
         est_union.alias("est_union"),
         est_inter.alias("est_inter"),
         jaccard.alias("est_jaccard"),
+    )
+
+
+def cms_counts(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    probes: DataFrame,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Count-Min frequency estimates per group for a bounded probe
+    watchlist (Cormode & Muthukrishnan 2005) — the MERGEABLE frequency
+    member of the sketch family (distinct counts: ``kmv_distinct`` /
+    ``hll_distinct``; quantiles: ``level_sample_sketch``; set ops:
+    ``kmv_set_overlap``).  Reference analog: the exact per-entity event
+    counters powa keeps in SQL (powa--5.2.0.sql per-qual occurence
+    counts); at 100 TB the exact per-key GROUP BY is replaced by a
+    d x w integer register table per group.
+
+    Build: each row is hashed once per seed row (d map-side copies,
+    no pre-shuffle blowup beyond d x), bucket = h(seed, key) mod w, and
+    ONE groupBy with map-side partial aggregation produces the sketch —
+    the shuffle moves at most partitions x groups x d x w partial rows
+    and the at-rest sketch is groups x d x w registers regardless of
+    corpus size.  Merging sketches of two corpora is elementwise
+    register addition (the same groupBy-sum), which is what makes the
+    estimate exactly replayable by a SQL oracle.
+
+    Probe: the watchlist is a BOUNDED input (in production a given set
+    of flagged keys — the point of a CMS is answering point queries
+    without a full-corpus GROUP BY over every key); it is broadcast
+    against the distinct group dim, each (group, probe) pair reads its
+    d registers from the broadcast sketch, and the estimate is the
+    register MINIMUM.  An exact recount of only the probed keys
+    (broadcast semi-join, the ``heavy_hitters`` recount pattern) is
+    kept alongside so the one-sided error is visible:
+    est_cnt >= exact_cnt always, with equality when no collision hits
+    all d rows.  Output: (group..., key, exact_cnt, est_cnt).
+
+    Hash family: the md5-based cross-engine 60-bit family
+    (``cross_engine_hash64``) so the oracle replays registers
+    bit-for-bit; production would swap in xxhash64."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed")
+    bucket = F.pmod(
+        cross_engine_hash64(F.col("seed"), F.col(key_col)), F.lit(w)
+    ).alias("bucket")
+    sketch = (
+        df.select(*group_cols, key_col)
+        .select(*group_cols, key_col, seeds)
+        .select(*group_cols, "seed", bucket)
+        .groupBy(*group_cols, "seed", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    grid = (
+        df.select(*group_cols).distinct()
+        .crossJoin(F.broadcast(probes.select(key_col)))
+    )
+    probe_regs = grid.select(*group_cols, key_col, seeds).select(
+        *group_cols, key_col, "seed", bucket
+    )
+    est = (
+        probe_regs.join(
+            F.broadcast(sketch), [*group_cols, "seed", "bucket"], "left"
+        )
+        .groupBy(*group_cols, key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt"))
+    )
+    exact = (
+        df.join(F.broadcast(probes.select(key_col)), key_col, "left_semi")
+        .groupBy(*group_cols, key_col)
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return est.join(exact, [*group_cols, key_col], "left").select(
+        *group_cols,
+        key_col,
+        F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"),
+        "est_cnt",
     )

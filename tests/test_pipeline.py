@@ -833,6 +833,40 @@ def test_heavy_hitters_typed_column(spark):
     assert out == {7: 41}  # 41/100 > 1/4; nothing else close
 
 
+def test_cms_counts_one_sided_and_exact_when_wide(spark):
+    """Count-Min estimates never undercount (register minimum of
+    non-negative additive counters); with a register row wide enough
+    that no probe collides, the estimate IS the exact count.  The
+    sketch must also be partitioning-invariant (merge = addition)."""
+    from powa_archivist_spark.pipeline import sketches
+
+    rows = [("g1", i % 7) for i in range(70)] + [
+        ("g2", i % 13) for i in range(39)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long")
+    probes = spark.createDataFrame([(i,) for i in range(15)], "k long")
+    out = sketches.cms_counts(df, "k", ["g"], probes, d=4, w=8).collect()
+    # full probe grid: every (group, probe) pair appears
+    assert len(out) == 2 * 15
+    for r in out:
+        assert r.est_cnt >= r.exact_cnt  # one-sided CMS guarantee
+    # g1: keys 0..6 appear 10x each; 7..14 absent (exact 0).
+    g1 = {r.k: r for r in out if r.g == "g1"}
+    assert all(g1[i].exact_cnt == 10 for i in range(7))
+    assert all(g1[i].exact_cnt == 0 for i in range(7, 15))
+    # wide sketch: no collisions possible to survive all 4 rows
+    wide = {(r.g, r.k): r for r in
+            sketches.cms_counts(df, "k", ["g"], probes, d=4,
+                                w=65536).collect()}
+    assert all(r.est_cnt == r.exact_cnt for r in wide.values())
+    # partitioning must not change any register, hence any estimate
+    repart = {(r.g, r.k): r.est_cnt for r in
+              sketches.cms_counts(df.repartition(11), "k", ["g"],
+                                  probes, d=4, w=8).collect()}
+    assert repart == {k: r.est_cnt for k, r in
+                      {(r.g, r.k): r for r in out}.items()}
+
+
 def test_kmv_distinct_keeps_null_group(spark):
     """A NULL group key is a real group: it must get its own estimate
     (pandas' default dropna and an equality join both lost it)."""

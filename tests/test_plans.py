@@ -747,3 +747,19 @@ def test_ngram_perplexity_interp_broadcasts_model_zero_windows(spark):
     plan = pi.plan_string(out)
     assert "BroadcastNestedLoopJoin Cross" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_counts_plan_broadcast_only_no_windows(spark):
+    """events_cms_counts: the corpus contributes ONE partially-aggregated
+    register groupBy (map-side combine before the only corpus-sized
+    exchange); the probe grid, the sketch and the recount filter all
+    travel by broadcast; no sort-merge join, no window, no cartesian."""
+    from powa_archivist_spark.pipeline.queries import events_cms_counts
+
+    df = events_cms_counts(spark, SF)
+    plan = pi.plan_string(df)
+    assert not pi.has_cartesian(df)
+    assert pi.sort_merge_join_count(df) == 0
+    assert pi.window_count(df) == 0
+    assert "partial_count" in plan  # register build combines map-side
+    assert "BroadcastHashJoin" in plan  # sketch + recount sides
