@@ -74,8 +74,10 @@ _GATE_ORDER = [
     "corpus_ngram_ppl_interp",
     # events_cms_counts (late r9, Count-Min frequency sketch) displaces
     # corpus_mixture_sample (r7-gate green; stays replayed per-commit
-    # by tests/test_oracle_full)
+    # by tests/test_oracle_full); stream_cms_profile (its at-rest
+    # streaming ledger) displaces corpus_quality_gate (r8-gate green)
     "events_cms_counts",
+    "stream_cms_profile",
     # --- r8 window held over (r8-gate green; kept so the heavy
     # pipeline additions stay continuously driver-verified) ---
     "multimodal_resize",

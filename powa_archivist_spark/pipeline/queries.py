@@ -1263,6 +1263,72 @@ LEFT JOIN exact x
 """
 
 
+def stream_cms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-batch replay of the STREAMING at-rest Count-Min
+    ledger (streaming/cms.py): events arrive in four fixed
+    micro-batches (event_id % 4, in order), each appending its register
+    frame through one manifest; the final watchlist estimates read the
+    ledger alone.  SUM over a disjoint partition of the rows is the
+    same total register by register, so the profile EQUALS the one-shot
+    batch sketch and the oracle is the batch CMS oracle minus the exact
+    recount (the ledger never stores raw keys — the same deliberate
+    trade as stream_hll_profile)."""
+    import shutil
+    import tempfile
+
+    from ..storage import Warehouse
+    from ..streaming.cms import cms_profile, process_cms_batch
+
+    ev = t(spark, sf_dir, "events")
+    probes = ev.select("user_id").distinct().orderBy("user_id").limit(20)
+    scratch = tempfile.mkdtemp(prefix="cms_profile_")
+    try:
+        wh = Warehouse(spark, scratch)
+        for b in range(4):
+            process_cms_batch(
+                wh, ev.filter(F.col("event_id") % 4 == b), b,
+                "user_id", ["event_type"], d=4, w=256,
+            )
+        return (
+            cms_profile(wh, probes, "user_id", ["event_type"], d=4, w=256)
+            .orderBy("event_type", "user_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+ORACLE_STREAM_CMS_PROFILE = """
+WITH probes AS (
+  SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+  ORDER BY user_id LIMIT 20
+), seeds AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) AS s(seed)
+), sketch AS (
+  SELECT event_type, seed,
+         ('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' ||
+                                CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN seeds
+  GROUP BY 1, 2, 3
+), grid AS (
+  SELECT event_type, user_id
+  FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN probes
+)
+SELECT g.event_type, g.user_id,
+       CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_cnt
+FROM grid g
+CROSS JOIN seeds s
+LEFT JOIN sketch sk
+  ON sk.event_type = g.event_type AND sk.seed = s.seed
+ AND sk.bucket = ('0x' || substring(md5(CAST(s.seed AS VARCHAR) || ':' ||
+                                        CAST(g.user_id AS VARCHAR)),
+                                    1, 15))::BIGINT % 256
+GROUP BY 1, 2
+"""
+
+
 def events_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile profile per event_type (r9, VERDICT r8 task
     7): the deterministic level-sampling sketch — a KLL-lineage
@@ -4157,6 +4223,7 @@ PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
     "events_cms_counts": (events_cms_counts, ORACLE_CMS_COUNTS),
+    "stream_cms_profile": (stream_cms_profile, ORACLE_STREAM_CMS_PROFILE),
     "events_kll_quantiles": (events_kll_quantiles, ORACLE_KLL_QUANTILES),
     "stream_kll_profile": (stream_kll_profile, ORACLE_KLL_QUANTILES),
     "events_hll_distinct": (events_hll_distinct, ORACLE_HLL_DISTINCT),

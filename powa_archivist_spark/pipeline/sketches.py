@@ -582,31 +582,9 @@ def cms_counts(
     Hash family: the md5-based cross-engine 60-bit family
     (``cross_engine_hash64``) so the oracle replays registers
     bit-for-bit; production would swap in xxhash64."""
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed")
-    bucket = F.pmod(
-        cross_engine_hash64(F.col("seed"), F.col(key_col)), F.lit(w)
-    ).alias("bucket")
-    sketch = (
-        df.select(*group_cols, key_col)
-        .select(*group_cols, key_col, seeds)
-        .select(*group_cols, "seed", bucket)
-        .groupBy(*group_cols, "seed", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
-    grid = (
-        df.select(*group_cols).distinct()
-        .crossJoin(F.broadcast(probes.select(key_col)))
-    )
-    probe_regs = grid.select(*group_cols, key_col, seeds).select(
-        *group_cols, key_col, "seed", bucket
-    )
-    est = (
-        probe_regs.join(
-            F.broadcast(sketch), [*group_cols, "seed", "bucket"], "left"
-        )
-        .groupBy(*group_cols, key_col)
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt"))
-    )
+    sketch = cms_registers(df, key_col, group_cols, d, w)
+    groups = df.select(*group_cols).distinct()
+    est = cms_estimate(sketch, groups, probes, key_col, group_cols, d, w)
     exact = (
         df.join(F.broadcast(probes.select(key_col)), key_col, "left_semi")
         .groupBy(*group_cols, key_col)
@@ -617,4 +595,61 @@ def cms_counts(
         key_col,
         F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"),
         "est_cnt",
+    )
+
+
+def _cms_seeds_and_bucket(key_col: str, d: int, w: int):
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed")
+    bucket = F.pmod(
+        cross_engine_hash64(F.col("seed"), F.col(key_col)), F.lit(w)
+    ).alias("bucket")
+    return seeds, bucket
+
+
+def cms_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """One corpus pass -> the d x w additive register table per group:
+    (group..., seed, bucket, cnt).  Two register frames of the same
+    (d, w) merge by elementwise addition — one more groupBy-sum — which
+    is what the streaming ledger fold relies on."""
+    seeds, bucket = _cms_seeds_and_bucket(key_col, d, w)
+    return (
+        df.select(*group_cols, key_col)
+        .select(*group_cols, key_col, seeds)
+        .select(*group_cols, "seed", bucket)
+        .groupBy(*group_cols, "seed", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    registers: DataFrame,
+    groups: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Point-query the register table for every (group, probe) pair:
+    est = min over the d registers, 0 when a register was never hit.
+    ``groups`` is the bounded group dim, ``probes`` the bounded
+    watchlist — both broadcast; the register table itself is
+    groups x d x w rows and broadcasts too."""
+    seeds, bucket = _cms_seeds_and_bucket(key_col, d, w)
+    grid = groups.crossJoin(F.broadcast(probes.select(key_col)))
+    probe_regs = grid.select(*group_cols, key_col, seeds).select(
+        *group_cols, key_col, "seed", bucket
+    )
+    return (
+        probe_regs.join(
+            F.broadcast(registers), [*group_cols, "seed", "bucket"], "left"
+        )
+        .groupBy(*group_cols, key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt"))
     )

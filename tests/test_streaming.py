@@ -1096,6 +1096,58 @@ def test_stream_pq_ingest_runtime(spark, wh):
     assert pq_codes(wh).count() == n0
 
 
+def test_cms_profile_replay_and_compaction(spark, wh):
+    """late r9: the at-rest Count-Min register ledger — a
+    checkpoint-replayed epoch is a no-op (SUM-merge is NOT idempotent,
+    so the short-circuit is load-bearing), the ledger profile equals
+    the one-shot batch sketch bit-for-bit, and compaction folds the
+    epochs without changing any estimate."""
+    from powa_archivist_spark.pipeline import sketches
+    from powa_archivist_spark.streaming.cms import (
+        cms_profile,
+        compact_cms_profile,
+        process_cms_batch,
+    )
+
+    rows = [(i, "a" if i % 2 else "b", (i * 7) % 23) for i in range(3000)]
+    df = spark.createDataFrame(rows, "event_id long, g string, k long")
+    probes = spark.createDataFrame([(i,) for i in range(10)], "k long")
+
+    for b in range(3):
+        assert process_cms_batch(
+            wh, df.filter(df.event_id % 3 == b), b,
+            "k", ["g"], d=4, w=16, table="cms_prof_t",
+        )
+    base = sorted(map(tuple, cms_profile(
+        wh, probes, "k", ["g"], d=4, w=16, table="cms_prof_t").collect()))
+
+    # replayed epoch: short-circuit, profile unchanged (double-count
+    # would inflate every register the batch touched)
+    assert not process_cms_batch(
+        wh, df.filter(df.event_id % 3 == 1), 1,
+        "k", ["g"], d=4, w=16, table="cms_prof_t",
+    )
+    assert sorted(map(tuple, cms_profile(
+        wh, probes, "k", ["g"], d=4, w=16,
+        table="cms_prof_t").collect())) == base
+
+    # one-shot equality: SUM over disjoint epochs = the batch registers
+    groups = df.select("g").distinct()
+    one = sorted(map(tuple, sketches.cms_estimate(
+        sketches.cms_registers(df, "k", ["g"], d=4, w=16),
+        groups, probes, "k", ["g"], d=4, w=16,
+    ).collect()))
+    assert base == one
+
+    # compaction: ledger shrinks to one epoch, estimates identical
+    compact_cms_profile(wh, ["g"], table="cms_prof_t")
+    led = wh.read("cms_prof_t")
+    assert led.select("epoch").distinct().count() == 1
+    assert sorted(map(tuple, cms_profile(
+        wh, probes, "k", ["g"], d=4, w=16,
+        table="cms_prof_t").collect())) == base
+
+
 def test_quantile_profile_replay_and_compaction(spark, wh):
     """r9: the at-rest quantile-sketch ledger — a checkpoint-replayed
     epoch is a no-op (the merge is NOT idempotent, so the short-circuit
