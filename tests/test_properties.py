@@ -708,3 +708,47 @@ def test_interpolated_lm_probabilities_stay_proper(spark, docs):
     for r in out:
         assert r.sum_bits >= 0          # every num <= den
         assert r.n_bigrams >= 1
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=40),
+                  min_size=1, max_size=200),
+    split=st.integers(min_value=2, max_value=4),
+)
+@SLOW
+def test_cms_sum_merge_equals_one_shot_and_never_undercounts(
+        spark, keys, split):
+    """For ANY split of the data into batches, SUM-merging the batch
+    register frames equals the one-pass sketch register by register —
+    the contract the at-rest CMS ledger (streaming/cms.py) relies on —
+    and every watchlist estimate >= the true count (one-sided CMS
+    guarantee), with equality for keys the truth says are absent only
+    when no collision survives all d rows."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+    from powa_archivist_spark.pipeline import sketches
+
+    df = spark.createDataFrame([("g", k) for k in keys], "g string, k long")
+    probes = spark.createDataFrame([(i,) for i in range(0, 41, 5)],
+                                   "k long")
+    groups = df.select("g").distinct()
+    whole = sketches.cms_registers(df, "k", ["g"], d=3, w=8)
+    one = {r.k: r.est_cnt for r in sketches.cms_estimate(
+        whole, groups, probes, "k", ["g"], d=3, w=8).collect()}
+    parts = [
+        sketches.cms_registers(
+            df.filter(F.col("k") % split == i), "k", ["g"], d=3, w=8)
+        for i in range(split)
+    ]
+    merged_regs = parts[0]
+    for p in parts[1:]:
+        merged_regs = merged_regs.unionAll(p)
+    merged_regs = merged_regs.groupBy("g", "seed", "bucket").agg(
+        F.sum("cnt").alias("cnt"))
+    merged = {r.k: r.est_cnt for r in sketches.cms_estimate(
+        merged_regs, groups, probes, "k", ["g"], d=3, w=8).collect()}
+    assert merged == one
+    truth = Counter(keys)
+    for k, est in one.items():
+        assert est >= truth.get(k, 0)
