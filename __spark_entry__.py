@@ -75,9 +75,12 @@ _GATE_ORDER = [
     # events_cms_counts (late r9, Count-Min frequency sketch) displaces
     # corpus_mixture_sample (r7-gate green; stays replayed per-commit
     # by tests/test_oracle_full); stream_cms_profile (its at-rest
-    # streaming ledger) displaces corpus_quality_gate (r8-gate green)
+    # streaming ledger) displaces corpus_quality_gate (r8-gate green);
+    # docs_bm25_topk (fixed-point BM25 retrieval) displaces
+    # corpus_vocab_topk (r7-gate green)
     "events_cms_counts",
     "stream_cms_profile",
+    "docs_bm25_topk",
     # --- r8 window held over (r8-gate green; kept so the heavy
     # pipeline additions stay continuously driver-verified) ---
     "multimodal_resize",

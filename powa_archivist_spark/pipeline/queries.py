@@ -1114,6 +1114,61 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_topk(t(spark, sf_dir, "documents"), k=3)
 
 
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-10 documents for each of 5 corpus-derived
+    queries (pipeline/textstats.bm25_search) — rational Robertson idf
+    in one fixed IEEE expression tree, per-term contributions quantized
+    to 2^20 fixed point so the cross-term sum is an integer and the
+    oracle replays every score exactly."""
+    return textstats.bm25_search(t(spark, sf_dir, "documents"))
+
+
+ORACLE_BM25 = """
+WITH term AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dlen, tok, COUNT(*) AS c
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+  GROUP BY doc_id, dlen, tok
+), qterms AS (
+  SELECT CAST(floor(CAST(vrank - 1 AS DOUBLE) / 4) AS BIGINT) AS query_id,
+         tok
+  FROM (
+    SELECT tok, row_number() OVER (ORDER BY vc DESC, tok) AS vrank
+    FROM (
+      SELECT tok, sum(c) AS vc FROM term GROUP BY tok
+      ORDER BY vc DESC, tok LIMIT 20
+    )
+  )
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS sum_dlen
+  FROM documents
+), matched AS (
+  SELECT t.doc_id, t.dlen, t.tok, t.c, q.query_id
+  FROM term t JOIN qterms q USING (tok)
+), dftok AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM matched GROUP BY tok
+), contrib AS (
+  SELECT m.query_id, m.doc_id,
+         CAST(floor(
+           ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5))
+           * ((CAST(m.c AS DOUBLE) * 2.2)
+                / (CAST(m.c AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(m.dlen AS DOUBLE)
+                       / (CAST(s.sum_dlen AS DOUBLE)
+                          / CAST(s.n_docs AS DOUBLE))))))
+           * 1048576.0) AS BIGINT) AS c_fp
+  FROM matched m JOIN dftok d USING (tok) CROSS JOIN stats s
+)
+SELECT query_id, rank, doc_id, score_fp FROM (
+  SELECT query_id, doc_id, CAST(sum(c_fp) AS BIGINT) AS score_fp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sum(c_fp) DESC, doc_id) AS rank
+  FROM contrib GROUP BY query_id, doc_id
+) WHERE rank <= 10
+"""
+
+
 ORACLE_TFIDF = """
 WITH term AS (
   SELECT doc_id, len(string_split(text, ' ')) AS dlen, tok, COUNT(*) AS c
@@ -4262,6 +4317,7 @@ PIPELINE_QUERIES = {
     "corpus_decontam": (corpus_decontam, ORACLE_DECONTAM),
     "corpus_shuffle_shards": (corpus_shuffle_shards, ORACLE_SHUFFLE_SHARDS),
     "text_tfidf_topk": (text_tfidf_topk, ORACLE_TFIDF),
+    "docs_bm25_topk": (docs_bm25_topk, ORACLE_BM25),
     "corpus_chunks": (corpus_chunks, ORACLE_CHUNKS),
     "ivf_refined_centroids": (ivf_refined_centroids, ORACLE_IVF_REFINE),
     "stream_near_dup_ledger": (stream_near_dup_ledger,

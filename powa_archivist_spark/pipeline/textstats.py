@@ -1034,3 +1034,107 @@ def ngram_perplexity_interpolated(
         (F.col("sum_bits").cast("double") / F.col("n_bigrams"))
         .alias("bits_per_token"),
     )
+
+
+def bm25_search(docs: DataFrame, n_queries: int = 5,
+                terms_per_query: int = 4, k: int = 10,
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """BM25 query->document retrieval: top-k docs per query over an
+    exploded postings table — the missing sibling of ``tfidf_topk``
+    (which extracts keywords per doc; this ranks docs per query).
+
+    Cross-engine determinism is engineered the way the perplexity
+    operators do it: the per-term contribution is one fixed IEEE
+    expression tree (products/divisions only — the rational Robertson
+    idf (N-df+0.5)/(df+0.5) replaces the log form; log is monotone per
+    term but transcendental, and the SUM over terms makes "same
+    ranking" insufficient), then QUANTIZED to a 2^20 fixed-point
+    integer per (query, doc, term) so the cross-term sum is integer —
+    engine- and order-independent.
+
+    The query workload here is derived from the corpus so the harness
+    is self-contained (top n_queries*terms_per_query vocabulary tokens
+    by (count desc, token), chunked into consecutive runs of
+    terms_per_query); production would pass a given bounded query
+    table.
+
+    Plan: ONE corpus explode -> (doc, tok) count (map-side combinable);
+    the bounded query-term dim broadcasts onto the postings FIRST, so
+    document frequency and scoring touch only matching postings; corpus
+    length stats are two scalar aggregates travelling by broadcast; the
+    final top-k is a window partitioned by query over the candidate
+    set.  At 100 TB the candidate set for a common term is
+    corpus-sized — the production path is impact-ordered postings with
+    block-max WAND pruning; this operator keeps the exact semantics and
+    bounds the output (n_queries x k).
+
+    Reference analog: powa's text surface stops at regex filtering
+    (powa--5.2.0.sql wildcard query filters); retrieval is a pipeline
+    extension."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    term = (
+        docs.select(
+            F.col(id_col), F.size(toks).alias("dlen"),
+            F.explode(toks).alias("tok"),
+        )
+        .groupBy(id_col, "dlen", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_terms = n_queries * terms_per_query
+    # TakeOrdered (orderBy+limit) bounds the vocabulary; the n_terms
+    # winners come to the driver as a bounded probe transfer (the BPE
+    # argmax / CC checksum precedent) and go back as a literal 20-row
+    # query dim — no ranking window at all
+    top_toks = (
+        term.groupBy("tok").agg(F.sum("c").alias("vc"))
+        .orderBy(F.col("vc").desc(), F.col("tok").asc())
+        .limit(n_terms)
+        .collect()
+    )
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(i // terms_per_query, r.tok) for i, r in enumerate(top_toks)],
+        "query_id long, tok string",
+    )
+    stats = docs.select(
+        F.size(toks).alias("dlen")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dlen").alias("sum_dlen"),
+    )
+    matched = term.join(F.broadcast(qterms), "tok")
+    df_tok = matched.groupBy("tok").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    cd = F.col("c").cast("double")
+    dlend = F.col("dlen").cast("double")
+    avgdl = F.col("sum_dlen").cast("double") / nd
+    idf = (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    tfn = (cd * F.lit(k1 + 1.0)) / (
+        cd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dlend / avgdl))
+    )
+    contrib = (
+        matched.join(F.broadcast(df_tok), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", id_col,
+            F.floor(idf * tfn * F.lit(1048576.0))
+            .cast("long").alias("c_fp"),
+        )
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col(id_col).asc()
+    )
+    return (
+        contrib.groupBy("query_id", id_col)
+        .agg(F.sum("c_fp").alias("score_fp"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score_fp")
+    )

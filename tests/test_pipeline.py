@@ -2928,3 +2928,37 @@ def test_ngram_perplexity_interpolated_hand_computed(spark):
     assert (out[11].n_bigrams, out[11].sum_bits) == (1, 1)
     assert (out[12].n_bigrams, out[12].sum_bits) == (1, 3)
     assert out[12].bits_per_token == 3.0
+
+
+def test_bm25_search_ranking_and_determinism(spark):
+    """BM25: a doc saturated with a query's rarer terms outranks docs
+    that only carry the corpus-common ones; output is bounded to
+    n_queries x k; repartitioning does not move a single fixed-point
+    score (the integer quantization is the cross-engine contract)."""
+    from powa_archivist_spark.pipeline import textstats
+
+    # 12 docs over a tiny vocabulary; token 'z0'..'z3' rare, 'a0'..'a3'
+    # everywhere.  Query 0 = top-4 tokens (the a's), query 1 = next 4.
+    rows = []
+    for i in range(10):
+        rows.append((i, "a0 a1 a2 a3 " * 3 + "pad"))
+    rows.append((10, "z0 z1 z2 z3 z0 z1 z2 z3 a0"))
+    rows.append((11, "z0 a0 a1 a2 a3 pad pad"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.bm25_search(
+        df, n_queries=2, terms_per_query=4, k=5
+    ).collect()
+    assert len(out) == 2 * 5
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    # the z-query's top hit is the z-saturated doc 10
+    q_z = max(by_q)  # z tokens are rarer -> later vocab ranks
+    top = min(by_q[q_z], key=lambda r: r.rank)
+    assert top.doc_id == 10
+    assert all(r.score_fp >= 0 for r in out)
+    again = {(r.query_id, r.doc_id): r.score_fp for r in
+             textstats.bm25_search(
+                 df.repartition(7), n_queries=2, terms_per_query=4, k=5
+             ).collect()}
+    assert again == {(r.query_id, r.doc_id): r.score_fp for r in out}

@@ -763,3 +763,20 @@ def test_cms_counts_plan_broadcast_only_no_windows(spark):
     assert pi.window_count(df) == 0
     assert "partial_count" in plan  # register build combines map-side
     assert "BroadcastHashJoin" in plan  # sketch + recount sides
+
+
+def test_bm25_broadcast_query_dim_partitioned_window(spark):
+    """docs_bm25_topk: the bounded query-term dim (a literal 20-row
+    frame built from a TakeOrdered driver probe) and the per-term df
+    dim travel by broadcast onto the postings (document frequency and
+    scoring touch only matching postings); the postings groupBys
+    combine map-side; the only window is the query-partitioned top-k;
+    no cartesian."""
+    from powa_archivist_spark.pipeline.queries import docs_bm25_topk
+
+    df = docs_bm25_topk(spark, SF)
+    plan = pi.plan_string(df)
+    assert not pi.has_cartesian(df)
+    assert pi.unbounded_global_windows(df) == []
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
