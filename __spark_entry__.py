@@ -77,10 +77,12 @@ _GATE_ORDER = [
     # by tests/test_oracle_full); stream_cms_profile (its at-rest
     # streaming ledger) displaces corpus_quality_gate (r8-gate green);
     # docs_bm25_topk (fixed-point BM25 retrieval) displaces
-    # corpus_vocab_topk (r7-gate green)
+    # corpus_vocab_topk (r7-gate green); ann_mrl_recall (truncated-dim
+    # recall eval) displaces corpus_shuffle_shards (r8-gate green)
     "events_cms_counts",
     "stream_cms_profile",
     "docs_bm25_topk",
+    "ann_mrl_recall",
     # --- r8 window held over (r8-gate green; kept so the heavy
     # pipeline additions stay continuously driver-verified) ---
     "multimodal_resize",

@@ -4180,6 +4180,71 @@ def ann_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall_at_k(exact, approx, k=10)
 
 
+def ann_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PREFIX-TRUNCATED embeddings (Matryoshka-style: keep
+    the first 16 of 64 dims, rank by the truncated quantized dot)
+    against the full-dimension exact ground truth on the same 5
+    queries.  Completes the ANN memory ladder's measured recall axis:
+    PQ (32x, ann_pq_recall), int8 SQ (4x, ann_sq_recall), and now
+    dimension truncation (4x, zero decode cost) — the three compression
+    families a deployment actually chooses between.  Truncated vectors
+    are deliberately NOT renormalized: per-candidate norms would put a
+    sqrt into the ranking and break exact cross-engine replay; the
+    prefix-dot ranking is the documented metric and the oracle replays
+    it bit-for-bit."""
+    emb = t(spark, sf_dir, "embeddings")
+    exact = similarity.knn_bruteforce(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+    trunc = emb.withColumn("embedding", F.slice("embedding", 1, 16))
+    approx = similarity.knn_bruteforce(
+        trunc, query_ids=[0, 1, 2, 3, 4], k=10
+    )
+    return similarity.ann_recall_at_k(exact, approx, k=10)
+
+
+ORACLE_MRL_TOPK = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding[1:16],
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, dot_q, rank
+FROM (
+  SELECT query_id, neighbor_id, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(q.v, c.v),
+             x -> x[1] * x[2])) AS BIGINT) AS dot_q
+    FROM e q, e c
+    WHERE q.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id != q.vec_id
+  ) s
+) r
+WHERE rank <= 10
+"""
+
+ORACLE_MRL_RECALL = f"""
+WITH approx AS (
+{ORACLE_MRL_TOPK}
+), exact AS (
+{ORACLE_KNN}
+), hits AS (
+  SELECT e.query_id, COUNT(*) AS hits
+  FROM exact e
+  JOIN approx a ON a.query_id = e.query_id
+              AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(10 AS BIGINT) AS k,
+       CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
 ORACLE_SQ_RECALL = f"""
 WITH approx AS (
 {ORACLE_SQ_TOPK}
@@ -4374,6 +4439,7 @@ PIPELINE_QUERIES = {
     "source_overlap_kmv": (source_overlap_kmv, ORACLE_SOURCE_OVERLAP),
     "knn_sq_topk": (knn_sq_topk, ORACLE_SQ_TOPK),
     "ann_sq_recall": (ann_sq_recall, ORACLE_SQ_RECALL),
+    "ann_mrl_recall": (ann_mrl_recall, ORACLE_MRL_RECALL),
     "corpus_ngram_ppl_interp": (corpus_ngram_ppl_interp,
                                 ORACLE_NGRAM_PPL_INTERP),
 }

@@ -2962,3 +2962,36 @@ def test_bm25_search_ranking_and_determinism(spark):
                  df.repartition(7), n_queries=2, terms_per_query=4, k=5
              ).collect()}
     assert again == {(r.query_id, r.doc_id): r.score_fp for r in out}
+
+
+def test_mrl_truncated_recall_bounds_and_full_dim_identity(spark):
+    """Prefix-truncation recall: truncating to the FULL dimension must
+    reproduce the exact ranking (recall 1.0 per query); a shorter
+    prefix stays within [0, 1] and the metric frame is one row per
+    query."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = similarity.knn_bruteforce(emb, query_ids=qids, k=5)
+    full = similarity.ann_recall_at_k(
+        exact,
+        similarity.knn_bruteforce(
+            emb.withColumn("embedding", F.slice("embedding", 1, 64)),
+            query_ids=qids, k=5,
+        ),
+        k=5,
+    ).collect()
+    assert sorted(r.recall for r in full) == [1.0, 1.0, 1.0]
+    short = similarity.ann_recall_at_k(
+        exact,
+        similarity.knn_bruteforce(
+            emb.withColumn("embedding", F.slice("embedding", 1, 8)),
+            query_ids=qids, k=5,
+        ),
+        k=5,
+    ).collect()
+    assert len(short) == len(qids)
+    assert all(0.0 <= r.recall <= 1.0 for r in short)
