@@ -78,11 +78,14 @@ _GATE_ORDER = [
     # streaming ledger) displaces corpus_quality_gate (r8-gate green);
     # docs_bm25_topk (fixed-point BM25 retrieval) displaces
     # corpus_vocab_topk (r7-gate green); ann_mrl_recall (truncated-dim
-    # recall eval) displaces corpus_shuffle_shards (r8-gate green)
+    # recall eval) displaces corpus_shuffle_shards (r8-gate green);
+    # corpus_group_sample (bottom-k mergeable per-source sample)
+    # displaces corpus_prep_funnel (r7-gate green)
     "events_cms_counts",
     "stream_cms_profile",
     "docs_bm25_topk",
     "ann_mrl_recall",
+    "corpus_group_sample",
     # --- r8 window held over (r8-gate green; kept so the heavy
     # pipeline additions stay continuously driver-verified) ---
     "multimodal_resize",

@@ -951,6 +951,34 @@ WHERE lang IN ({", ".join(repr(k) for k in sorted(MIX_RATES))})
 """
 
 
+def corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-32 deterministic per-source sample (pipeline/sketches.
+    group_sample): bottom-k by the cross-engine doc-id hash — the
+    mergeable exact-size eval-slice primitive, vs the rate-based
+    ``corpus_stratified_sample`` whose slice size floats with the
+    corpus.  The per-partition bottom-k buffer bounds the shuffle to
+    partitions x k rows per source."""
+    from . import sketches
+
+    return sketches.group_sample(
+        t(spark, sf_dir, "documents"), ["source"], "doc_id", k=32
+    )
+
+
+ORACLE_GROUP_SAMPLE = """
+SELECT source, rank, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT ASC,
+                    doc_id ASC
+         ) AS rank
+  FROM documents
+) WHERE rank <= 32
+"""
+
+
 def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (chunk_len=32, overlap=8 —
     RAG/embedding prep); map-only, no shuffle."""
@@ -4375,6 +4403,7 @@ PIPELINE_QUERIES = {
     "pii_scrub_stats": (pii_scrub_stats, ORACLE_PII_SCRUB),
     "corpus_prep_funnel": (corpus_prep_funnel, ORACLE_CORPUS_PREP),
     "corpus_pack_sequences": (corpus_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "corpus_group_sample": (corpus_group_sample, ORACLE_GROUP_SAMPLE),
     "corpus_stratified_sample": (corpus_stratified_sample,
                                  ORACLE_STRATIFIED_SAMPLE),
     "corpus_token_stats": (corpus_token_stats, ORACLE_TOKEN_STATS),

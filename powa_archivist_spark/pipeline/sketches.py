@@ -653,3 +653,43 @@ def cms_estimate(
         .groupBy(*group_cols, key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt"))
     )
+
+
+def group_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Fixed-k deterministic uniform sample per group — bottom-k by the
+    cross-engine hash of the row id (the SAMPLING analog of KMV: the
+    k-min property makes samples MERGEABLE, union two corpora's samples
+    and re-take the bottom k to get exactly the combined corpus's
+    sample).  The per-source eval-slice / debugging-sample primitive a
+    curation pipeline runs; unlike ``corpus_stratified_sample``'s rate
+    filter this guarantees an exact-size slice per group at any corpus
+    size.
+
+    Scale shape: the per-partition bottom-k buffer (the ``_kmv_local``
+    stage) prunes to <= k rows per (group, partition) BEFORE the only
+    shuffle, so the group-partitioned ranking window sees
+    partitions x k rows per group, never the corpus.  Hash family: md5
+    60-bit (``cross_engine_hash64``) so the oracle replays the exact
+    sample membership; production would swap in xxhash64."""
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        *group_cols, id_col,
+        cross_engine_hash64(F.col(id_col)).alias("h"),
+    )
+    local = hashed.mapInPandas(
+        _kmv_local(group_cols, k), schema=hashed.schema
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("h").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "rank", id_col)
+    )

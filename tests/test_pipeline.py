@@ -2995,3 +2995,38 @@ def test_mrl_truncated_recall_bounds_and_full_dim_identity(spark):
     ).collect()
     assert len(short) == len(qids)
     assert all(0.0 <= r.recall <= 1.0 for r in short)
+
+
+def test_group_sample_fixed_k_and_mergeable(spark):
+    """Bottom-k-by-hash sampling: exactly k rows per group (all rows
+    when the group is smaller), partitioning-invariant, and MERGEABLE —
+    re-sampling the union of two halves' samples reproduces the whole
+    corpus's sample exactly (the k-min nesting property)."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import sketches
+
+    rows = [("big", i) for i in range(200)] + [
+        ("tiny", 1000 + i) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long")
+    out = sketches.group_sample(df, ["src"], "doc_id", k=16).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.src, set()).add(r.doc_id)
+    assert len(by["big"]) == 16
+    assert by["tiny"] == {1000 + i for i in range(5)}
+    # partitioning invariance
+    again = {(r.src, r.doc_id) for r in sketches.group_sample(
+        df.repartition(9), ["src"], "doc_id", k=16).collect()}
+    assert again == {(r.src, r.doc_id) for r in out}
+    # mergeability: sample each half, union, re-sample
+    half_a = sketches.group_sample(
+        df.filter(F.col("doc_id") % 2 == 0), ["src"], "doc_id", k=16
+    ).select("src", "doc_id")
+    half_b = sketches.group_sample(
+        df.filter(F.col("doc_id") % 2 == 1), ["src"], "doc_id", k=16
+    ).select("src", "doc_id")
+    merged = {(r.src, r.doc_id) for r in sketches.group_sample(
+        half_a.unionAll(half_b), ["src"], "doc_id", k=16).collect()}
+    assert merged == {(r.src, r.doc_id) for r in out}
