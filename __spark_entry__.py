@@ -80,12 +80,14 @@ _GATE_ORDER = [
     # corpus_vocab_topk (r7-gate green); ann_mrl_recall (truncated-dim
     # recall eval) displaces corpus_shuffle_shards (r8-gate green);
     # corpus_group_sample (bottom-k mergeable per-source sample)
-    # displaces corpus_prep_funnel (r7-gate green)
+    # displaces corpus_prep_funnel (r7-gate green); stream_bm25_index
+    # (the postings ledger) displaces dedup_winnow_pairs (r7-gate green)
     "events_cms_counts",
     "stream_cms_profile",
     "docs_bm25_topk",
     "ann_mrl_recall",
     "corpus_group_sample",
+    "stream_bm25_index",
     # --- r8 window held over (r8-gate green; kept so the heavy
     # pipeline additions stay continuously driver-verified) ---
     "multimodal_resize",

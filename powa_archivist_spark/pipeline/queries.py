@@ -4208,6 +4208,37 @@ def ann_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall_at_k(exact, approx, k=10)
 
 
+def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-batch replay of the STREAMING at-rest BM25
+    postings ledger (streaming/retrieval.py): documents arrive in four
+    fixed micro-batches (doc_id % 4, in order), each appending its
+    postings + corpus-stats rows through one manifest; the final top-k
+    retrieval reads the ledger alone.  Disjoint-doc union (and summed
+    integer stats) make the profile EQUAL to the one-shot batch BM25,
+    so the oracle is the batch BM25 oracle."""
+    import shutil
+    import tempfile
+
+    from ..storage import Warehouse
+    from ..streaming.retrieval import bm25_profile, process_postings_batch
+
+    docs = t(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="bm25_ledger_")
+    try:
+        wh = Warehouse(spark, scratch)
+        for bch in range(4):
+            process_postings_batch(
+                wh, docs.filter(F.col("doc_id") % 4 == bch), bch,
+            )
+        return (
+            bm25_profile(wh)
+            .orderBy("query_id", "rank")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def ann_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of PREFIX-TRUNCATED embeddings (Matryoshka-style: keep
     the first 16 of 64 dims, rank by the truncated quantized dot)
@@ -4412,6 +4443,7 @@ PIPELINE_QUERIES = {
     "corpus_shuffle_shards": (corpus_shuffle_shards, ORACLE_SHUFFLE_SHARDS),
     "text_tfidf_topk": (text_tfidf_topk, ORACLE_TFIDF),
     "docs_bm25_topk": (docs_bm25_topk, ORACLE_BM25),
+    "stream_bm25_index": (stream_bm25_index, ORACLE_BM25),
     "corpus_chunks": (corpus_chunks, ORACLE_CHUNKS),
     "ivf_refined_centroids": (ivf_refined_centroids, ORACLE_IVF_REFINE),
     "stream_near_dup_ledger": (stream_near_dup_ledger,

@@ -1073,10 +1073,27 @@ def bm25_search(docs: DataFrame, n_queries: int = 5,
     Reference analog: powa's text surface stops at regex filtering
     (powa--5.2.0.sql wildcard query filters); retrieval is a pipeline
     extension."""
-    from pyspark.sql import Window
-
     toks = F.split(F.col(text_col), " ")
-    term = (
+    stats = docs.select(
+        F.size(toks).alias("dlen")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dlen").alias("sum_dlen"),
+    )
+    return bm25_from_postings(
+        bm25_postings(docs, text_col, id_col), stats,
+        n_queries=n_queries, terms_per_query=terms_per_query,
+        k=k, k1=k1, b=b, id_col=id_col,
+    )
+
+
+def bm25_postings(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """One corpus pass -> the postings table (id, dlen, tok, c).
+    Postings of two corpora with DISJOINT doc ids merge by plain union
+    — what the streaming ledger (streaming/retrieval.py) appends."""
+    toks = F.split(F.col(text_col), " ")
+    return (
         docs.select(
             F.col(id_col), F.size(toks).alias("dlen"),
             F.explode(toks).alias("tok"),
@@ -1084,6 +1101,17 @@ def bm25_search(docs: DataFrame, n_queries: int = 5,
         .groupBy(id_col, "dlen", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def bm25_from_postings(term: DataFrame, stats: DataFrame,
+                       n_queries: int = 5, terms_per_query: int = 4,
+                       k: int = 10, k1: float = 1.2, b: float = 0.75,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Score from an at-rest postings table + one-row corpus stats
+    (n_docs, sum_dlen) — the scoring half of :func:`bm25_search`,
+    reused by the streaming postings ledger."""
+    from pyspark.sql import Window
+
     n_terms = n_queries * terms_per_query
     # TakeOrdered (orderBy+limit) bounds the vocabulary; the n_terms
     # winners come to the driver as a bounded probe transfer (the BPE
@@ -1095,16 +1123,10 @@ def bm25_search(docs: DataFrame, n_queries: int = 5,
         .limit(n_terms)
         .collect()
     )
-    spark = docs.sparkSession
+    spark = term.sparkSession
     qterms = spark.createDataFrame(
         [(i // terms_per_query, r.tok) for i, r in enumerate(top_toks)],
         "query_id long, tok string",
-    )
-    stats = docs.select(
-        F.size(toks).alias("dlen")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dlen").alias("sum_dlen"),
     )
     matched = term.join(F.broadcast(qterms), "tok")
     df_tok = matched.groupBy("tok").agg(

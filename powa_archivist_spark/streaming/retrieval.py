@@ -1,0 +1,101 @@
+"""Streaming retrieval-index maintenance — an at-rest BM25 postings
+ledger maintained across micro-batches (late r9).
+
+The batch operator (pipeline/textstats.bm25_postings) is the state that
+makes this work: an exploded (doc, dlen, tok, c) postings table.  Docs
+are immutable and arrive whole in exactly one micro-batch, so postings
+of successive epochs have DISJOINT doc ids and the merge is plain
+UNION — each micro-batch appends its postings rows plus ONE corpus-stats
+row (n_docs, sum_dlen; those merge by SUM), both tagged with the epoch.
+Scoring reads the ledger alone — the index stays fresh without ever
+rescanning history.
+
+Disjoint-union merge is not idempotent any more than the CMS sum is —
+a replayed epoch would duplicate every posting it carries — so the fold
+follows the ledger shape (streaming/cms.py, streaming/quantiles.py):
+
+- both frames append through ONE txn.StagedPass manifest (atomic at
+  rest, crash-invisible to readers);
+- a replay short-circuit probes the postings table for the epoch id
+  with a ``limit(1)`` job — a checkpoint-replayed epoch whose rows
+  landed is a no-op.
+
+The profile after ANY batch arrival order equals the ONE-SHOT batch
+BM25 over the union of the docs (tested bit-for-bit): the postings
+union is literally the same multiset of rows, and the summed stats are
+the same two integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..pipeline.textstats import bm25_from_postings, bm25_postings
+from ..storage import Warehouse
+
+POSTINGS_TABLE = "retrieval_postings"
+STATS_TABLE = "retrieval_corpus_stats"
+
+
+def process_postings_batch(
+    wh: Warehouse,
+    batch: DataFrame,
+    epoch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = POSTINGS_TABLE,
+    stats_table: str = STATS_TABLE,
+) -> bool:
+    """Append one micro-batch's postings + stats rows to the at-rest
+    ledger; returns False when the epoch already landed (checkpoint
+    replay — the short-circuit is load-bearing: a duplicated epoch
+    would double its docs' postings and inflate n_docs)."""
+    from ..txn import GLOBAL_LANE, StagedPass
+
+    StagedPass.recover(wh, GLOBAL_LANE)
+    StagedPass.sweep_flat_stages(wh, table)
+    StagedPass.sweep_flat_stages(wh, stats_table)
+    if wh.exists(table):
+        seen = (
+            wh.read(table)
+            .filter(F.col("epoch") == epoch_id)
+            .limit(1).count()
+        )
+        if seen:
+            return False
+    toks = F.split(F.col(text_col), " ")
+    post = bm25_postings(batch, text_col, id_col).withColumn(
+        "epoch", F.lit(int(epoch_id)).cast("long")
+    )
+    stats = batch.select(F.size(toks).alias("dlen")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dlen").alias("sum_dlen"),
+    ).withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+    sp = StagedPass(wh, GLOBAL_LANE)
+    sp.stage_append_flat(post, table)
+    sp.stage_append_flat(stats, stats_table)
+    sp.publish()
+    return True
+
+
+def bm25_profile(
+    wh: Warehouse,
+    n_queries: int = 5,
+    terms_per_query: int = 4,
+    k: int = 10,
+    id_col: str = "doc_id",
+    table: str = POSTINGS_TABLE,
+    stats_table: str = STATS_TABLE,
+) -> DataFrame:
+    """Top-k retrieval from the at-rest ledger alone — equal to the
+    one-shot batch BM25 over everything ingested."""
+    term = wh.read(table).drop("epoch")
+    stats = wh.read(stats_table).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_dlen").alias("sum_dlen"),
+    )
+    return bm25_from_postings(
+        term, stats, n_queries=n_queries,
+        terms_per_query=terms_per_query, k=k, id_col=id_col,
+    )

@@ -1096,6 +1096,48 @@ def test_stream_pq_ingest_runtime(spark, wh):
     assert pq_codes(wh).count() == n0
 
 
+def test_bm25_postings_ledger_replay_and_one_shot_equality(spark, wh):
+    """late r9: the at-rest BM25 postings ledger — a checkpoint-replayed
+    epoch is a no-op (disjoint-doc union is not idempotent: a
+    duplicated epoch would double its docs' postings and inflate
+    n_docs), and the ledger profile equals the one-shot batch BM25
+    bit-for-bit, fixed-point score included."""
+    from powa_archivist_spark.pipeline import textstats
+    from powa_archivist_spark.streaming.retrieval import (
+        bm25_profile,
+        process_postings_batch,
+    )
+
+    words = ["w%d" % (i % 9) for i in range(30)]
+    rows = [(i, " ".join(words[(i % 7):(i % 7) + 12])) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for b in range(3):
+        assert process_postings_batch(
+            wh, df.filter(df.doc_id % 3 == b), b,
+            table="bm25_post_t", stats_table="bm25_stats_t",
+        )
+    base = sorted(map(tuple, bm25_profile(
+        wh, n_queries=2, terms_per_query=3, k=5,
+        table="bm25_post_t", stats_table="bm25_stats_t",
+    ).collect()))
+
+    # replayed epoch: short-circuit, profile unchanged
+    assert not process_postings_batch(
+        wh, df.filter(df.doc_id % 3 == 1), 1,
+        table="bm25_post_t", stats_table="bm25_stats_t",
+    )
+    assert sorted(map(tuple, bm25_profile(
+        wh, n_queries=2, terms_per_query=3, k=5,
+        table="bm25_post_t", stats_table="bm25_stats_t",
+    ).collect())) == base
+
+    one = sorted(map(tuple, textstats.bm25_search(
+        df, n_queries=2, terms_per_query=3, k=5,
+    ).collect()))
+    assert base == one
+
+
 def test_cms_profile_replay_and_compaction(spark, wh):
     """late r9: the at-rest Count-Min register ledger — a
     checkpoint-replayed epoch is a no-op (SUM-merge is NOT idempotent,
