@@ -81,13 +81,17 @@ _GATE_ORDER = [
     # recall eval) displaces corpus_shuffle_shards (r8-gate green);
     # corpus_group_sample (bottom-k mergeable per-source sample)
     # displaces corpus_prep_funnel (r7-gate green); stream_bm25_index
-    # (the postings ledger) displaces dedup_winnow_pairs (r7-gate green)
+    # (the postings ledger) displaces dedup_winnow_pairs (r7-gate
+    # green); events_cms_windowed + docs_heavy_tokens_by_source
+    # displace text_tfidf_topk and pii_scrub_stats (both r7-gate green)
     "events_cms_counts",
     "stream_cms_profile",
     "docs_bm25_topk",
     "ann_mrl_recall",
     "corpus_group_sample",
     "stream_bm25_index",
+    "events_cms_windowed",
+    "docs_heavy_tokens_by_source",
     # --- r8 window held over (r8-gate green; kept so the heavy
     # pipeline additions stay continuously driver-verified) ---
     "multimodal_resize",

@@ -1249,6 +1249,37 @@ HAVING count(*) * 30 > any_value(t.total) * 1
 """
 
 
+def docs_heavy_tokens_by_source(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Exact PER-GROUP heavy hitters (late r9): tokens exceeding 1/25
+    of their own source's token stream — per-source vocabulary skew,
+    the grouped form of docs_heavy_tokens (pipeline/sketches.
+    heavy_hitters_grouped).  The oracle is the naive exact SQL; the
+    Spark plan shuffles only per-group Misra-Gries candidates, never
+    the full (source, token) distribution."""
+    from . import sketches
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    return sketches.heavy_hitters_grouped(toks, "tok", ["source"], 1, 25)
+
+
+ORACLE_HEAVY_TOKENS_BY_SOURCE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), tot AS (
+  SELECT source, count(*) AS total FROM toks GROUP BY source
+)
+SELECT t.source, t.tok, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(*) AS DOUBLE) / any_value(o.total) AS frac
+FROM toks t JOIN tot o ON o.source = t.source
+GROUP BY t.source, t.tok
+HAVING count(*) * 25 > any_value(o.total) * 1
+"""
+
+
 def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-user estimate per event_type in the cross-engine
     hash family (pipeline/sketches.py); the oracle replays the k-th
@@ -1343,6 +1374,70 @@ SELECT e.event_type, e.user_id,
 FROM est e
 LEFT JOIN exact x
   ON x.event_type = e.event_type AND x.user_id = e.user_id
+"""
+
+
+def events_cms_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed Count-Min (late r9): watchlist frequency estimates
+    per (event_type, day) — the tumbling-window form of the sketch,
+    mirroring events_hll_windowed; at scale each day's registers
+    persist independently and roll up to weeks/months by register
+    ADDITION without rescanning history."""
+    from . import sketches
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    probes = ev.select("user_id").distinct().orderBy("user_id").limit(10)
+    return sketches.cms_counts(
+        ev, "user_id", ["event_type", "day"], probes, d=4, w=64
+    )
+
+
+ORACLE_CMS_WINDOWED = """
+WITH ev AS (
+  SELECT *, date_trunc('day', ts) AS day FROM events
+), probes AS (
+  SELECT user_id FROM (SELECT DISTINCT user_id FROM ev)
+  ORDER BY user_id LIMIT 10
+), seeds AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) AS s(seed)
+), sketch AS (
+  SELECT event_type, day, seed,
+         ('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' ||
+                                CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 64 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM ev CROSS JOIN seeds
+  GROUP BY 1, 2, 3, 4
+), grid AS (
+  SELECT event_type, day, user_id
+  FROM (SELECT DISTINCT event_type, day FROM ev) CROSS JOIN probes
+), est AS (
+  SELECT g.event_type, g.day, g.user_id,
+         CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_cnt
+  FROM grid g
+  CROSS JOIN seeds s
+  LEFT JOIN sketch sk
+    ON sk.event_type = g.event_type AND sk.day = g.day
+   AND sk.seed = s.seed
+   AND sk.bucket = ('0x' || substring(md5(CAST(s.seed AS VARCHAR) || ':' ||
+                                          CAST(g.user_id AS VARCHAR)),
+                                      1, 15))::BIGINT % 64
+  GROUP BY 1, 2, 3
+), exact AS (
+  SELECT event_type, day, user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM ev
+  WHERE user_id IN (SELECT user_id FROM probes)
+  GROUP BY 1, 2, 3
+)
+SELECT e.event_type, e.day, e.user_id,
+       CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt,
+       e.est_cnt
+FROM est e
+LEFT JOIN exact x
+  ON x.event_type = e.event_type AND x.day = e.day
+ AND x.user_id = e.user_id
 """
 
 
@@ -4400,9 +4495,12 @@ FROM agg
 
 PIPELINE_QUERIES = {
     "docs_heavy_tokens": (docs_heavy_tokens, ORACLE_HEAVY_TOKENS),
+    "docs_heavy_tokens_by_source": (docs_heavy_tokens_by_source,
+                                    ORACLE_HEAVY_TOKENS_BY_SOURCE),
     "events_kmv_distinct": (events_kmv_distinct, ORACLE_KMV_DISTINCT),
     "events_cms_counts": (events_cms_counts, ORACLE_CMS_COUNTS),
     "stream_cms_profile": (stream_cms_profile, ORACLE_STREAM_CMS_PROFILE),
+    "events_cms_windowed": (events_cms_windowed, ORACLE_CMS_WINDOWED),
     "events_kll_quantiles": (events_kll_quantiles, ORACLE_KLL_QUANTILES),
     "stream_kll_profile": (stream_kll_profile, ORACLE_KLL_QUANTILES),
     "events_hll_distinct": (events_hll_distinct, ORACLE_HLL_DISTINCT),

@@ -693,3 +693,82 @@ def group_sample(
         .filter(F.col("rank") <= k)
         .select(*group_cols, "rank", id_col)
     )
+
+
+def _mg_candidates_grouped(group_cols: Sequence[str], col: str, cap: int):
+    """Misra-Gries per GROUP over one partition's Arrow batches: an
+    independent cap-bounded counter table per group key, same
+    subtract-and-drop overflow rule as :func:`_mg_candidates` — the
+    superset guarantee holds per group because each group's counters
+    only ever charge that group's items."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        per_group: dict = {}
+        for pdf in batches:
+            vc = pdf.groupby(
+                [*group_cols, col], dropna=False
+            ).size()
+            for key, c in vc.items():
+                g, item = key[:-1], key[-1]
+                counters = per_group.setdefault(g, {})
+                counters[item] = counters.get(item, 0) + int(c)
+                if len(counters) > cap:
+                    vals = sorted(counters.values(), reverse=True)
+                    d = vals[cap]
+                    per_group[g] = {
+                        k: v - d for k, v in counters.items() if v - d > 0
+                    }
+        rows = [
+            (*g, item)
+            for g, counters in per_group.items()
+            for item in counters
+        ]
+        yield pd.DataFrame(rows, columns=[*group_cols, col])
+
+    return run
+
+
+def heavy_hitters_grouped(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str],
+    threshold_num: int = 1,
+    threshold_den: int = 30,
+) -> DataFrame:
+    """EXACT per-group heavy hitters: items with frequency >
+    num/den of THEIR GROUP's rows — :func:`heavy_hitters` with a group
+    dimension (per-source vocabulary skew, per-language stopword
+    drift).  Per partition an independent Misra-Gries table per group
+    emits <= cap candidates per (group, partition); the bounded
+    candidate union is broadcast back as a (group, item) semi-join
+    filter and only candidates are recounted exactly against per-group
+    totals.  Integer boundary compare keeps results engine-exact.
+    Output: (group..., value, cnt, frac)."""
+    cap = math.ceil(threshold_den / threshold_num)
+    schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}"
+        for c in [*group_cols, col]
+    )
+    cands = (
+        df.select(*group_cols, col)
+        .mapInPandas(
+            _mg_candidates_grouped(group_cols, col, cap), schema=schema
+        )
+        .distinct()
+    )
+    totals = df.groupBy(*group_cols).agg(F.count("*").alias("total"))
+    return (
+        df.join(F.broadcast(cands), [*group_cols, col], "left_semi")
+        .groupBy(*group_cols, col)
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(totals), list(group_cols))
+        .filter(
+            F.col("cnt") * threshold_den > F.col("total") * threshold_num
+        )
+        .select(
+            *group_cols,
+            col,
+            "cnt",
+            (F.col("cnt") / F.col("total")).alias("frac"),
+        )
+    )

@@ -3030,3 +3030,35 @@ def test_group_sample_fixed_k_and_mergeable(spark):
     merged = {(r.src, r.doc_id) for r in sketches.group_sample(
         half_a.unionAll(half_b), ["src"], "doc_id", k=16).collect()}
     assert merged == {(r.src, r.doc_id) for r in out}
+
+
+def test_heavy_hitters_grouped_exact_per_group(spark):
+    """Per-group Misra-Gries + exact recount: thresholds apply to each
+    group's own total, results are exact (match a naive computation),
+    and a value heavy in one group does not leak into another."""
+    from collections import Counter
+
+    from powa_archivist_spark.pipeline import sketches
+
+    rows = (
+        [("a", "hot")] * 50 + [("a", f"r{i}") for i in range(60)]
+        + [("b", "cold")] * 9 + [("b", "hot")] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, tok string")
+    out = {(r.g, r.tok): r.cnt for r in
+           sketches.heavy_hitters_grouped(df, "tok", ["g"], 1, 4)
+           .collect()}
+    naive = {}
+    for g in ("a", "b"):
+        items = [t for gg, t in rows if gg == g]
+        for tok, c in Counter(items).items():
+            if c * 4 > len(items):
+                naive[(g, tok)] = c
+    assert out == naive
+    assert ("a", "hot") in out and ("b", "cold") in out
+    assert ("b", "hot") not in out  # 2/11 <= 1/4: group-local threshold
+    # partitioning invariance (candidate pruning is per partition)
+    again = {(r.g, r.tok): r.cnt for r in
+             sketches.heavy_hitters_grouped(
+                 df.repartition(13), "tok", ["g"], 1, 4).collect()}
+    assert again == naive
