@@ -167,23 +167,20 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     (equal masks == equal sets), so a second digest pass there is pure
     overhead (r9 A/B: +25% on the probe-declared queries)."""
     toks = token_sets(docs, text_col, id_col)
-    if strategy == "prefix":
-        if route_out is not None:
-            route_out["route"] = "prefix"
-        groups = _collapse_token_sets(toks, id_col)
-        return _expand_set_pairs(
-            _jaccard_prefix_sets(groups.select(F.col("set_id"), "toks"),
-                                 threshold),
-            groups,
-        )
-    vocab = _probe_vocab(toks, strategy)
-    if vocab is not None:
-        if route_out is not None:
-            route_out["route"] = "bitmask"
-        return _jaccard_bitmask(toks, vocab, threshold, id_col)
+    if strategy != "prefix":
+        vocab = _probe_vocab(toks, strategy)
+        if vocab is not None and _masks_fit_bitmask(toks, vocab, id_col,
+                                                    strategy):
+            if route_out is not None:
+                route_out["route"] = "bitmask"
+            return _jaccard_bitmask(toks, vocab, threshold, id_col)
     if route_out is not None:
         route_out["route"] = "prefix"
-    groups = _collapse_token_sets(toks, id_col)
+    # lazy localCheckpoint: groups feeds the set-pair build AND both
+    # expansion sides — without it the token_sets+collapse groupBy
+    # re-executes per reference (near_dup_components applies the same
+    # cut for the same reason)
+    groups = _collapse_token_sets(toks, id_col).localCheckpoint(eager=False)
     return _expand_set_pairs(
         _jaccard_prefix_sets(groups.select(F.col("set_id"), "toks"),
                              threshold),
@@ -220,6 +217,49 @@ def _probe_vocab(toks: DataFrame, strategy: str) -> list | None:
         "pin strategy='prefix' for growing corpora)"
     )
     return None
+
+
+#: Bitmask route admission cap on DISTINCT MASKS (r10, VERDICT r9 task
+#: 3): the mask-pair stage is ``crossJoin(broadcast(groups))`` —
+#: quadratic in distinct masks, which a 50-token vocabulary corpus can
+#: push to millions (2^50 possible masks) even though the 63-token
+#: vocabulary probe passes.  4096 masks -> <=8.4M cheap bit-op pairs.
+BITMASK_MAX_MASKS = 4096
+
+
+def _masks_fit_bitmask(toks: DataFrame, vocab: list[str], id_col: str,
+                       strategy: str) -> bool:
+    """Second bitmask admission probe: bounded
+    ``distinct().limit(cap+1).count()`` on the int64 masks themselves
+    (the ``_routed_emb_pairs`` count-probe pattern).  The vocabulary
+    probe alone is not a safe criterion — quadratic cost is in DISTINCT
+    MASKS, not vocabulary size.  Explicit ``"bitmask"`` raises above the
+    cap (the caller claimed to know the corpus); ``"probe"``/``"auto"``
+    fall back to PPJoin with the same observable WARNING as the
+    vocabulary cliff."""
+    n = (
+        _build_masks(toks, vocab, id_col)
+        .select("mask")
+        .distinct()
+        .limit(BITMASK_MAX_MASKS + 1)
+        .count()
+    )
+    if n <= BITMASK_MAX_MASKS:
+        return True
+    if strategy == "bitmask":
+        raise ValueError(
+            f"bitmask strategy needs <= {BITMASK_MAX_MASKS} distinct "
+            "masks (the mask-pair stage is quadratic in them); corpus "
+            f"has > {BITMASK_MAX_MASKS}"
+        )
+    _LOG.warning(
+        "jaccard_pairs probe: distinct masks exceeded %d -> falling off "
+        "the bitmask fast path to PPJoin prefix filtering (the mask-pair "
+        "crossJoin is quadratic in distinct masks; pin strategy='prefix' "
+        "for growing corpora)",
+        BITMASK_MAX_MASKS,
+    )
+    return False
 
 
 def _collapse_token_sets(toks: DataFrame, id_col: str) -> DataFrame:
@@ -345,7 +385,8 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.8,
     toks = token_sets(docs, text_col, id_col)
     if strategy != "prefix":
         vocab = _probe_vocab(toks, strategy)
-        if vocab is not None:
+        if vocab is not None and _masks_fit_bitmask(toks, vocab, id_col,
+                                                    strategy):
             if route_out is not None:
                 route_out["route"] = "bitmask"
             pairs = _jaccard_bitmask(toks, vocab, threshold, id_col)
@@ -373,17 +414,13 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.8,
     ).select(id_col, "component")
 
 
-def _jaccard_bitmask(toks: DataFrame, vocab: list[str], threshold: float,
-                     id_col: str) -> DataFrame:
-    """Small-vocabulary path: int64-bitmask set encoding.
-
-    Distinct-mask pairs are verified (C x C / 2 cheap bit ops), then
-    expanded to doc pairs via the mask -> ids grouping; same-mask groups
-    expand directly with jaccard 1.0."""
+def _build_masks(toks: DataFrame, vocab: list[str],
+                 id_col: str) -> DataFrame:
+    """(id, int64 mask) set encoding over a <=63-token vocabulary."""
     bit_for = F.create_map(
         *[x for i, tok in enumerate(vocab) for x in (F.lit(tok), F.lit(i))]
     )
-    masks = (
+    return (
         toks.select(F.col(id_col), F.explode("toks").alias("tok"))
         .select(
             F.col(id_col),
@@ -396,6 +433,18 @@ def _jaccard_bitmask(toks: DataFrame, vocab: list[str], threshold: float,
         .groupBy(id_col)
         .agg(F.bit_or("bit").alias("mask"))
     )
+
+
+def _jaccard_bitmask(toks: DataFrame, vocab: list[str], threshold: float,
+                     id_col: str) -> DataFrame:
+    """Small-vocabulary path: int64-bitmask set encoding.
+
+    Distinct-mask pairs are verified (C x C / 2 cheap bit ops), then
+    expanded to doc pairs via the mask -> ids grouping; same-mask groups
+    expand directly with jaccard 1.0.  Admission is DOUBLE-probed by the
+    callers (vocabulary <= 63 AND distinct masks <= BITMASK_MAX_MASKS)
+    because the mask-pair stage below is quadratic in distinct masks."""
+    masks = _build_masks(toks, vocab, id_col)
     groups = masks.groupBy("mask").agg(F.collect_list(id_col).alias("ids"))
     ga = groups.select(F.col("mask").alias("mask_a"), F.col("ids").alias("ids_a"))
     gb = groups.select(F.col("mask").alias("mask_b"), F.col("ids").alias("ids_b"))

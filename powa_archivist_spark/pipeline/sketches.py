@@ -36,6 +36,35 @@ from .dedup import cross_engine_hash64
 _HASH_SPACE = float(2**60)
 
 
+def _nsjoin(
+    left: DataFrame,
+    right: DataFrame,
+    cols: Sequence[str],
+    how: str = "inner",
+    bcast: bool = False,
+) -> DataFrame:
+    """Join on ``eqNullSafe`` over ``cols`` — a NULL group key is a REAL
+    group (:func:`kmv_distinct`'s documented contract; Spark's groupBy
+    keeps it, but a plain list-of-columns equi-join silently drops it,
+    zeroing real data).  Right-side key columns are renamed before the
+    join and dropped after, so the output schema matches the
+    list-of-columns form exactly."""
+    renamed = {c: f"__r_{c}" for c in cols}
+    r = right
+    for c in cols:
+        r = r.withColumnRenamed(c, renamed[c])
+    if bcast:
+        r = F.broadcast(r)
+    cond = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(renamed[c]))
+        cond = e if cond is None else (cond & e)
+    out = left.join(r, cond, how)
+    if how in ("left_semi", "semi", "left_anti", "anti"):
+        return out
+    return out.drop(*renamed.values())
+
+
 def _mg_candidates(col: str, cap: int):
     """Misra-Gries over one partition's Arrow batches: keep at most
     ``cap`` counters; on overflow subtract the (cap+1)-th largest count
@@ -374,7 +403,7 @@ def level_sample_sketch(
         *group_cols, "n",
         _bitlen(F.expr(f"(n - 1) div {int(k)}")).alias("cut"),
     )
-    joined = base.join(F.broadcast(cuts), list(group_cols))
+    joined = _nsjoin(base, cuts, list(group_cols), bcast=True)
     return joined.filter(
         F.expr("h % shiftleft(CAST(1 AS BIGINT), cut) = 0")
     ).select(*group_cols, "n", "cut", "value", "h")
@@ -411,8 +440,8 @@ def level_sample_merge(
         _bitlen(F.expr(f"(n - 1) div {int(k)}")).alias("cut"),
     )
     return (
-        allrows.drop("n", "cut")
-        .join(F.broadcast(cuts), list(group_cols))
+        _nsjoin(allrows.drop("n", "cut"), cuts, list(group_cols),
+                bcast=True)
         .filter(F.expr("h % shiftleft(CAST(1 AS BIGINT), cut) = 0"))
         .select(*group_cols, "n", "cut", "value", "h")
     )
@@ -647,8 +676,9 @@ def cms_estimate(
         *group_cols, key_col, "seed", bucket
     )
     return (
-        probe_regs.join(
-            F.broadcast(registers), [*group_cols, "seed", "bucket"], "left"
+        _nsjoin(
+            probe_regs, registers, [*group_cols, "seed", "bucket"],
+            how="left", bcast=True,
         )
         .groupBy(*group_cols, key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt"))
@@ -757,11 +787,13 @@ def heavy_hitters_grouped(
         .distinct()
     )
     totals = df.groupBy(*group_cols).agg(F.count("*").alias("total"))
-    return (
-        df.join(F.broadcast(cands), [*group_cols, col], "left_semi")
+    counted = (
+        _nsjoin(df, cands, [*group_cols, col], how="left_semi", bcast=True)
         .groupBy(*group_cols, col)
         .agg(F.count("*").alias("cnt"))
-        .join(F.broadcast(totals), list(group_cols))
+    )
+    return (
+        _nsjoin(counted, totals, list(group_cols), bcast=True)
         .filter(
             F.col("cnt") * threshold_den > F.col("total") * threshold_num
         )

@@ -260,9 +260,12 @@ class SnapshotReader:
 
         ``location`` (r9): the table's data directory when it is NOT
         ``<root>/<table>`` — i.e. a catalog-managed bucketed ledger
-        (``BucketedDigestLedger``/``BucketedPQLedger``), whose location
-        lives in the Spark catalog of the publishing session.  External
-        engines pass the path they were configured with."""
+        (today only ``BucketedDigestLedger`` records the per-commit
+        ``files`` list this resolver needs; the streaming PQ path
+        appends flat, unbucketed — any future bucketed ledger op must
+        record ``files`` the same way), whose location lives in the
+        Spark catalog of the publishing session.  External engines pass
+        the path they were configured with."""
         last_missing = None
         for _ in range(self.retries):
             resolved = _resolve(self.root, table, location)

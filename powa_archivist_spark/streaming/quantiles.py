@@ -125,8 +125,14 @@ def compact_profile(
     from ..txn import GLOBAL_LANE, StagedPass
 
     StagedPass.recover(wh, GLOBAL_LANE)
+    if not wh.exists(table):
+        return
     rows = wh.read(table)
     top = rows.agg(F.max("epoch").alias("e")).collect()[0].e
+    if top is None:
+        # empty ledger: nothing to fold — a no-op beats staging a
+        # replace whose epoch cast would raise TypeError on None
+        return
     merged = _merged_survivors(rows, group_cols, k).withColumn(
         "epoch", F.lit(int(top)).cast("long")
     )

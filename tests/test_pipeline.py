@@ -3062,3 +3062,94 @@ def test_heavy_hitters_grouped_exact_per_group(spark):
              sketches.heavy_hitters_grouped(
                  df.repartition(13), "tok", ["g"], 1, 4).collect()}
     assert again == naive
+
+
+def test_bitmask_route_guarded_by_distinct_mask_count(spark, caplog, monkeypatch):
+    """r10 (VERDICT r9 task 3): the bitmask route's mask-pair stage is
+    crossJoin-quadratic in DISTINCT MASKS, which a <=63-token vocabulary
+    cannot bound (2^vocab subsets).  The probe route now runs a second
+    bounded distinct().limit(cap+1).count() probe on the masks and falls
+    back to PPJoin (observable WARNING) above the cap; explicit
+    strategy='bitmask' raises, matching its >63-token contract."""
+    import logging
+
+    from powa_archivist_spark.pipeline import dedup as dmod
+    from powa_archivist_spark.pipeline.dedup import (
+        jaccard_pairs,
+        near_dup_components,
+    )
+
+    # 8 docs with 6 DISTINCT token sets over a 4-token vocabulary
+    rows = [
+        (0, "a"), (1, "a b"), (2, "a b c"), (3, "a b c d"),
+        (4, "b c"), (5, "c d"), (6, "a b c d"), (7, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    monkeypatch.setattr(dmod, "BITMASK_MAX_MASKS", 4)
+    route = {}
+    with caplog.at_level(logging.INFO,
+                         logger="powa_archivist_spark.pipeline.dedup"):
+        pairs = jaccard_pairs(df, threshold=0.8, strategy="probe",
+                              route_out=route)
+        got = sorted((r.a_id, r.b_id) for r in pairs.collect())
+    assert route == {"route": "prefix"}, "mask probe must reroute to prefix"
+    warns = [r for r in caplog.records if r.levelno == logging.WARNING]
+    assert any("distinct masks" in r.message for r in warns)
+    # rerouted result still correct: exact jaccard>=0.8 pairs
+    assert got == [(2, 7), (3, 6)]
+
+    with pytest.raises(ValueError, match="distinct masks"):
+        jaccard_pairs(df, threshold=0.8, strategy="bitmask").count()
+
+    # components path shares the guard
+    route = {}
+    comp = near_dup_components(df, threshold=0.8, strategy="probe",
+                               route_out=route)
+    assert route == {"route": "prefix"}
+    labels = {r.doc_id: r.component for r in comp.collect()}
+    assert labels[7] == 2 and labels[6] == 3
+
+    # under the cap the bitmask route still engages
+    monkeypatch.setattr(dmod, "BITMASK_MAX_MASKS", 4096)
+    route = {}
+    assert sorted(
+        (r.a_id, r.b_id)
+        for r in jaccard_pairs(df, threshold=0.8, strategy="probe",
+                               route_out=route).collect()
+    ) == [(2, 7), (3, 6)]
+    assert route == {"route": "bitmask"}
+
+
+def test_grouped_sketches_keep_null_group(spark):
+    """r10 (ADVICE r9): a NULL group key is a REAL group (kmv_distinct's
+    documented contract) — the grouped CMS estimate, grouped heavy
+    hitters, and level-sampling quantile joins must not zero it out."""
+    from powa_archivist_spark.pipeline import sketches
+
+    rows = [(i, None if i % 2 else "a", "hot" if i % 3 else "cold",
+             float(i)) for i in range(90)]
+    df = spark.createDataFrame(
+        rows, "event_id long, g string, tok string, value double"
+    )
+
+    # heavy hitters: NULL group recounts exactly
+    hh = {(r.g, r.tok): r.cnt for r in
+          sketches.heavy_hitters_grouped(df, "tok", ["g"], 1, 4).collect()}
+    null_hot = sum(1 for _, g, t, _v in rows if g is None and t == "hot")
+    assert hh[(None, "hot")] == null_hot
+
+    # CMS: NULL group estimate >= true count (never zeroed)
+    regs = sketches.cms_registers(df, "tok", ["g"], d=4, w=64)
+    groups = df.select("g").distinct()
+    probes = spark.createDataFrame([("hot",)], "tok string")
+    est = {r.g: r.est_cnt for r in sketches.cms_estimate(
+        regs, groups, probes, "tok", ["g"], d=4, w=64).collect()}
+    assert est[None] >= null_hot and est[None] > 0
+
+    # level-sampling quantiles: NULL group carries its population
+    prof = {r.g: r.n_values for r in sketches.level_sample_quantiles(
+        sketches.level_sample_sketch(df, "value", "event_id", ["g"], k=16),
+        ["g"],
+    ).collect()}
+    assert prof[None] == 45

@@ -1236,3 +1236,17 @@ def test_quantile_profile_replay_and_compaction(spark, wh):
     assert led.select("epoch").distinct().count() == 1
     assert sorted(map(tuple, quantile_profile(
         wh, ["g"], k=64, table="q_prof_t").collect())) == base
+
+
+def test_compaction_noop_on_empty_or_missing_ledger(spark, wh):
+    """r10 (ADVICE r9): compacting a missing or zero-row ledger is a
+    clean no-op — previously max(epoch)=None raised TypeError at the
+    int() cast before staging."""
+    from powa_archivist_spark.streaming.cms import compact_cms_profile
+    from powa_archivist_spark.streaming.quantiles import compact_profile
+
+    # missing tables: no-op, nothing created
+    compact_cms_profile(wh, ["g"], table="cms_empty_t")
+    compact_profile(wh, ["g"], k=64, table="kll_empty_t")
+    assert not wh.exists("cms_empty_t")
+    assert not wh.exists("kll_empty_t")
