@@ -780,3 +780,14 @@ def test_bm25_broadcast_query_dim_partitioned_window(spark):
     assert pi.unbounded_global_windows(df) == []
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+    # r10 (VERDICT r9 task 1): the bounded per-partition top-k buffer
+    # must sit between the score groupBy and the query-partitioned
+    # ranking window — without it one task sorts a corpus-sized
+    # candidate set per common-term query
+    assert "MapInPandas" in plan, "bounded top-k pre-prune missing"
+    win_pos = plan.find("Window")
+    mip_pos = plan.find("MapInPandas")
+    assert 0 <= win_pos < mip_pos, (
+        "ranking window must consume the pruned frame (window above "
+        "MapInPandas in the plan tree)"
+    )
