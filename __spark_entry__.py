@@ -33,6 +33,17 @@ from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 # enforced by tests/test_oracle_full.py (full-surface value-hash
 # replay in pytest) and ORACLE_FULL.txt.
 #
+# r10 changed forms (re-gate): docs_bm25_topk + stream_bm25_index
+# (bounded per-partition top-k pre-prune before the ranking window,
+# VERDICT r9 task 1 — both already in the window), dedup_components_
+# smallvocab + dedup_keep_list (distinct-mask count guard on the
+# bitmask probe route, task 3 — both already in the window).  r10 new:
+# docs_bm25_wand (block-max WAND serving path, task 4) displaces
+# emb_diversity_select (r8-gate green, stays replayed per-commit by
+# tests/test_oracle_full); emb_kmeans (k-means|| + Lloyd to
+# convergence, task 6) displaces knn_cosine_blocked (r7-gate green,
+# same standing replay).
+#
 # r9 changed forms: dedup_components (route-fixed prefix over distinct
 # sets), dedup_jaccard_pairs + dedup_keep_list (set-collapsed pair
 # machinery upstream), emb_near_dup + emb_semantic_dedup (count-probe
@@ -42,6 +53,9 @@ from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 _GATE_ORDER = [
     # --- flagship (always gated) ---
     "q01_pricing_summary",
+    # --- new in r10 ---
+    "docs_bm25_wand",
+    "emb_kmeans",
     # --- changed in r9 (re-gate) ---
     "dedup_components",
     "dedup_jaccard_pairs",
@@ -112,11 +126,9 @@ _GATE_ORDER = [
     "corpus_bpe_encode",
     "corpus_decontam_excise",
     "corpus_quality_ensemble",
-    "emb_diversity_select",
     # --- core: windows / frames / rollup analytics ---
     "salted_rollup",
     # --- pipeline: sketches / similarity tail ---
-    "knn_cosine_blocked",
     "ivf_refined_centroids",
     # --- pipeline: multimodal ---
     "multimodal_meta",

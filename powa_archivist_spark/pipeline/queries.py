@@ -815,6 +815,96 @@ GROUP BY cell_id, i
 """
 
 
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-Lloyd k-means to convergence with sized
+    batched-farthest-point (k-means||-shape) initialization on the exact
+    integer grid (r10, VERDICT r9 task 6 — similarity.kmeans).  The
+    oracle statically unrolls max_rounds Lloyd rounds (the
+    corpus_bpe_merges precedent); converged rounds are integer
+    fixed-point no-ops, so the unrolling matches whichever round the
+    engine's convergence probe stopped at."""
+    return similarity.kmeans(
+        t(spark, sf_dir, "embeddings"), k=8, init_rounds=3, max_rounds=40
+    )
+
+
+def _oracle_kmeans(k: int = 8, init_rounds: int = 3,
+                   max_rounds: int = 10) -> str:
+    """Static unrolling of the k-means training loop: init rounds chain
+    (min-d2 score, top-batch select) CTE pairs; Lloyd rounds chain
+    (argmin assign, dim-wise floored mean, empty-cluster carry) CTE
+    triples — the SQL twin of similarity.kmeans.  Batch sizes come from
+    the same ``_init_batches`` the engine uses."""
+    d2 = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
+          "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
+    parts = [f"""e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT})
+                AS BIGINT)) AS v
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS cluster, v AS cv
+  FROM e ORDER BY vec_id LIMIT 1
+)"""]
+    offset = 1
+    ci = 0
+    for batch in similarity._init_batches(k, init_rounds):
+        if batch <= 0:
+            continue
+        prev, ci = f"c{ci}", ci + 1
+        dd = d2.format(a="e.v", b="c.cv")
+        parts.append(f"""s{ci} AS MATERIALIZED (
+  SELECT e.vec_id, e.v, MIN({dd}) AS md
+  FROM e CROSS JOIN {prev} c GROUP BY e.vec_id, e.v
+), c{ci} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT CAST({offset} + ROW_NUMBER() OVER (ORDER BY md DESC, vec_id)
+              - 1 AS BIGINT) AS cluster, v AS cv
+  FROM (SELECT vec_id, v, md FROM s{ci}
+        ORDER BY md DESC, vec_id LIMIT {batch})
+)""")
+        offset += batch
+    parts.append(f"g0 AS MATERIALIZED (SELECT * FROM c{ci})")
+    for r in range(1, max_rounds + 1):
+        dd = d2.format(a="e.v", b="c.cv")
+        parts.append(f"""a{r} AS MATERIALIZED (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dd} ASC, c.cluster ASC) AS rn
+    FROM e CROSS JOIN g{r - 1} c
+  ) WHERE rn = 1
+), n{r} AS MATERIALIZED (
+  SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
+    SELECT cluster, i AS dim,
+           CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*))
+                AS BIGINT) AS cx
+    FROM a{r},
+         (SELECT unnest(generate_series(1,
+            (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
+    GROUP BY cluster, i
+  ) GROUP BY cluster
+), g{r} AS MATERIALIZED (
+  SELECT * FROM n{r}
+  UNION ALL
+  SELECT p.cluster, p.cv FROM g{r - 1} p
+  WHERE p.cluster NOT IN (SELECT cluster FROM n{r})
+)""")
+    dd = d2.format(a="e.v", b="c.cv")
+    return f"""
+WITH {",".join(parts)}
+SELECT vec_id, cluster, d2 AS d2_q FROM (
+  SELECT vec_id, cluster, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, cluster ASC) AS rn
+  FROM (SELECT e.vec_id, c.cluster, {dd} AS d2
+        FROM e CROSS JOIN g{max_rounds} c)
+) WHERE rn = 1
+"""
+
+
 def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding outliers (r7): the 5 vectors farthest from
     their own label centroid on the exact-integer grid
@@ -1166,6 +1256,69 @@ WITH term AS (
       ORDER BY vc DESC, tok LIMIT 20
     )
   )
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS sum_dlen
+  FROM documents
+), matched AS (
+  SELECT t.doc_id, t.dlen, t.tok, t.c, q.query_id
+  FROM term t JOIN qterms q USING (tok)
+), dftok AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM matched GROUP BY tok
+), contrib AS (
+  SELECT m.query_id, m.doc_id,
+         CAST(floor(
+           ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5))
+           * ((CAST(m.c AS DOUBLE) * 2.2)
+                / (CAST(m.c AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(m.dlen AS DOUBLE)
+                       / (CAST(s.sum_dlen AS DOUBLE)
+                          / CAST(s.n_docs AS DOUBLE))))))
+           * 1048576.0) AS BIGINT) AS c_fp
+  FROM matched m JOIN dftok d USING (tok) CROSS JOIN stats s
+)
+SELECT query_id, rank, doc_id, score_fp FROM (
+  SELECT query_id, doc_id, CAST(sum(c_fp) AS BIGINT) AS score_fp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sum(c_fp) DESC, doc_id) AS rank
+  FROM contrib GROUP BY query_id, doc_id
+) WHERE rank <= 10
+"""
+
+
+def docs_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval through the block-max WAND serving path
+    (pipeline/textstats.bm25_wand): impact-ordered postings (geometric
+    impact buckets, map-only — no per-term global sort), a broadcast
+    block-max zone map, and an anytime prefix loop that stops as soon
+    as the unread impact mass provably cannot reach the top-k
+    threshold.  The workload is the serving-shaped STRATIFIED mix (one
+    term per frequency stratum of the top-1024 vocabulary — real point
+    queries mix rare high-idf terms with common ones); scores are the
+    same 2^20 fixed-point integers as ``docs_bm25_topk``, so the oracle
+    replays every score exactly and is plan-independent (the pruning
+    loop only decides how much gets READ, never what is returned)."""
+    return textstats.bm25_wand(t(spark, sf_dir, "documents"))
+
+
+ORACLE_BM25_WAND = """
+WITH term AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dlen, tok, COUNT(*) AS c
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+  GROUP BY doc_id, dlen, tok
+), qv AS (
+  SELECT tok, row_number() OVER (ORDER BY vc DESC, tok) AS vrank
+  FROM (
+    SELECT tok, sum(c) AS vc FROM term GROUP BY tok
+    ORDER BY vc DESC, tok LIMIT 1024
+  )
+), qn AS (
+  SELECT COUNT(*) AS v FROM qv
+), qterms AS (
+  SELECT q.query_id, qv.tok
+  FROM qv, qn, range(0, 5) q(query_id), range(0, 4) s(j)
+  WHERE qv.vrank = 1 + q.query_id + s.j * greatest(1, qn.v // 4)
 ), stats AS (
   SELECT COUNT(*) AS n_docs,
          SUM(len(string_split(text, ' '))) AS sum_dlen
@@ -4541,6 +4694,7 @@ PIPELINE_QUERIES = {
     "corpus_shuffle_shards": (corpus_shuffle_shards, ORACLE_SHUFFLE_SHARDS),
     "text_tfidf_topk": (text_tfidf_topk, ORACLE_TFIDF),
     "docs_bm25_topk": (docs_bm25_topk, ORACLE_BM25),
+    "docs_bm25_wand": (docs_bm25_wand, ORACLE_BM25_WAND),
     "stream_bm25_index": (stream_bm25_index, ORACLE_BM25),
     "corpus_chunks": (corpus_chunks, ORACLE_CHUNKS),
     "ivf_refined_centroids": (ivf_refined_centroids, ORACLE_IVF_REFINE),
@@ -4584,6 +4738,7 @@ PIPELINE_QUERIES = {
     "emb_decontam": (emb_decontam, ORACLE_EMB_DECONTAM),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),
     "stream_hll_profile": (stream_hll_profile, ORACLE_STREAM_HLL_PROFILE),
+    "emb_kmeans": (emb_kmeans, _oracle_kmeans(8, 3, 40)),
     "emb_outliers": (emb_outliers, ORACLE_EMB_OUTLIERS),
     "corpus_vocab_topk": (corpus_vocab_topk, ORACLE_VOCAB_TOPK),
     "corpus_quality_gate": (corpus_quality_gate, ORACLE_QUALITY_GATE),

@@ -104,6 +104,176 @@ def embedding_near_dup_pairs(
     )
 
 
+def int_l2(a, b):
+    """Exact integer squared euclidean distance on the quantized grid."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _init_batches(k: int, init_rounds: int) -> list[int]:
+    """Split the k-1 non-seed centers over the init rounds (larger
+    batches first) — shared with the oracle generator so both engines
+    select identical batch sizes."""
+    q, rem = divmod(k - 1, init_rounds)
+    return [q + 1] * rem + [q] * (init_rounds - rem)
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    init_rounds: int = 3,
+    max_rounds: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Distributed full-Lloyd k-means to CONVERGENCE with sized
+    k-means||-style initialization (r10, VERDICT r9 task 6) — the
+    multi-round clustering-to-convergence operator the D4/SemDeDup
+    curation recipes and the IVF builds call for, deterministic to the
+    bit so a statically-unrolled SQL oracle replays every round.
+
+    **Init (batched farthest-point, the k-means|| shape).**  Seed = the
+    min-id vector; each of ``init_rounds`` rounds then selects the top
+    batch of points by (min squared distance to the current centers
+    DESC, id ASC) — Bahmani et al.'s oversampling insight (O(R) corpus
+    passes instead of k sequential k-means++ draws) with the randomized
+    d^2-proportional draw replaced by a top-batch TakeOrdered so the
+    selection is a pure function of the data (a randomized draw cannot
+    be oracle-checked).  Exactly k centers come out, so no reclustering
+    step is needed; cluster ids number the centers in selection order.
+
+    **Lloyd.**  Each round: argmin-L2 assignment against the BROADCAST
+    center table via ``min_by`` keyed on (d2, cluster) — map-side
+    combinable, no window, ties to the smallest cluster id — then the
+    centroid update as dimension-wise int64 sums floored through one
+    exact double division (the :func:`ivf_refine` integer-grid
+    discipline; order-independent, engine-exact).  Empty clusters keep
+    their previous center.  The k x dim new centers come to the driver
+    (the bounded per-round probe — the BPE-argmax precedent) and the
+    loop STOPS at the integer fixed point (centers unchanged implies
+    assignments unchanged implies every later round is the identity) or
+    at ``max_rounds``.  Because converged rounds are no-ops, the oracle
+    replays a FIXED ``max_rounds`` unrolling and matches whichever
+    round Spark stopped at.
+
+    Plan per round at 100 TB: one broadcast-scored min_by aggregation +
+    one (cluster, dim)-keyed partial-agg groupBy — two bounded-key
+    shuffles, no skew amplification, k x dim longs across the driver.
+    The quantized corpus is lazily localCheckpointed once; every round
+    plans against that materialization, never the raw input.
+
+    Returns the final assignment (id, cluster, d2_q).  ``stats_out``
+    records ``rounds`` and ``converged``."""
+    spark = emb.sparkSession
+    vecs = emb.select(
+        F.col(id_col), quantized(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=False)
+
+    seed = (
+        vecs.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    )
+    centers: list[list[int]] = [list(seed.v)]
+
+    def cents_df(cs: list[list[int]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cs)],
+            "cluster long, cv array<bigint>",
+        )
+
+    for batch in _init_batches(k, init_rounds):
+        if batch <= 0:
+            continue
+        scored = (
+            vecs.crossJoin(F.broadcast(cents_df(centers)))
+            .select(
+                id_col, "v",
+                int_l2(F.col("v"), F.col("cv")).alias("d2"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.min("d2").alias("md"),
+                F.min_by(F.col("v"), F.col("d2")).alias("v"),
+            )
+        )
+        picked = (
+            scored.orderBy(F.col("md").desc(), F.col(id_col).asc())
+            .limit(batch)
+            .collect()
+        )
+        centers.extend(list(r.v) for r in picked)
+
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        rounds += 1
+        cd = cents_df(centers)
+        assign = (
+            vecs.crossJoin(F.broadcast(cd))
+            .select(
+                id_col, "v", "cluster",
+                int_l2(F.col("v"), F.col("cv")).alias("d2"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.min_by(
+                    F.struct(F.col("cluster"), F.col("v")),
+                    F.struct(F.col("d2"), F.col("cluster")),
+                ).alias("best")
+            )
+            .select("best.cluster", "best.v")
+        )
+        new_rows = (
+            assign.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "cx", F.floor(F.col("sx") / F.col("n")).cast("long")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("dim"), F.col("cx")))
+                    ),
+                    lambda s: s.getField("cx"),
+                ).alias("cv")
+            )
+            .collect()
+        )
+        updated = {int(r.cluster): list(r.cv) for r in new_rows}
+        new_centers = [
+            updated.get(i, centers[i]) for i in range(len(centers))
+        ]
+        if new_centers == centers:
+            converged = True
+            break
+        centers = new_centers
+
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["converged"] = converged
+
+    return (
+        vecs.crossJoin(F.broadcast(cents_df(centers)))
+        .select(
+            id_col, "cluster",
+            int_l2(F.col("v"), F.col("cv")).alias("d2"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(F.col("cluster"), F.col("d2")),
+                F.struct(F.col("d2"), F.col("cluster")),
+            ).alias("best")
+        )
+        .select(id_col, "best.cluster", F.col("best.d2").alias("d2_q"))
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroid_mod: int = 97,

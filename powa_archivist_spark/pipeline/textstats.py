@@ -1130,35 +1130,59 @@ def _topk_local(group_col: str, k: int, order_col: str, tie_col: str):
     return run
 
 
-def bm25_from_postings(term: DataFrame, stats: DataFrame,
-                       n_queries: int = 5, terms_per_query: int = 4,
-                       k: int = 10, k1: float = 1.2, b: float = 0.75,
-                       id_col: str = "doc_id") -> DataFrame:
-    """Score from an at-rest postings table + one-row corpus stats
-    (n_docs, sum_dlen) — the scoring half of :func:`bm25_search`,
-    reused by the streaming postings ledger."""
-    from pyspark.sql import Window
+def _bm25_workload(term: DataFrame, n_queries: int,
+                   terms_per_query: int, strategy: str = "top",
+                   probe_limit: int = 1024) -> DataFrame:
+    """Corpus-derived query workload shared by the batch scorer and the
+    WAND server: TakeOrdered (orderBy+limit) bounds the vocabulary; the
+    winners come to the driver as a bounded probe transfer (the BPE
+    argmax / CC checksum precedent) and go back as a literal bounded
+    query dim — no ranking window at all.
 
-    n_terms = n_queries * terms_per_query
-    # TakeOrdered (orderBy+limit) bounds the vocabulary; the n_terms
-    # winners come to the driver as a bounded probe transfer (the BPE
-    # argmax / CC checksum precedent) and go back as a literal 20-row
-    # query dim — no ranking window at all
+    - ``"top"``: consecutive runs of the most common tokens — the batch
+      profiling workload (:func:`bm25_search` keeps it).
+    - ``"stratified"``: each query takes one token per frequency STRATUM
+      of the top ``probe_limit`` vocabulary (ranks ``1 + q + j*stride``,
+      ``stride = V div terms_per_query`` over the V collected rows) —
+      the serving-shaped workload: real point queries mix rare high-idf
+      terms with common ones, and that mix is what gives block-max WAND
+      prunable structure (an all-common-terms query's candidate set IS
+      the corpus; no zone map can cut it)."""
+    if strategy == "top":
+        n_probe = n_queries * terms_per_query
+    elif strategy == "stratified":
+        n_probe = probe_limit
+    else:
+        raise ValueError(f"unknown workload strategy: {strategy!r}")
     top_toks = (
         term.groupBy("tok").agg(F.sum("c").alias("vc"))
         .orderBy(F.col("vc").desc(), F.col("tok").asc())
-        .limit(n_terms)
+        .limit(n_probe)
         .collect()
     )
-    spark = term.sparkSession
-    qterms = spark.createDataFrame(
-        [(i // terms_per_query, r.tok) for i, r in enumerate(top_toks)],
-        "query_id long, tok string",
+    if strategy == "top":
+        rows = [
+            (i // terms_per_query, r.tok) for i, r in enumerate(top_toks)
+        ]
+    else:
+        stride = max(1, len(top_toks) // terms_per_query)
+        rows = [
+            (q, top_toks[q + j * stride].tok)
+            for q in range(n_queries)
+            for j in range(terms_per_query)
+            if q + j * stride < len(top_toks)
+        ]
+    return term.sparkSession.createDataFrame(
+        rows, "query_id long, tok string"
     )
-    matched = term.join(F.broadcast(qterms), "tok")
-    df_tok = matched.groupBy("tok").agg(
-        F.countDistinct(id_col).alias("df")
-    )
+
+
+def _impact_fp(k1: float, b: float) -> Column:
+    """The ONE fixed IEEE expression tree for a posting's quantized BM25
+    contribution (rational Robertson idf x tf-normalization, floored to
+    2^20 fixed point) — shared verbatim by :func:`bm25_from_postings`
+    and the WAND impact index so the two paths produce bit-identical
+    integers.  Reads columns c, dlen, df, n_docs, sum_dlen."""
     nd = F.col("n_docs").cast("double")
     dfd = F.col("df").cast("double")
     cd = F.col("c").cast("double")
@@ -1168,13 +1192,31 @@ def bm25_from_postings(term: DataFrame, stats: DataFrame,
     tfn = (cd * F.lit(k1 + 1.0)) / (
         cd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dlend / avgdl))
     )
+    return F.floor(idf * tfn * F.lit(1048576.0)).cast("long")
+
+
+def bm25_from_postings(term: DataFrame, stats: DataFrame,
+                       n_queries: int = 5, terms_per_query: int = 4,
+                       k: int = 10, k1: float = 1.2, b: float = 0.75,
+                       id_col: str = "doc_id",
+                       workload: str = "top") -> DataFrame:
+    """Score from an at-rest postings table + one-row corpus stats
+    (n_docs, sum_dlen) — the scoring half of :func:`bm25_search`,
+    reused by the streaming postings ledger."""
+    from pyspark.sql import Window
+
+    qterms = _bm25_workload(term, n_queries, terms_per_query,
+                            strategy=workload)
+    matched = term.join(F.broadcast(qterms), "tok")
+    df_tok = matched.groupBy("tok").agg(
+        F.countDistinct(id_col).alias("df")
+    )
     contrib = (
         matched.join(F.broadcast(df_tok), "tok")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id", id_col,
-            F.floor(idf * tfn * F.lit(1048576.0))
-            .cast("long").alias("c_fp"),
+            _impact_fp(k1, b).alias("c_fp"),
         )
     )
     rank_w = Window.partitionBy("query_id").orderBy(
@@ -1198,4 +1240,238 @@ def bm25_from_postings(term: DataFrame, stats: DataFrame,
         pruned.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "score_fp")
+    )
+
+
+def bm25_impact_index(term: DataFrame, stats: DataFrame,
+                      qterms: DataFrame | None = None,
+                      k1: float = 1.2, b: float = 0.75,
+                      id_col: str = "doc_id") -> DataFrame:
+    """IMPACT-ORDERED postings: the serving-side index of the WAND
+    family.  The quantized per-posting contribution (:func:`_impact_fp`)
+    is QUERY-INDEPENDENT — idf depends only on the term's df, tf
+    normalization only on (c, dlen, corpus stats) — so it is computed
+    once at index-build time and stored next to the posting.  Each
+    posting lands in a GEOMETRIC IMPACT BUCKET
+    (``blk = 63 - bit_length(impact_fp)``: bucket 0 holds the largest
+    impacts, each next bucket halves the range) — the physical analog of
+    impact-ordering a posting list without any per-term global sort
+    (which would be one corpus-sized task per common term): bucket
+    assignment is a map-only expression, and "read the list in impact
+    order" becomes "read buckets in ascending blk".  The block-max of a
+    bucket is exact (max of its quantized integers), so the WAND
+    termination bound is provable, not heuristic.
+
+    ``qterms=None`` builds the full-vocabulary at-rest index (df join is
+    keyed — vocabulary does not broadcast at 100 TB); passing the
+    bounded query dim restricts the build to matching postings with
+    identical impacts (per-term df is unaffected by dropping other
+    terms), which is what the declared one-shot query does.
+
+    Output: (tok, blk, id, impact_fp).  Reference analog: powa's
+    pre-aggregated rollup tables read by rank-filtered windows
+    (powa--5.2.0.sql:6924-6982) — never full rescans."""
+    src = (
+        term.join(F.broadcast(qterms), "tok", "left_semi")
+        if qterms is not None else term
+    )
+    df_tok = src.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    if qterms is not None:
+        df_tok = F.broadcast(df_tok)
+    imp = _impact_fp(k1, b)
+    # bit_length via base-2 string length — the whole-bit discipline the
+    # perplexity operators use; no transcendental log
+    blk = F.when(imp <= 0, F.lit(63)).otherwise(
+        F.lit(63) - F.length(F.conv(imp.cast("string"), 10, 2))
+    ).cast("int")
+    return (
+        src.join(df_tok, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            blk.alias("blk"),
+            id_col,
+            imp.alias("impact_fp"),
+        )
+    )
+
+
+def bm25_blockmax(index: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Block-max zone map over an impact index: per (term, bucket) the
+    max contribution any posting in the bucket carries, plus the
+    distinct matching doc count.  Integer-exact (the quantization
+    happened before the max).  Size: terms x <=64 buckets — the small
+    side everything else broadcasts against."""
+    return index.groupBy("tok", "blk").agg(
+        F.max("impact_fp").alias("ub_fp"),
+        F.countDistinct(id_col).alias("n_docs_blk"),
+    )
+
+
+def bm25_wand_from_index(index: DataFrame, blockmax: DataFrame,
+                         qterms: DataFrame, k: int = 10,
+                         id_col: str = "doc_id",
+                         stats_out: dict | None = None) -> DataFrame:
+    """EXACT top-k retrieval with block-max WAND pruning — equal row for
+    row to :func:`bm25_from_postings` on the same workload (same
+    quantized integers), but reading posting buckets in impact order and
+    STOPPING as soon as the unread mass provably cannot reach the
+    current top-k threshold.
+
+    Anytime loop (the CC-loop/BPE pattern: driver holds one bounded
+    probe per round, all data work is declarative):
+
+    1. Read the posting PREFIX ``blk <= P`` (highest-impact buckets
+       first).  Seen docs = docs with any prefix posting per query.
+    2. PATCH: score seen docs EXACTLY — semi-join the full matched
+       postings on the bounded seen set (at rest this is the doc-keyed
+       forward-index fetch every serving system pairs with its inverted
+       index).  theta_q = k-th best exact score (bounded top-k buffer +
+       window, never a corpus-sized partition).
+    3. TERMINATE when ``rem_q < theta_q`` with
+       ``rem_q = sum_t max(impact in unread buckets of t)`` off the
+       broadcast zone map: an UNSEEN doc has ALL its postings unread,
+       so ``score(d) <= rem_q < theta_q`` — it cannot displace any of
+       the >= k seen docs at or above theta (ties break by doc id
+       against docs strictly above d's reach).  Otherwise advance P to
+       the next nonempty impact level (levels are log-scale — each one
+       halves the impact range) and repeat; when the prefix covers
+       every bucket the seen set IS the candidate set and the loop
+       exits unconditionally, so termination never depends on the
+       bound firing.
+
+    The returned frame re-derives the final state declaratively from
+    the terminal P (the collect in the loop is a per-query
+    (n_seen, theta, rem) probe — n_queries rows per round, <= 64
+    rounds by construction).
+
+    ``stats_out`` (test/ops instrumentation) records ``rounds``,
+    ``final_blk``, ``postings_total`` / ``postings_prefix`` (inverted-
+    index rows fetched) and ``docs_patched``.  At 100 TB: the zone map
+    is the broadcast dim, prefix reads skip every bucket past P (a
+    partition-prunable predicate when the at-rest index is laid out by
+    blk), and the patch fetch is keyed on the bounded seen set."""
+    from pyspark.sql import Window
+
+    matched = index.join(
+        F.broadcast(qterms), "tok"
+    ).localCheckpoint(eager=False)
+    bmq = blockmax.join(F.broadcast(qterms), "tok")
+    # bounded zone-map probe: per (query, term, bucket) rows — terms x
+    # <=64 buckets per query
+    bm_rows = bmq.select("query_id", "tok", "blk", "ub_fp").collect()
+    levels = sorted(set(r.blk for r in bm_rows)) or [63]
+    max_blk = levels[-1]
+
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col(id_col).asc()
+    )
+
+    def seen_scores(p: int) -> DataFrame:
+        seen = (
+            matched.filter(F.col("blk") <= p)
+            .select("query_id", id_col)
+            .distinct()
+        )
+        return (
+            matched.join(seen, ["query_id", id_col], "left_semi")
+            .groupBy("query_id", id_col)
+            .agg(F.sum("impact_fp").alias("score_fp"))
+        )
+
+    li = 0
+    p = levels[0]
+    rounds = 0
+    while True:
+        rounds += 1
+        scores = seen_scores(p)
+        probe = (
+            scores.mapInPandas(
+                _topk_local("query_id", k, "score_fp", id_col),
+                schema=scores.schema,
+            )
+            .withColumn("r", F.row_number().over(rank_w))
+            .filter(F.col("r") <= k)
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_seen"),
+                F.min("score_fp").alias("theta"),
+            )
+            .collect()
+        )
+        if p >= max_blk:
+            break
+        rem = {}
+        for r in bm_rows:
+            if r.blk > p:
+                cur = rem.setdefault(r.query_id, {})
+                cur[r.tok] = max(cur.get(r.tok, 0), r.ub_fp)
+        done = True
+        qstats = {r.query_id: r for r in probe}
+        for qid in set(r.query_id for r in bm_rows):
+            rem_q = sum(rem.get(qid, {}).values())
+            st = qstats.get(qid)
+            if st is None or st.n_seen < k or rem_q >= st.theta:
+                done = False
+                break
+        if done:
+            break
+        li += 1
+        p = levels[li]
+
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["final_blk"] = p
+        stats_out["postings_total"] = matched.count()
+        stats_out["postings_prefix"] = matched.filter(
+            F.col("blk") <= p
+        ).count()
+        stats_out["docs_patched"] = (
+            matched.filter(F.col("blk") <= p)
+            .select("query_id", id_col)
+            .distinct()
+            .count()
+        )
+
+    final = seen_scores(p)
+    pruned = final.mapInPandas(
+        _topk_local("query_id", k, "score_fp", id_col),
+        schema=final.schema,
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score_fp")
+    )
+
+
+def bm25_wand(docs: DataFrame, n_queries: int = 5,
+              terms_per_query: int = 4, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              workload: str = "stratified",
+              stats_out: dict | None = None) -> DataFrame:
+    """End-to-end WAND serving chain over a document corpus: postings ->
+    impact index + block-max zone map -> two-phase pruned exact top-k.
+    Same contribution quantization as :func:`bm25_search`, so for any
+    given workload the two operators are row-for-row equal (pinned in
+    tests); the default workload is the serving-shaped ``"stratified"``
+    mix (see :func:`_bm25_workload`) — rare high-idf terms concentrate
+    the threshold and give the zone map blocks to kill."""
+    toks = F.split(F.col(text_col), " ")
+    stats = docs.select(
+        F.size(toks).alias("dlen")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dlen").alias("sum_dlen"),
+    )
+    term = bm25_postings(docs, text_col, id_col)
+    qterms = _bm25_workload(term, n_queries, terms_per_query,
+                            strategy=workload)
+    index = bm25_impact_index(
+        term, stats, qterms=qterms, k1=k1, b=b, id_col=id_col,
+    ).localCheckpoint(eager=False)
+    bmax = bm25_blockmax(index, id_col=id_col)
+    return bm25_wand_from_index(
+        index, bmax, qterms, k=k, id_col=id_col, stats_out=stats_out
     )

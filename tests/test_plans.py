@@ -791,3 +791,47 @@ def test_bm25_broadcast_query_dim_partitioned_window(spark):
         "ranking window must consume the pruned frame (window above "
         "MapInPandas in the plan tree)"
     )
+
+
+def test_kmeans_plan_broadcast_assignment_no_window(spark):
+    """emb_kmeans (r10, VERDICT r9 task 6): the returned assignment
+    frame scores against the BROADCAST literal center table and picks
+    argmin via min_by partial aggregation — no window, no sort-merge
+    join, no cartesian product (the crossJoin's bounded side always
+    broadcasts)."""
+    from powa_archivist_spark.pipeline.queries import emb_kmeans
+
+    df = emb_kmeans(spark, SF)
+    plan = pi.plan_string(df)
+    assert not pi.has_cartesian(df)
+    assert pi.window_count(df) == 0
+    assert pi.sort_merge_join_count(df) == 0
+    assert "BroadcastNestedLoopJoin Cross" in plan
+    assert "partial_min_by" in plan or "partial_min" in plan
+
+
+def test_bm25_wand_plan_pruned_reads_bounded_windows(spark):
+    """docs_bm25_wand (r10, VERDICT r9 task 4): the anytime WAND loop's
+    returned frame scores only the terminal seen set — the plan must
+    show the blk-prefix filter ON the checkpointed impact index (the
+    pruned read: at rest this predicate partition-prunes the bucket
+    layout), the bounded seen-set semi-join, the broadcast query dim,
+    the bounded top-k pre-prune under the only window, and no
+    cartesian."""
+    from powa_archivist_spark.pipeline.queries import docs_bm25_wand
+
+    df = docs_bm25_wand(spark, SF)
+    plan = pi.plan_string(df)
+    assert not pi.has_cartesian(df)
+    assert pi.unbounded_global_windows(df) == []
+    # the broadcast query-dim joins live BEHIND the index localCheckpoint
+    # (materialized once, reused by every loop round); the returned
+    # frame must show the blk-prefix filter deriving the seen set (the
+    # pruned read — partition-prunable when the at-rest index is laid
+    # out by blk) and the semi-join patch fetch keyed on it
+    assert "blk" in plan and "<=" in plan, "blk prefix filter missing"
+    assert "LeftSemi" in plan, "seen-set patch fetch must be a semi join"
+    assert "MapInPandas" in plan, "bounded top-k pre-prune missing"
+    win_pos = plan.find("Window")
+    mip_pos = plan.find("MapInPandas")
+    assert 0 <= win_pos < mip_pos
