@@ -499,7 +499,8 @@ def _jaccard_bitmask(toks: DataFrame, vocab: list[str], threshold: float,
     )
 
 
-def _jaccard_prefix_sets(sets: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_prefix_sets(sets: DataFrame, threshold: float,
+                         stages_out: dict | None = None) -> DataFrame:
     """Large-vocabulary path: prefix-filtered inverted index
     (AllPairs/PPJoin family) over DISTINCT token sets.
 
@@ -532,6 +533,25 @@ def _jaccard_prefix_sets(sets: DataFrame, threshold: float) -> DataFrame:
     s = sets.select(
         F.col("set_id"), "toks", F.size("toks").alias("n_toks")
     )
+    prefix = _prefix_rows(s, threshold)
+    collisions = _prefix_collisions(prefix, threshold)
+    cands = collisions.distinct()
+    verified = _verify_set_pairs(cands, s, threshold)
+    if stages_out is not None:
+        # diagnostic seams for tools/profile_components.py (r10, VERDICT
+        # r9 task 2): the lazy per-stage frames, so the profiler can
+        # time/count each stage without duplicating the plan here
+        stages_out["prefix"] = prefix
+        stages_out["collisions"] = collisions
+        stages_out["cands"] = cands
+        stages_out["verified"] = verified
+    return verified
+
+
+def _prefix_rows(s: DataFrame, threshold: float) -> DataFrame:
+    """Inverted index restricted to each set's PPJoin prefix: order each
+    set's tokens by ascending global set frequency and keep the first
+    ``n - ceil(t*n) + 1``."""
     inv = s.select("set_id", "n_toks", F.explode("toks").alias("tok"))
     setfreq = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("set_id").orderBy("df", "tok")
@@ -554,13 +574,20 @@ def _jaccard_prefix_sets(sets: DataFrame, threshold: float) -> DataFrame:
     index_len = F.col("n_toks") - F.ceil(
         F.col("n_toks") * (2.0 * threshold / (1.0 + threshold)) - eps
     ) + 1
-    prefix = (
+    return (
         inv.join(setfreq, "tok")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
         .select("set_id", "n_toks", "tok", "rn",
                 (F.col("rn") <= index_len).alias("in_index"))
     )
+
+
+def _prefix_collisions(prefix: DataFrame, threshold: float) -> DataFrame:
+    """Prefix self-join + the three pre-shuffle prunes (orientation,
+    length, PPJoin positional bound); output pairs are NOT yet
+    deduplicated (a pair surfaces once per shared prefix token)."""
+    eps = 1e-9
     a = prefix.select(
         F.col("set_id").alias("a_sid"), F.col("n_toks").alias("n_a"),
         "tok", F.col("rn").alias("pa"),
@@ -576,7 +603,7 @@ def _jaccard_prefix_sets(sets: DataFrame, threshold: float) -> DataFrame:
     overlap_bound = (
         F.least(F.col("n_a") - F.col("pa"), F.col("n_b") - F.col("pb")) + 1
     )
-    cands = (
+    return (
         a.join(b, "tok")
         # orientation: larger set probes, smaller is indexed; equal
         # sizes tie-break on set id so each pair joins exactly once
@@ -594,8 +621,13 @@ def _jaccard_prefix_sets(sets: DataFrame, threshold: float) -> DataFrame:
             F.least("a_sid", "b_sid").alias("a_sid"),
             F.greatest("a_sid", "b_sid").alias("b_sid"),
         )
-        .distinct()
     )
+
+
+def _verify_set_pairs(cands: DataFrame, s: DataFrame,
+                      threshold: float) -> DataFrame:
+    """Exact array-intersect jaccard verify, once per candidate SET
+    pair."""
     av = s.select(F.col("set_id").alias("a_sid"),
                   F.col("toks").alias("a_toks"))
     bv = s.select(F.col("set_id").alias("b_sid"),

@@ -1,0 +1,152 @@
+"""Per-stage decomposition of dedup_components' scaling (r10, VERDICT
+r9 task 2): the declared query's second decade measured alpha=1.21
+(sf1->sf3) and the committed linear-floor adjudication was argued, not
+decomposed.  This tool times AND row-counts every stage of the
+route-fixed prefix plan at two scale factors and records per-stage
+exponents, so the residual above linear is attributed to a specific
+stage instead of waved at the labeling floor.
+
+Stages (seams in pipeline/dedup.py — the frames come from the library
+via ``_jaccard_prefix_sets(..., stages_out=...)``, not a re-derivation,
+so the decomposition measures the shipped plan):
+
+  collapse    docs -> distinct token sets (md5 digest groupBy)
+  prefix      inverted index + setfreq + per-set rank -> prefix rows
+  collisions  prefix self-join + positional/length prunes (pre-distinct)
+  cands       candidate pair .distinct()
+  verify      array-intersect jaccard verify of candidate pairs
+  cc          Shiloach-Vishkin hooking + pointer-jump label loop
+  expand      member (doc -> set) join of final labels
+
+Timing: each stage's INPUT is eagerly localCheckpointed before the
+stage is timed, so a stage's wall time is its own compute, not its
+upstream's.  Counts are exact and noise-free — when a stage's ROW
+exponent is ~1.0 but its TIME exponent is higher, the residual is
+constant-factor (shuffle width, spill), not algorithmic.
+
+Usage: python tools/profile_components.py [base_dir] [big_dir] \
+           [base_sf] [big_sf]
+Defaults: .scaled/sf1 .scaled/sf3 1 3 -> writes BENCH_STAGES_r10.json
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def profile(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out: dict[str, dict] = {}
+
+    def timed(name: str, df, eager_cols=None):
+        """Eagerly materialize ``df`` (localCheckpoint) and record its
+        wall time + row count; returns the checkpointed frame so the
+        next stage starts from materialized input."""
+        t0 = time.time()
+        cp = df.localCheckpoint(eager=True)
+        n = cp.count()
+        out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+        return cp
+
+    toks = dedup.token_sets(docs).localCheckpoint(eager=True)
+    toks.count()  # outside the decomposition: shared input
+
+    groups = timed("collapse", dedup._collapse_token_sets(toks, "doc_id"))
+    s = groups.select(
+        F.col("set_id"), "toks", F.size("toks").alias("n_toks")
+    )
+    # each stage composes the library's OWN stage function over the
+    # previous stage's eagerly-checkpointed output, so its wall time is
+    # isolated compute — the seams are the exact functions
+    # _jaccard_prefix_sets itself chains
+    prefix = timed("prefix", dedup._prefix_rows(s, 0.8))
+    collisions = timed("collisions", dedup._prefix_collisions(prefix, 0.8))
+    cands = timed("cands", collisions.distinct())
+    verified = timed("verify", dedup._verify_set_pairs(cands, s, 0.8))
+
+    t0 = time.time()
+    comp = dedup.connected_components(
+        verified.select(F.col("a_sid").alias("a_id"),
+                        F.col("b_sid").alias("b_id")),
+        groups.select(F.col("set_id")),
+        id_col="set_id",
+    ).localCheckpoint(eager=True)
+    n = comp.count()
+    out["cc"] = {"sec": round(time.time() - t0, 2), "rows": n}
+
+    member = groups.select("set_id", F.explode("ids").alias("doc_id"))
+    t0 = time.time()
+    n = member.join(comp.select("set_id", "component"), "set_id").count()
+    out["expand"] = {"sec": round(time.time() - t0, 2), "rows": n}
+    return out
+
+
+def main() -> int:
+    base_dir = sys.argv[1] if len(sys.argv) > 1 else str(
+        REPO / ".scaled" / "sf1")
+    big_dir = sys.argv[2] if len(sys.argv) > 2 else str(
+        REPO / ".scaled" / "sf3")
+    base_sf = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+    big_sf = float(sys.argv[4]) if len(sys.argv) > 4 else 3.0
+
+    from powa_archivist_spark.session import get_spark
+
+    spark = get_spark("profile_components")
+    factor = big_sf / base_sf
+
+    print(f"profiling {base_dir} ...", file=sys.stderr, flush=True)
+    profile(spark, base_dir)            # warm (JIT, Python workers)
+    base = profile(spark, base_dir)
+    print(f"profiling {big_dir} ...", file=sys.stderr, flush=True)
+    big = profile(spark, big_dir)
+
+    stages = {}
+    for name in base:
+        tb, rb = base[name]["sec"], base[name]["rows"]
+        tg, rg = big[name]["sec"], big[name]["rows"]
+        stages[name] = {
+            f"sf{base_sf:g}_sec": tb,
+            f"sf{big_sf:g}_sec": tg,
+            f"sf{base_sf:g}_rows": rb,
+            f"sf{big_sf:g}_rows": rg,
+            "time_exponent": round(
+                math.log(max(tg, 0.01) / max(tb, 0.01))
+                / math.log(factor), 2),
+            "rows_exponent": round(
+                math.log(max(rg, 1) / max(rb, 1)) / math.log(factor), 2),
+        }
+        print(f"{name:10s} t {tb:7.2f} -> {tg:7.2f}  "
+              f"(a={stages[name]['time_exponent']:5.2f})   "
+              f"rows {rb} -> {rg} "
+              f"(a={stages[name]['rows_exponent']:5.2f})",
+              file=sys.stderr, flush=True)
+
+    artifact = {
+        "query": "dedup_components (route-fixed prefix plan)",
+        "protocol": ("per-stage eager-checkpoint timing + exact row "
+                     "counts; exponents over "
+                     f"sf{base_sf:g}->sf{big_sf:g} "
+                     f"(rows_factor {factor:g})"),
+        "stages": stages,
+    }
+    path = REPO / "BENCH_STAGES_r10.json"
+    path.write_text(json.dumps(artifact, indent=1) + "\n")
+    print(f"wrote {path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
