@@ -31,7 +31,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..pipeline.textstats import bm25_from_postings, bm25_postings
+from ..pipeline.textstats import (
+    _bm25_workload,
+    bm25_blockmax,
+    bm25_from_postings,
+    bm25_impact_index,
+    bm25_postings,
+    bm25_wand_from_index,
+)
 from ..storage import Warehouse
 
 POSTINGS_TABLE = "retrieval_postings"
@@ -98,4 +105,38 @@ def bm25_profile(
     return bm25_from_postings(
         term, stats, n_queries=n_queries,
         terms_per_query=terms_per_query, k=k, id_col=id_col,
+    )
+
+
+def bm25_wand_profile(
+    wh: Warehouse,
+    n_queries: int = 5,
+    terms_per_query: int = 4,
+    k: int = 10,
+    id_col: str = "doc_id",
+    table: str = POSTINGS_TABLE,
+    stats_table: str = STATS_TABLE,
+    workload: str = "stratified",
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Block-max WAND serving from the at-rest ledger (r10): derive the
+    impact index + zone map from the ledger's postings and corpus stats
+    (impacts depend on GLOBAL df and corpus length stats, which every
+    append moves — so the impact view is computed against the ledger's
+    current state, the same freshness contract as :func:`bm25_profile`)
+    and run the anytime pruned top-k.  Equal to ``bm25_wand`` over the
+    union of every ingested batch for the same workload."""
+    term = wh.read(table).drop("epoch")
+    stats = wh.read(stats_table).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_dlen").alias("sum_dlen"),
+    )
+    qterms = _bm25_workload(term, n_queries, terms_per_query,
+                            strategy=workload)
+    index = bm25_impact_index(
+        term, stats, qterms=qterms, id_col=id_col
+    ).localCheckpoint(eager=False)
+    bmax = bm25_blockmax(index, id_col=id_col)
+    return bm25_wand_from_index(
+        index, bmax, qterms, k=k, id_col=id_col, stats_out=stats_out
     )

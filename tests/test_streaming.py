@@ -1137,6 +1137,19 @@ def test_bm25_postings_ledger_replay_and_one_shot_equality(spark, wh):
     ).collect()))
     assert base == one
 
+    # r10: WAND serving from the same ledger — equal to the one-shot
+    # batch WAND over the union (same workload, same quantized scores)
+    from powa_archivist_spark.streaming.retrieval import bm25_wand_profile
+
+    wand_led = sorted(map(tuple, bm25_wand_profile(
+        wh, n_queries=2, terms_per_query=3, k=5,
+        table="bm25_post_t", stats_table="bm25_stats_t",
+    ).collect()))
+    wand_one = sorted(map(tuple, textstats.bm25_wand(
+        df, n_queries=2, terms_per_query=3, k=5,
+    ).collect()))
+    assert wand_led == wand_one and len(wand_led) > 0
+
 
 def test_cms_profile_replay_and_compaction(spark, wh):
     """late r9: the at-rest Count-Min register ledger — a
