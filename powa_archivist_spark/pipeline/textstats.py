@@ -1064,11 +1064,13 @@ def bm25_search(docs: DataFrame, n_queries: int = 5,
     the bounded query-term dim broadcasts onto the postings FIRST, so
     document frequency and scoring touch only matching postings; corpus
     length stats are two scalar aggregates travelling by broadcast; the
-    final top-k is a window partitioned by query over the candidate
-    set.  At 100 TB the candidate set for a common term is
-    corpus-sized — the production path is impact-ordered postings with
-    block-max WAND pruning; this operator keeps the exact semantics and
-    bounds the output (n_queries x k).
+    final top-k runs the bounded per-partition top-k buffer (r10) and
+    then a window partitioned by query over partitions x k rows — never
+    a corpus-sized partition even for corpus-common terms.  At 100 TB
+    the candidate SCAN for a common term is still corpus-sized — the
+    serving path that prunes it is :func:`bm25_wand` (impact-ordered
+    postings + block-max pruning, shipped r10); this operator is the
+    exact batch profiler.
 
     Reference analog: powa's text surface stops at regex filtering
     (powa--5.2.0.sql wildcard query filters); retrieval is a pipeline

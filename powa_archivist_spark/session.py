@@ -25,6 +25,29 @@ def get_spark(app_name: str = "powa_archivist_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r10 (BENCH_STAGES_r10.json): with shuffle.partitions fixed at
+        # the core count, per-partition shuffle volume grows linearly
+        # with data and the hash aggregate/join falls into sort+spill —
+        # measured as dedup_components' cands stage going alpha 2.77 in
+        # TIME at alpha 1.00 in ROWS (sf1->sf3).  The AQE posture that
+        # holds at any scale: plan exchanges WIDE (initialPartitionNum)
+        # and let AQE coalesce small outputs back down — partition SIZE
+        # stays bounded as data grows, small queries still end up with
+        # few tasks.  On a 1000-executor cluster this number would be
+        # in the tens of thousands.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "256"),
+        )
+        # r10 (BENCH_STAGES_r10.json, verify stage): a keyed join whose
+        # build side is just past the 10MB broadcast threshold planned
+        # as sort-merge — at sf3 that sorts 100M+ wide candidate rows
+        # twice and spills (measured time alpha 2.44 at rows alpha
+        # 1.00).  Prefer shuffled-hash when one side can build a local
+        # map (bounded per-partition build under the wide initial
+        # partition count); genuinely huge-both-sides joins still plan
+        # sort-merge.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

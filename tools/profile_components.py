@@ -51,31 +51,40 @@ def profile(spark, sf_dir: str) -> dict:
     )
     out: dict[str, dict] = {}
 
-    def timed(name: str, df, eager_cols=None):
-        """Eagerly materialize ``df`` (localCheckpoint) and record its
-        wall time + row count; returns the checkpointed frame so the
-        next stage starts from materialized input."""
+    from pyspark import StorageLevel
+
+    def timed(name: str, df):
+        """Materialize ``df`` to DISK_ONLY storage (sf3's collision
+        frame OOMs the heap under deserialized in-memory retention) and
+        record wall time + row count; returns the persisted frame so
+        the next stage starts from materialized input."""
         t0 = time.time()
-        cp = df.localCheckpoint(eager=True)
+        cp = df.persist(StorageLevel.DISK_ONLY)
         n = cp.count()
         out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
         return cp
 
-    toks = dedup.token_sets(docs).localCheckpoint(eager=True)
+    toks = dedup.token_sets(docs).persist(StorageLevel.DISK_ONLY)
     toks.count()  # outside the decomposition: shared input
 
     groups = timed("collapse", dedup._collapse_token_sets(toks, "doc_id"))
+    toks.unpersist()
     s = groups.select(
         F.col("set_id"), "toks", F.size("toks").alias("n_toks")
     )
     # each stage composes the library's OWN stage function over the
-    # previous stage's eagerly-checkpointed output, so its wall time is
+    # previous stage's materialized output, so its wall time is
     # isolated compute — the seams are the exact functions
     # _jaccard_prefix_sets itself chains
     prefix = timed("prefix", dedup._prefix_rows(s, 0.8))
     collisions = timed("collisions", dedup._prefix_collisions(prefix, 0.8))
+    prefix.unpersist()
     cands = timed("cands", collisions.distinct())
+    collisions.unpersist()
     verified = timed("verify", dedup._verify_set_pairs(cands, s, 0.8))
+    cands.unpersist()
+
+    from pyspark import StorageLevel as SL
 
     t0 = time.time()
     comp = dedup.connected_components(
@@ -83,14 +92,17 @@ def profile(spark, sf_dir: str) -> dict:
                         F.col("b_sid").alias("b_id")),
         groups.select(F.col("set_id")),
         id_col="set_id",
-    ).localCheckpoint(eager=True)
+    ).persist(SL.DISK_ONLY)
     n = comp.count()
     out["cc"] = {"sec": round(time.time() - t0, 2), "rows": n}
+    verified.unpersist()
 
     member = groups.select("set_id", F.explode("ids").alias("doc_id"))
     t0 = time.time()
     n = member.join(comp.select("set_id", "component"), "set_id").count()
     out["expand"] = {"sec": round(time.time() - t0, 2), "rows": n}
+    comp.unpersist()
+    groups.unpersist()
     return out
 
 
