@@ -42,7 +42,14 @@ from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 # emb_diversity_select (r8-gate green, stays replayed per-commit by
 # tests/test_oracle_full); emb_kmeans (k-means|| + Lloyd to
 # convergence, task 6) displaces knn_cosine_blocked (r7-gate green,
-# same standing replay).
+# same standing replay).  Late-r10 additions — docs_rrf_hybrid (RRF
+# hybrid retrieval), docs_bm25_rm3 (RM3 pseudo-relevance feedback),
+# docs_ngram_novelty (per-source first-occurrence novelty),
+# emb_kmeans_profile (cluster balance report), emb_kmeans_semdedup
+# (SemDeDup within-cluster pairwise) — displace ivf_refined_centroids,
+# multimodal_meta, multimodal_frames, token_counts and lang_id (all
+# r7/r8-gate green; all stay replayed per-commit by
+# tests/test_oracle_full and ORACLE_FULL.txt).
 #
 # r9 changed forms: dedup_components (route-fixed prefix over distinct
 # sets), dedup_jaccard_pairs + dedup_keep_list (set-collapsed pair
@@ -56,6 +63,11 @@ _GATE_ORDER = [
     # --- new in r10 ---
     "docs_bm25_wand",
     "emb_kmeans",
+    "docs_rrf_hybrid",
+    "docs_bm25_rm3",
+    "docs_ngram_novelty",
+    "emb_kmeans_profile",
+    "emb_kmeans_semdedup",
     # --- changed in r9 (re-gate) ---
     "dedup_components",
     "dedup_jaccard_pairs",

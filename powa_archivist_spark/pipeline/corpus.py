@@ -380,6 +380,59 @@ def _word_ngrams(df: DataFrame, n: int, text_col: str,
     return df.select(*cols, F.explode(g).alias("gram"))
 
 
+def ngram_novelty(docs: DataFrame, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  group_col: str = "source") -> DataFrame:
+    """Per-group n-gram novelty profile: what share of each source's
+    distinct word n-grams appears NOWHERE earlier in the corpus
+    (document order = ascending id — ingestion order in the landing
+    tables).  The novelty/duplication split of the Lee et al.
+    deduplication analyses, as a first-class curation diagnostic: a
+    source whose novelty collapses is re-crawling content the corpus
+    already holds, and its cap (``source_caps``) should tighten.
+
+    An n-gram is NOVEL for the document with the smallest id containing
+    it; every later document holding the same gram counts it as seen.
+    Per-document counts are over DISTINCT grams (within-doc repetition
+    is `text_repetition`'s subject, not novelty's).
+
+    Plan: one explode -> per-doc distinct -> gram-keyed min(id) (partial
+    agg — the first-owner table), one gram-keyed join back (big-big,
+    both sides hash-partitioned on gram, no broadcast of corpus-sized
+    state), then bounded-key rollups to docs and groups.  Docs shorter
+    than n emit no grams and enter the group rollup with zero counts via
+    the left join."""
+    per_doc = _word_ngrams(docs, n, text_col, id_col).distinct()
+    first = per_doc.groupBy("gram").agg(F.min(id_col).alias("first_doc"))
+    doc_stats = (
+        per_doc.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col(id_col)).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(id_col, group_col)
+        .join(doc_stats, id_col, "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("n_grams", F.lit(0))).alias("n_grams"),
+            F.sum(F.coalesce("n_novel", F.lit(0))).alias("n_novel"),
+        )
+        .select(
+            group_col, "n_docs", "n_grams", "n_novel",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_novel").cast("double") / F.col("n_grams"),
+            ).alias("novelty"),
+        )
+    )
+
+
 def _bloom_probes(grams: DataFrame, m_bits: int, k: int) -> DataFrame:
     """Explode each gram into its k probe positions, split into
     (word_idx, bit) against 32-bit words.  Positions are the md5-based

@@ -905,6 +905,65 @@ SELECT vec_id, cluster, d2 AS d2_q FROM (
 """
 
 
+def emb_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size / inertia / radius over the Lloyd assignment
+    (similarity.kmeans_profile) — the balance report read before
+    trusting a clustering for SemDeDup pruning or IVF cell sizing.  One
+    bounded-key groupBy over the assignment; the oracle wraps the
+    unrolled k-means replay in the same rollup."""
+    return similarity.kmeans_profile(
+        t(spark, sf_dir, "embeddings"), k=8, init_rounds=3, max_rounds=12
+    )
+
+
+def _oracle_kmeans_profile() -> str:
+    return f"""
+SELECT cluster, COUNT(*) AS n_vecs,
+       CAST(SUM(d2_q) AS BIGINT) AS inertia_q,
+       MAX(d2_q) AS radius_q
+FROM ({_oracle_kmeans(8, 3, 12)}) t
+GROUP BY cluster
+"""
+
+
+def emb_kmeans_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as published (similarity.kmeans_semdedup): k-means the
+    space, pairwise-dedup WITHIN clusters only, keep the earliest id of
+    each semantic clump.  k scales as ``max(8, n div 256)`` so the
+    within-cluster compare stays bounded as the corpus grows (the
+    paper's own scaling); at every oracle-replayed SF the probe
+    resolves to k=8, which the oracle pins."""
+    return similarity.kmeans_semdedup(
+        t(spark, sf_dir, "embeddings"), min_dot_q=MIN_DOT_Q,
+        target_cluster_rows=256, k_min=8, init_rounds=3, max_rounds=10,
+    )
+
+
+def _oracle_kmeans_semdedup() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT})
+                AS BIGINT)) AS v
+  FROM embeddings
+), asg AS (
+  SELECT t.vec_id, t.cluster FROM ({_oracle_kmeans(8, 3, 10)}) t
+), j AS (
+  SELECT a.vec_id, a.cluster, e.v
+  FROM asg a JOIN e ON a.vec_id = e.vec_id
+)
+SELECT x.vec_id, x.cluster,
+       NOT EXISTS (
+         SELECT 1 FROM j y
+         WHERE y.cluster = x.cluster AND y.vec_id < x.vec_id
+           AND CAST(list_sum(list_transform(list_zip(x.v, y.v),
+                 z -> z[1] * z[2])) AS BIGINT) >= {MIN_DOT_Q}
+       ) AS is_kept
+FROM j x
+"""
+
+
 def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding outliers (r7): the 5 vectors farthest from
     their own label centroid on the exact-integer grid
@@ -1202,6 +1261,44 @@ FROM corp c LEFT JOIN hits h USING (doc_id)
 """
 
 
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty profile (corpus.ngram_novelty): the
+    share of each source's distinct trigrams appearing nowhere earlier
+    in the corpus — the novelty/duplication diagnostic of the Lee et
+    al. dedup analyses, feeding source-cap decisions."""
+    from . import corpus
+
+    return corpus.ngram_novelty(t(spark, sf_dir, "documents"), n=3)
+
+
+ORACLE_NGRAM_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS r(i)
+  WHERE len(tk) >= 3
+), first AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+), ds AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+           AS n_novel
+  FROM grams g JOIN first f USING (gram) GROUP BY g.doc_id
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(COALESCE(ds.n_grams, 0)) AS BIGINT) AS n_grams,
+       CAST(SUM(COALESCE(ds.n_novel, 0)) AS BIGINT) AS n_novel,
+       CASE WHEN SUM(COALESCE(ds.n_grams, 0)) > 0 THEN
+         CAST(SUM(COALESCE(ds.n_novel, 0)) AS DOUBLE)
+           / CAST(SUM(COALESCE(ds.n_grams, 0)) AS DOUBLE)
+       END AS novelty
+FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+GROUP BY d.source
+"""
+
+
 def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle: seeded-hash (shard, pos) assignment
     in the cross-engine md5 family (pipeline/corpus.py) — per-shard
@@ -1346,6 +1443,178 @@ SELECT query_id, rank, doc_id, score_fp FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY sum(c_fp) DESC, doc_id) AS rank
   FROM contrib GROUP BY query_id, doc_id
+) WHERE rank <= 10
+"""
+
+
+# Shared SQL pieces of the BM25 oracle family (r10): the postings /
+# workload / corpus-stats CTE prefix and the quantized per-posting
+# contribution, parameterized by CTE names so the composed oracles
+# (RRF fusion, RM3 expansion) replay the exact chain ORACLE_BM25 pins.
+_BM25_PREFIX_SQL = """term AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dlen, tok, COUNT(*) AS c
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+  GROUP BY doc_id, dlen, tok
+), qterms AS (
+  SELECT CAST(floor(CAST(vrank - 1 AS DOUBLE) / 4) AS BIGINT) AS query_id,
+         tok
+  FROM (
+    SELECT tok, row_number() OVER (ORDER BY vc DESC, tok) AS vrank
+    FROM (
+      SELECT tok, sum(c) AS vc FROM term GROUP BY tok
+      ORDER BY vc DESC, tok LIMIT 20
+    )
+  )
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS sum_dlen
+  FROM documents
+)"""
+
+
+def _bm25_contrib_sql(matched: str, dftok: str) -> str:
+    """The fixed IEEE contribution expression of ORACLE_BM25 over the
+    given matched/df CTE names (quantized to 2^20 fixed point)."""
+    return f"""
+  SELECT m.query_id, m.doc_id,
+         CAST(floor(
+           ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5))
+           * ((CAST(m.c AS DOUBLE) * 2.2)
+                / (CAST(m.c AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(m.dlen AS DOUBLE)
+                       / (CAST(s.sum_dlen AS DOUBLE)
+                          / CAST(s.n_docs AS DOUBLE))))))
+           * 1048576.0) AS BIGINT) AS c_fp
+  FROM {matched} m JOIN {dftok} d USING (tok) CROSS JOIN stats s"""
+
+
+def docs_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (textstats.rrf_fuse):
+    the BM25 lexical channel and the embedding-cosine semantic channel
+    each contribute their top-20 per query (doc and vec ids share the
+    0..N-1 space, so query q is the canonical term set q lexically and
+    vector q semantically); fused score = SUM over channels of
+    ``2^20 div (60 + rank)`` — exact integers, so the oracle replays
+    both channels and the fusion bit-for-bit.  The fusion itself never
+    touches the corpus: it ranks a <= channels x 20 row frame per
+    query."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    lex = textstats.bm25_search(docs, k=20).select(
+        "query_id", "doc_id", "rank"
+    )
+    sem = similarity.knn_bruteforce(
+        emb, query_ids=[0, 1, 2, 3, 4], k=20
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return textstats.rrf_fuse([lex, sem], k=10)
+
+
+def _oracle_rrf() -> str:
+    return f"""
+WITH {_BM25_PREFIX_SQL}, matched AS (
+  SELECT t.doc_id, t.dlen, t.tok, t.c, q.query_id
+  FROM term t JOIN qterms q USING (tok)
+), dftok AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM matched GROUP BY tok
+), contrib AS ({_bm25_contrib_sql("matched", "dftok")}
+), lex AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sum(c_fp) DESC, doc_id) AS rank
+    FROM contrib GROUP BY query_id, doc_id
+  ) WHERE rank <= 20
+), e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT})
+                AS BIGINT)) AS v
+  FROM embeddings
+), sem AS (
+  SELECT query_id, neighbor_id AS doc_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot_q DESC, neighbor_id) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(q.v, c.v),
+               x -> x[1] * x[2])) AS BIGINT) AS dot_q
+      FROM e q, e c
+      WHERE q.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id != q.vec_id
+    ) s
+  ) r WHERE rank <= 20
+), fused AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(1048576 // (60 + rank)) AS BIGINT) AS rrf_fp,
+         COUNT(*) AS n_channels
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+  GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, rrf_fp, n_channels FROM (
+  SELECT query_id, doc_id, rrf_fp, n_channels,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_fp DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+
+def docs_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance-feedback retrieval (textstats.bm25_rm3):
+    BM25 round one picks 5 feedback docs per query, the top-3 new
+    expansion terms by summed in-feedback term frequency join the query,
+    round two re-scores with the expanded set.  Every step is integer /
+    total-ordered, so the oracle replays the full two-round chain."""
+    return textstats.bm25_rm3(t(spark, sf_dir, "documents"))
+
+
+def _oracle_bm25_rm3() -> str:
+    return f"""
+WITH {_BM25_PREFIX_SQL}, m1 AS (
+  SELECT t.doc_id, t.dlen, t.tok, t.c, q.query_id
+  FROM term t JOIN qterms q USING (tok)
+), df1 AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM m1 GROUP BY tok
+), c1 AS ({_bm25_contrib_sql("m1", "df1")}
+), fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sum(c_fp) DESC, doc_id) AS rank
+    FROM c1 GROUP BY query_id, doc_id
+  ) WHERE rank <= 5
+), cand AS (
+  SELECT f.query_id, t.tok, CAST(SUM(t.c) AS BIGINT) AS w
+  FROM term t JOIN fb f ON t.doc_id = f.doc_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM qterms q
+    WHERE q.query_id = f.query_id AND q.tok = t.tok
+  )
+  GROUP BY f.query_id, t.tok
+), expn AS (
+  SELECT query_id, tok FROM (
+    SELECT query_id, tok,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY w DESC, tok) AS r
+    FROM cand
+  ) WHERE r <= 3
+), q2 AS (
+  SELECT query_id, tok FROM qterms
+  UNION ALL
+  SELECT query_id, tok FROM expn
+), m2 AS (
+  SELECT t.doc_id, t.dlen, t.tok, t.c, q.query_id
+  FROM term t JOIN q2 q ON t.tok = q.tok
+), df2 AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM m2 GROUP BY tok
+), c2 AS ({_bm25_contrib_sql("m2", "df2")}
+)
+SELECT query_id, rank, doc_id, score_fp FROM (
+  SELECT query_id, doc_id, CAST(sum(c_fp) AS BIGINT) AS score_fp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sum(c_fp) DESC, doc_id) AS rank
+  FROM c2 GROUP BY query_id, doc_id
 ) WHERE rank <= 10
 """
 
@@ -4756,4 +5025,10 @@ PIPELINE_QUERIES = {
     "ann_mrl_recall": (ann_mrl_recall, ORACLE_MRL_RECALL),
     "corpus_ngram_ppl_interp": (corpus_ngram_ppl_interp,
                                 ORACLE_NGRAM_PPL_INTERP),
+    "docs_rrf_hybrid": (docs_rrf_hybrid, _oracle_rrf()),
+    "docs_bm25_rm3": (docs_bm25_rm3, _oracle_bm25_rm3()),
+    "docs_ngram_novelty": (docs_ngram_novelty, ORACLE_NGRAM_NOVELTY),
+    "emb_kmeans_profile": (emb_kmeans_profile, _oracle_kmeans_profile()),
+    "emb_kmeans_semdedup": (emb_kmeans_semdedup,
+                            _oracle_kmeans_semdedup()),
 }

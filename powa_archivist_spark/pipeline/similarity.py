@@ -274,6 +274,90 @@ def kmeans(
     )
 
 
+def kmeans_profile(emb: DataFrame, k: int = 8, init_rounds: int = 3,
+                   max_rounds: int = 10, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster diagnostics over the :func:`kmeans` assignment —
+    size, inertia (sum of quantized squared distances), and radius (max
+    d2): the balance/compactness report every clustering-backed recipe
+    (SemDeDup pruning rates, IVF cell sizing, D4 diversity buckets)
+    reads before trusting the clustering.  One bounded-key groupBy on
+    top of the assignment; inertia stays on the exact integer grid so
+    the oracle replays it bit-for-bit."""
+    assign = kmeans(emb, k=k, init_rounds=init_rounds,
+                    max_rounds=max_rounds, id_col=id_col,
+                    vec_col=vec_col)
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("d2_q").alias("inertia_q"),
+        F.max("d2_q").alias("radius_q"),
+    )
+
+
+def kmeans_semdedup(emb: DataFrame, min_dot_q: int,
+                    target_cluster_rows: int = 256, k_min: int = 8,
+                    init_rounds: int = 3, max_rounds: int = 10,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    k: int | None = None) -> DataFrame:
+    """SemDeDup as published (Abbas et al. 2023): k-means the embedding
+    space, then search near-duplicates ONLY within each cluster —
+    pairwise cosine against cluster-mates, drop every vector that has a
+    same-cluster neighbor with a smaller id above the threshold (keep
+    the earliest representative of each semantic clump, the
+    `emb_semantic_dedup` keep rule scoped by cluster).
+
+    The 100 TB posture is the paper's own: the within-cluster compare is
+    quadratic in CLUSTER size, so k must grow with the corpus — ``k =
+    max(k_min, n div target_cluster_rows)`` (one metadata-cheap count),
+    which bounds the expected cluster to ``target_cluster_rows`` rows
+    and makes the pairwise stage linear in n at fixed target size.  The
+    oracle pins the gate-SF k (the probe is a pure function of n, so
+    both engines agree at any declared SF); clusters are data-skewed in
+    general — a pathological all-duplicates corpus concentrates mass in
+    one cell — but the declared threshold semantics are unchanged by k,
+    only the miss rate across cluster boundaries is (that is SemDeDup's
+    documented recall trade).
+
+    Plan: :func:`kmeans` (broadcast min_by assignment, bounded driver
+    probes) -> one cluster-keyed self-join (both sides hash-partitioned
+    on cluster, a < b) -> exact integer dot filter -> left_anti back
+    onto the assignment for the keep flag.  Output is one row per input
+    vector: (id, cluster, is_kept)."""
+    if k is None:
+        n = emb.count()
+        k = max(k_min, n // target_cluster_rows)
+    assign = kmeans(emb, k=k, init_rounds=init_rounds,
+                    max_rounds=max_rounds, id_col=id_col,
+                    vec_col=vec_col).select(id_col, "cluster")
+    v = (
+        emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
+        .join(assign, id_col)
+        .localCheckpoint(eager=False)
+    )
+    a = v.select(
+        F.col(id_col).alias("a_id"), F.col("cluster"),
+        F.col("v").alias("av"),
+    )
+    b = v.select(
+        F.col(id_col).alias("b_id"), F.col("cluster"),
+        F.col("v").alias("bv"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(int_dot(F.col("av"), F.col("bv")) >= min_dot_q)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    # ONE reference to the pairwise subplan: a left join whose null
+    # side is the keep flag (anti+semi union would execute it twice)
+    return v.join(dropped, id_col, "left").select(
+        id_col, "cluster", F.col("_dropped").isNull().alias("is_kept")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroid_mod: int = 97,

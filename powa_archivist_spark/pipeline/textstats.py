@@ -1205,10 +1205,24 @@ def bm25_from_postings(term: DataFrame, stats: DataFrame,
     """Score from an at-rest postings table + one-row corpus stats
     (n_docs, sum_dlen) — the scoring half of :func:`bm25_search`,
     reused by the streaming postings ledger."""
-    from pyspark.sql import Window
-
     qterms = _bm25_workload(term, n_queries, terms_per_query,
                             strategy=workload)
+    return bm25_score_qterms(term, stats, qterms, k=k, k1=k1, b=b,
+                             id_col=id_col)
+
+
+def bm25_score_qterms(term: DataFrame, stats: DataFrame,
+                      qterms: DataFrame,
+                      k: int = 10, k1: float = 1.2, b: float = 0.75,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Score an EXPLICIT bounded (query_id, tok) dim against the
+    postings — the plan of :func:`bm25_from_postings` with the workload
+    derivation factored out (r10), so RM3 expansion
+    (:func:`bm25_rm3`) can re-enter scoring with a data-derived term
+    set.  The extracted plan is byte-identical to the pre-split form
+    for workload-derived callers."""
+    from pyspark.sql import Window
+
     matched = term.join(F.broadcast(qterms), "tok")
     df_tok = matched.groupBy("tok").agg(
         F.countDistinct(id_col).alias("df")
@@ -1242,6 +1256,116 @@ def bm25_from_postings(term: DataFrame, stats: DataFrame,
         pruned.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "score_fp")
+    )
+
+
+def rrf_fuse(channels: list[DataFrame], k: int = 10, rrf_k: int = 60,
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR'09) of bounded
+    per-query rank lists: contribution of a rank-r hit is
+    ``2^20 div (rrf_k + r)`` — INTEGER division of the same 2^20
+    fixed-point scale the BM25 family quantizes to, so the cross-channel
+    sum is an exact integer and the oracle replays every fused score.
+
+    Each channel frame carries (query_id, id, rank) with rank already
+    top-K bounded by its producer (the BM25 window / the kNN window), so
+    the union is <= channels x queries x K rows: the fusion groupBy and
+    the final ranking window run on a bounded frame — nothing here
+    re-touches the corpus.  Ties break by id ascending, matching every
+    ranking in the retrieval family."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    tagged = [
+        c.select(
+            "query_id", id_col,
+            F.expr(f"{1 << 20}L div ({rrf_k} + rank)").alias("rrf_c"),
+        )
+        for c in channels
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), tagged)
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("rrf_c").alias("rrf_fp"),
+            F.count(F.lit(1)).alias("n_channels"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_fp").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "rrf_fp", "n_channels")
+    )
+
+
+def bm25_rm3(docs: DataFrame, n_queries: int = 5,
+             terms_per_query: int = 4, fb_docs: int = 5,
+             fb_terms: int = 3, k: int = 10,
+             k1: float = 1.2, b: float = 0.75,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """RM3-style pseudo-relevance-feedback retrieval (Lavrenko &
+    Croft relevance models, the Anserini/Indri RM3 default): run BM25,
+    mine expansion terms from the top ``fb_docs`` feedback documents,
+    re-score with the expanded term set, return the final top-k.
+
+    Expansion term weight is the summed in-feedback term frequency
+    (integer — the rational stand-in for the RM1 probability, monotone
+    in it for uniform feedback-doc priors), original query terms are
+    anti-joined out, and the top ``fb_terms`` new terms per query win by
+    (weight DESC, token ASC) — every step integer/total-ordered, so the
+    oracle replays the whole two-round chain exactly.
+
+    Plan: ONE postings build feeds both rounds (lazily localCheckpointed
+    — round 2 must not re-explode the corpus); the feedback doc dim
+    (queries x fb_docs rows) broadcasts onto the postings to mine
+    candidates; the candidate aggregation is (query, tok)-keyed with
+    map-side combine and the per-query winner selection runs the bounded
+    per-partition top-k buffer before its window, exactly like the main
+    ranking (a feedback doc can be arbitrarily long — its token set is
+    not bounded).  Round 2 re-enters :func:`bm25_score_qterms` with the
+    union dim; per-term df is computed over the full postings both
+    rounds, so expansion does not perturb original-term scores."""
+    toks = F.split(F.col(text_col), " ")
+    stats = docs.select(
+        F.size(toks).alias("dlen")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dlen").alias("sum_dlen"),
+    )
+    term = bm25_postings(docs, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    qterms = _bm25_workload(term, n_queries, terms_per_query)
+    fb = bm25_score_qterms(
+        term, stats, qterms, k=fb_docs, k1=k1, b=b, id_col=id_col
+    ).select("query_id", id_col)
+    cand = (
+        term.join(F.broadcast(fb), id_col)
+        .join(F.broadcast(qterms), ["query_id", "tok"], "left_anti")
+        .groupBy("query_id", "tok")
+        .agg(F.sum("c").alias("w"))
+    )
+    pruned = cand.mapInPandas(
+        _topk_local("query_id", fb_terms, "w", "tok"),
+        schema=cand.schema,
+    )
+    from pyspark.sql import Window
+
+    exp_w = Window.partitionBy("query_id").orderBy(
+        F.col("w").desc(), F.col("tok").asc()
+    )
+    expansion = (
+        pruned.withColumn("r", F.row_number().over(exp_w))
+        .filter(F.col("r") <= fb_terms)
+        .select("query_id", "tok")
+    )
+    q2 = qterms.unionByName(expansion)
+    return bm25_score_qterms(
+        term, stats, q2, k=k, k1=k1, b=b, id_col=id_col
     )
 
 

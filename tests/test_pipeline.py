@@ -3262,3 +3262,148 @@ def test_kmeans_converges_and_is_partitioning_invariant(spark):
     shuf = sorted(map(tuple, similarity.kmeans(
         emb.repartition(13), k=8, init_rounds=3, max_rounds=40).collect()))
     assert shuf == rows
+
+
+def test_rrf_fuse_integer_contract_and_bounds(spark):
+    """r10: RRF fusion — fused score is the exact integer sum of
+    2^20 div (60 + rank) across channels, a doc hit by both channels
+    outranks one hit by a single channel at the same ranks, and the
+    output is bounded to queries x k."""
+    from powa_archivist_spark.pipeline import textstats
+
+    lex = spark.createDataFrame(
+        [(0, 100, 1), (0, 101, 2), (0, 102, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(0, 101, 1), (0, 103, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    out = {r.doc_id: r for r in
+           textstats.rrf_fuse([lex, sem], k=10).collect()}
+    q = 1 << 20
+    assert out[101].rrf_fp == q // 62 + q // 61
+    assert out[101].n_channels == 2
+    assert out[100].rrf_fp == q // 61
+    assert out[101].rank == 1  # two channels beat one at similar ranks
+    assert len(out) == 4
+    # bounded k
+    top2 = textstats.rrf_fuse([lex, sem], k=2).collect()
+    assert len(top2) == 2
+
+
+def test_bm25_rm3_expansion_recalls_feedback_cooccurring_term(spark):
+    """r10: RM3 — a doc that carries ONLY a term co-occurring with the
+    query terms in the feedback docs is invisible to plain BM25 but
+    enters the expanded round's results; original query terms are never
+    re-selected as expansion."""
+    from powa_archivist_spark.pipeline import textstats
+
+    # q0 terms = the 2 commonest tokens ('qa','qb').  The SHORT docs
+    # 0-7 win the feedback slots (BM25 length norm) and all carry 'xp'
+    # (the expansion signal); the long docs 60-69 keep qa/qb commonest
+    # but lose feedback.  Doc 50 has ONLY 'xp'.
+    rows = []
+    for i in range(8):
+        rows.append((i, "qa qb xp filler" + str(i)))
+    rows.append((50, "xp xp xp"))
+    for i in range(60, 70):
+        pad = " ".join(f"w{i}_{j}" for j in range(6))
+        rows.append((i, "qa qb " + pad))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = textstats.bm25_search(
+        df, n_queries=1, terms_per_query=2, k=20)
+    rm3 = textstats.bm25_rm3(
+        df, n_queries=1, terms_per_query=2, fb_docs=5, fb_terms=1, k=20)
+    plain_docs = {r.doc_id for r in plain.collect()}
+    rm3_docs = {r.doc_id for r in rm3.collect()}
+    assert 50 not in plain_docs
+    assert 50 in rm3_docs
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """r10: novelty — first doc owns every gram it introduces; an exact
+    duplicate document is 0% novel; a short doc (< n tokens) counts
+    zero grams but still counts as a doc."""
+    from powa_archivist_spark.pipeline import corpus
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d", "s1"),      # grams: 'a b c', 'b c d' (novel)
+            (1, "a b c d", "s2"),      # same grams, all seen
+            (2, "x y", "s2"),          # too short: 0 grams
+            (3, "a b c e", "s1"),      # 'a b c' seen, 'b c e' novel
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in corpus.ngram_novelty(df, n=3).collect()}
+    assert out["s1"].n_docs == 2
+    assert out["s1"].n_grams == 4 and out["s1"].n_novel == 3
+    assert abs(out["s1"].novelty - 0.75) < 1e-12
+    assert out["s2"].n_docs == 2
+    assert out["s2"].n_grams == 2 and out["s2"].n_novel == 0
+    assert out["s2"].novelty == 0.0
+
+
+def test_kmeans_profile_matches_assignment_rollup(spark):
+    """r10: the profile is exactly the groupBy of the assignment the
+    same-parameter kmeans returns (sizes sum to corpus, inertia/radius
+    agree)."""
+    import pyspark.sql.functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    prof = {r.cluster: r for r in similarity.kmeans_profile(
+        emb, k=8, init_rounds=3, max_rounds=12).collect()}
+    asg = similarity.kmeans(emb, k=8, init_rounds=3, max_rounds=12)
+    roll = {r.cluster: r for r in asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d2_q").alias("i"),
+        F.max("d2_q").alias("r")).collect()}
+    assert set(prof) == set(roll)
+    assert sum(p.n_vecs for p in prof.values()) == emb.count()
+    for c, p in prof.items():
+        assert (p.n_vecs, p.inertia_q, p.radius_q) == (
+            roll[c].n, roll[c].i, roll[c].r)
+
+
+def test_kmeans_semdedup_drops_within_cluster_duplicates(spark):
+    """r10: SemDeDup keep rule — an exact duplicate pair lands in one
+    cluster and only the smaller id survives; mutually-distant vectors
+    all survive; output is one row per input vector."""
+    from powa_archivist_spark.pipeline import similarity
+
+    # 4 orthogonal directions x 5 near-copies each, plus one EXACT
+    # duplicate pair (ids 100/101 both equal to direction 0).
+    rows = []
+    for d in range(4):
+        for j in range(5):
+            v = [0.0] * 8
+            v[d] = 1.0
+            v[4 + d] = 0.01 * j  # tiny spread, same direction
+            rows.append((d * 10 + j, v))
+    dup = [0.0] * 8
+    dup[0] = 1.0
+    rows.append((100, dup))
+    rows.append((101, dup))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in similarity.kmeans_semdedup(
+        emb, min_dot_q=990_000_000_000, k=4, init_rounds=3,
+        max_rounds=10).collect()}
+    assert len(out) == len(rows)
+    # ids 0/100/101 are the SAME unit vector: the earliest (0) survives,
+    # both duplicates drop, all in one cluster
+    assert out[0].is_kept
+    assert not out[100].is_kept and not out[101].is_kept
+    assert out[0].cluster == out[100].cluster == out[101].cluster
+    # within a cluster every pair here clears the threshold (same
+    # direction => dot ~ QUANT^2; cross-direction dots are ~0 and land
+    # in other clusters), so the survivor set is exactly the per-cluster
+    # min id
+    kept = {v.vec_id for v in out.values() if v.is_kept}
+    import collections
+
+    by_cluster = collections.defaultdict(list)
+    for v in out.values():
+        by_cluster[v.cluster].append(v.vec_id)
+    assert kept == {min(ids) for ids in by_cluster.values()}
