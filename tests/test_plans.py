@@ -835,3 +835,67 @@ def test_bm25_wand_plan_pruned_reads_bounded_windows(spark):
     win_pos = plan.find("Window")
     mip_pos = plan.find("MapInPandas")
     assert 0 <= win_pos < mip_pos
+
+
+def test_rrf_fusion_ranks_bounded_channel_frames(spark):
+    """r10: docs_rrf_hybrid — the fusion stage ranks the union of two
+    already-top-k channels: every window in the plan is query-keyed
+    (no unbounded global window), the BM25 channel keeps its bounded
+    per-partition pre-prune, and nothing in the fused plan is a
+    cartesian product."""
+    from powa_archivist_spark.pipeline.queries import docs_rrf_hybrid
+
+    df = docs_rrf_hybrid(spark, SF)
+    assert pi.unbounded_global_windows(df) == []
+    assert not pi.has_cartesian(df)
+    assert "MapInPandas" in pi.plan_string(df), "bm25 pre-prune missing"
+
+
+def test_rm3_rounds_share_broadcast_dims_no_global_window(spark):
+    """r10: docs_bm25_rm3 — both scoring rounds join the postings
+    against BROADCAST bounded dims (query terms, per-term df, corpus
+    stats, feedback docs); the expansion selection and both rankings
+    run behind bounded per-partition top-k prunes; no global window, no
+    cartesian."""
+    from powa_archivist_spark.pipeline.queries import docs_bm25_rm3
+
+    df = docs_bm25_rm3(spark, SF)
+    plan = pi.plan_string(df)
+    assert pi.unbounded_global_windows(df) == []
+    assert not pi.has_cartesian(df)
+    assert pi.broadcast_join_count(df) >= 3
+    # round-2 ranking + candidate selection both pre-prune
+    assert plan.count("MapInPandas") >= 2
+
+
+def test_ngram_novelty_windowless_two_phase_aggs(spark):
+    """r10: docs_ngram_novelty — the whole profile is joins + two-phase
+    aggregations: zero windows anywhere (the first-owner table is a
+    gram-keyed min, not a ranking), partial aggregation before every
+    exchange, no cartesian."""
+    from powa_archivist_spark.pipeline.queries import docs_ngram_novelty
+
+    df = docs_ngram_novelty(spark, SF)
+    plan = pi.plan_string(df)
+    assert pi.window_count(df) == 0
+    assert not pi.has_cartesian(df)
+    assert "partial" in plan.lower(), "map-side partial agg missing"
+
+
+def test_kmeans_semdedup_pairwise_is_cluster_keyed(spark):
+    """r10: emb_kmeans_semdedup — the SemDeDup compare stage must be a
+    KEYED join on the cluster id (the paper's whole point: never
+    all-pairs), with the centroid assignment travelling by broadcast
+    and no cartesian product or global window anywhere."""
+    from powa_archivist_spark.pipeline.queries import emb_kmeans_semdedup
+
+    df = emb_kmeans_semdedup(spark, SF)
+    plan = pi.plan_string(df)
+    assert not pi.has_cartesian(df)
+    assert pi.unbounded_global_windows(df) == []
+    cluster_joins = [
+        ln for ln in pi.plan_string(df, "simple").splitlines()
+        if "Join" in ln and "cluster#" in ln
+        and "BroadcastNestedLoop" not in ln
+    ]
+    assert cluster_joins, "expected a join keyed on cluster"
