@@ -49,7 +49,11 @@ from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 # (SemDeDup within-cluster pairwise) — displace ivf_refined_centroids,
 # multimodal_meta, multimodal_frames, token_counts and lang_id (all
 # r7/r8-gate green; all stay replayed per-commit by
-# tests/test_oracle_full and ORACLE_FULL.txt).
+# tests/test_oracle_full and ORACLE_FULL.txt).  dedup_minhash_recall
+# (measured LSH candidate recall vs exact shingle-jaccard truth) and
+# stream_novelty_ledger (at-rest first-owner novelty ledger) displace
+# corpus_quality_ensemble and salted_rollup (r8/r9-gate green, same
+# standing replay).
 #
 # r9 changed forms: dedup_components (route-fixed prefix over distinct
 # sets), dedup_jaccard_pairs + dedup_keep_list (set-collapsed pair
@@ -68,6 +72,8 @@ _GATE_ORDER = [
     "docs_ngram_novelty",
     "emb_kmeans_profile",
     "emb_kmeans_semdedup",
+    "dedup_minhash_recall",
+    "stream_novelty_ledger",
     # --- changed in r9 (re-gate) ---
     "dedup_components",
     "dedup_jaccard_pairs",

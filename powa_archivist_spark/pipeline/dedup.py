@@ -807,6 +807,71 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_recall(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Measured candidate recall/precision of the banded MinHash-LSH
+    against exact shingle-Jaccard ground truth — the dedup family's
+    analog of the ANN family's recall@k evals (`ann_pq_recall`,
+    `ann_sq_recall`): the knob sheet (num_perm, bands) is a
+    probability-of-collision trade, and a deployment tunes it against a
+    MEASURED number, not the 1-(1-s^r)^b formula.
+
+    Ground truth reuses the production exact-pair machinery: each
+    shingle is glued into a single token (space -> \\x01, injective on
+    real token streams), so :func:`jaccard_pairs`'s distinct-set PPJoin
+    computes exact SHINGLE jaccard — the quantity LSH approximates —
+    with all its prefix/length prunes.  Shingle-less docs (< n tokens)
+    are outside both relations, exactly as they are invisible to LSH.
+
+    Output is ONE row: truth/candidate/hit counts + recall + precision.
+    All three count aggregates are scalar; the joins are keyed on
+    (a_id, b_id)."""
+    sh = shingle_arrays(docs, shingle_n, text_col, id_col)
+    glued = sh.filter(F.size("sh") > 0).select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform("sh", lambda s: F.translate(s, " ", "\x01"))
+        ).alias(text_col),
+    )
+    truth = (
+        jaccard_pairs(glued, threshold=threshold, text_col=text_col,
+                      id_col=id_col, strategy="prefix")
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    cands = minhash_lsh_candidates(
+        docs, num_perm, bands, shingle_n, text_col, id_col,
+        hash_fn=hash_fn,
+    ).localCheckpoint(eager=False)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = truth.join(cands, ["a_id", "b_id"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_truth.crossJoin(n_cand).crossJoin(n_hit)
+        .select(
+            "n_truth", "n_cand", "n_hit",
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hit").cast("double") / F.col("n_truth"),
+            ).alias("recall"),
+            F.when(
+                F.col("n_cand") > 0,
+                F.col("n_hit").cast("double") / F.col("n_cand"),
+            ).alias("precision"),
+        )
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     threshold: float = 0.8,

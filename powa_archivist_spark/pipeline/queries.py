@@ -206,6 +206,78 @@ ORDER BY a_id, b_id
 """
 
 
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-LSH candidate recall/precision against exact
+    shingle-Jaccard truth (dedup.minhash_lsh_recall) — the dedup
+    family's analog of the ANN recall evals.  Truth reuses the
+    production PPJoin exact-pair machinery over glued shingles; the
+    oracle replays both relations and the count joins."""
+    return dedup.minhash_lsh_recall(
+        t(spark, sf_dir, "documents"), threshold=0.8, hash_fn="md5"
+    )
+
+
+def _oracle_minhash_recall() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           list_distinct([
+             array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             for i in generate_series(1, len(string_split(text, ' ')) - 2)
+           ])
+         ELSE [] END AS sh
+  FROM documents
+), ne AS (
+  SELECT doc_id, sh FROM sh WHERE len(sh) > 0
+), truth AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8
+), exploded AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS h
+  FROM sh
+), seeds(seed, a1, a2, b) AS (
+  VALUES {", ".join(f"({i}, {a1}, {a2}, {b})"
+                    for i, (a1, a2, b) in enumerate(_PERMS))}
+), mins AS (
+  SELECT doc_id, seed,
+         MIN((a1 * (h >> 30) + a2 * (h & 1073741823) + b)
+             % {dedup.MINHASH_P}) AS h
+  FROM exploded CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), sigs AS (
+  SELECT doc_id, list(h ORDER BY seed) AS sig FROM mins GROUP BY doc_id
+), bands AS (
+  SELECT unnest(generate_series(0, 7)) AS band
+), banded AS (
+  SELECT doc_id, band,
+         ('0x' || substring(
+            md5(array_to_string(sig[band*4+1 : band*4+4], '|')), 1, 15)
+         )::BIGINT AS bucket
+  FROM sigs CROSS JOIN bands
+), cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+), counts AS (
+  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(*) FROM cands) AS n_cand,
+         (SELECT COUNT(*) FROM truth t JOIN cands c
+            ON t.a_id = c.a_id AND t.b_id = c.b_id) AS n_hit
+)
+SELECT n_truth, n_cand, n_hit,
+       CASE WHEN n_truth > 0 THEN
+         CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+       CASE WHEN n_cand > 0 THEN
+         CAST(n_hit AS DOUBLE) / n_cand END AS precision
+FROM counts
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs in the cross-engine 60-bit md5 family —
     the DuckDB oracle replays token hashes, the per-bit majority vote,
@@ -2010,6 +2082,45 @@ def stream_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             hll_profile(wh, ["event_type"])
             .orderBy("event_type")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def stream_novelty_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-batch replay of the STREAMING first-owner
+    novelty ledger (streaming/novelty.py): documents arrive in four
+    ASCENDING doc_id ranges (quarters of [0, max_id] — the landing
+    tables' ingestion order), each appending its new-gram owners and
+    per-doc stats through one manifest; the final profile reads the
+    stat table alone.  With ascending arrival, first-arrival ownership
+    equals min-id ownership, so the oracle is the batch novelty oracle
+    (ORACLE_NGRAM_NOVELTY)."""
+    import shutil
+    import tempfile
+
+    from ..storage import Warehouse
+    from ..streaming.novelty import novelty_profile, process_novelty_batch
+
+    docs = t(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
+    step = (int(mx) + 4) // 4
+    scratch = tempfile.mkdtemp(prefix="novelty_ledger_")
+    try:
+        wh = Warehouse(spark, scratch)
+        for b in range(4):
+            process_novelty_batch(
+                wh,
+                docs.filter(
+                    (F.col("doc_id") >= b * step)
+                    & (F.col("doc_id") < (b + 1) * step)
+                ),
+                epoch_id=b,
+            )
+        return (
+            novelty_profile(wh, docs)
+            .orderBy("source")
             .localCheckpoint()
         )
     finally:
@@ -5031,4 +5142,8 @@ PIPELINE_QUERIES = {
     "emb_kmeans_profile": (emb_kmeans_profile, _oracle_kmeans_profile()),
     "emb_kmeans_semdedup": (emb_kmeans_semdedup,
                             _oracle_kmeans_semdedup()),
+    "dedup_minhash_recall": (dedup_minhash_recall,
+                             _oracle_minhash_recall()),
+    "stream_novelty_ledger": (stream_novelty_ledger,
+                              ORACLE_NGRAM_NOVELTY),
 }

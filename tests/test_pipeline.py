@@ -3407,3 +3407,67 @@ def test_kmeans_semdedup_drops_within_cluster_duplicates(spark):
     for v in out.values():
         by_cluster[v.cluster].append(v.vec_id)
     assert kept == {min(ids) for ids in by_cluster.values()}
+
+
+def test_minhash_recall_exact_duplicates_and_bounds(spark):
+    """r10: LSH recall eval — identical docs collide in EVERY band, so
+    an exact-duplicate corpus measures recall 1.0; counts are
+    consistent (hits bounded by both relations); a corpus with no
+    near-dups reports NULL recall (0 truth pairs) without dividing by
+    zero."""
+    from powa_archivist_spark.pipeline import dedup
+
+    dup = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [(0, dup), (1, dup)] + [
+        (10 + i, " ".join(f"u{i}_{j}" for j in range(12)))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dedup.minhash_lsh_recall(df, hash_fn="md5").collect()[0]
+    assert r.n_truth == 1 and r.n_hit == 1
+    assert r.recall == 1.0
+    assert r.n_hit <= r.n_cand
+    assert 0.0 < r.precision <= 1.0
+
+    solo = spark.createDataFrame(rows[2:], "doc_id long, text string")
+    r2 = dedup.minhash_lsh_recall(solo, hash_fn="md5").collect()[0]
+    assert r2.n_truth == 0 and r2.recall is None
+
+
+def test_stream_novelty_ledger_equals_batch_and_replay_is_noop(spark, tmp_path):
+    """r10: the at-rest first-owner ledger — ascending-batch folds
+    reproduce the one-shot batch novelty profile exactly; a replayed
+    epoch short-circuits (returns False) and changes nothing."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import corpus
+    from powa_archivist_spark.storage import Warehouse
+    from powa_archivist_spark.streaming.novelty import (
+        novelty_profile,
+        process_novelty_batch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wh = Warehouse(spark, str(tmp_path / "nv"))
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
+    step = (int(mx) + 2) // 2
+    for b in range(2):
+        ok = process_novelty_batch(
+            wh,
+            docs.filter(
+                (F.col("doc_id") >= b * step)
+                & (F.col("doc_id") < (b + 1) * step)
+            ),
+            epoch_id=b,
+        )
+        assert ok
+    want = sorted(map(tuple, corpus.ngram_novelty(docs, n=3).collect()))
+    got = sorted(map(tuple, novelty_profile(wh, docs).collect()))
+    assert got == want
+
+    # replayed epoch: short-circuit, no state change
+    again = process_novelty_batch(
+        wh, docs.filter(F.col("doc_id") < step), epoch_id=0
+    )
+    assert again is False
+    assert sorted(map(tuple, novelty_profile(wh, docs).collect())) == want
