@@ -1000,14 +1000,18 @@ GROUP BY cluster
 
 def emb_kmeans_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup as published (similarity.kmeans_semdedup): k-means the
-    space, pairwise-dedup WITHIN clusters only, keep the earliest id of
-    each semantic clump.  k scales as ``max(8, n div 256)`` so the
-    within-cluster compare stays bounded as the corpus grows (the
-    paper's own scaling); at every oracle-replayed SF the probe
-    resolves to k=8, which the oracle pins."""
+    space, dedup WITHIN clusters only, keep the earliest id of each
+    semantic clump.  k is a fixed quality knob (assignment stays
+    linear); the threshold-pair relation routes through
+    :func:`_routed_emb_pairs` — exact under the count-probe bound
+    (bit-identical to naive within-cluster all-pairs, what the oracle
+    replays), LSH-bucketed above it (the linear 100 TB route, the
+    emb_near_dup posture) — and cluster scoping is one same-cluster
+    filter on it."""
+    emb = t(spark, sf_dir, "embeddings")
     return similarity.kmeans_semdedup(
-        t(spark, sf_dir, "embeddings"), min_dot_q=MIN_DOT_Q,
-        target_cluster_rows=256, k_min=8, init_rounds=3, max_rounds=10,
+        emb, min_dot_q=MIN_DOT_Q, k=8, init_rounds=3, max_rounds=10,
+        pairs=_routed_emb_pairs(emb),
     )
 
 

@@ -294,42 +294,62 @@ def kmeans_profile(emb: DataFrame, k: int = 8, init_rounds: int = 3,
     )
 
 
-def kmeans_semdedup(emb: DataFrame, min_dot_q: int,
-                    target_cluster_rows: int = 256, k_min: int = 8,
+def kmeans_semdedup(emb: DataFrame, min_dot_q: int, k: int = 8,
                     init_rounds: int = 3, max_rounds: int = 10,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    k: int | None = None) -> DataFrame:
+                    pairs: DataFrame | None = None) -> DataFrame:
     """SemDeDup as published (Abbas et al. 2023): k-means the embedding
-    space, then search near-duplicates ONLY within each cluster —
-    pairwise cosine against cluster-mates, drop every vector that has a
-    same-cluster neighbor with a smaller id above the threshold (keep
-    the earliest representative of each semantic clump, the
-    `emb_semantic_dedup` keep rule scoped by cluster).
+    space, then search near-duplicates ONLY within each cluster — drop
+    every vector that has a same-cluster neighbor with a smaller id
+    above the threshold (keep the earliest representative of each
+    semantic clump, the `emb_semantic_dedup` keep rule scoped by
+    cluster).
 
-    The 100 TB posture is the paper's own: the within-cluster compare is
-    quadratic in CLUSTER size, so k must grow with the corpus — ``k =
-    max(k_min, n div target_cluster_rows)`` (one metadata-cheap count),
-    which bounds the expected cluster to ``target_cluster_rows`` rows
-    and makes the pairwise stage linear in n at fixed target size.  The
-    oracle pins the gate-SF k (the probe is a pure function of n, so
-    both engines agree at any declared SF); clusters are data-skewed in
-    general — a pathological all-duplicates corpus concentrates mass in
-    one cell — but the declared threshold semantics are unchanged by k,
-    only the miss rate across cluster boundaries is (that is SemDeDup's
-    documented recall trade).
+    The 100 TB posture composes the two postures this package already
+    ships rather than inventing a third: k stays a fixed QUALITY knob
+    (assignment cost n x k stays linear — adaptive k = n/target would
+    make Lloyd itself quadratic), and the threshold-pair relation comes
+    from the caller's routed pair machinery via ``pairs`` — exact
+    all-pairs under the count-probe bound (what the oracle gate and the
+    declared SFs see), LSH-bucketed above it (the `_routed_emb_pairs`
+    posture the r9 review confirmed for `emb_near_dup`).  Cluster
+    scoping is then one same-cluster filter on the pair relation: at
+    the exact route the result is bit-identical to the naive
+    within-cluster all-pairs, at the LSH route the documented recall
+    trade applies twice (bucket miss + cluster-boundary miss — both are
+    SemDeDup's own published trades).
 
-    Plan: :func:`kmeans` (broadcast min_by assignment, bounded driver
-    probes) -> one cluster-keyed self-join (both sides hash-partitioned
-    on cluster, a < b) -> exact integer dot filter -> left_anti back
-    onto the assignment for the keep flag.  Output is one row per input
-    vector: (id, cluster, is_kept)."""
-    if k is None:
-        n = emb.count()
-        k = max(k_min, n // target_cluster_rows)
+    ``pairs=None`` runs the self-contained exact shape: one
+    cluster-keyed self-join (both sides hash-partitioned on cluster,
+    a < b) -> exact integer dot filter — the oracle twin and the right
+    call when a bounded corpus is known to fit.
+
+    Output is one row per input vector: (id, cluster, is_kept)."""
     assign = kmeans(emb, k=k, init_rounds=init_rounds,
                     max_rounds=max_rounds, id_col=id_col,
                     vec_col=vec_col).select(id_col, "cluster")
+    if pairs is not None:
+        assign = assign.localCheckpoint(eager=False)
+        a = assign.select(
+            F.col(id_col).alias("a_id"), F.col("cluster").alias("ca")
+        )
+        b = assign.select(
+            F.col(id_col).alias("b_id"), F.col("cluster").alias("cb")
+        )
+        dropped = (
+            pairs.select("a_id", "b_id")
+            .join(a, "a_id")
+            .join(b, "b_id")
+            .filter(F.col("ca") == F.col("cb"))
+            .select(F.col("b_id").alias(id_col))
+            .distinct()
+            .withColumn("_dropped", F.lit(1))
+        )
+        return assign.join(dropped, id_col, "left").select(
+            id_col, "cluster",
+            F.col("_dropped").isNull().alias("is_kept"),
+        )
     v = (
         emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
         .join(assign, id_col)

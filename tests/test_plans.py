@@ -883,19 +883,28 @@ def test_ngram_novelty_windowless_two_phase_aggs(spark):
 
 
 def test_kmeans_semdedup_pairwise_is_cluster_keyed(spark):
-    """r10: emb_kmeans_semdedup — the SemDeDup compare stage must be a
-    KEYED join on the cluster id (the paper's whole point: never
-    all-pairs), with the centroid assignment travelling by broadcast
-    and no cartesian product or global window anywhere."""
-    from powa_archivist_spark.pipeline.queries import emb_kmeans_semdedup
+    """r10: SemDeDup — the self-contained exact shape's compare stage
+    must be a KEYED join on the cluster id (the paper's whole point:
+    never unkeyed all-pairs); the DECLARED query (routed pair relation
+    + same-cluster filter) must carry no cartesian product and no
+    global window."""
+    from powa_archivist_spark.pipeline import similarity
+    from powa_archivist_spark.pipeline.queries import (
+        MIN_DOT_Q,
+        emb_kmeans_semdedup,
+    )
 
-    df = emb_kmeans_semdedup(spark, SF)
-    plan = pi.plan_string(df)
-    assert not pi.has_cartesian(df)
-    assert pi.unbounded_global_windows(df) == []
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = similarity.kmeans_semdedup(
+        emb, min_dot_q=MIN_DOT_Q, k=8, init_rounds=3, max_rounds=10
+    )
     cluster_joins = [
-        ln for ln in pi.plan_string(df, "simple").splitlines()
+        ln for ln in pi.plan_string(exact, "simple").splitlines()
         if "Join" in ln and "cluster#" in ln
         and "BroadcastNestedLoop" not in ln
     ]
     assert cluster_joins, "expected a join keyed on cluster"
+
+    df = emb_kmeans_semdedup(spark, SF)
+    assert not pi.has_cartesian(df)
+    assert pi.unbounded_global_windows(df) == []
