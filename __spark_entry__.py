@@ -53,6 +53,9 @@ from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 # (measured LSH candidate recall vs exact shingle-jaccard truth) and
 # stream_novelty_ledger (at-rest first-owner novelty ledger) displace
 # corpus_quality_ensemble and salted_rollup (r8/r9-gate green, same
+# standing replay).  dedup_lsh_tuning (the band-config tuning curve)
+# and ann_ivf_recall (closes the ANN recall matrix) displace
+# corpus_decontam_excise and corpus_bpe_encode (r8-gate green, same
 # standing replay).
 #
 # r9 changed forms: dedup_components (route-fixed prefix over distinct
@@ -74,6 +77,8 @@ _GATE_ORDER = [
     "emb_kmeans_semdedup",
     "dedup_minhash_recall",
     "stream_novelty_ledger",
+    "dedup_lsh_tuning",
+    "ann_ivf_recall",
     # --- changed in r9 (re-gate) ---
     "dedup_components",
     "dedup_jaccard_pairs",

@@ -19,6 +19,7 @@ path and for verification of LSH recall.
 from __future__ import annotations
 
 import logging
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -807,6 +808,59 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_truth_pairs(docs: DataFrame, threshold: float = 0.8,
+                    shingle_n: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-Jaccard ground-truth pairs for the LSH evals: each
+    shingle glued into a single token (space -> \\x01, injective on real
+    token streams) so :func:`jaccard_pairs`'s distinct-set PPJoin
+    computes exact SHINGLE jaccard with all its prefix/length prunes;
+    shingle-less docs (< n tokens) are outside the relation, exactly as
+    they are invisible to LSH."""
+    sh = shingle_arrays(docs, shingle_n, text_col, id_col)
+    glued = sh.filter(F.size("sh") > 0).select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform("sh", lambda s: F.translate(s, " ", "\x01"))
+        ).alias(text_col),
+    )
+    return jaccard_pairs(glued, threshold=threshold, text_col=text_col,
+                         id_col=id_col, strategy="prefix")
+
+
+def lsh_tuning(
+    docs: DataFrame,
+    band_configs: Sequence[tuple[int, int]] = ((32, 4), (32, 8), (32, 16)),
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The LSH tuning curve: measured recall/precision per
+    (num_perm, bands) configuration against ONE shared exact truth
+    relation — more bands/fewer rows-per-band raises collision
+    probability (recall up, precision down), and this sweep is how a
+    deployment picks its point on that curve.  One row per config."""
+    from functools import reduce
+
+    truth = lsh_truth_pairs(docs, threshold, shingle_n, text_col,
+                            id_col).localCheckpoint(eager=False)
+    frames = []
+    for num_perm, bands in band_configs:
+        r = minhash_lsh_recall(
+            docs, threshold=threshold, num_perm=num_perm, bands=bands,
+            shingle_n=shingle_n, text_col=text_col, id_col=id_col,
+            hash_fn=hash_fn, truth=truth,
+        )
+        frames.append(r.select(
+            F.lit(num_perm).cast("long").alias("num_perm"),
+            F.lit(bands).cast("long").alias("bands"),
+            "n_truth", "n_cand", "n_hit", "recall", "precision",
+        ))
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
 def minhash_lsh_recall(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -816,13 +870,16 @@ def minhash_lsh_recall(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """Measured candidate recall/precision of the banded MinHash-LSH
     against exact shingle-Jaccard ground truth — the dedup family's
     analog of the ANN family's recall@k evals (`ann_pq_recall`,
     `ann_sq_recall`): the knob sheet (num_perm, bands) is a
     probability-of-collision trade, and a deployment tunes it against a
-    MEASURED number, not the 1-(1-s^r)^b formula.
+    MEASURED number, not the 1-(1-s^r)^b formula.  ``truth`` lets a
+    tuning sweep (`lsh_tuning`) compute the expensive exact relation
+    ONCE and share it across band configurations.
 
     Ground truth reuses the production exact-pair machinery: each
     shingle is glued into a single token (space -> \\x01, injective on
@@ -834,19 +891,10 @@ def minhash_lsh_recall(
     Output is ONE row: truth/candidate/hit counts + recall + precision.
     All three count aggregates are scalar; the joins are keyed on
     (a_id, b_id)."""
-    sh = shingle_arrays(docs, shingle_n, text_col, id_col)
-    glued = sh.filter(F.size("sh") > 0).select(
-        F.col(id_col),
-        F.concat_ws(
-            " ", F.transform("sh", lambda s: F.translate(s, " ", "\x01"))
-        ).alias(text_col),
-    )
-    truth = (
-        jaccard_pairs(glued, threshold=threshold, text_col=text_col,
-                      id_col=id_col, strategy="prefix")
-        .select("a_id", "b_id")
-        .localCheckpoint(eager=False)
-    )
+    if truth is None:
+        truth = lsh_truth_pairs(docs, threshold, shingle_n,
+                                text_col, id_col)
+    truth = truth.select("a_id", "b_id").localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(
         docs, num_perm, bands, shingle_n, text_col, id_col,
         hash_fn=hash_fn,

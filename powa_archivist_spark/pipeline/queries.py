@@ -278,6 +278,85 @@ FROM counts
 """
 
 
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning curve (dedup.lsh_tuning): measured
+    recall/precision at bands = 4 / 8 / 16 over num_perm=32 against ONE
+    shared exact-truth relation — the curve a deployment reads to pick
+    its collision-probability point.  One row per config."""
+    return dedup.lsh_tuning(
+        t(spark, sf_dir, "documents"), threshold=0.8, hash_fn="md5"
+    )
+
+
+def _oracle_lsh_tuning() -> str:
+    per_config = []
+    for bands in (4, 8, 16):
+        r = 32 // bands
+        per_config.append(f"""banded{bands} AS (
+  SELECT doc_id, band,
+         ('0x' || substring(
+            md5(array_to_string(sig[band*{r}+1 : band*{r}+{r}], '|')),
+            1, 15))::BIGINT AS bucket
+  FROM sigs CROSS JOIN (
+    SELECT unnest(generate_series(0, {bands - 1})) AS band)
+), cands{bands} AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded{bands} a JOIN banded{bands} b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+), row{bands} AS (
+  SELECT CAST(32 AS BIGINT) AS num_perm,
+         CAST({bands} AS BIGINT) AS bands,
+         (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(*) FROM cands{bands}) AS n_cand,
+         (SELECT COUNT(*) FROM truth t JOIN cands{bands} c
+            ON t.a_id = c.a_id AND t.b_id = c.b_id) AS n_hit
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT * FROM row{b}" for b in (4, 8, 16)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           list_distinct([
+             array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             for i in generate_series(1, len(string_split(text, ' ')) - 2)
+           ])
+         ELSE [] END AS sh
+  FROM documents
+), ne AS (
+  SELECT doc_id, sh FROM sh WHERE len(sh) > 0
+), truth AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8
+), exploded AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS h
+  FROM sh
+), seeds(seed, a1, a2, b) AS (
+  VALUES {", ".join(f"({i}, {a1}, {a2}, {b})"
+                    for i, (a1, a2, b) in enumerate(_PERMS))}
+), mins AS (
+  SELECT doc_id, seed,
+         MIN((a1 * (h >> 30) + a2 * (h & 1073741823) + b)
+             % {dedup.MINHASH_P}) AS h
+  FROM exploded CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), sigs AS (
+  SELECT doc_id, list(h ORDER BY seed) AS sig FROM mins GROUP BY doc_id
+), {", ".join(per_config)}
+SELECT num_perm, bands, n_truth, n_cand, n_hit,
+       CASE WHEN n_truth > 0 THEN
+         CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+       CASE WHEN n_cand > 0 THEN
+         CAST(n_hit AS DOUBLE) / n_cand END AS precision
+FROM ({rows})
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs in the cross-engine 60-bit md5 family —
     the DuckDB oracle replays token hashes, the per-bit majority vote,
@@ -4360,6 +4439,38 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall_at_k(exact, approx, k=10)
 
 
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the plain IVF index (nprobe=2) against the exact
+    brute-force ground truth on the same 5 queries (late r10) — closes
+    the recall matrix: every index in the ladder (SQ / PQ / IVF-PQ /
+    MRL / now IVF itself) carries a measured recall query."""
+    emb = t(spark, sf_dir, "embeddings")
+    exact = similarity.knn_bruteforce(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+    approx = similarity.knn_ivf(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+    return similarity.ann_recall_at_k(exact, approx, k=10)
+
+
+ORACLE_IVF_RECALL = f"""
+WITH approx AS (
+{ORACLE_KNN_IVF}
+), exact AS (
+{ORACLE_KNN}
+), hits AS (
+  SELECT e.query_id, COUNT(*) AS hits
+  FROM exact e
+  JOIN approx a ON a.query_id = e.query_id
+              AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(10 AS BIGINT) AS k,
+       CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
 ORACLE_ANN_RECALL = f"""
 WITH approx AS (
 {ORACLE_IVFPQ_TOPK}
@@ -5150,4 +5261,6 @@ PIPELINE_QUERIES = {
                              _oracle_minhash_recall()),
     "stream_novelty_ledger": (stream_novelty_ledger,
                               ORACLE_NGRAM_NOVELTY),
+    "dedup_lsh_tuning": (dedup_lsh_tuning, _oracle_lsh_tuning()),
+    "ann_ivf_recall": (ann_ivf_recall, ORACLE_IVF_RECALL),
 }

@@ -3471,3 +3471,44 @@ def test_stream_novelty_ledger_equals_batch_and_replay_is_noop(spark, tmp_path):
     )
     assert again is False
     assert sorted(map(tuple, novelty_profile(wh, docs).collect())) == want
+
+
+def test_lsh_tuning_curve_is_monotone_in_bands(spark):
+    """r10: the tuning sweep shares ONE truth relation and moves along
+    the collision-probability curve — more bands (fewer rows per band)
+    can only add candidates, so n_cand and recall are non-decreasing in
+    the band count at fixed num_perm."""
+    from powa_archivist_spark.pipeline import dedup
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [(0, base), (1, base + " w9")] + [
+        (10 + i, " ".join(f"u{i}_{j}" for j in range(12)))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        dedup.lsh_tuning(df, hash_fn="md5").collect(),
+        key=lambda r: r.bands,
+    )
+    assert [r.bands for r in out] == [4, 8, 16]
+    assert len({r.n_truth for r in out}) == 1  # shared truth
+    cands = [r.n_cand for r in out]
+    assert cands == sorted(cands)
+    recalls = [r.recall if r.recall is not None else 0.0 for r in out]
+    assert recalls == sorted(recalls)
+
+
+def test_ann_ivf_recall_bounds(spark):
+    """r10: the IVF recall eval — one row per query, hits <= k, recall
+    in [0, 1], and the exact index recalls itself (sanity: recall of
+    brute force vs brute force is 1)."""
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.knn_bruteforce(emb, query_ids=[0, 1, 2], k=5)
+    self_r = similarity.ann_recall_at_k(exact, exact, k=5).collect()
+    assert all(r.recall == 1.0 for r in self_r)
+    approx = similarity.knn_ivf(emb, query_ids=[0, 1, 2], k=5)
+    out = similarity.ann_recall_at_k(exact, approx, k=5).collect()
+    assert len(out) == 3
+    assert all(0.0 <= r.recall <= 1.0 and r.hits <= 5 for r in out)
