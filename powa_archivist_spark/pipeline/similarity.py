@@ -890,12 +890,26 @@ def knn_ivf(
     query_ids: list[int],
     k: int = 10,
     nprobe: int = 2,
-    centroid_mod: int = 97,
+    centroid_mod: int | None = None,
+    n_cells_target: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate kNN: probe the nprobe nearest cells per query,
-    exact quantized rescoring inside probed cells only."""
+    exact quantized rescoring inside probed cells only.
+
+    ``centroid_mod=None`` (default, late r10) sizes the sampling stride
+    from one metadata-cheap count so the CELL COUNT stays ~
+    ``n_cells_target`` as the corpus grows: ``max(97, n div target)``.
+    The 97 floor keeps every oracle-replayed SF on the historical
+    ``mod 97`` sampling bit-for-bit; without the sizing, cells grow as
+    n/97 and the broadcast assignment crossJoin does n x n/97 work —
+    the quadratic the ann_ivf_recall second-decade measurement exposed
+    (alpha 2.23 sf1->sf3).  ivf_build's at-rest path has held cells
+    fixed since r7 (n_cells_target); this brings the one-shot searcher
+    onto the same posture."""
+    if centroid_mod is None:
+        centroid_mod = max(97, emb.count() // n_cells_target)
     cents, assign = ivf_assign(emb, centroid_mod, id_col, vec_col)
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
@@ -1781,9 +1795,22 @@ def ann_recall_at_k(
 
     Plan: two rank filters + one keyed semi-join on (query, neighbor)
     + a per-query count — all bounded by |queries| x k rows, noise
-    next to producing either input."""
-    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
-    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    next to producing either input.  Both bounded frames are lazily
+    localCheckpointed (late r10): ``e`` is referenced twice (the hit
+    semi-join and the per-query anchor) and without the cut each
+    reference re-executes its ENTIRE producer — the ann_ivf_recall
+    second-decade measurement showed the composed DAG costing ~3x the
+    sum of its parts at sf3."""
+    e = (
+        exact.filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    a = (
+        approx.filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     hits = (
         e.join(a, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
