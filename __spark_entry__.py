@@ -56,7 +56,9 @@ from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 # standing replay).  dedup_lsh_tuning (the band-config tuning curve)
 # and ann_ivf_recall (closes the ANN recall matrix) displace
 # corpus_decontam_excise and corpus_bpe_encode (r8-gate green, same
-# standing replay).
+# standing replay).  events_kll_windowed (the windowed quantile form
+# completing the windowed sketch triple) displaces ann_pq_recall
+# (r8-gate green, same standing replay).
 #
 # r9 changed forms: dedup_components (route-fixed prefix over distinct
 # sets), dedup_jaccard_pairs + dedup_keep_list (set-collapsed pair
@@ -79,6 +81,7 @@ _GATE_ORDER = [
     "stream_novelty_ledger",
     "dedup_lsh_tuning",
     "ann_ivf_recall",
+    "events_kll_windowed",
     # --- changed in r9 (re-gate) ---
     "dedup_components",
     "dedup_jaccard_pairs",

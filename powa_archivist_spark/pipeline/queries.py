@@ -2139,6 +2139,60 @@ GROUP BY event_type
 """
 
 
+def events_kll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed mergeable quantiles (late r10): the level-sampling
+    sketch per (event_type, day) — the tumbling-window form that
+    completes the windowed sketch triple (HLL distinct / CMS frequency
+    / now quantiles).  At scale each day's survivor set persists
+    independently and rolls up to weeks/months by the associative
+    union+raise-cut merge (streaming/quantiles._merged_survivors)
+    without rescanning history."""
+    from . import sketches
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    sk = sketches.level_sample_sketch(
+        ev, "value", "event_id", ["event_type", "day"], k=64
+    )
+    return sketches.level_sample_quantiles(sk, ["event_type", "day"])
+
+
+ORACLE_KLL_WINDOWED = """
+WITH vals AS (
+  SELECT event_type, date_trunc('day', ts) AS day, value,
+         ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM events WHERE value IS NOT NULL
+), cuts AS (
+  SELECT event_type, day, COUNT(*) AS n,
+         CASE WHEN (COUNT(*) - 1) // 64 = 0 THEN 0
+              ELSE length(bin((COUNT(*) - 1) // 64)) END AS cut
+  FROM vals GROUP BY event_type, day
+), surv AS (
+  SELECT v.event_type, v.day, v.value, v.h, c.n, c.cut
+  FROM vals v JOIN cuts c USING (event_type, day)
+  WHERE v.h % (1::BIGINT << c.cut) = 0
+), ranked AS (
+  SELECT event_type, day, n, cut, value,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY value, h) AS rn,
+         count(*) OVER (PARTITION BY event_type, day) AS m
+  FROM surv
+)
+SELECT event_type, day,
+       MAX(n) AS n_values,
+       CAST(MAX(cut) AS INT) AS cut_level,
+       CAST(MAX(m) AS BIGINT) AS m_survivors,
+       MAX(CASE WHEN rn = (m * 50 + 99) // 100 THEN value END) AS p50,
+       MAX(CASE WHEN rn = (m * 90 + 99) // 100 THEN value END) AS p90,
+       MAX(CASE WHEN rn = (m * 95 + 99) // 100 THEN value END) AS p95,
+       MAX(CASE WHEN rn = (m * 99 + 99) // 100 THEN value END) AS p99
+FROM ranked
+GROUP BY event_type, day
+"""
+
+
 def stream_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 4-batch replay of the STREAMING at-rest HLL
     profile (streaming/profile.py): events arrive in four fixed
@@ -5263,4 +5317,5 @@ PIPELINE_QUERIES = {
                               ORACLE_NGRAM_NOVELTY),
     "dedup_lsh_tuning": (dedup_lsh_tuning, _oracle_lsh_tuning()),
     "ann_ivf_recall": (ann_ivf_recall, ORACLE_IVF_RECALL),
+    "events_kll_windowed": (events_kll_windowed, ORACLE_KLL_WINDOWED),
 }

@@ -3512,3 +3512,32 @@ def test_ann_ivf_recall_bounds(spark):
     out = similarity.ann_recall_at_k(exact, approx, k=5).collect()
     assert len(out) == 3
     assert all(0.0 <= r.recall <= 1.0 and r.hits <= 5 for r in out)
+
+
+def test_kll_windowed_groups_are_independent(spark):
+    """r10: the windowed quantile sketch — each (event_type, day)
+    group's profile is a pure function of that group's rows, so the
+    windowed run restricted to one day equals the run over only that
+    day's events (the property that lets daily survivor sets persist
+    and merge without rescanning history)."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import sketches
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+    full = sketches.level_sample_quantiles(
+        sketches.level_sample_sketch(
+            ev, "value", "event_id", ["event_type", "day"], k=64),
+        ["event_type", "day"],
+    )
+    one_day = ev.agg(F.min("day").alias("d")).collect()[0].d
+    got = sorted(map(tuple, full.filter(F.col("day") == one_day).collect()))
+    only = sketches.level_sample_quantiles(
+        sketches.level_sample_sketch(
+            ev.filter(F.col("day") == one_day), "value", "event_id",
+            ["event_type", "day"], k=64),
+        ["event_type", "day"],
+    )
+    assert sorted(map(tuple, only.collect())) == got
+    assert got, "expected at least one group for the chosen day"
