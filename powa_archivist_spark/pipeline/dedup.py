@@ -741,8 +741,19 @@ def minhash_bands(
 ) -> DataFrame:
     """(id, band, bucket) rows — the banded LSH key material, shared by
     the batch candidate join and the streaming near-dup ledger (which
-    persists these rows per kept corpus doc)."""
-    assert num_perm % bands == 0
+    persists these rows per kept corpus doc).
+
+    (num_perm, bands) is user-facing knob surface (``lsh_tuning`` sweeps
+    it), so non-divisible configs raise instead of silently dropping the
+    trailing ``num_perm % bands`` signature values — a (32, 5) sweep
+    point would otherwise chart a 30-perm curve under a 32-perm label
+    (ADVICE r10)."""
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}):"
+            f" a non-divisible config silently ignores the trailing"
+            f" {num_perm % bands} signature values"
+        )
     r = num_perm // bands
 
     def bucket(b: int) -> Column:

@@ -649,7 +649,15 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-# centroid_mod=97, nprobe=2, k=10 — the knn_ivf defaults
+# centroid_mod=97, nprobe=2, k=10 — the knn_ivf defaults.
+# COUPLING NOTE (ADVICE r10): knn_ivf's default centroid_mod resolves to
+# max(97, n div 64), so this oracle's hardcoded `vec_id % 97` sampling
+# matches ONLY while the oracle-replayed corpus stays <= 97*64 = 6208
+# vectors (driver gate + test_oracle_full run at sf<=0.01: 500/2000 rows
+# today).  A larger oracle-gated embeddings table must update BOTH
+# sides: pass an explicit centroid_mod in knn_ivf_topk/ann_ivf_recall
+# and mirror it here — tests/test_oracle_full would hash-mismatch loudly
+# if one side moves alone.
 ORACLE_KNN_IVF = f"""
 WITH e AS (
   SELECT vec_id,

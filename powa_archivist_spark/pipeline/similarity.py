@@ -907,7 +907,12 @@ def knn_ivf(
     the quadratic the ann_ivf_recall second-decade measurement exposed
     (alpha 2.23 sf1->sf3).  ivf_build's at-rest path has held cells
     fixed since r7 (n_cells_target); this brings the one-shot searcher
-    onto the same posture."""
+    onto the same posture.
+
+    ORACLE COUPLING (ADVICE r10): the SQL oracle (ORACLE_KNN_IVF)
+    hardcodes ``vec_id % 97`` — bit-equal to this default only while
+    the oracle-replayed corpus holds <= 97 * n_cells_target rows (6208
+    at the default); see the note at ORACLE_KNN_IVF."""
     if centroid_mod is None:
         centroid_mod = max(97, emb.count() // n_cells_target)
     cents, assign = ivf_assign(emb, centroid_mod, id_col, vec_col)

@@ -3498,6 +3498,23 @@ def test_lsh_tuning_curve_is_monotone_in_bands(spark):
     assert recalls == sorted(recalls)
 
 
+def test_lsh_non_divisible_band_config_raises(spark):
+    """ADVICE r10: (num_perm, bands) is user-facing sweep surface; a
+    non-divisible config like (32, 5) must raise instead of silently
+    charting a 30-perm curve under a 32-perm label."""
+    import pytest as _pytest
+
+    from powa_archivist_spark.pipeline import dedup
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        dedup.lsh_tuning(df, band_configs=((32, 5),), hash_fn="md5")
+    with _pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_bands(df, num_perm=32, bands=5).collect()
+
+
 def test_ann_ivf_recall_bounds(spark):
     """r10: the IVF recall eval — one row per query, hits <= k, recall
     in [0, 1], and the exact index recalls itself (sanity: recall of
