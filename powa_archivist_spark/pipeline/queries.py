@@ -1661,10 +1661,15 @@ def docs_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``2^20 div (60 + rank)`` — exact integers, so the oracle replays
     both channels and the fusion bit-for-bit.  The fusion itself never
     touches the corpus: it ranks a <= channels x 20 row frame per
-    query."""
+    query.
+
+    r11 (VERDICT r10 task 4): the lexical channel routes through the
+    block-max WAND pruned serving path — row-identical to the unpruned
+    pass (the pruning only bounds what gets READ), so the oracle is
+    unchanged."""
     docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
-    lex = textstats.bm25_search(docs, k=20).select(
+    lex = textstats.bm25_search(docs, k=20, path="wand").select(
         "query_id", "doc_id", "rank"
     )
     sem = similarity.knn_bruteforce(
@@ -1728,7 +1733,11 @@ def docs_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25 round one picks 5 feedback docs per query, the top-3 new
     expansion terms by summed in-feedback term frequency join the query,
     round two re-scores with the expanded set.  Every step is integer /
-    total-ordered, so the oracle replays the full two-round chain."""
+    total-ordered, so the oracle replays the full two-round chain.
+
+    r11 (VERDICT r10 task 4): both scoring rounds route through the
+    block-max WAND pruned serving path (textstats.bm25_rm3 default) —
+    row-identical to the unpruned pass, oracle unchanged."""
     return textstats.bm25_rm3(t(spark, sf_dir, "documents"))
 
 

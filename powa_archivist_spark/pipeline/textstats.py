@@ -1040,7 +1040,8 @@ def bm25_search(docs: DataFrame, n_queries: int = 5,
                 terms_per_query: int = 4, k: int = 10,
                 k1: float = 1.2, b: float = 0.75,
                 text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                path: str = "exact") -> DataFrame:
     """BM25 query->document retrieval: top-k docs per query over an
     exploded postings table — the missing sibling of ``tfidf_topk``
     (which extracts keywords per doc; this ranks docs per query).
@@ -1085,7 +1086,7 @@ def bm25_search(docs: DataFrame, n_queries: int = 5,
     return bm25_from_postings(
         bm25_postings(docs, text_col, id_col), stats,
         n_queries=n_queries, terms_per_query=terms_per_query,
-        k=k, k1=k1, b=b, id_col=id_col,
+        k=k, k1=k1, b=b, id_col=id_col, path=path,
     )
 
 
@@ -1201,14 +1202,22 @@ def bm25_from_postings(term: DataFrame, stats: DataFrame,
                        n_queries: int = 5, terms_per_query: int = 4,
                        k: int = 10, k1: float = 1.2, b: float = 0.75,
                        id_col: str = "doc_id",
-                       workload: str = "top") -> DataFrame:
+                       workload: str = "top",
+                       path: str = "exact") -> DataFrame:
     """Score from an at-rest postings table + one-row corpus stats
     (n_docs, sum_dlen) — the scoring half of :func:`bm25_search`,
-    reused by the streaming postings ledger."""
+    reused by the streaming postings ledger.
+
+    ``path`` picks the scoring route (r11): ``"exact"`` scores every
+    matched posting (the batch-profiling default — one pass, no driver
+    loop); ``"wand"`` routes through the block-max pruned serving path
+    (:func:`bm25_score_qterms_wand`) — identical output, impact-bucket
+    prefix reads."""
     qterms = _bm25_workload(term, n_queries, terms_per_query,
                             strategy=workload)
-    return bm25_score_qterms(term, stats, qterms, k=k, k1=k1, b=b,
-                             id_col=id_col)
+    score = (bm25_score_qterms_wand if path == "wand"
+             else bm25_score_qterms)
+    return score(term, stats, qterms, k=k, k1=k1, b=b, id_col=id_col)
 
 
 def bm25_score_qterms(term: DataFrame, stats: DataFrame,
@@ -1259,6 +1268,33 @@ def bm25_score_qterms(term: DataFrame, stats: DataFrame,
     )
 
 
+def bm25_score_qterms_wand(term: DataFrame, stats: DataFrame,
+                           qterms: DataFrame,
+                           k: int = 10, k1: float = 1.2, b: float = 0.75,
+                           id_col: str = "doc_id",
+                           stats_out: dict | None = None) -> DataFrame:
+    """Score a bounded (query_id, tok) dim through the block-max WAND
+    pruned serving path (r11, VERDICT r10 task 4) — row-for-row equal
+    to :func:`bm25_score_qterms` (same ``_impact_fp`` quantized
+    integers, same (score DESC, id ASC) ranking; the pruning loop only
+    decides how much gets READ, never what is returned), so swapping a
+    caller between the two paths cannot change results.
+
+    ``qterms`` is lazily localCheckpointed first: the WAND chain
+    references it four times (index semi-join, df broadcast, matched
+    join, zone-map probe), and a derived dim (RM3's round-two union
+    with its window-selected expansion terms) would otherwise re-run
+    its selection subtree per reference."""
+    qterms = qterms.localCheckpoint(eager=False)
+    index = bm25_impact_index(
+        term, stats, qterms=qterms, k1=k1, b=b, id_col=id_col,
+    ).localCheckpoint(eager=False)
+    bmax = bm25_blockmax(index, id_col=id_col)
+    return bm25_wand_from_index(
+        index, bmax, qterms, k=k, id_col=id_col, stats_out=stats_out,
+    )
+
+
 def rrf_fuse(channels: list[DataFrame], k: int = 10, rrf_k: int = 60,
              id_col: str = "doc_id") -> DataFrame:
     """Reciprocal Rank Fusion (Cormack et al., SIGIR'09) of bounded
@@ -1306,7 +1342,8 @@ def bm25_rm3(docs: DataFrame, n_queries: int = 5,
              terms_per_query: int = 4, fb_docs: int = 5,
              fb_terms: int = 3, k: int = 10,
              k1: float = 1.2, b: float = 0.75,
-             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+             text_col: str = "text", id_col: str = "doc_id",
+             path: str = "wand") -> DataFrame:
     """RM3-style pseudo-relevance-feedback retrieval (Lavrenko &
     Croft relevance models, the Anserini/Indri RM3 default): run BM25,
     mine expansion terms from the top ``fb_docs`` feedback documents,
@@ -1326,9 +1363,16 @@ def bm25_rm3(docs: DataFrame, n_queries: int = 5,
     map-side combine and the per-query winner selection runs the bounded
     per-partition top-k buffer before its window, exactly like the main
     ranking (a feedback doc can be arbitrarily long — its token set is
-    not bounded).  Round 2 re-enters :func:`bm25_score_qterms` with the
-    union dim; per-term df is computed over the full postings both
-    rounds, so expansion does not perturb original-term scores."""
+    not bounded).  Round 2 re-enters the scorer with the union dim;
+    per-term df is computed over the full postings both rounds, so
+    expansion does not perturb original-term scores.
+
+    ``path`` (r11, VERDICT r10 task 4): both scoring rounds route
+    through the block-max WAND pruned serving path by default —
+    row-identical to the unpruned pass (``"exact"``), reading
+    impact-bucket prefixes instead of every matched posting."""
+    score = (bm25_score_qterms_wand if path == "wand"
+             else bm25_score_qterms)
     toks = F.split(F.col(text_col), " ")
     stats = docs.select(
         F.size(toks).alias("dlen")
@@ -1340,7 +1384,7 @@ def bm25_rm3(docs: DataFrame, n_queries: int = 5,
         eager=False
     )
     qterms = _bm25_workload(term, n_queries, terms_per_query)
-    fb = bm25_score_qterms(
+    fb = score(
         term, stats, qterms, k=fb_docs, k1=k1, b=b, id_col=id_col
     ).select("query_id", id_col)
     cand = (
@@ -1364,7 +1408,7 @@ def bm25_rm3(docs: DataFrame, n_queries: int = 5,
         .select("query_id", "tok")
     )
     q2 = qterms.unionByName(expansion)
-    return bm25_score_qterms(
+    return score(
         term, stats, q2, k=k, k1=k1, b=b, id_col=id_col
     )
 

@@ -3321,6 +3321,29 @@ def test_bm25_rm3_expansion_recalls_feedback_cooccurring_term(spark):
     assert 50 in rm3_docs
 
 
+def test_rm3_and_search_wand_route_equals_exact_route(spark):
+    """r11 (VERDICT r10 task 4): the WAND-routed compositions are
+    row-for-row equal to the unpruned scoring path — the route swap can
+    change only what gets read, never what is returned."""
+    from powa_archivist_spark.pipeline import textstats
+
+    rows = [(i, "qa qb xp filler" + str(i)) for i in range(8)]
+    rows.append((50, "xp xp xp"))
+    for i in range(60, 70):
+        pad = " ".join(f"w{i}_{j}" for j in range(6))
+        rows.append((i, "qa qb " + pad))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn, kw in [
+        (textstats.bm25_rm3, dict(n_queries=1, terms_per_query=2,
+                                  fb_docs=5, fb_terms=1, k=20)),
+        (textstats.bm25_search, dict(n_queries=2, terms_per_query=2,
+                                     k=5)),
+    ]:
+        exact = sorted(map(tuple, fn(df, path="exact", **kw).collect()))
+        wand = sorted(map(tuple, fn(df, path="wand", **kw).collect()))
+        assert exact == wand and len(exact) > 0
+
+
 def test_ngram_novelty_hand_computed(spark):
     """r10: novelty — first doc owns every gram it introduces; an exact
     duplicate document is 0% novel; a short doc (< n tokens) counts

@@ -848,7 +848,13 @@ def test_rrf_fusion_ranks_bounded_channel_frames(spark):
     df = docs_rrf_hybrid(spark, SF)
     assert pi.unbounded_global_windows(df) == []
     assert not pi.has_cartesian(df)
-    assert "MapInPandas" in pi.plan_string(df), "bm25 pre-prune missing"
+    plan = pi.plan_string(df)
+    assert "MapInPandas" in plan, "bm25 pre-prune missing"
+    # r11 (VERDICT r10 task 4): the lexical channel reads the impact
+    # index through the WAND blk-prefix filter + seen-set semi join —
+    # the pruned serving read, partition-prunable at rest
+    assert "blk" in plan and "<=" in plan, "WAND blk prefix filter missing"
+    assert "LeftSemi" in plan, "seen-set patch fetch must be a semi join"
 
 
 def test_rm3_rounds_share_broadcast_dims_no_global_window(spark):
@@ -863,9 +869,14 @@ def test_rm3_rounds_share_broadcast_dims_no_global_window(spark):
     plan = pi.plan_string(df)
     assert pi.unbounded_global_windows(df) == []
     assert not pi.has_cartesian(df)
-    assert pi.broadcast_join_count(df) >= 3
-    # round-2 ranking + candidate selection both pre-prune
-    assert plan.count("MapInPandas") >= 2
+    # round-2 ranking pre-prunes; the broadcast dim joins (query terms,
+    # per-term df, corpus stats, feedback docs) now live BEHIND the
+    # WAND index localCheckpoint (materialized once, reused per round)
+    assert "MapInPandas" in plan
+    # r11 (VERDICT r10 task 4): round 2 reads its impact index through
+    # the WAND blk-prefix filter + seen-set semi join (pruned read)
+    assert "blk" in plan and "<=" in plan, "WAND blk prefix filter missing"
+    assert "LeftSemi" in plan, "seen-set patch fetch must be a semi join"
 
 
 def test_ngram_novelty_windowless_two_phase_aggs(spark):
