@@ -4491,10 +4491,37 @@ SELECT query_id, neighbor_id, adist_q, rank FROM (
 
 
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the IVF-PQ index against the exact brute-force
-    ground truth on the same 5 queries (r8) — the tuning metric every
-    ANN deployment tracks; the oracle composes the two already-proven
-    replay oracles and counts the intersection."""
+    """Recall@10 of the PURE product-quantized index (no coarse cells —
+    the knn_pq_topk path: pq_train / pq_encode / pq_search) against the
+    exact brute-force ground truth on the same 5 queries.
+
+    Changed form in r11 (VERDICT r10 task 3): this row measured the
+    IVF-PQ composition since r8 while carrying the PQ name — the pure-PQ
+    rung had no recall row and the IVF-PQ one hid under this label.  Now
+    each ladder rung's recall row matches its name: SQ / PQ / IVF / MRL /
+    IVF-PQ (``ann_ivfpq_recall``) — quantization error alone here,
+    cell-miss x quantization interaction in the IVF-PQ row."""
+    emb = t(spark, sf_dir, "embeddings")
+    exact = similarity.knn_bruteforce(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+    cb = similarity.pq_train(emb, m=8, n_codes_target=64) \
+        .localCheckpoint(eager=False)
+    enc = similarity.pq_encode(emb, cb, m=8).localCheckpoint(eager=False)
+    approx = similarity.pq_search(
+        emb, cb, enc, query_ids=[0, 1, 2, 3, 4], k=10, m=8
+    )
+    return similarity.ann_recall_at_k(exact, approx, k=10)
+
+
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-PQ index (r11, VERDICT r10 task 3 — the
+    production-shaped rung: cell pruning x 32x compression) against the
+    exact brute-force ground truth on the same 5 queries.  IVF recall x
+    PQ recall does NOT predict this number — a cell miss hides a
+    neighbor no quantization accuracy can recover, and residual
+    quantization error reorders within probed cells — which is why the
+    composed row closes the matrix rather than being derived from the
+    per-rung rows.  The oracle composes the two already-proven replay
+    oracles and counts the intersection."""
     emb = t(spark, sf_dir, "embeddings")
     exact = similarity.knn_bruteforce(emb, query_ids=[0, 1, 2, 3, 4], k=10)
     cents, cb, index = similarity.ivfpq_build(
@@ -4542,9 +4569,13 @@ LEFT JOIN hits h ON h.query_id = q.query_id
 """
 
 
-ORACLE_ANN_RECALL = f"""
+def _oracle_recall_vs_exact(approx_sql: str) -> str:
+    """Compose a recall@10 oracle from an already-proven approx-top-k
+    replay oracle and the exact brute-force oracle (r11 — the shared
+    shape of the ANN recall matrix rows)."""
+    return f"""
 WITH approx AS (
-{ORACLE_IVFPQ_TOPK}
+{approx_sql}
 ), exact AS (
 {ORACLE_KNN}
 ), hits AS (
@@ -4561,6 +4592,11 @@ SELECT q.query_id,
 FROM (SELECT DISTINCT query_id FROM exact) q
 LEFT JOIN hits h ON h.query_id = q.query_id
 """
+
+
+# changed form r11: pure PQ under the PQ name (see ann_pq_recall)
+ORACLE_PQ_RECALL = _oracle_recall_vs_exact(ORACLE_PQ_TOPK)
+ORACLE_IVFPQ_RECALL = _oracle_recall_vs_exact(ORACLE_IVFPQ_TOPK)
 
 
 def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5299,7 +5335,7 @@ PIPELINE_QUERIES = {
     "knn_pq_topk": (knn_pq_topk, ORACLE_PQ_TOPK),
     "stream_pq_index": (stream_pq_index, ORACLE_STREAM_PQ),
     "knn_ivfpq_topk": (knn_ivfpq_topk, ORACLE_IVFPQ_TOPK),
-    "ann_pq_recall": (ann_pq_recall, ORACLE_ANN_RECALL),
+    "ann_pq_recall": (ann_pq_recall, ORACLE_PQ_RECALL),
     "corpus_segment_dedup": (corpus_segment_dedup, ORACLE_SEGMENT_DEDUP),
     "emb_decontam": (emb_decontam, ORACLE_EMB_DECONTAM),
     "multimodal_cdc_dedup": (multimodal_cdc_dedup, ORACLE_CDC_DEDUP),
@@ -5335,4 +5371,6 @@ PIPELINE_QUERIES = {
     "dedup_lsh_tuning": (dedup_lsh_tuning, _oracle_lsh_tuning()),
     "ann_ivf_recall": (ann_ivf_recall, ORACLE_IVF_RECALL),
     "events_kll_windowed": (events_kll_windowed, ORACLE_KLL_WINDOWED),
+    # --- round 11 ---
+    "ann_ivfpq_recall": (ann_ivfpq_recall, ORACLE_IVFPQ_RECALL),
 }

@@ -3554,6 +3554,37 @@ def test_ann_ivf_recall_bounds(spark):
     assert all(0.0 <= r.recall <= 1.0 and r.hits <= 5 for r in out)
 
 
+def test_ann_ivfpq_recall_closes_the_matrix(spark):
+    """r11 (VERDICT r10 task 3): the IVF-PQ composed recall row — one
+    row per query, hits <= k, recall in [0, 1]; and the declared-name
+    contract of the matrix: ann_pq_recall measures the PURE PQ chain
+    (pq_train/pq_encode/pq_search) while ann_ivfpq_recall measures the
+    ivfpq_build/ivfpq_search composition."""
+    import inspect
+
+    from powa_archivist_spark.pipeline import queries as q
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.knn_bruteforce(emb, query_ids=[0, 1, 2], k=5)
+    cents, cb, index = similarity.ivfpq_build(
+        emb, m=8, n_cells_target=4, n_codes_target=32
+    )
+    approx = similarity.ivfpq_search(
+        emb, cents.localCheckpoint(eager=False),
+        cb.localCheckpoint(eager=False),
+        index.localCheckpoint(eager=False),
+        query_ids=[0, 1, 2], k=5, m=8, nprobe=2,
+    )
+    out = similarity.ann_recall_at_k(exact, approx, k=5).collect()
+    assert len(out) == 3
+    assert all(0.0 <= r.recall <= 1.0 and r.hits <= 5 for r in out)
+    # name contract (the r10 mislabel must not regress)
+    assert "ivfpq_build" in inspect.getsource(q.ann_ivfpq_recall)
+    src_pq = inspect.getsource(q.ann_pq_recall)
+    assert "pq_train" in src_pq and "ivfpq_build" not in src_pq
+
+
 def test_kll_windowed_groups_are_independent(spark):
     """r10: the windowed quantile sketch — each (event_type, day)
     group's profile is a pure function of that group's rows, so the
