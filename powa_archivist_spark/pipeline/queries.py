@@ -1240,6 +1240,71 @@ FROM off GROUP BY shard, bin_id
 """
 
 
+def corpus_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing per lang shard, 256-token bins
+    (r11, VERDICT r10 task 5 — corpus.pack_sequences_binned): the
+    deterministic greedy is a pure function of (token length, id), so
+    the DuckDB oracle replays the exact per-doc placement as a
+    recursive CTE; the output row carries the FFD padding next to the
+    concat-and-chunk baseline's, quantifying the waste the packer
+    saves."""
+    from . import corpus
+
+    return corpus.pack_sequences_binned(
+        t(spark, sf_dir, "documents"), seq_len=256
+    )
+
+
+ORACLE_PACK_FFD = r"""
+WITH RECURSIVE lens AS (
+  SELECT lang AS shard, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+'))
+              AS BIGINT) AS need,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY len(regexp_split_to_array(trim(text), '\s+')) DESC,
+                    doc_id ASC) AS r
+  FROM documents
+), fit AS (
+  SELECT shard, r, doc_id, need,
+         CAST(0 AS BIGINT) AS bin_id,
+         [CAST(256 - need AS BIGINT)] AS rems
+  FROM lens WHERE r = 1
+  UNION ALL
+  SELECT shard, r, doc_id, need,
+         fi - 1 AS bin_id,
+         CASE WHEN fi <= len(rems0)
+              THEN list_transform(generate_series(1, len(rems0)),
+                     i -> CASE WHEN i = fi THEN rems0[i] - need
+                               ELSE rems0[i] END)
+              ELSE list_append(rems0, CAST(256 - need AS BIGINT))
+         END AS rems
+  FROM (
+    SELECT l.shard, l.r, l.doc_id, l.need, f.rems AS rems0,
+           CAST(COALESCE(
+             list_filter(generate_series(1, len(f.rems)),
+                         i -> f.rems[i] >= l.need)[1],
+             len(f.rems) + 1) AS BIGINT) AS fi
+    FROM fit f JOIN lens l ON l.shard = f.shard AND l.r = f.r + 1
+  )
+), final_rems AS (
+  SELECT shard, arg_max(rems, r) AS rems FROM fit GROUP BY shard
+)
+SELECT f.shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(f.need) AS BIGINT) AS total_tokens,
+       CAST(len(MIN(fr.rems)) AS BIGINT) AS n_bins,
+       CAST(list_sum(list_transform(MIN(fr.rems),
+              x -> greatest(x, 0))) AS BIGINT) AS padding_tokens,
+       CAST(SUM(f.doc_id * (f.bin_id + 1)) AS BIGINT) AS assign_checksum,
+       CAST((SUM(f.need) + 255) // 256 AS BIGINT) AS bins_chunked,
+       CAST(((SUM(f.need) + 255) // 256) * 256 - SUM(f.need)
+            AS BIGINT) AS padding_chunked
+FROM fit f JOIN final_rems fr ON fr.shard = f.shard
+GROUP BY f.shard
+"""
+
+
 MIX_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}
 
 
@@ -5373,4 +5438,5 @@ PIPELINE_QUERIES = {
     "events_kll_windowed": (events_kll_windowed, ORACLE_KLL_WINDOWED),
     # --- round 11 ---
     "ann_ivfpq_recall": (ann_ivfpq_recall, ORACLE_IVFPQ_RECALL),
+    "corpus_pack_ffd": (corpus_pack_ffd, ORACLE_PACK_FFD),
 }

@@ -494,6 +494,50 @@ def test_pack_sequences_bins(spark):
     assert out[("en", 0)].first_doc == 0 and out[("en", 1)].first_doc == 4
 
 
+def test_pack_sequences_binned_hand_case(spark):
+    """r11: FFD hand replay — lengths 60,50,40,30,20 into 100-token
+    bins: [60+40], [50+30+20] — two full bins, zero padding, and the
+    assignment checksum pins the exact placement."""
+    from powa_archivist_spark.pipeline import corpus
+
+    rows = [(i, " ".join(["t"] * n), "en")
+            for i, n in enumerate([60, 50, 40, 30, 20])]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    (r,) = corpus.pack_sequences_binned(docs, seq_len=100).collect()
+    assert (r.shard, r.n_docs, r.total_tokens) == ("en", 5, 200)
+    assert r.n_bins == 2 and r.padding_tokens == 0
+    # d0->bin0, d1->bin1, d2->bin0, d3->bin1, d4->bin1
+    assert r.assign_checksum == 0 * 1 + 1 * 2 + 2 * 1 + 3 * 2 + 4 * 2
+    assert r.bins_chunked == 2 and r.padding_chunked == 0
+
+
+def test_pack_sequences_binned_invariants(spark):
+    """r11 (VERDICT r10 task 5): bin-capacity invariants on real data —
+    padding is exactly n_bins*seq_len - total (no oversize docs at
+    seq_len 256), FFD never packs below the volume lower bound
+    (bins_chunked = ceil(total/seq_len)), and never pads less than the
+    chunked baseline; an oversize doc opens its own bin and contributes
+    no positive padding."""
+    from powa_archivist_spark.pipeline import corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = corpus.pack_sequences_binned(docs, seq_len=256).collect()
+    assert len(out) == 5  # one row per lang shard
+    for r in out:
+        assert r.n_bins >= r.bins_chunked
+        assert r.padding_tokens >= r.padding_chunked >= 0
+        assert r.padding_tokens == r.n_bins * 256 - r.total_tokens
+        assert 0 < r.n_bins <= r.n_docs
+    # oversize: a 30-token doc at seq_len 20 -> own bin, clamped padding
+    over = spark.createDataFrame(
+        [(0, " ".join(["t"] * 30), "en"), (1, "t t", "en")],
+        "doc_id long, text string, lang string")
+    (r,) = corpus.pack_sequences_binned(over, seq_len=20).collect()
+    assert r.n_bins == 2 and r.padding_tokens == 18
+    assert r.assign_checksum == 0 * 1 + 1 * 2
+
+
 def test_stratified_sample_rates_and_determinism(spark, corpus_docs):
     from powa_archivist_spark.pipeline import corpus
 

@@ -119,6 +119,20 @@ def test_pack_sequences_single_exchange(spark):
     assert set(schema) == {"doc_id", "text", "lang"}  # pruned scan
 
 
+def test_pack_sequences_binned_single_exchange_pruned_scan(spark):
+    """r11: the FFD packer is ONE shard-keyed shuffle into the Arrow
+    greedy (FlatMapGroupsInPandas) over a pruned 3-column scan — the
+    same single-exchange posture as the concat-chunk packer."""
+    from powa_archivist_spark.pipeline.corpus import pack_sequences_binned
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = pack_sequences_binned(docs, seq_len=256)
+    assert pi.exchange_count(df) == 1
+    assert "FlatMapGroupsInPandas" in pi.plan_string(df)
+    (schema,) = pi.read_schemas(df)
+    assert set(schema) == {"doc_id", "text", "lang"}  # pruned scan
+
+
 def test_corpus_prep_lang_filter_pushed(spark):
     """The funnel's cheapest gate (lang) reaches the parquet scan."""
     from powa_archivist_spark.pipeline.corpus import corpus_prep
