@@ -988,12 +988,18 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_kmeans(k: int = 8, init_rounds: int = 3,
-                   max_rounds: int = 10) -> str:
+                   max_rounds: int = 10, where: str = "",
+                   final: str = "assign") -> str:
     """Static unrolling of the k-means training loop: init rounds chain
     (min-d2 score, top-batch select) CTE pairs; Lloyd rounds chain
     (argmin assign, dim-wise floored mean, empty-cluster carry) CTE
     triples — the SQL twin of similarity.kmeans.  Batch sizes come from
-    the same ``_init_batches`` the engine uses."""
+    the same ``_init_batches`` the engine uses.
+
+    ``where`` filters the training corpus (r11 — the streaming ledger
+    trains on the epochs ingested before its refresh); ``final`` picks
+    the emitted relation: the per-vector ``"assign"`` (default) or the
+    ``"centers"`` table itself (what the ledger freezes)."""
     d2 = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
           "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
     parts = [f"""e AS (
@@ -1001,7 +1007,7 @@ def _oracle_kmeans(k: int = 8, init_rounds: int = 3,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT})
                 AS BIGINT)) AS v
-  FROM embeddings
+  FROM embeddings {where}
 ), c0 AS MATERIALIZED (
   SELECT CAST(0 AS BIGINT) AS cluster, v AS cv
   FROM e ORDER BY vec_id LIMIT 1
@@ -1052,6 +1058,11 @@ def _oracle_kmeans(k: int = 8, init_rounds: int = 3,
   WHERE p.cluster NOT IN (SELECT cluster FROM n{r})
 )""")
     dd = d2.format(a="e.v", b="c.cv")
+    if final == "centers":
+        return f"""
+WITH {",".join(parts)}
+SELECT cluster, cv FROM g{max_rounds}
+"""
     return f"""
 WITH {",".join(parts)}
 SELECT vec_id, cluster, d2 AS d2_q FROM (
@@ -2344,6 +2355,79 @@ def stream_novelty_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def stream_kmeans_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-batch replay of the STREAMING incremental
+    k-means ledger (streaming/clustering.py — r11, VERDICT r10 task 7):
+    vectors arrive in four micro-batches (vec_id % 4, in order); epochs
+    0 and 2 REFRESH (full integer-Lloyd over everything at rest; epoch
+    0 has no centers to freeze against), epochs 1 and 3 FROZEN-ASSIGN
+    against the current centers — the mini-batch posture of SemDeDup /
+    IVF-cell maintenance over a growing corpus.  The profile reads the
+    assignment view alone: after the epoch-2 refresh, centers equal the
+    one-shot batch kmeans over epochs 0-2 (vec_id % 4 <= 2), history is
+    re-assigned against them, and epoch 3 frozen-assigns with the
+    byte-identical argmin plan — so the oracle replays the chain as
+    unrolled-Lloyd CENTERS on the 3-epoch subset + one argmin over ALL
+    vectors + the rollup, with n_frozen counting epoch-3 rows (the
+    staleness the operator watches to schedule the next refresh)."""
+    import shutil
+    import tempfile
+
+    from ..storage import Warehouse
+    from ..streaming.clustering import (
+        kmeans_ledger_profile,
+        process_kmeans_batch,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="kmeans_ledger_")
+    try:
+        wh = Warehouse(spark, scratch)
+        for b in range(4):
+            process_kmeans_batch(
+                wh, emb.filter(F.col("vec_id") % 4 == b), b,
+                k=8, init_rounds=3, max_rounds=12,
+                refresh=(b % 2 == 0),
+            )
+        return (
+            kmeans_ledger_profile(wh)
+            .orderBy("cluster")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _oracle_kmeans_ledger() -> str:
+    d2 = ("CAST(list_sum(list_transform(list_zip(e.v, c.cv), "
+          "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
+    centers = _oracle_kmeans(8, 3, 12, where="WHERE vec_id % 4 <= 2",
+                             final="centers")
+    return f"""
+WITH cents AS ({centers}
+), eall AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT})
+                AS BIGINT)) AS v
+  FROM embeddings
+), a AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT e.vec_id, c.cluster, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM eall e CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT cluster, COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_frozen,
+       CAST(SUM(d2) AS BIGINT) AS inertia_q,
+       MAX(d2) AS radius_q
+FROM a GROUP BY cluster
+"""
 
 
 def stream_kll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5439,4 +5523,6 @@ PIPELINE_QUERIES = {
     # --- round 11 ---
     "ann_ivfpq_recall": (ann_ivfpq_recall, ORACLE_IVFPQ_RECALL),
     "corpus_pack_ffd": (corpus_pack_ffd, ORACLE_PACK_FFD),
+    "stream_kmeans_ledger": (stream_kmeans_ledger,
+                             _oracle_kmeans_ledger()),
 }

@@ -121,6 +121,30 @@ def _init_batches(k: int, init_rounds: int) -> list[int]:
     return [q + 1] * rem + [q] * (init_rounds - rem)
 
 
+def assign_to_centers(vecs: DataFrame, cents: DataFrame,
+                      id_col: str = "vec_id") -> DataFrame:
+    """argmin-L2 assignment of quantized (id, v) rows against a
+    BROADCAST (cluster, cv) center table — ONE min_by aggregation, ties
+    to the smallest cluster id (r11: factored out of :func:`kmeans`'s
+    final step so the streaming ledger's frozen-assign path is the
+    byte-identical plan).  Returns (id, cluster, d2_q)."""
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            id_col, "cluster",
+            int_l2(F.col("v"), F.col("cv")).alias("d2"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(F.col("cluster"), F.col("d2")),
+                F.struct(F.col("d2"), F.col("cluster")),
+            ).alias("best")
+        )
+        .select(id_col, "best.cluster", F.col("best.d2").alias("d2_q"))
+    )
+
+
 def kmeans(
     emb: DataFrame,
     k: int = 8,
@@ -129,6 +153,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     stats_out: dict | None = None,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """Distributed full-Lloyd k-means to CONVERGENCE with sized
     k-means||-style initialization (r10, VERDICT r9 task 6) — the
@@ -167,10 +192,16 @@ def kmeans(
     plans against that materialization, never the raw input.
 
     Returns the final assignment (id, cluster, d2_q).  ``stats_out``
-    records ``rounds`` and ``converged``."""
+    records ``rounds``, ``converged`` and the final ``centers`` (the
+    k x dim integer list the streaming ledger freezes).
+    ``pre_quantized`` (r11) marks ``vec_col`` as already on the integer
+    grid (the at-rest ledger's vector table) — quantization must be
+    applied exactly once."""
     spark = emb.sparkSession
+    vcol = (F.col(vec_col) if pre_quantized
+            else quantized(F.col(vec_col)))
     vecs = emb.select(
-        F.col(id_col), quantized(F.col(vec_col)).alias("v")
+        F.col(id_col), vcol.alias("v")
     ).localCheckpoint(eager=False)
 
     seed = (
@@ -256,22 +287,9 @@ def kmeans(
     if stats_out is not None:
         stats_out["rounds"] = rounds
         stats_out["converged"] = converged
+        stats_out["centers"] = centers
 
-    return (
-        vecs.crossJoin(F.broadcast(cents_df(centers)))
-        .select(
-            id_col, "cluster",
-            int_l2(F.col("v"), F.col("cv")).alias("d2"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.min_by(
-                F.struct(F.col("cluster"), F.col("d2")),
-                F.struct(F.col("d2"), F.col("cluster")),
-            ).alias("best")
-        )
-        .select(id_col, "best.cluster", F.col("best.d2").alias("d2_q"))
-    )
+    return assign_to_centers(vecs, cents_df(centers), id_col=id_col)
 
 
 def kmeans_profile(emb: DataFrame, k: int = 8, init_rounds: int = 3,

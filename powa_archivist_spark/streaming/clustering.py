@@ -1,0 +1,229 @@
+"""Streaming k-means maintenance — an at-rest incremental clustering
+ledger (r11, VERDICT r10 task 7).
+
+The batch operator (pipeline/similarity.kmeans) clusters a corpus to an
+integer fixed point; a continuously-ingesting corpus wants the same
+assignment WITHOUT re-running Lloyd per batch — the mini-batch posture
+every SemDeDup / IVF-cell maintenance loop runs: assign each arriving
+batch to FROZEN centers (one broadcast min_by aggregation — the cheap
+map-shaped path), and periodically REFRESH the centers with a full
+integer-Lloyd pass over the at-rest vector table (the
+``ivf_build``/``ann_index_upsert`` posture generalized to clustering).
+
+State tables (all folded through ONE txn.StagedPass manifest per batch,
+atomic at rest, crash-invisible to readers — the package-wide D1 shape):
+
+  kmeans_vectors  (vec_id, v, epoch)                — quantized corpus
+  kmeans_centers  (cluster, cv, trained_epoch)      — the frozen centers
+  kmeans_assign   (vec_id, cluster, d2_q, frozen, epoch) — current view
+
+Semantics contract: after a refresh at epoch E, centers equal the
+one-shot batch :func:`~..pipeline.similarity.kmeans` over every vector
+ingested through E (bit-for-bit — the vectors table IS that union and
+the Lloyd loop is deterministic), and the assignment view equals
+``assign_to_centers`` of ALL ingested vectors against those centers
+(refresh re-assigns history; later frozen batches use the byte-identical
+assignment plan).  A ledger whose every epoch refreshes therefore equals
+the one-shot kmeans over the union after any prefix (tested).  Frozen
+assignments carry ``frozen=true`` — the staleness marker the profile
+reports (how much of the corpus has never been re-Lloyd'd).
+
+Replay protocol: a checkpoint-replayed epoch short-circuits on a
+``limit(1)`` epoch probe against the vectors table
+(streaming/quantiles.py's protocol) — a replayed batch cannot duplicate
+vectors, double-assign, or retrain on half-landed state.
+
+Scale shape per batch at 100 TB: frozen-assign is one broadcast of k x
+dim longs onto the batch + one min_by partial agg — map-shaped, no
+history read.  Refresh is the batch kmeans' own posture (broadcast
+min_by assignment + (cluster, dim) bounded-key update, k x dim longs to
+the driver per round) over the at-rest vectors — scheduled, not
+per-batch; the vectors table is the same asymptote every ANN index
+already pays (ivf_cells keeps full quantized vectors per cell).
+
+Reference analog: powa's snapshot/coalesce split (frequent cheap
+appends, periodic aggregate repack — powa--5.2.0.sql snapshot vs
+coalesce passes); the refresh is the coalesce of clustering state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..pipeline.similarity import assign_to_centers, kmeans, quantized
+from ..storage import Warehouse
+
+VECTORS_TABLE = "kmeans_vectors"
+CENTERS_TABLE = "kmeans_centers"
+ASSIGN_TABLE = "kmeans_assign"
+
+
+def process_kmeans_batch(
+    wh: Warehouse,
+    batch: DataFrame,
+    epoch_id: int,
+    k: int = 8,
+    init_rounds: int = 3,
+    max_rounds: int = 10,
+    refresh: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectors_table: str = VECTORS_TABLE,
+    centers_table: str = CENTERS_TABLE,
+    assign_table: str = ASSIGN_TABLE,
+    stats_out: dict | None = None,
+) -> bool:
+    """Fold one micro-batch into the clustering ledger; returns False
+    when the epoch already landed (checkpoint replay).
+
+    ``refresh=True`` (or the first batch ever — there are no centers to
+    freeze against) runs the full integer-Lloyd refresh over ALL at-rest
+    vectors and replaces centers + the whole assignment view; otherwise
+    the batch frozen-assigns against the current centers and appends."""
+    from ..txn import GLOBAL_LANE, StagedPass
+
+    StagedPass.recover(wh, GLOBAL_LANE)
+    StagedPass.sweep_flat_stages(wh, vectors_table, centers_table,
+                                 assign_table)
+    if wh.exists(vectors_table):
+        seen = (
+            wh.read(vectors_table)
+            .filter(F.col("epoch") == epoch_id)
+            .limit(1).count()
+        )
+        if seen:
+            return False
+
+    vecs = batch.select(
+        F.col(id_col).alias("vec_id"),
+        quantized(F.col(vec_col)).alias("v"),
+    ).withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+
+    sp = StagedPass(wh, GLOBAL_LANE)
+    sp.stage_append_flat(vecs, vectors_table)
+
+    must_refresh = refresh or not wh.exists(centers_table)
+    if must_refresh:
+        # full integer-Lloyd over the at-rest union (history + this
+        # batch — the staged vectors haven't published yet, so union
+        # the batch explicitly); deterministic => equals the one-shot
+        # batch kmeans over everything ingested through this epoch
+        all_vecs = vecs.select("vec_id", "v")
+        if wh.exists(vectors_table):
+            all_vecs = wh.read(vectors_table).select(
+                "vec_id", "v"
+            ).unionByName(all_vecs)
+        st: dict = {}
+        assign = kmeans(
+            all_vecs, k=k, init_rounds=init_rounds,
+            max_rounds=max_rounds, id_col="vec_id", vec_col="v",
+            stats_out=st, pre_quantized=True,
+        )
+        centers = wh.spark.createDataFrame(
+            [(i, c, int(epoch_id)) for i, c in enumerate(st["centers"])],
+            "cluster long, cv array<bigint>, trained_epoch long",
+        )
+        sp.stage_replace_flat(centers, centers_table)
+        sp.stage_replace_flat(
+            assign.select(
+                "vec_id", "cluster", "d2_q",
+                F.lit(False).alias("frozen"),
+                F.lit(int(epoch_id)).cast("long").alias("epoch"),
+            ),
+            assign_table,
+        )
+        if stats_out is not None:
+            stats_out.update(st)
+            stats_out["refreshed"] = True
+    else:
+        cents = wh.read(centers_table).select("cluster", "cv")
+        assign = assign_to_centers(
+            vecs.select("vec_id", "v"), cents, id_col="vec_id"
+        )
+        sp.stage_append_flat(
+            assign.select(
+                "vec_id", "cluster", "d2_q",
+                F.lit(True).alias("frozen"),
+                F.lit(int(epoch_id)).cast("long").alias("epoch"),
+            ),
+            assign_table,
+        )
+        if stats_out is not None:
+            stats_out["refreshed"] = False
+    sp.publish()
+    return True
+
+
+def kmeans_assignment(wh: Warehouse,
+                      assign_table: str = ASSIGN_TABLE) -> DataFrame:
+    """The current assignment view from the ledger alone — after a
+    refresh epoch this equals the one-shot batch kmeans over everything
+    ingested (tested bit-for-bit)."""
+    return wh.read(assign_table).select(
+        "vec_id", "cluster", "d2_q", "frozen"
+    )
+
+
+def kmeans_ledger_profile(wh: Warehouse,
+                          assign_table: str = ASSIGN_TABLE) -> DataFrame:
+    """Per-cluster rollup of the ledger's assignment view: size,
+    integer inertia, radius, and the staleness count (vectors assigned
+    against frozen centers since the last refresh) — the report an
+    operator reads to decide when the next refresh is due.  One
+    bounded-key groupBy, nothing rescans vectors."""
+    return (
+        wh.read(assign_table)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("frozen").cast("long")).alias("n_frozen"),
+            F.sum("d2_q").alias("inertia_q"),
+            F.max("d2_q").alias("radius_q"),
+        )
+    )
+
+
+def stream_kmeans(
+    spark,
+    landing_glob: str,
+    schema,
+    checkpoint_dir: str,
+    wh: Warehouse,
+    k: int = 8,
+    refresh_every: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int = 16,
+):
+    """Structured Streaming wrapper: landing files -> foreachBatch
+    ledger fold; every ``refresh_every``-th epoch runs the Lloyd
+    refresh, others frozen-assign.  The epoch marker skips wasted work
+    on re-delivery and the in-fold epoch probe makes a marker-less
+    replay a no-op too."""
+    import os
+
+    from .ingest import with_epoch_marker as _with_epoch_marker
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_glob)
+    )
+    marker_dir = os.path.join(checkpoint_dir, "epoch_markers")
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        _with_epoch_marker(
+            marker_dir, epoch_id,
+            lambda: process_kmeans_batch(
+                wh, batch, epoch_id, k=k,
+                refresh=(epoch_id % refresh_every == 0),
+                id_col=id_col, vec_col=vec_col,
+            ),
+        )
+
+    return (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1263,3 +1263,103 @@ def test_compaction_noop_on_empty_or_missing_ledger(spark, wh):
     compact_profile(wh, ["g"], k=64, table="kll_empty_t")
     assert not wh.exists("cms_empty_t")
     assert not wh.exists("kll_empty_t")
+
+
+def test_kmeans_ledger_refresh_equals_one_shot_and_replay_safe(spark, wh):
+    """r11 (VERDICT r10 task 7): the incremental k-means ledger — after
+    any refresh epoch the assignment view equals the one-shot batch
+    kmeans over every vector ingested (bit-for-bit, d2 included); a
+    checkpoint-replayed epoch is a no-op; the refresh compacts the
+    assignment view (exactly one row per vector, no frozen rows)."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+    from powa_archivist_spark.streaming.clustering import (
+        kmeans_assignment,
+        kmeans_ledger_profile,
+        process_kmeans_batch,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 200)
+
+    # every epoch refreshes -> ledger == one-shot kmeans on the union
+    # after each prefix
+    for b in range(3):
+        st = {}
+        assert process_kmeans_batch(
+            wh, emb.filter(F.col("vec_id") % 3 == b), b,
+            k=4, init_rounds=2, max_rounds=8, refresh=True,
+            stats_out=st,
+        )
+        assert st["refreshed"]
+        led = sorted(map(tuple, kmeans_assignment(wh).select(
+            "vec_id", "cluster", "d2_q").collect()))
+        one = sorted(map(tuple, similarity.kmeans(
+            emb.filter(F.col("vec_id") % 3 <= b),
+            k=4, init_rounds=2, max_rounds=8,
+        ).collect()))
+        assert led == one and len(led) > 0
+
+    # replayed epoch: short-circuit, state unchanged
+    before = sorted(map(tuple, kmeans_ledger_profile(wh).collect()))
+    assert not process_kmeans_batch(
+        wh, emb.filter(F.col("vec_id") % 3 == 1), 1,
+        k=4, init_rounds=2, max_rounds=8, refresh=True,
+    )
+    assert sorted(map(tuple, kmeans_ledger_profile(wh).collect())) == before
+
+    # compaction contract: one assignment row per vector, none frozen
+    a = kmeans_assignment(wh)
+    n = emb.count()
+    assert a.count() == n
+    assert a.select("vec_id").distinct().count() == n
+    assert a.filter(F.col("frozen")).count() == 0
+
+
+def test_kmeans_ledger_frozen_assign_is_argmin_against_centers(spark, wh):
+    """r11: a frozen epoch appends argmin assignments against the
+    CURRENT centers without retraining — equal to assign_to_centers of
+    the batch against the frozen center table, flagged frozen=true in
+    the profile's staleness count."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline.similarity import (
+        assign_to_centers,
+        quantized,
+    )
+    from powa_archivist_spark.streaming.clustering import (
+        kmeans_assignment,
+        kmeans_ledger_profile,
+        process_kmeans_batch,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 120)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+
+    assert process_kmeans_batch(wh, first, 0, k=3, init_rounds=2,
+                                max_rounds=6)
+    cents_rows = wh.read("kmeans_centers").collect()
+    st = {}
+    assert process_kmeans_batch(wh, second, 1, k=3, init_rounds=2,
+                                max_rounds=6, stats_out=st)
+    assert st["refreshed"] is False
+
+    cents = spark.createDataFrame(
+        [(r.cluster, r.cv) for r in cents_rows],
+        "cluster long, cv array<bigint>",
+    )
+    want = sorted(map(tuple, assign_to_centers(
+        second.select("vec_id", quantized(F.col("embedding")).alias("v")),
+        cents,
+    ).collect()))
+    got = sorted(map(tuple, kmeans_assignment(wh)
+                 .filter(F.col("frozen"))
+                 .select("vec_id", "cluster", "d2_q").collect()))
+    assert got == want and len(got) == second.count()
+    prof = kmeans_ledger_profile(wh)
+    assert prof.agg(F.sum("n_frozen")).collect()[0][0] == second.count()
