@@ -69,6 +69,25 @@ from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 _GATE_ORDER = [
     # --- flagship (always gated) ---
     "q01_pricing_summary",
+    # --- new in r11 ---
+    # ann_ivfpq_recall (closes the ANN recall matrix, VERDICT r10 task
+    # 3) displaces knn_ivfpq_topk (r8-gate green — and its FULL top-k
+    # oracle replays verbatim inside ann_ivfpq_recall's composed
+    # oracle, so the chain stays driver-verified transitively);
+    # corpus_pack_ffd (first-fit-decreasing packing, task 5) displaces
+    # stream_pq_index (r8-gate green); stream_kmeans_ledger
+    # (incremental k-means at rest, task 7) displaces emb_hard_negatives
+    # (r8-gate green).  ann_pq_recall ENTERS the window as an r11
+    # changed form (now measures the pure-PQ chain it is named for) and
+    # displaces knn_pq_topk (r8-gate green — its full oracle likewise
+    # replays inside ann_pq_recall's).  All four displaced rows stay
+    # replayed per-commit by tests/test_oracle_full and ORACLE_FULL.txt.
+    # docs_rrf_hybrid + docs_bm25_rm3 changed form in r11 too (WAND
+    # routing, task 4) — both already sit in the r10 section below.
+    "ann_ivfpq_recall",
+    "corpus_pack_ffd",
+    "stream_kmeans_ledger",
+    "ann_pq_recall",
     # --- new in r10 ---
     "docs_bm25_wand",
     "emb_kmeans",
@@ -143,12 +162,9 @@ _GATE_ORDER = [
     "emb_decontam",
     "corpus_dsir_select",
     "docs_dup_spans",
-    "emb_hard_negatives",
     "corpus_bpe_merges",
-    "knn_pq_topk",
-    "stream_pq_index",
-    "knn_ivfpq_topk",
-    "ann_pq_recall",
+    # knn_pq_topk / stream_pq_index / knn_ivfpq_topk / emb_hard_negatives
+    # displaced r11 (see the r11 section at the top)
     "corpus_bpe_encode",
     "corpus_decontam_excise",
     "corpus_quality_ensemble",
