@@ -48,6 +48,18 @@ def get_spark(app_name: str = "powa_archivist_spark",
         # partition count); genuinely huge-both-sides joins still plan
         # sort-merge.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # r11 (BENCH_STAGES_r11.json, dedup_components verify stage): a
+        # ~40MB dim (118k token-set rows) attached to 104M candidate
+        # pairs planned as shuffled-hash — the PAIR side shuffled twice
+        # carrying both token arrays (~50GB of shuffle at sf3, the
+        # single-box I/O cliff: 218-1144s across identical runs).  AQE
+        # converts a join to broadcast from the MEASURED runtime size of
+        # the build side, so raising only the adaptive threshold lets
+        # bounded dims (set arrays, shingle arrays, dictionaries) stream
+        # the big side map-only while genuinely-large sides still plan
+        # keyed joins.  The static estimate-based threshold stays at its
+        # default — pre-runtime estimates lie.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -25,14 +25,19 @@ exponent is ~1.0 but its TIME exponent is higher, the residual is
 constant-factor (shuffle width, spill), not algorithmic.
 
 Usage: python tools/profile_components.py [base_dir] [big_dir] \
-           [base_sf] [big_sf]
-Defaults: .scaled/sf1 .scaled/sf3 1 3 -> writes BENCH_STAGES_r10.json
+           [base_sf] [big_sf] [reps]
+Defaults: .scaled/sf1 .scaled/sf3 1 3 1 -> writes BENCH_STAGES_r10.json
+(reps=1) or BENCH_STAGES_r11.json (reps>1 — the r11 n>=3 MEDIAN
+protocol, VERDICT r10 task 6: each stage's wall time is the median of
+``reps`` fresh materializations, so the residual-above-linear claim no
+longer rests on single-sample VM spread).
 """
 
 from __future__ import annotations
 
 import json
 import math
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -41,7 +46,7 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def profile(spark, sf_dir: str) -> dict:
+def profile(spark, sf_dir: str, reps: int = 1) -> dict:
     from pyspark.sql import functions as F
 
     from powa_archivist_spark.pipeline import dedup
@@ -53,21 +58,36 @@ def profile(spark, sf_dir: str) -> dict:
 
     from pyspark import StorageLevel
 
-    def timed(name: str, df):
-        """Materialize ``df`` to DISK_ONLY storage (sf3's collision
+    def timed(name: str, build):
+        """Materialize ``build()`` to DISK_ONLY storage (sf3's collision
         frame OOMs the heap under deserialized in-memory retention) and
-        record wall time + row count; returns the persisted frame so
-        the next stage starts from materialized input."""
-        t0 = time.time()
-        cp = df.persist(StorageLevel.DISK_ONLY)
-        n = cp.count()
-        out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+        record median-of-reps wall time + row count; returns the last
+        persisted frame so the next stage starts from materialized
+        input.  Every rep persists a FRESH frame (unpersist between
+        reps) so no rep reads a prior rep's cache."""
+        samples = []
+        cp = None
+        n = None
+        for _ in range(reps):
+            if cp is not None:
+                cp.unpersist()
+            t0 = time.time()
+            cp = build().persist(StorageLevel.DISK_ONLY)
+            n = cp.count()
+            samples.append(time.time() - t0)
+        out[name] = {
+            "sec": round(statistics.median(samples), 2),
+            "sec_samples": [round(s, 2) for s in samples],
+            "rows": n,
+        }
         return cp
 
     toks = dedup.token_sets(docs).persist(StorageLevel.DISK_ONLY)
     toks.count()  # outside the decomposition: shared input
 
-    groups = timed("collapse", dedup._collapse_token_sets(toks, "doc_id"))
+    groups = timed(
+        "collapse", lambda: dedup._collapse_token_sets(toks, "doc_id")
+    )
     toks.unpersist()
     s = groups.select(
         F.col("set_id"), "toks", F.size("toks").alias("n_toks")
@@ -76,31 +96,28 @@ def profile(spark, sf_dir: str) -> dict:
     # previous stage's materialized output, so its wall time is
     # isolated compute — the seams are the exact functions
     # _jaccard_prefix_sets itself chains
-    prefix = timed("prefix", dedup._prefix_rows(s, 0.8))
-    collisions = timed("collisions", dedup._prefix_collisions(prefix, 0.8))
+    prefix = timed("prefix", lambda: dedup._prefix_rows(s, 0.8))
+    collisions = timed(
+        "collisions", lambda: dedup._prefix_collisions(prefix, 0.8)
+    )
     prefix.unpersist()
-    cands = timed("cands", collisions.distinct())
+    cands = timed("cands", lambda: collisions.distinct())
     collisions.unpersist()
-    verified = timed("verify", dedup._verify_set_pairs(cands, s, 0.8))
+    verified = timed("verify", lambda: dedup._verify_set_pairs(cands, s, 0.8))
     cands.unpersist()
 
-    from pyspark import StorageLevel as SL
-
-    t0 = time.time()
-    comp = dedup.connected_components(
+    comp = timed("cc", lambda: dedup.connected_components(
         verified.select(F.col("a_sid").alias("a_id"),
                         F.col("b_sid").alias("b_id")),
         groups.select(F.col("set_id")),
         id_col="set_id",
-    ).persist(SL.DISK_ONLY)
-    n = comp.count()
-    out["cc"] = {"sec": round(time.time() - t0, 2), "rows": n}
+    ))
     verified.unpersist()
 
     member = groups.select("set_id", F.explode("ids").alias("doc_id"))
-    t0 = time.time()
-    n = member.join(comp.select("set_id", "component"), "set_id").count()
-    out["expand"] = {"sec": round(time.time() - t0, 2), "rows": n}
+    expanded = timed("expand", lambda: member.join(
+        comp.select("set_id", "component"), "set_id"))
+    expanded.unpersist()
     comp.unpersist()
     groups.unpersist()
     return out
@@ -116,14 +133,17 @@ def main() -> int:
 
     from powa_archivist_spark.session import get_spark
 
+    reps = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+
     spark = get_spark("profile_components")
     factor = big_sf / base_sf
 
-    print(f"profiling {base_dir} ...", file=sys.stderr, flush=True)
+    print(f"warming {base_dir} ...", file=sys.stderr, flush=True)
     profile(spark, base_dir)            # warm (JIT, Python workers)
-    base = profile(spark, base_dir)
-    print(f"profiling {big_dir} ...", file=sys.stderr, flush=True)
-    big = profile(spark, big_dir)
+    print(f"profiling {base_dir} x{reps} ...", file=sys.stderr, flush=True)
+    base = profile(spark, base_dir, reps)
+    print(f"profiling {big_dir} x{reps} ...", file=sys.stderr, flush=True)
+    big = profile(spark, big_dir, reps)
 
     stages = {}
     for name in base:
@@ -131,7 +151,9 @@ def main() -> int:
         tg, rg = big[name]["sec"], big[name]["rows"]
         stages[name] = {
             f"sf{base_sf:g}_sec": tb,
+            f"sf{base_sf:g}_sec_samples": base[name]["sec_samples"],
             f"sf{big_sf:g}_sec": tg,
+            f"sf{big_sf:g}_sec_samples": big[name]["sec_samples"],
             f"sf{base_sf:g}_rows": rb,
             f"sf{big_sf:g}_rows": rg,
             "time_exponent": round(
@@ -148,13 +170,15 @@ def main() -> int:
 
     artifact = {
         "query": "dedup_components (route-fixed prefix plan)",
-        "protocol": ("per-stage eager-checkpoint timing + exact row "
-                     "counts; exponents over "
+        "protocol": ("per-stage eager-checkpoint timing, median of "
+                     f"{reps} sample(s) per point + exact row counts; "
+                     "exponents over "
                      f"sf{base_sf:g}->sf{big_sf:g} "
                      f"(rows_factor {factor:g})"),
         "stages": stages,
     }
-    path = REPO / "BENCH_STAGES_r10.json"
+    path = REPO / ("BENCH_STAGES_r11.json" if reps > 1
+                   else "BENCH_STAGES_r10.json")
     path.write_text(json.dumps(artifact, indent=1) + "\n")
     print(f"wrote {path}", file=sys.stderr)
     return 0

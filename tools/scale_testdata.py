@@ -114,19 +114,57 @@ def main() -> int:
         .drop("_r"), "events",
     )
     docs = t(spark, src, "documents")
+    # r11 (the multimodal_binary_near_dup stage decomposition): token
+    # SUFFIXING alone makes the WORD-shingle spaces disjoint but leaves
+    # BYTE windows of the payload view shared across replicas (the
+    # suffix shifts, it does not scramble), so byte-level LSH candidate
+    # volume measured alpha 1.76 in ROWS on the scaled corpora —
+    # replication density, not algorithm.  Each replica now ALSO
+    # rotates its alphanumeric characters by a per-replica shift
+    # (letters mod 26, digits mod 10, distinct (l, d) pairs up to 225
+    # replicas): a bijection per replica, so every replica stays a
+    # perfectly isomorphic corpus (token lengths, frequencies, set
+    # structure identical), while any 8-byte window containing one
+    # alnum char — all of them, in word text — differs across replicas.
+    # The suffix stays for cross-replica WORD disjointness (a rotated
+    # token could collide with another replica's vocabulary).
+    # The suffix must also be CONSTANT-LENGTH: "_r{r}" was 3 chars for
+    # r < 10 and 4 from r 10 — and every token in a replica shares the
+    # suffix bytes, so longer suffixes inflate within-replica byte
+    # similarity (measured: 2-digit replicas produced ~2x the per-
+    # replica LSH candidates of 1-digit ones; totals went super-linear
+    # in K).  One base-36 char per replica (K <= 36) keeps the byte-
+    # similarity inflation identical across replicas — per-replica
+    # structure is then isomorphic and totals scale linearly.
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    digits = "0123456789"
+    b36 = digits + lower
+    assert k <= 36, "one-char replica suffix supports K <= 36"
+
+    def replica_text(r: int):
+        sl, sd = r % 25 + 1, r % 9 + 1
+        src_a = lower + upper + digits
+        dst_a = (
+            lower[sl:] + lower[:sl]
+            + upper[sl:] + upper[:sl]
+            + digits[sd:] + digits[:sd]
+        )
+        return F.regexp_replace(
+            F.translate(F.col("text"), src_a, dst_a),
+            r"(\S+)", f"$1_{b36[r]}",
+        )
+
+    txt = F.col("text")
+    for r in range(k - 1, 0, -1):
+        txt = F.when(F.col("_r") == r, replica_text(r)).otherwise(txt)
     write(
         reps(docs)
         .withColumn("doc_id", off(docs, "doc_id"))
-        .withColumn(
-            "text",
-            F.when(F.col("_r") == 0, F.col("text")).otherwise(
-                # disjoint shingle space per replica: suffix every token
-                F.regexp_replace(
-                    F.col("text"), r"(\S+)",
-                    F.concat(F.lit("$1_r"), F.col("_r").cast("string")),
-                )
-            ),
-        )
+        # disjoint shingle space per replica: rotate alnum chars
+        # (byte-level disjointness), then suffix every token with the
+        # replica's base-36 char (word-level disjointness)
+        .withColumn("text", txt)
         .withColumn("n_chars", F.length("text").cast("long"))
         .drop("_r"), "documents",
     )
