@@ -154,7 +154,8 @@ def pack_sequences_binned(
 
     Output: ONE row per shard — bin count, exact padding (sum of
     nonnegative remainders), an assignment checksum
-    ``SUM(doc_id * (bin_id + 1))`` pinning the per-doc placement, and
+    ``SUM((doc_id + 1) * (bin_id + 1))`` pinning the per-doc placement
+    (the +1 on doc_id makes doc 0's placement contribute — r12), and
     the concat-and-chunk baseline's bin count + padding for the waste
     comparison the curation report reads."""
     import numpy as np
@@ -200,7 +201,7 @@ def pack_sequences_binned(
                 "total_tokens": [total],
                 "n_bins": [nb],
                 "padding_tokens": [int(np.maximum(rems[:nb], 0).sum())],
-                "assign_checksum": [int((ids * (bin_of + 1)).sum())],
+                "assign_checksum": [int(((ids + 1) * (bin_of + 1)).sum())],
                 "bins_chunked": [bins_chunked],
                 "padding_chunked": [bins_chunked * seq_len - total],
             }

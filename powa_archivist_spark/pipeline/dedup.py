@@ -999,11 +999,16 @@ def _verify_shingle_pairs(cands: DataFrame, sh: DataFrame,
     join the NARROW (id, set size) dim first and mismatched-size pairs
     drop before any array travels; the eps keeps boundary pairs (an
     IEEE product can land above the exact rational) — pruned pairs can
-    never reach the threshold, so the output is unchanged."""
-    eps = 1e-9
+    never reach the threshold, so the output is unchanged.  The eps is
+    SIZE-RELATIVE (r12): the rounding error of ``a_n * threshold``
+    scales with the set size (~2.2e-16 * a_n), so a fixed 1e-9 would
+    wrongly prune an exactly-at-boundary pair once sets pass ~4.5M
+    shingles; 1e-9 * max(a_n, b_n) covers the float error at any size
+    while still pruning every pair that is measurably below it."""
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
     a_sz = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("a_n"))
     b_sz = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("b_n"))
+    eps = F.greatest("a_n", "b_n") * F.lit(1e-9)
     pruned = (
         cands.join(a_sz, "a_id").join(b_sz, "b_id")
         .filter(

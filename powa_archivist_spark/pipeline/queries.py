@@ -1,8 +1,9 @@
-"""Pipeline-operator query surface + DuckDB oracles (where expressible).
+"""Pipeline-operator query surface + DuckDB oracles.
 
-Hash-/engine-dependent operators (minhash, simhash, fingerprints) have no
-SQL oracle — the driver records a rows-only check for them; their
-correctness is covered by pytest property tests instead.
+Every declared query here carries a full DuckDB value-hash oracle —
+including the hash-dependent operators (minhash, simhash, fingerprints),
+whose oracles replay the same hash arithmetic in portable SQL. Property
+tests in tests/ cover the algebraic invariants on top of that.
 """
 
 from __future__ import annotations
@@ -1307,7 +1308,7 @@ SELECT f.shard,
        CAST(len(MIN(fr.rems)) AS BIGINT) AS n_bins,
        CAST(list_sum(list_transform(MIN(fr.rems),
               x -> greatest(x, 0))) AS BIGINT) AS padding_tokens,
-       CAST(SUM(f.doc_id * (f.bin_id + 1)) AS BIGINT) AS assign_checksum,
+       CAST(SUM((f.doc_id + 1) * (f.bin_id + 1)) AS BIGINT) AS assign_checksum,
        CAST((SUM(f.need) + 255) // 256 AS BIGINT) AS bins_chunked,
        CAST(((SUM(f.need) + 255) // 256) * 256 - SUM(f.need)
             AS BIGINT) AS padding_chunked

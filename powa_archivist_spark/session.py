@@ -59,7 +59,17 @@ def get_spark(app_name: str = "powa_archivist_spark",
         # the big side map-only while genuinely-large sides still plan
         # keyed joins.  The static estimate-based threshold stays at its
         # default — pre-runtime estimates lie.
-        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        # MEMORY FLOOR (r12): 64MB of serialized build side can
+        # deserialize to several hundred MB of JVM hash-relation per
+        # executor.  This setting assumes >= 4 GB executor heaps (the
+        # local[32]/128GiB harness and any reasonable 100TB-cluster
+        # sizing clear it); on small-heap executors (< 2 GB) export
+        # SPARK_GRAFT_AUTO_BROADCAST=8m to restore a conservative bound
+        # rather than editing code.
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_AUTO_BROADCAST", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -100,6 +100,19 @@ def process_kmeans_batch(
         quantized(F.col(vec_col)).alias("v"),
     ).withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
 
+    # Structured Streaming can deliver EMPTY micro-batches (e.g. a
+    # trigger with no new files).  Folding one is a no-op — and on the
+    # first-ever batch it would send kmeans() a zero-row frame (seed
+    # LIMIT 1 on nothing -> degenerate centers).  Skip unless an
+    # explicit refresh was requested AND there is history to refresh
+    # over; empty epochs never land in the vectors ledger, so replaying
+    # them re-enters here and no-ops again — idempotent either way.
+    if batch.limit(1).count() == 0:
+        if not (refresh and wh.exists(centers_table)):
+            if stats_out is not None:
+                stats_out["refreshed"] = False
+            return False
+
     sp = StagedPass(wh, GLOBAL_LANE)
     sp.stage_append_flat(vecs, vectors_table)
 

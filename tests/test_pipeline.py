@@ -508,7 +508,7 @@ def test_pack_sequences_binned_hand_case(spark):
     assert (r.shard, r.n_docs, r.total_tokens) == ("en", 5, 200)
     assert r.n_bins == 2 and r.padding_tokens == 0
     # d0->bin0, d1->bin1, d2->bin0, d3->bin1, d4->bin1
-    assert r.assign_checksum == 0 * 1 + 1 * 2 + 2 * 1 + 3 * 2 + 4 * 2
+    assert r.assign_checksum == 1 * 1 + 2 * 2 + 3 * 1 + 4 * 2 + 5 * 2
     assert r.bins_chunked == 2 and r.padding_chunked == 0
 
 
@@ -535,7 +535,7 @@ def test_pack_sequences_binned_invariants(spark):
         "doc_id long, text string, lang string")
     (r,) = corpus.pack_sequences_binned(over, seq_len=20).collect()
     assert r.n_bins == 2 and r.padding_tokens == 18
-    assert r.assign_checksum == 0 * 1 + 1 * 2
+    assert r.assign_checksum == 1 * 1 + 2 * 2
 
 
 def test_stratified_sample_rates_and_determinism(spark, corpus_docs):

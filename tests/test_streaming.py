@@ -1363,3 +1363,40 @@ def test_kmeans_ledger_frozen_assign_is_argmin_against_centers(spark, wh):
     assert got == want and len(got) == second.count()
     prof = kmeans_ledger_profile(wh)
     assert prof.agg(F.sum("n_frozen")).collect()[0][0] == second.count()
+
+
+def test_kmeans_ledger_empty_batch_is_noop(spark, wh):
+    """r12 (ADVICE r11): an EMPTY micro-batch (Structured Streaming
+    delivers them) is a clean no-op — previously the first-ever empty
+    batch entered the refresh path and ran kmeans() over a zero-row
+    frame.  An empty batch after real history leaves the ledger
+    untouched; the next real batch still folds normally."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.streaming.clustering import (
+        kmeans_assignment,
+        process_kmeans_batch,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 60)
+    empty = emb.filter(F.lit(False))
+
+    # first-ever batch empty: no tables created, no kmeans run
+    st = {}
+    assert process_kmeans_batch(wh, empty, 0, k=3, init_rounds=2,
+                                max_rounds=6, stats_out=st) is False
+    assert st == {"refreshed": False}
+    assert not wh.exists("kmeans_centers")
+    assert not wh.exists("kmeans_vectors")
+
+    # real batch folds normally afterwards
+    assert process_kmeans_batch(wh, emb, 1, k=3, init_rounds=2,
+                                max_rounds=6)
+    before = sorted(map(tuple, kmeans_assignment(wh).collect()))
+
+    # empty batch after history: ledger unchanged (frozen path too)
+    assert process_kmeans_batch(wh, empty, 2, k=3, init_rounds=2,
+                                max_rounds=6) is False
+    assert sorted(map(tuple, kmeans_assignment(wh).collect())) == before
