@@ -4548,7 +4548,15 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_IVFPQ_TOPK = f"""
+def _oracle_ivfpq_topk(train: str = "TRUE") -> str:
+    """The IVF-PQ replay oracle, parameterized by a TRAINING-subset
+    predicate (r12): coarse centroids, codebook seeds, and the Lloyd
+    codebook round derive from rows satisfying ``train``; encoding and
+    probing still cover the whole table — exactly the at-rest index's
+    posture (build on history, upsert the rest against frozen
+    quantizers).  ``train="TRUE"`` reproduces the original
+    full-corpus ORACLE_IVFPQ_TOPK byte-for-byte in semantics."""
+    return f"""
 WITH e AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
@@ -4556,9 +4564,10 @@ WITH e AS MATERIALIZED (
   FROM embeddings
 ), mc AS MATERIALIZED (
   SELECT GREATEST(1, (COUNT(*) + 7) // 8) AS md FROM embeddings
+  WHERE {train}
 ), cents AS MATERIALIZED (
   SELECT vec_id AS cell_id, v AS cv FROM e
-  WHERE vec_id % (SELECT md FROM mc) = 0
+  WHERE vec_id % (SELECT md FROM mc) = 0 AND ({train})
 ), cscored AS MATERIALIZED (
   SELECT e.vec_id, e.v, c.cell_id, c.cv,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -4578,9 +4587,10 @@ WITH e AS MATERIALIZED (
   FROM resid, (SELECT unnest(generate_series(0, 7)) AS s)
 ), mo AS MATERIALIZED (
   SELECT GREATEST(1, (COUNT(*) + 63) // 64) AS md FROM embeddings
+  WHERE {train}
 ), seeds AS MATERIALIZED (
   SELECT sub, vec_id AS code, sv AS cv0 FROM rsv
-  WHERE vec_id % (SELECT md FROM mo) = 0
+  WHERE vec_id % (SELECT md FROM mo) = 0 AND ({train})
 ), passign AS MATERIALIZED (
   SELECT sub, code, sv FROM (
     SELECT v.sub, s.code, v.sv,
@@ -4589,6 +4599,7 @@ WITH e AS MATERIALIZED (
                          x -> (x[1] - x[2]) * (x[1] - x[2])))
                       AS BIGINT) ASC, s.code ASC) AS rn
     FROM rsv v JOIN seeds s USING (sub)
+    WHERE ({train})
   ) WHERE rn = 1
 ), cb_dims AS MATERIALIZED (
   SELECT sub, code, i AS dim,
@@ -4638,6 +4649,50 @@ SELECT query_id, neighbor_id, adist_q, rank FROM (
   FROM scored
 ) WHERE rank <= 10
 """
+
+
+ORACLE_IVFPQ_TOPK = _oracle_ivfpq_topk()
+
+
+def ann_ivfpq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest IVF-PQ index lifecycle (r12, VERDICT r11 task 4 —
+    the index a deployment actually serves): build on 80% of the corpus
+    (``ivfpq_index_build`` — code rows partitioned by cell, frozen
+    centroid + codebook dims, id Bloom), ``ivfpq_upsert`` the remaining
+    20% as a fresh-id batch against the FROZEN quantizers (sorted LSM
+    delta run, Bloom-gated), then ``ivfpq_probe`` 5 queries — the scan
+    prunes to the probed cells' partitions (plan-pinned in
+    tests/test_plans.py) and reads ~32x-compressed codes, never raw
+    vectors.  Frozen-quantizer determinism makes the probe an exact
+    replay: the oracle is the proven IVF-PQ chain with training
+    restricted to the build subset and encoding over everything —
+    byte-identical to a full rebuild with the same quantizers (the
+    equivalence pytest in tests/test_pipeline.py).  Reference analog:
+    packed-history at-rest posture, powa--5.2.0.sql:2107-2123 +
+    partition-pruned reads 7784-7786."""
+    import shutil
+    import tempfile
+
+    from ..storage import Warehouse
+
+    emb = t(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="ivfpqidx_")
+    try:
+        wh = Warehouse(spark, scratch)
+        similarity.ivfpq_index_build(
+            wh, emb.filter(F.col("vec_id") % 5 != 4),
+            m=8, n_cells_target=8, n_codes_target=64,
+        )
+        similarity.ivfpq_upsert(wh, emb.filter(F.col("vec_id") % 5 == 4))
+        q = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4]))
+        return similarity.ivfpq_probe(
+            wh, q, k=10, nprobe=2
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+ORACLE_IVFPQ_AT_REST = _oracle_ivfpq_topk(train="vec_id % 5 <> 4")
 
 
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5485,6 +5540,7 @@ PIPELINE_QUERIES = {
     "knn_pq_topk": (knn_pq_topk, ORACLE_PQ_TOPK),
     "stream_pq_index": (stream_pq_index, ORACLE_STREAM_PQ),
     "knn_ivfpq_topk": (knn_ivfpq_topk, ORACLE_IVFPQ_TOPK),
+    "ann_ivfpq_at_rest": (ann_ivfpq_at_rest, ORACLE_IVFPQ_AT_REST),
     "ann_pq_recall": (ann_pq_recall, ORACLE_PQ_RECALL),
     "corpus_segment_dedup": (corpus_segment_dedup, ORACLE_SEGMENT_DEDUP),
     "emb_decontam": (emb_decontam, ORACLE_EMB_DECONTAM),

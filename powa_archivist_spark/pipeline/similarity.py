@@ -551,17 +551,24 @@ def _id_bloom_words(ids: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def ivf_cells(wh) -> DataFrame:
-    """The index's logical cell assignment: base partitions ∪ delta
+def _cells_union(wh, cells_table: str, delta_table: str) -> DataFrame:
+    """A cell-keyed index's logical row set: base partitions ∪ delta
     runs.  The upsert maintains the no-duplicate-id invariant across
-    both, so readers just union."""
-    base = wh.read(ANN_CELLS_TABLE)
-    if wh.exists(ANN_DELTA_TABLE):
+    both, so readers just union.  Shared by the IVF index and the
+    IVF-PQ index (r12) — the payload columns differ (raw quantized
+    vector vs PQ codes), the layout contract is identical."""
+    base = wh.read(cells_table)
+    if wh.exists(delta_table):
         base = base.select("cell_id", *[c for c in base.columns
                                         if c != "cell_id"]).unionByName(
-            wh.read(ANN_DELTA_TABLE)
+            wh.read(delta_table)
         )
     return base
+
+
+def ivf_cells(wh) -> DataFrame:
+    """The IVF index's logical cell assignment (base ∪ delta)."""
+    return _cells_union(wh, ANN_CELLS_TABLE, ANN_DELTA_TABLE)
 
 
 def ivf_build(
@@ -692,26 +699,55 @@ def ivf_upsert(
             ).alias("cell_id")
         )
     )
-    assign = (
-        best_cell.join(vecs, id_col)
-        .select("cell_id", id_col, "v")
-        .persist()
+    assign = best_cell.join(vecs, id_col).select("cell_id", id_col, "v")
+    _lsm_upsert(
+        wh, assign, id_col,
+        cells_table=ANN_CELLS_TABLE,
+        delta_table=ANN_DELTA_TABLE,
+        bloom_table=ANN_ID_BLOOM_TABLE,
+        assume_new_ids=assume_new_ids,
+        compact_delta_runs=compact_delta_runs,
     )
-    run = (
-        assign.select("cell_id", id_col, "v")
-        .coalesce(1)
-        .sortWithinPartitions("cell_id")
-    )
+
+
+def _lsm_upsert(
+    wh,
+    assign: DataFrame,
+    id_col: str,
+    *,
+    cells_table: str,
+    delta_table: str,
+    bloom_table: str,
+    assume_new_ids: bool,
+    compact_delta_runs: int,
+) -> None:
+    """The LSM-style index fold shared by the IVF and IVF-PQ at-rest
+    indexes (factored r12): given the batch's final (cell_id, id,
+    payload...) rows — raw quantized vectors for IVF, PQ codes for
+    IVF-PQ — append them as ONE sorted run, rewrite only base cells
+    holding a replaced id (Bloom-gated discovery), fold the delta when
+    it grows.  All of one upsert commits through a single StagedPass
+    manifest; see :func:`ivf_upsert` for the full semantics."""
+    from ..txn import GLOBAL_LANE, StagedPass
+
+    cols = ["cell_id", id_col] + [
+        c for c in assign.columns if c not in ("cell_id", id_col)
+    ]
+    assign = assign.select(*cols).persist()
+    run = assign.coalesce(1).sortWithinPartitions("cell_id")
     try:
         batch_ids = assign.select(id_col)
         # maintain the id Bloom in the SAME pass: new filter = old words
         # OR the batch's words (constant m_bits/32 rows either way).
         # Missing filter (pre-r7 index): seed it from the full id set
         # once — a narrow scan the filter then amortizes away.
-        if wh.exists(ANN_ID_BLOOM_TABLE):
-            old_bloom = wh.read(ANN_ID_BLOOM_TABLE)
+        if wh.exists(bloom_table):
+            old_bloom = wh.read(bloom_table)
         else:
-            old_bloom = _id_bloom_words(ivf_cells(wh).select(id_col), id_col)
+            old_bloom = _id_bloom_words(
+                _cells_union(wh, cells_table, delta_table).select(id_col),
+                id_col,
+            )
         new_bloom = (
             old_bloom.unionByName(_id_bloom_words(batch_ids, id_col))
             .groupBy("word_idx")
@@ -719,10 +755,10 @@ def ivf_upsert(
         )
         if assume_new_ids:
             sp = StagedPass(wh, GLOBAL_LANE)
-            sp.stage_append_flat(run, ANN_DELTA_TABLE)
-            sp.stage_replace_flat(new_bloom, ANN_ID_BLOOM_TABLE)
+            sp.stage_append_flat(run, delta_table)
+            sp.stage_replace_flat(new_bloom, bloom_table)
             sp.publish()
-            ivf_compact_delta(wh, min_runs=compact_delta_runs)
+            _compact_delta(wh, compact_delta_runs, cells_table, delta_table)
             return
         sp = StagedPass(wh, GLOBAL_LANE)
         # Bloom gate for the replaced-id discovery: when every batch id
@@ -731,14 +767,14 @@ def ivf_upsert(
         # real or false — falls through to the scan, which is the
         # correctness authority either way.
         maybe_present = True
-        if wh.exists(ANN_ID_BLOOM_TABLE):
+        if wh.exists(bloom_table):
             hit = (
                 F.col("word").isNotNull()
                 & (F.col("word").bitwiseAND(_bloom_word()) != 0)
             )
             maybe_present = (
                 _id_bloom_probes(batch_ids, id_col)
-                .join(F.broadcast(wh.read(ANN_ID_BLOOM_TABLE)),
+                .join(F.broadcast(wh.read(bloom_table)),
                       "word_idx", "left")
                 .groupBy(id_col)
                 .agg(F.bool_and(hit).alias("in_bloom"))
@@ -750,8 +786,8 @@ def ivf_upsert(
             # base cells holding a replaced id rewrite (bounded by the
             # batch, partition-pruned via a literal IN-filter); the
             # discovery is the one index-wide pass, column-pruned to
-            # the narrow (cell_id, id) columns — vectors are not read
-            base = wh.read(ANN_CELLS_TABLE)
+            # the narrow (cell_id, id) columns — payloads are not read
+            base = wh.read(cells_table)
             stale_cells = (
                 base.join(F.broadcast(batch_ids), id_col, "left_semi")
                 .select("cell_id").distinct()
@@ -763,7 +799,7 @@ def ivf_upsert(
                     F.col("cell_id").isin([int(c) for c in stale_ids])
                 )
                 .join(F.broadcast(batch_ids), id_col, "left_anti")
-                .select("cell_id", id_col, "v")
+                .select(*cols)
                 .persist()
             )
             try:
@@ -776,7 +812,7 @@ def ivf_upsert(
                 }
                 sp.stage_replace_tree(
                     kept,
-                    ANN_CELLS_TABLE,
+                    cells_table,
                     partition_by=["cell_id"],
                     drops=[f"cell_id={c}"
                            for c in sorted(stale_ids - kept_cells)],
@@ -785,8 +821,8 @@ def ivf_upsert(
                 kept.unpersist()
         # replaced ids sitting in the delta rewrite the (small) delta;
         # gated by the same Bloom verdict — all-fresh batches skip it
-        if maybe_present and wh.exists(ANN_DELTA_TABLE):
-            delta = wh.read(ANN_DELTA_TABLE)
+        if maybe_present and wh.exists(delta_table):
+            delta = wh.read(delta_table)
             has_stale_delta = (
                 delta.join(F.broadcast(batch_ids), id_col, "left_semi")
                 .limit(1).count() > 0
@@ -795,47 +831,54 @@ def ivf_upsert(
                 sp.stage_replace_flat(
                     delta.join(F.broadcast(batch_ids), id_col, "left_anti")
                     .coalesce(1).sortWithinPartitions("cell_id"),
-                    ANN_DELTA_TABLE,
+                    delta_table,
                 )
-        sp.stage_append_flat(run, ANN_DELTA_TABLE)
-        sp.stage_replace_flat(new_bloom, ANN_ID_BLOOM_TABLE)
+        sp.stage_append_flat(run, delta_table)
+        sp.stage_replace_flat(new_bloom, bloom_table)
         sp.publish()
-        ivf_compact_delta(wh, min_runs=compact_delta_runs)
+        _compact_delta(wh, compact_delta_runs, cells_table, delta_table)
     finally:
         assign.unpersist()
 
 
-def ivf_compact_delta(wh, min_runs: int = 16) -> bool:
+def _compact_delta(wh, min_runs: int, cells_table: str,
+                   delta_table: str) -> bool:
     """Fold the delta's run files back into the base cell partitions
     when ``min_runs`` or more have accumulated (0 forces a fold).  ONE
     staged pass: an append-tree of the delta rows into their cells (one
     file per touched cell via a repartition on the cell key) plus a
     flat replace of the delta with empty — committed atomically, so
-    readers never see a vector in both places.  The run-count probe is
+    readers never see a row in both places.  The run-count probe is
     an os.listdir, not a Spark job."""
     import os as _os
 
     from ..txn import GLOBAL_LANE, StagedPass
 
-    root = wh.path(ANN_DELTA_TABLE)
+    root = wh.path(delta_table)
     if not _os.path.isdir(root):
         return False
     runs = [f for f in _os.listdir(root)
             if f.endswith(".parquet") and not f.startswith((".", "_"))]
     if len(runs) < max(1, min_runs):
         return False
-    delta = wh.read(ANN_DELTA_TABLE)
+    delta = wh.read(delta_table)
     sp = StagedPass(wh, GLOBAL_LANE)
     sp.stage_append_tree(
         delta.repartition(F.col("cell_id")),
-        ANN_CELLS_TABLE,
+        cells_table,
         partition_by=["cell_id"],
     )
     sp.stage_replace_flat(
-        wh.spark.createDataFrame([], delta.schema), ANN_DELTA_TABLE
+        wh.spark.createDataFrame([], delta.schema), delta_table
     )
     sp.publish()
     return True
+
+
+def ivf_compact_delta(wh, min_runs: int = 16) -> bool:
+    """Fold the IVF delta into its base cells (see
+    :func:`_compact_delta`)."""
+    return _compact_delta(wh, min_runs, ANN_CELLS_TABLE, ANN_DELTA_TABLE)
 
 
 def ivf_probe(
@@ -1783,6 +1826,236 @@ def ivfpq_search(
         _l2_q(F.col("qsv"), F.col("cv")).alias("d2"),
     )
     code_rows = index.select(
+        F.col(id_col).alias("neighbor_id"), "cell_id",
+        F.posexplode("codes").alias("sub", "code"),
+    ).withColumn("sub", F.col("sub").cast("int"))
+    scored = (
+        code_rows.join(F.broadcast(lut), ["cell_id", "sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist_q", "rank")
+    )
+
+
+#: At-rest IVF-PQ index (r12, VERDICT r11 task 4) — the index a
+#: deployment actually serves: PQ codes partitioned BY CELL so a probe
+#: scans nprobe partition dirs of ~32x-compressed rows, plus the same
+#: LSM delta + id-Bloom machinery the IVF index uses (shared via
+#: _lsm_upsert/_compact_delta).  Reference analog: the packed-history
+#: at-rest posture (powa--5.2.0.sql:2107-2123) with partition-pruned
+#: reads (powa--5.2.0.sql:7784-7786).
+ANNPQ_CELLS_TABLE = "ann_ivfpq_cells"
+ANNPQ_CENTROIDS_TABLE = "ann_ivfpq_centroids"
+ANNPQ_CODEBOOK_TABLE = "ann_ivfpq_codebook"
+ANNPQ_DELTA_TABLE = "ann_ivfpq_delta"
+ANNPQ_ID_BLOOM_TABLE = "ann_ivfpq_id_bloom"
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    cents: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode a batch against a FROZEN coarse quantizer + residual
+    codebook: (id, cell_id, codes) — bit-identical to the rows
+    :func:`ivfpq_build` emits for the same vectors (same integer
+    argmax/argmin arithmetic, same tie rules), which is what makes an
+    upsert indistinguishable from a rebuild at probe time.
+
+    Plan (100 TB): coarse assignment is the broadcast max_by (no
+    window); residuals are a map-side zip_with; the per-(id, sub) code
+    argmin partial-aggregates before the single per-id exchange."""
+    vecs = emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col, "v", "cell_id",
+        int_dot(F.col("v"), F.col("cv")).alias("dot_c"),
+    )
+    assign = (
+        scored.groupBy(id_col)
+        .agg(F.max_by(
+            F.struct(F.col("cell_id"), F.col("v")),
+            F.struct(F.col("dot_c"), (-F.col("cell_id")).alias("neg")),
+        ).alias("best"))
+        .select(id_col, "best.cell_id", "best.v")
+    )
+    resid = assign.join(F.broadcast(cents), "cell_id").select(
+        id_col, "cell_id",
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"),
+    )
+    rsub = resid.select(
+        F.col(id_col), F.col("cell_id"),
+        F.explode(_pq_subvecs(F.col("rv"), m)).alias("p"),
+    ).select(id_col, "cell_id", F.col("p.sub").alias("sub"),
+             F.col("p.sv").alias("sv"))
+    best = (
+        rsub.join(F.broadcast(codebook), "sub")
+        .select(
+            id_col, "cell_id", "sub", "code",
+            _l2_q(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+        .groupBy(id_col, "cell_id", "sub")
+        .agg(F.min_by(F.col("code"),
+                      F.struct(F.col("d2"), F.col("code"))).alias("code"))
+    )
+    return (
+        best.groupBy(id_col, "cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub"), F.col("code")))
+                ),
+                lambda s: s.getField("code"),
+            ).alias("codes")
+        )
+        .select(id_col, "cell_id", "codes")
+    )
+
+
+def ivfpq_index_build(
+    wh,
+    emb: DataFrame,
+    m: int = 8,
+    n_cells_target: int = 8,
+    n_codes_target: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index AT REST: train coarse cells + the
+    residual codebook (:func:`ivfpq_build`), persist the code rows
+    partitioned BY CELL (a probe's scan prunes to its nprobe cells'
+    files, and those files hold ~32x-compressed codes, not vectors —
+    the memory story AND the IO story compose), plus the frozen
+    centroid/codebook dims and a fresh id Bloom.  A rebuild supersedes
+    any pending delta runs."""
+    cents, cb, index = ivfpq_build(
+        emb, m=m, n_cells_target=n_cells_target,
+        n_codes_target=n_codes_target, id_col=id_col, vec_col=vec_col,
+    )
+    wh.overwrite(
+        index.select("cell_id", F.col(id_col), "codes"),
+        ANNPQ_CELLS_TABLE, partition_by=["cell_id"],
+    )
+    wh.overwrite(cents, ANNPQ_CENTROIDS_TABLE)
+    wh.overwrite(cb, ANNPQ_CODEBOOK_TABLE)
+    wh.drop_table(ANNPQ_DELTA_TABLE)  # a rebuild supersedes pending runs
+    wh.overwrite(
+        _id_bloom_words(emb.select(id_col), id_col), ANNPQ_ID_BLOOM_TABLE
+    )
+
+
+def ivfpq_cells(wh) -> DataFrame:
+    """The IVF-PQ index's logical code rows (base ∪ delta)."""
+    return _cells_union(wh, ANNPQ_CELLS_TABLE, ANNPQ_DELTA_TABLE)
+
+
+def ivfpq_upsert(
+    wh,
+    new_emb: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_new_ids: bool = False,
+    compact_delta_runs: int = 16,
+) -> None:
+    """Incrementally maintain the at-rest IVF-PQ index: encode a NEW
+    batch against the FROZEN centroids + codebook and fold it in with
+    the shared LSM machinery (:func:`_lsm_upsert` — sorted delta run,
+    Bloom-gated replaced-id rewrite of touched base cells only, delta
+    compaction).  Upsert IO is proportional to the BATCH; centroids and
+    codebook stay fixed (drift re-training is a periodic full
+    :func:`ivfpq_index_build`), so the encode is exact w.r.t. the
+    current quantizers and a probe after N upserts returns exactly what
+    a full rebuild with the same quantizers would."""
+    from ..txn import GLOBAL_LANE, StagedPass
+
+    StagedPass.recover(wh, GLOBAL_LANE, sweep=True)
+    cents = wh.read(ANNPQ_CENTROIDS_TABLE)
+    cb = wh.read(ANNPQ_CODEBOOK_TABLE)
+    assign = ivfpq_encode(
+        new_emb, cents, cb, m=m, id_col=id_col, vec_col=vec_col
+    ).select("cell_id", id_col, "codes")
+    _lsm_upsert(
+        wh, assign, id_col,
+        cells_table=ANNPQ_CELLS_TABLE,
+        delta_table=ANNPQ_DELTA_TABLE,
+        bloom_table=ANNPQ_ID_BLOOM_TABLE,
+        assume_new_ids=assume_new_ids,
+        compact_delta_runs=compact_delta_runs,
+    )
+
+
+def ivfpq_compact_delta(wh, min_runs: int = 16) -> bool:
+    """Fold the IVF-PQ delta into its base cells (see
+    :func:`_compact_delta`)."""
+    return _compact_delta(wh, min_runs, ANNPQ_CELLS_TABLE,
+                          ANNPQ_DELTA_TABLE)
+
+
+def ivfpq_probe(
+    wh,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the at-rest IVF-PQ index: each query picks its ``nprobe``
+    best cells against the (tiny, broadcast) centroid table, builds one
+    residual LUT per probed cell, and ADC-scores ONLY those cells'
+    partitions of the codes table — the same arithmetic as
+    :func:`ivfpq_search`, so a probe replays it bit-for-bit.
+
+    The probed cell ids are collected to build the partition predicate —
+    bounded by queries x nprobe, never by the corpus.  Base partitions
+    prune to the probed cells; the delta's sorted runs prune by
+    row-group stats on the same filter."""
+    cents = wh.read(ANNPQ_CENTROIDS_TABLE)
+    cb = wh.read(ANNPQ_CODEBOOK_TABLE)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    qs = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cell_id",
+        int_dot(F.col("qv"), F.col("cv")).alias("dot_c"),
+        F.col("cv"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_c"), F.asc("cell_id")
+    )
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id", "cell_id",
+            F.zip_with("qv", "cv", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    cell_ids = sorted(
+        {r.cell_id for r in probes.select("cell_id").distinct().collect()}
+    )
+    cells = ivfpq_cells(wh).filter(F.col("cell_id").isin(cell_ids))
+    qsub = probes.select(
+        "query_id", "cell_id",
+        F.explode(_pq_subvecs(F.col("qr"), m)).alias("p"),
+    ).select("query_id", "cell_id", F.col("p.sub").alias("sub"),
+             F.col("p.sv").alias("qsv"))
+    lut = qsub.join(F.broadcast(cb), "sub").select(
+        "query_id", "cell_id", "sub", "code",
+        _l2_q(F.col("qsv"), F.col("cv")).alias("d2"),
+    )
+    code_rows = cells.select(
         F.col(id_col).alias("neighbor_id"), "cell_id",
         F.posexplode("codes").alias("sub", "code"),
     ).withColumn("sub", F.col("sub").cast("int"))

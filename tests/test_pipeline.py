@@ -3656,3 +3656,60 @@ def test_kll_windowed_groups_are_independent(spark):
     )
     assert sorted(map(tuple, only.collect())) == got
     assert got, "expected at least one group for the chosen day"
+
+
+def test_ivfpq_at_rest_upsert_equals_rebuild_with_frozen_quantizers(
+        spark, wh):
+    """r12 (VERDICT r11 task 4): the at-rest IVF-PQ index — a probe
+    over build(80%) + upsert(20% new ids + re-embedded replacements)
+    equals ivfpq_search over an index encoded from the FINAL vector set
+    against the same frozen quantizers, bit-for-bit (adist included);
+    replaced ids hold the no-duplicate invariant across base ∪ delta;
+    delta compaction changes nothing a probe can see."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity as S
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter("vec_id < 400")
+    build = emb.filter("vec_id % 5 != 4")
+    S.ivfpq_index_build(wh, build, m=8, n_cells_target=8,
+                        n_codes_target=64)
+    q = emb.filter("vec_id in (0, 1, 2, 3)")
+
+    # probe == in-memory search over the same (deterministic) artifacts
+    cents, cb, index = S.ivfpq_build(build, m=8, n_cells_target=8,
+                                     n_codes_target=64)
+    got = sorted(map(tuple, S.ivfpq_probe(wh, q, k=5, nprobe=2).collect()))
+    want = sorted(map(tuple, S.ivfpq_search(
+        build, cents, cb, index, query_ids=[0, 1, 2, 3], k=5, nprobe=2,
+    ).collect()))
+    assert got == want and len(got) == 20
+
+    # upsert new ids AND re-embedded replacements (reversed vectors —
+    # they may move cells); probe == rebuild-encode over the final set
+    batch = emb.filter("vec_id % 5 = 4").unionByName(
+        emb.filter("vec_id % 50 = 0")
+        .withColumn("embedding", F.reverse("embedding")))
+    S.ivfpq_upsert(wh, batch)
+    final = emb.filter("vec_id % 50 != 0").unionByName(
+        emb.filter("vec_id % 50 = 0")
+        .withColumn("embedding", F.reverse("embedding")))
+    idx_full = S.ivfpq_encode(final, cents, cb, m=8)
+    got2 = sorted(map(tuple, S.ivfpq_probe(wh, q, k=5, nprobe=2).collect()))
+    want2 = sorted(map(tuple, S.ivfpq_search(
+        emb, cents, cb, idx_full, query_ids=[0, 1, 2, 3], k=5, nprobe=2,
+    ).collect()))
+    assert got2 == want2
+
+    # replaced ids live in exactly one place across base ∪ delta
+    n = S.ivfpq_cells(wh).count()
+    assert n == S.ivfpq_cells(wh).select("vec_id").distinct().count()
+    assert n == final.count()
+
+    # compaction folds the delta without changing any probe result
+    assert S.ivfpq_compact_delta(wh, 0)
+    assert not wh.read(S.ANNPQ_DELTA_TABLE).count()
+    got3 = sorted(map(tuple, S.ivfpq_probe(wh, q, k=5, nprobe=2).collect()))
+    assert got3 == got2

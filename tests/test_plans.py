@@ -933,3 +933,32 @@ def test_kmeans_semdedup_pairwise_is_cluster_keyed(spark):
     df = emb_kmeans_semdedup(spark, SF)
     assert not pi.has_cartesian(df)
     assert pi.unbounded_global_windows(df) == []
+
+
+def test_ivfpq_probe_prunes_base_partitions_with_delta(spark, wh):
+    """r12: the at-rest IVF-PQ index keeps the IVF index's layout
+    contract — ivfpq_probe over base+delta PRUNES the base scan to the
+    probed cells' partition dirs (PartitionFilters carries cell_id) and
+    pushes the cell filter into the delta's flat scan (row-group
+    pruning via the per-run sort); the codes table never feeds a
+    cartesian product."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    similarity.ivfpq_index_build(wh, emb.filter("vec_id % 3 != 2"))
+    similarity.ivfpq_upsert(
+        wh,
+        emb.filter("vec_id % 3 = 2").select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            "embedding",
+        ),
+        assume_new_ids=True,
+    )
+    out = similarity.ivfpq_probe(wh, emb.filter("vec_id in (0, 3)"), k=5)
+    part = " ".join(pi.partition_filters(out))
+    assert "cell_id" in part, "base scan lost cell partition pruning"
+    pushed = " ".join(pi.pushed_filters(out))
+    assert "cell_id" in pushed, "delta scan lost the cell filter"
+    assert not pi.has_cartesian(out)
