@@ -2431,6 +2431,76 @@ FROM a GROUP BY cluster
 """
 
 
+def stream_kmeans_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering ledger's refresh-due signal (r12, VERDICT r11
+    task 6): the same deterministic 4-batch replay as
+    ``stream_kmeans_ledger`` (refresh at epochs 0 and 2, frozen-assign
+    at 1 and 3), then ``kmeans_staleness`` — the ONE-row report an
+    operator polls: frozen fraction vs the refresh threshold, epochs
+    since the last refresh, total integer inertia.  The oracle replays
+    the epoch-2 Lloyd centers + the global argmin, then rolls the
+    assignment view up to the same row: frozen rows are exactly epoch
+    3's (vec_id % 4 = 3), trained_epoch 2, latest_epoch 3."""
+    import shutil
+    import tempfile
+
+    from ..storage import Warehouse
+    from ..streaming.clustering import (
+        kmeans_staleness,
+        process_kmeans_batch,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="kmeans_stale_")
+    try:
+        wh = Warehouse(spark, scratch)
+        for b in range(4):
+            process_kmeans_batch(
+                wh, emb.filter(F.col("vec_id") % 4 == b), b,
+                k=8, init_rounds=3, max_rounds=12,
+                refresh=(b % 2 == 0),
+            )
+        return kmeans_staleness(wh).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _oracle_kmeans_staleness(threshold: float = 0.2) -> str:
+    d2 = ("CAST(list_sum(list_transform(list_zip(e.v, c.cv), "
+          "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
+    centers = _oracle_kmeans(8, 3, 12, where="WHERE vec_id % 4 <= 2",
+                             final="centers")
+    return f"""
+WITH cents AS ({centers}
+), eall AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT})
+                AS BIGINT)) AS v
+  FROM embeddings
+), a AS (
+  SELECT vec_id, d2 FROM (
+    SELECT e.vec_id, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM eall e CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_frozen,
+       CAST(SUM(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS frozen_frac,
+       CAST(SUM(d2) AS BIGINT) AS inertia_q,
+       CAST(2 AS BIGINT) AS trained_epoch,
+       CAST(3 AS BIGINT) AS latest_epoch,
+       CAST(1 AS BIGINT) AS epochs_since_refresh,
+       CAST(SUM(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) >= {threshold} AS refresh_due
+FROM a
+"""
+
+
 def stream_kll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 4-batch replay of the STREAMING at-rest quantile
     profile (streaming/quantiles.py): events arrive in four fixed
@@ -4753,6 +4823,90 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall_at_k(exact, approx, k=10)
 
 
+def ann_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF nprobe operating-point curve (similarity.
+    ivf_nprobe_tuning): recall@10 AND candidate-scan cost at nprobe =
+    1 / 2 / 4 against ONE shared brute-force truth on the same 5
+    queries — the ANN ladder's analog of ``dedup_lsh_tuning``, closing
+    VERDICT r11 task 5.  One row per config; recall is monotone in
+    nprobe by construction (exact rescoring over nested candidate
+    sets), pinned by pytest."""
+    return similarity.ivf_nprobe_tuning(
+        t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4],
+        k=10, nprobes=(1, 2, 4),
+    )
+
+
+def _oracle_nprobe_tuning(nprobes=(1, 2, 4), k: int = 10) -> str:
+    per_config = []
+    for np_ in nprobes:
+        per_config.append(f"""row{np_} AS (
+  SELECT CAST({np_} AS BIGINT) AS nprobe,
+         (SELECT COUNT(*) FROM exact) AS n_truth,
+         (SELECT COUNT(*) FROM cand WHERE cell_rank <= {np_}) AS n_cand,
+         (SELECT COUNT(*)
+          FROM (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY dot_q DESC, neighbor_id ASC) AS r
+                  FROM cand WHERE cell_rank <= {np_})
+                WHERE r <= {k}) t
+          JOIN exact x ON x.query_id = t.query_id
+                      AND x.neighbor_id = t.neighbor_id) AS n_hit
+)""")
+    rows = "\nUNION ALL\n".join(f"SELECT * FROM row{n}" for n in nprobes)
+    max_np = max(nprobes)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+), m AS (
+  -- sized sampling stride: max(97, N // 64), same as the engine default
+  SELECT GREATEST(97, COUNT(*) // 64) AS md FROM embeddings
+), cents AS MATERIALIZED (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  WHERE vec_id % (SELECT md FROM m) = 0
+), scored AS MATERIALIZED (
+  SELECT e.vec_id, e.v, c.cell_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY CAST(list_sum(list_transform(
+                              list_zip(e.v, c.cv), x -> x[1] * x[2]))
+                              AS BIGINT) DESC, c.cell_id ASC) AS rn
+  FROM e CROSS JOIN cents c
+), assign AS MATERIALIZED (
+  SELECT vec_id, v, cell_id FROM scored WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, cell_id, rn AS cell_rank
+  FROM scored WHERE rn <= {max_np} AND vec_id IN (0, 1, 2, 3, 4)
+), cand AS MATERIALIZED (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.cell_rank,
+         CAST(list_sum(list_transform(list_zip(p.qv, a.v),
+           x -> x[1] * x[2])) AS BIGINT) AS dot_q
+  FROM probes p JOIN assign a USING (cell_id)
+  WHERE a.vec_id != p.query_id
+), exact AS MATERIALIZED (
+  -- ORACLE_KNN inlined against the shared e (a nested WITH shadowing
+  -- the outer MATERIALIZED e trips a DuckDB internal error)
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(q.v, c.v),
+               x -> x[1] * x[2])) AS BIGINT) DESC, c.vec_id) AS rank
+    FROM e q, e c
+    WHERE q.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id != q.vec_id
+  ) WHERE rank <= {k}
+), {", ".join(per_config)}
+SELECT nprobe, n_truth, n_cand, n_hit,
+       CAST(n_hit AS DOUBLE) / n_truth AS recall
+FROM ({rows})
+"""
+
+
+ORACLE_NPROBE_TUNING = _oracle_nprobe_tuning()
+
+
 ORACLE_IVF_RECALL = f"""
 WITH approx AS (
 {ORACLE_KNN_IVF}
@@ -5541,6 +5695,7 @@ PIPELINE_QUERIES = {
     "stream_pq_index": (stream_pq_index, ORACLE_STREAM_PQ),
     "knn_ivfpq_topk": (knn_ivfpq_topk, ORACLE_IVFPQ_TOPK),
     "ann_ivfpq_at_rest": (ann_ivfpq_at_rest, ORACLE_IVFPQ_AT_REST),
+    "ann_nprobe_tuning": (ann_nprobe_tuning, ORACLE_NPROBE_TUNING),
     "ann_pq_recall": (ann_pq_recall, ORACLE_PQ_RECALL),
     "corpus_segment_dedup": (corpus_segment_dedup, ORACLE_SEGMENT_DEDUP),
     "emb_decontam": (emb_decontam, ORACLE_EMB_DECONTAM),
@@ -5582,4 +5737,6 @@ PIPELINE_QUERIES = {
     "corpus_pack_ffd": (corpus_pack_ffd, ORACLE_PACK_FFD),
     "stream_kmeans_ledger": (stream_kmeans_ledger,
                              _oracle_kmeans_ledger()),
+    "stream_kmeans_staleness": (stream_kmeans_staleness,
+                                _oracle_kmeans_staleness()),
 }

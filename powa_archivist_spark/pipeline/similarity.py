@@ -1483,6 +1483,97 @@ def hard_negatives(
     )
 
 
+def ivf_nprobe_tuning(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    centroid_mod: int | None = None,
+    n_cells_target: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF operating-point curve (r12, VERDICT r11 task 5): measured
+    recall AND scan cost at each ``nprobe`` against ONE shared exact
+    brute-force truth — the ANN sibling of :func:`dedup.lsh_tuning`,
+    and the number a deployment picks its nprobe from.  One row per
+    config: (nprobe, n_truth, n_cand, n_hit, recall); ``n_cand`` is the
+    candidate rows actually scored (the probe's IO/compute bill),
+    ``recall`` the fraction of true top-k recovered.
+
+    SHARED WORK, like lsh_tuning: the truth relation, the coarse
+    assignment, and the candidate scoring run ONCE — each query's cells
+    carry their probe rank, every candidate is scored at the LARGEST
+    nprobe, and each config is a filter (``cell_rank <= nprobe``) plus
+    a per-query top-k over the already-scored rows.  Because cells are
+    rescanned with the EXACT ranking metric, candidate sets are nested
+    in nprobe and recall is provably non-decreasing (pytest-pinned).
+
+    Plan (100 TB): one corpus pass for the truth (queries broadcast),
+    one for the assignment, probed-cell-bounded scoring; the per-config
+    windows partition per query, never globally."""
+    if centroid_mod is None:
+        centroid_mod = max(97, emb.count() // n_cells_target)
+    exact = knn_bruteforce(emb, query_ids, k, id_col, vec_col) \
+        .localCheckpoint(eager=False)
+    cents, assign = ivf_assign(emb, centroid_mod, id_col, vec_col)
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cell_id",
+        int_dot(F.col("qv"), F.col("cv")).alias("dot_c"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_c"), F.asc("cell_id")
+    )
+    probes = (
+        qc.withColumn("cell_rank", F.row_number().over(wc))
+        .filter(F.col("cell_rank") <= max(nprobes))
+        .select("query_id", "qv", "cell_id", "cell_rank")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign.select(F.col(id_col).alias("neighbor_id"),
+                            "cell_id", "v"), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", "cell_rank",
+            int_dot(F.col("qv"), F.col("v")).alias("dot_q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.asc("neighbor_id")
+    )
+    truth_keys = exact.select("query_id", "neighbor_id")
+    out = None
+    for np_ in nprobes:
+        c = cand.filter(F.col("cell_rank") <= np_)
+        top = (
+            c.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+        )
+        row = (
+            c.agg(F.count(F.lit(1)).alias("n_cand"))
+            .crossJoin(
+                top.join(truth_keys, ["query_id", "neighbor_id"],
+                         "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_hit"))
+            )
+            .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_truth")))
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.col("n_truth"),
+                F.col("n_cand"),
+                F.col("n_hit"),
+                (F.col("n_hit") / F.col("n_truth")).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _pq_subvecs(vcol: Column, m: int) -> Column:
     """Split a quantized vector into ``m`` equal subvectors:
     array<struct<sub:int, sv:array<long>>>.  The subspace width comes

@@ -197,6 +197,41 @@ def kmeans_ledger_profile(wh: Warehouse,
     )
 
 
+def kmeans_staleness(wh: Warehouse,
+                     frozen_frac_threshold: float = 0.2,
+                     centers_table: str = CENTERS_TABLE,
+                     assign_table: str = ASSIGN_TABLE) -> DataFrame:
+    """ONE-row ledger staleness report (r12, VERDICT r11 task 6) — the
+    refresh-due signal an operator reads: how much of the corpus is
+    frozen-assigned against centers it never trained (``frozen_frac``),
+    how many epochs have landed since the last refresh, and whether the
+    frozen fraction has crossed the refresh threshold.  Two bounded
+    aggregates over the assignment view and the k-row centers dim —
+    nothing rescans vectors, so the signal is as cheap as reading the
+    ledger's metadata at any corpus size."""
+    trained = wh.read(centers_table).agg(
+        F.max("trained_epoch").alias("trained_epoch")
+    )
+    agg = wh.read(assign_table).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("frozen").cast("long")).alias("n_frozen"),
+        F.max("epoch").alias("latest_epoch"),
+        F.sum("d2_q").alias("inertia_q"),
+    )
+    frac = F.col("n_frozen") / F.col("n_vecs")
+    return agg.crossJoin(trained).select(
+        "n_vecs",
+        "n_frozen",
+        frac.alias("frozen_frac"),
+        "inertia_q",
+        "trained_epoch",
+        "latest_epoch",
+        (F.col("latest_epoch") - F.col("trained_epoch"))
+        .alias("epochs_since_refresh"),
+        (frac >= F.lit(frozen_frac_threshold)).alias("refresh_due"),
+    )
+
+
 def stream_kmeans(
     spark,
     landing_glob: str,

@@ -3713,3 +3713,26 @@ def test_ivfpq_at_rest_upsert_equals_rebuild_with_frozen_quantizers(
     assert not wh.read(S.ANNPQ_DELTA_TABLE).count()
     got3 = sorted(map(tuple, S.ivfpq_probe(wh, q, k=5, nprobe=2).collect()))
     assert got3 == got2
+
+
+def test_ivf_nprobe_tuning_monotone_with_exact_endpoint(spark):
+    """r12 (VERDICT r11 task 5): candidate sets are nested in nprobe
+    and rescoring uses the exact ranking metric, so recall is provably
+    non-decreasing — and probing >= every cell IS brute force, so the
+    curve's endpoint hits recall 1.0 exactly."""
+    from powa_archivist_spark.pipeline import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_cells = emb.filter("vec_id % 97 = 0").count()
+    out = S.ivf_nprobe_tuning(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10,
+        nprobes=(1, 2, 4, n_cells),
+    ).collect()
+    rows = sorted(out, key=lambda r: r.nprobe)
+    assert [r.nprobe for r in rows] == sorted({1, 2, 4, n_cells})
+    assert len({r.n_truth for r in rows}) == 1  # ONE shared truth
+    for a, b in zip(rows, rows[1:]):
+        assert b.recall >= a.recall, "recall must be monotone in nprobe"
+        assert b.n_cand >= a.n_cand, "scan cost must be monotone"
+    assert rows[-1].recall == 1.0  # all cells probed == brute force
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)

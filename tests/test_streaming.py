@@ -1400,3 +1400,41 @@ def test_kmeans_ledger_empty_batch_is_noop(spark, wh):
     assert process_kmeans_batch(wh, empty, 2, k=3, init_rounds=2,
                                 max_rounds=6) is False
     assert sorted(map(tuple, kmeans_assignment(wh).collect())) == before
+
+
+def test_kmeans_staleness_tracks_refresh_cycle(spark, wh):
+    """r12 (VERDICT r11 task 6): the staleness report — zero frozen
+    right after a refresh, grows with each frozen-assigned batch,
+    refresh_due flips once frozen_frac crosses the threshold, and the
+    next refresh resets it."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.streaming.clustering import (
+        kmeans_staleness,
+        process_kmeans_batch,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 120)
+
+    process_kmeans_batch(wh, emb.filter("vec_id % 3 = 0"), 0,
+                         k=3, init_rounds=2, max_rounds=6)
+    (r0,) = kmeans_staleness(wh, frozen_frac_threshold=0.4).collect()
+    assert r0.n_frozen == 0 and r0.frozen_frac == 0.0
+    assert r0.trained_epoch == 0 and r0.latest_epoch == 0
+    assert r0.epochs_since_refresh == 0 and not r0.refresh_due
+
+    process_kmeans_batch(wh, emb.filter("vec_id % 3 = 1"), 1,
+                         k=3, init_rounds=2, max_rounds=6)
+    (r1,) = kmeans_staleness(wh, frozen_frac_threshold=0.4).collect()
+    assert r1.n_frozen == emb.filter("vec_id % 3 = 1").count()
+    assert 0.0 < r1.frozen_frac < 1.0 and r1.epochs_since_refresh == 1
+    assert r1.refresh_due == (r1.frozen_frac >= 0.4)
+
+    process_kmeans_batch(wh, emb.filter("vec_id % 3 = 2"), 2,
+                         k=3, init_rounds=2, max_rounds=6, refresh=True)
+    (r2,) = kmeans_staleness(wh, frozen_frac_threshold=0.4).collect()
+    assert r2.n_vecs == emb.count() and r2.n_frozen == 0
+    assert r2.trained_epoch == 2 and r2.epochs_since_refresh == 0
+    assert not r2.refresh_due
