@@ -69,6 +69,30 @@ from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 _GATE_ORDER = [
     # --- flagship (always gated) ---
     "q01_pricing_summary",
+    # --- new in r12 ---
+    # ann_ivfpq_at_rest (at-rest IVF-PQ index lifecycle, VERDICT r11
+    # task 4) displaces emb_semantic_dedup_lsh (r8-gate green);
+    # ann_nprobe_tuning (IVF operating-point curve, task 5) displaces
+    # events_hll_windowed (r8-gate green); stream_kmeans_staleness
+    # (ledger refresh-due signal, task 6) displaces
+    # stream_curation_corpus (r8-gate green).
+    "ann_ivfpq_at_rest",
+    "ann_nprobe_tuning",
+    "stream_kmeans_staleness",
+    # --- changed forms in r12 (re-gate) ---
+    # The minhash verify stage's length-prune tolerance became
+    # size-relative (ADVICE r11 — dedup.py _verify_shingle_pairs), a
+    # declared-form change for every query routed through it:
+    # dedup_minhash_lsh re-enters displacing corpus_token_budget_select
+    # (r8-gate green) and multimodal_binary_near_dup re-enters
+    # displacing corpus_mixture_sample (r7-gate green); dedup_keep_list
+    # and dedup_minhash_recall already sit in the window below.
+    # corpus_pack_ffd's assignment checksum changed to
+    # (doc_id+1)*(bin_id+1) (ADVICE r11) — already in the r11 section.
+    # All five displaced rows stay replayed per-commit by
+    # tests/test_oracle_full and ORACLE_FULL.txt.
+    "dedup_minhash_lsh",
+    "multimodal_binary_near_dup",
     # --- new in r11 ---
     # ann_ivfpq_recall (closes the ANN recall matrix, VERDICT r10 task
     # 3) displaces knn_ivfpq_topk (r8-gate green — and its FULL top-k
@@ -186,12 +210,9 @@ _GATE_ORDER = [
     "corpus_shuffle_shards",
     "corpus_vocab_topk",
     "corpus_quality_gate",
-    "corpus_mixture_sample",
-    "corpus_token_budget_select",
-    "stream_curation_corpus",
-    # --- round-7/8 sketch + similarity flagships held over ---
-    "emb_semantic_dedup_lsh",
-    "events_hll_windowed",
+    # corpus_mixture_sample / corpus_token_budget_select /
+    # stream_curation_corpus / emb_semantic_dedup_lsh /
+    # events_hll_windowed displaced r12 (see the r12 section at the top)
 ]
 
 _MERGED = {**CORE_QUERIES, **PIPELINE_QUERIES}

@@ -155,10 +155,54 @@ def _ann_upsert_run(spark, ctx):
     similarity.ivf_upsert(ctx["wh"], batch)
 
 
+def _ivfpq_upsert_setup(spark, sf_dir):
+    """r12 (VERDICT r11 task 4): isolate the at-rest IVF-PQ upsert's
+    own cost — build the index over the sf_dir corpus OUTSIDE the
+    timed window (production cell sizing), then time upserting a
+    FIXED-SIZE batch (500 vectors, fresh ids, constant across scale
+    factors) through the full non-assume_new_ids path.  Expected
+    alpha ~ 0, same contract as ann_index_upsert[fixed-batch]: the
+    encode is batch x (cells + codebook) work against broadcast dims
+    and the rewrite touches only the batch's runs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+    from powa_archivist_spark.storage import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="ivfpq_upsert_bench_"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.ivfpq_index_build(wh, emb, m=8, n_cells_target=200,
+                                 n_codes_target=64)
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .orderBy("vec_id").limit(500)
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    return {"wh": wh, "batch": batch, "gen": 0}
+
+
+def _ivfpq_upsert_run(spark, ctx):
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+
+    ctx["gen"] += 1
+    offset = 10_000_000 * ctx["gen"]
+    batch = ctx["batch"].select(
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"), "embedding"
+    )
+    similarity.ivfpq_upsert(ctx["wh"], batch)
+
+
 #: staged entries: (setup(spark, sf_dir) -> ctx, run(spark, ctx)) —
 #: setup is UNTIMED (index build), run is the measured operation
 STAGED_QUERIES = {
     "ann_index_upsert[fixed-batch]": (_ann_upsert_setup, _ann_upsert_run),
+    "ann_ivfpq_upsert[fixed-batch]": (_ivfpq_upsert_setup,
+                                      _ivfpq_upsert_run),
 }
 
 

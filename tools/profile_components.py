@@ -177,7 +177,7 @@ def main() -> int:
                      f"(rows_factor {factor:g})"),
         "stages": stages,
     }
-    path = REPO / ("BENCH_STAGES_r11.json" if reps > 1
+    path = REPO / ("BENCH_STAGES_r12.json" if reps > 1
                    else "BENCH_STAGES_r10.json")
     path.write_text(json.dumps(artifact, indent=1) + "\n")
     print(f"wrote {path}", file=sys.stderr)
