@@ -3,8 +3,75 @@
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def narrow_exchanges(spark: SparkSession):
+    """Plan exchanges at CLUSTER PARALLELISM for the engine's per-batch
+    micro-jobs (r12, VERDICT r11 task 2): the session-wide AQE posture
+    plans every exchange ``initialPartitionNum`` (256) wide so partition
+    SIZE stays bounded on corpus-scale analytics shuffles — but a
+    snapshot/ledger pass runs DOZENS of tiny jobs per batch, and each
+    one paying the wide map-output split + block bookkeeping measured
+    3.9x on ``snapshot_lifecycle_unpack`` (BENCH_AB_ATTR_r12.json warm
+    arms: 11-13 s at 256 vs 2.7-3.4 s at core count, identical plans
+    otherwise).  Engine lifecycle writes are bounded per (srvid, batch)
+    BY DESIGN — the reference's snapshot contract — so their exchanges
+    get the classic parallelism-sized plan; analytics queries keep the
+    wide posture.  On a real cluster defaultParallelism is the total
+    core count, so this scales with the deployment exactly like the
+    wide number does; override with SPARK_GRAFT_NARROW_PARTITIONS.
+
+    Runtime-conf scoped around the write ACTION (Spark reads the AQE
+    conf at query-stage planning, i.e. execution time); the engine's
+    passes are sequential per session, so the set/restore window races
+    nothing."""
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    want = os.environ.get("SPARK_GRAFT_NARROW_PARTITIONS") or str(
+        spark.sparkContext.defaultParallelism
+    )
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, want)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def narrow_engine_pass(fn):
+    """Decorator form of :func:`narrow_exchanges` for the engine's
+    per-batch fold functions (streaming ledgers, compactions): the
+    first argument is the Warehouse (or a SparkSession), and the whole
+    fold — including non-staged ``wh.append`` writes and cached-frame
+    materializations — runs with parallelism-sized exchanges.  Folds
+    are bounded per micro-batch by the streaming contract; the one
+    corpus-wide fold (the k-means refresh) only runs bounded-key
+    aggregations whose reduce side is k x dim rows, where narrow is
+    strictly better."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        spark = None
+        if args:
+            a = args[0]
+            spark = a if isinstance(a, SparkSession) else getattr(
+                a, "spark", None)
+        if spark is None:
+            return fn(*args, **kwargs)
+        with narrow_exchanges(spark):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def get_spark(app_name: str = "powa_archivist_spark",

@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline.similarity import assign_to_centers, kmeans, quantized
+from ..session import narrow_engine_pass
 from ..storage import Warehouse
 
 VECTORS_TABLE = "kmeans_vectors"
@@ -59,6 +60,7 @@ CENTERS_TABLE = "kmeans_centers"
 ASSIGN_TABLE = "kmeans_assign"
 
 
+@narrow_engine_pass
 def process_kmeans_batch(
     wh: Warehouse,
     batch: DataFrame,

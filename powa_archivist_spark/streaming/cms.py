@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline.sketches import cms_estimate, cms_registers
+from ..session import narrow_engine_pass
 from ..storage import Warehouse
 
 CMS_TABLE = "profile_cms_registers"
@@ -49,6 +50,7 @@ def _merged_registers(rows: DataFrame,
     )
 
 
+@narrow_engine_pass
 def process_cms_batch(
     wh: Warehouse,
     batch: DataFrame,
@@ -102,6 +104,7 @@ def cms_profile(
     return cms_estimate(merged, groups, probes, key_col, group_cols, d, w)
 
 
+@narrow_engine_pass
 def compact_cms_profile(
     wh: Warehouse,
     group_cols: Sequence[str],

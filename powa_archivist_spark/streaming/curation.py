@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline.corpus import dataset_split
 from ..pipeline.textstats import quality_gate
+from ..session import narrow_engine_pass
 from ..storage import Warehouse
 from .dedup import dedup_batch_survivors
 from .ingest import with_epoch_marker as _with_epoch_marker
@@ -71,6 +72,7 @@ def _stream_generation(checkpoint_dir: str) -> str:
         return f.read().strip()
 
 
+@narrow_engine_pass
 def process_curation_batch(
     wh: Warehouse,
     batch: DataFrame,

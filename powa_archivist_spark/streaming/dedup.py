@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline.dedup import normalized_text
+from ..session import narrow_engine_pass
 from ..storage import Warehouse
 from .ingest import with_epoch_marker as _with_epoch_marker
 
@@ -204,6 +205,7 @@ def dedup_batch_survivors(
     return firsts
 
 
+@narrow_engine_pass
 def process_dedup_batch(
     wh: Warehouse, batch: DataFrame, sink_table: str,
     text_col: str = "text", id_col: str = "doc_id",
@@ -294,6 +296,7 @@ class NearDupLedger:
         self.combined = None
 
 
+@narrow_engine_pass
 def process_near_dup_batch(
     wh: Warehouse,
     batch: DataFrame,

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from ..operators.snapshot import snapshot
 from ..specs import DatasourceSpec
+from ..session import narrow_engine_pass
 from ..storage import Warehouse
 
 
@@ -70,6 +71,7 @@ def with_epoch_marker(marker_dir: str, epoch_id: int, apply_fn) -> None:
     os.replace(tmp, marker)
 
 
+@narrow_engine_pass
 def process_staged_batch(
     wh: Warehouse,
     spec: DatasourceSpec,

@@ -42,12 +42,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline.corpus import _word_ngrams
+from ..session import narrow_engine_pass
 from ..storage import Warehouse
 
 OWNERS_TABLE = "novelty_first_owner"
 STATS_TABLE = "novelty_doc_stats"
 
 
+@narrow_engine_pass
 def process_novelty_batch(
     wh: Warehouse,
     batch: DataFrame,

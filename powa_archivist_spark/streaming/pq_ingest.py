@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..pipeline.similarity import pq_encode, pq_train
+from ..session import narrow_engine_pass
 from ..storage import Warehouse
 from .ingest import with_epoch_marker as _with_epoch_marker
 
@@ -78,6 +79,7 @@ def pq_bootstrap(
     )
 
 
+@narrow_engine_pass
 def process_pq_batch(
     wh: Warehouse,
     batch: DataFrame,

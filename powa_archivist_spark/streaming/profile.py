@@ -32,12 +32,14 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 
 from ..pipeline.sketches import hll_estimate, hll_merge, hll_registers
+from ..session import narrow_engine_pass
 from ..storage import Warehouse
 from .ingest import with_epoch_marker as _with_epoch_marker
 
 HLL_TABLE = "profile_hll_registers"
 
 
+@narrow_engine_pass
 def process_hll_batch(
     wh: Warehouse,
     batch: DataFrame,

@@ -40,6 +40,7 @@ from ..pipeline.sketches import (
     level_sample_quantiles,
     level_sample_sketch,
 )
+from ..session import narrow_engine_pass
 from ..storage import Warehouse
 
 KLL_TABLE = "profile_quantile_sketch"
@@ -67,6 +68,7 @@ def _merged_survivors(rows: DataFrame, group_cols: Sequence[str],
     )
 
 
+@narrow_engine_pass
 def process_quantile_batch(
     wh: Warehouse,
     batch: DataFrame,
@@ -113,6 +115,7 @@ def quantile_profile(
     return level_sample_quantiles(surv, group_cols, percents)
 
 
+@narrow_engine_pass
 def compact_profile(
     wh: Warehouse,
     group_cols: Sequence[str],

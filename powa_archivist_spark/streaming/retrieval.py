@@ -39,12 +39,14 @@ from ..pipeline.textstats import (
     bm25_postings,
     bm25_wand_from_index,
 )
+from ..session import narrow_engine_pass
 from ..storage import Warehouse
 
 POSTINGS_TABLE = "retrieval_postings"
 STATS_TABLE = "retrieval_corpus_stats"
 
 
+@narrow_engine_pass
 def process_postings_batch(
     wh: Warehouse,
     batch: DataFrame,

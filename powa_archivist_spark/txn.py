@@ -38,6 +38,8 @@ import os
 import shutil
 import tempfile
 
+from .session import narrow_exchanges
+
 
 #: srvid lane for passes that are not tied to a monitored server — the
 #: ANN index maintenance path.  Writers on this lane are serialized by
@@ -218,7 +220,8 @@ class StagedPass:
             self._part_dir(table),
             f".__stage__{self.pass_id}__{len(self._ops)}",
         )
-        df.drop("srvid").write.mode("overwrite").parquet(d)
+        with narrow_exchanges(self.wh.spark):
+            df.drop("srvid").write.mode("overwrite").parquet(d)
         self._ops.append({
             "kind": "append", "table": table, "stage": d,
             "files": _staged_files(d),
@@ -236,7 +239,8 @@ class StagedPass:
             self.wh.path(table),
             f".__stage__{self.pass_id}__{len(self._ops)}",
         )
-        df.write.mode("overwrite").parquet(d)
+        with narrow_exchanges(self.wh.spark):
+            df.write.mode("overwrite").parquet(d)
         self._ops.append({
             "kind": "append", "table": table, "stage": d,
             "files": _staged_files(d),
@@ -249,7 +253,8 @@ class StagedPass:
             self.wh.path(table),
             f".__stageswap__srvid={self.srvid}__{self.pass_id}__{len(self._ops)}",
         )
-        df.drop("srvid").write.mode("overwrite").parquet(d)
+        with narrow_exchanges(self.wh.spark):
+            df.drop("srvid").write.mode("overwrite").parquet(d)
         self._ops.append({
             "kind": "replace", "table": table, "stage": d,
             "files": _staged_files(d),
@@ -270,7 +275,8 @@ class StagedPass:
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(d)
+        with narrow_exchanges(self.wh.spark):
+            w.parquet(d)
         self._ops.append({
             "kind": "append_tree", "table": table, "stage": d,
             "token": token, "children": _staged_children(d),
@@ -284,7 +290,8 @@ class StagedPass:
         self._acl_check(table)
         token = f"{self.pass_id}__{len(self._ops)}"
         d = os.path.join(self.wh.path(table), f".__stageflatswap__{token}")
-        df.write.mode("overwrite").parquet(d)
+        with narrow_exchanges(self.wh.spark):
+            df.write.mode("overwrite").parquet(d)
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         self._ops.append({
             "kind": "replace_flat", "table": table, "stage": d,
@@ -309,7 +316,8 @@ class StagedPass:
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(d)
+        with narrow_exchanges(self.wh.spark):
+            w.parquet(d)
         self._ops.append({
             "kind": "replace_tree", "table": table, "stage": d,
             "token": token, "drops": list(drops),
