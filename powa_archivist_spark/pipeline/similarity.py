@@ -1830,36 +1830,14 @@ def ivfpq_build(
     )
     codebook = pq_train(resid, m=m, n_codes_target=n_codes_target,
                         id_col=id_col, vec_col="rv", quantize=False)
-    # cell-aware encode: same shape as pq_encode, but cell_id rides the
-    # group keys (functionally dependent on the id) — no corpus-sized
-    # join-back after encoding
-    rsub = resid.select(
-        F.col(id_col), F.col("cell_id"),
-        F.explode(_pq_subvecs(F.col("rv"), m)).alias("p"),
-    ).select(id_col, "cell_id", F.col("p.sub").alias("sub"),
-             F.col("p.sv").alias("sv"))
-    best = (
-        rsub.join(F.broadcast(codebook), "sub")
-        .select(
-            id_col, "cell_id", "sub", "code",
-            _l2_q(F.col("sv"), F.col("cv")).alias("d2"),
-        )
-        .groupBy(id_col, "cell_id", "sub")
-        .agg(F.min_by(F.col("code"),
-                      F.struct(F.col("d2"), F.col("code"))).alias("code"))
-    )
-    index = (
-        best.groupBy(id_col, "cell_id")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("sub"), F.col("code")))
-                ),
-                lambda s: s.getField("code"),
-            ).alias("codes")
-        )
-        .select(id_col, "cell_id", "codes")
-    )
+    # ONE encode implementation (r13, ADVICE r12): the build's index
+    # rows come from the same :func:`ivfpq_encode` an upsert uses, so
+    # upsert==rebuild equivalence holds by construction, not by keeping
+    # two copies bit-identical.  Same physical plan as inlining: the
+    # residual lineage already re-derives the coarse assignment, so
+    # delegating adds no extra pass.
+    index = ivfpq_encode(emb, cents, codebook, m=m,
+                         id_col=id_col, vec_col=vec_col)
     return cents, codebook, index
 
 
@@ -2111,7 +2089,19 @@ def ivfpq_probe(
     The probed cell ids are collected to build the partition predicate —
     bounded by queries x nprobe, never by the corpus.  Base partitions
     prune to the probed cells; the delta's sorted runs prune by
-    row-group stats on the same filter."""
+    row-group stats on the same filter.
+
+    Snapshot discipline (r13, ADVICE r12): the base∪delta union is
+    taken ONCE, up front, before the cell-pick job runs — ``wh.read``
+    resolves the file listing at DataFrame creation, so an upsert that
+    commits a new delta run DURING the cell-pick collect does not split
+    the probe's view (it scores the pre-probe snapshot throughout).
+    Residual assumption, documented: a COMPACTION that deletes delta
+    files while this probe is still executing can fail the scan —
+    deployments that compact concurrently with serving must serialize
+    compaction against in-flight probes (the same single-compactor rule
+    every LSM serve path carries)."""
+    cells_all = ivfpq_cells(wh)
     cents = wh.read(ANNPQ_CENTROIDS_TABLE)
     cb = wh.read(ANNPQ_CODEBOOK_TABLE)
     q = queries.select(
@@ -2136,7 +2126,7 @@ def ivfpq_probe(
     cell_ids = sorted(
         {r.cell_id for r in probes.select("cell_id").distinct().collect()}
     )
-    cells = ivfpq_cells(wh).filter(F.col("cell_id").isin(cell_ids))
+    cells = cells_all.filter(F.col("cell_id").isin(cell_ids))
     qsub = probes.select(
         "query_id", "cell_id",
         F.explode(_pq_subvecs(F.col("qr"), m)).alias("p"),

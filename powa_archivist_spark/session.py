@@ -3,9 +3,26 @@
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+# r13 (ADVICE r12): the set/restore window below mutates SESSION-GLOBAL
+# runtime conf.  Structured Streaming foreachBatch runs each fold on its
+# own micro-batch thread, so two concurrent engine passes (two streams,
+# or a stream plus a StagedPass write) could interleave set/restore and
+# leave the session pinned narrow.  A re-entrant lock held across the
+# whole pass serializes concurrent engine folds (they are micro-jobs by
+# contract, so serializing them costs little), and a depth counter makes
+# nested passes (a StagedPass write inside a streaming fold) set/restore
+# only at the outermost level.  Residual, documented: an ANALYTICS query
+# planned by another thread DURING an engine pass still captures the
+# narrow value — callers that interleave corpus-scale analytics with
+# live streams should run analytics on spark.newSession() (isolated SQL
+# conf, shared context).
+_NARROW_LOCK = threading.RLock()
+_NARROW_DEPTH = 0
 
 
 @contextmanager
@@ -26,25 +43,34 @@ def narrow_exchanges(spark: SparkSession):
     wide number does; override with SPARK_GRAFT_NARROW_PARTITIONS.
 
     Runtime-conf scoped around the write ACTION (Spark reads the AQE
-    conf at query-stage planning, i.e. execution time); the engine's
-    passes are sequential per session, so the set/restore window races
-    nothing."""
+    conf at query-stage planning, i.e. execution time).  Concurrent
+    engine passes (foreachBatch micro-batch threads) are serialized by
+    ``_NARROW_LOCK``; nesting set/restores only at the outermost depth
+    (r13, ADVICE r12)."""
+    global _NARROW_DEPTH
     key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     want = os.environ.get("SPARK_GRAFT_NARROW_PARTITIONS") or str(
         spark.sparkContext.defaultParallelism
     )
-    try:
-        old = spark.conf.get(key)
-    except Exception:
+    with _NARROW_LOCK:
+        _NARROW_DEPTH += 1
+        outermost = _NARROW_DEPTH == 1
         old = None
-    spark.conf.set(key, want)
-    try:
-        yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+        if outermost:
+            try:
+                old = spark.conf.get(key)
+            except Exception:
+                old = None
+            spark.conf.set(key, want)
+        try:
+            yield
+        finally:
+            _NARROW_DEPTH -= 1
+            if outermost:
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
 
 
 def narrow_engine_pass(fn):

@@ -107,16 +107,22 @@ def process_kmeans_batch(
     # first-ever batch it would send kmeans() a zero-row frame (seed
     # LIMIT 1 on nothing -> degenerate centers).  Skip unless an
     # explicit refresh was requested AND there is history to refresh
-    # over; empty epochs never land in the vectors ledger, so replaying
-    # them re-enters here and no-ops again — idempotent either way.
-    if batch.limit(1).count() == 0:
-        if not (refresh and wh.exists(centers_table)):
-            if stats_out is not None:
-                stats_out["refreshed"] = False
-            return False
+    # over — and in THAT case refresh directly over history without
+    # appending a zero-row run to the vectors ledger (r13, ADVICE r12:
+    # empty epochs never land in the ledger, including refresh epochs;
+    # a crash-replay of an empty refresh re-runs the deterministic
+    # Lloyd and replaces identical state — idempotent either way, and
+    # the stream wrapper's epoch marker skips it entirely).  The probe
+    # is one limit(1) job on the (already materialized) micro-batch.
+    is_empty = batch.limit(1).count() == 0
+    if is_empty and not (refresh and wh.exists(centers_table)):
+        if stats_out is not None:
+            stats_out["refreshed"] = False
+        return False
 
     sp = StagedPass(wh, GLOBAL_LANE)
-    sp.stage_append_flat(vecs, vectors_table)
+    if not is_empty:
+        sp.stage_append_flat(vecs, vectors_table)
 
     must_refresh = refresh or not wh.exists(centers_table)
     if must_refresh:
@@ -126,9 +132,8 @@ def process_kmeans_batch(
         # batch kmeans over everything ingested through this epoch
         all_vecs = vecs.select("vec_id", "v")
         if wh.exists(vectors_table):
-            all_vecs = wh.read(vectors_table).select(
-                "vec_id", "v"
-            ).unionByName(all_vecs)
+            hist = wh.read(vectors_table).select("vec_id", "v")
+            all_vecs = hist if is_empty else hist.unionByName(all_vecs)
         st: dict = {}
         assign = kmeans(
             all_vecs, k=k, init_rounds=init_rounds,
