@@ -527,21 +527,34 @@ def _jaccard_prefix_sets(sets: DataFrame, threshold: float,
       ``j >= t``, overlap >= ceil(t*n) on each side), so the pair
       survives as long as any one of its collision rows does.
 
-    Plan: explode → setfreq groupBy → per-set rank window (partitioned
-    by set — bounded by one set's token count, never corpus-wide) →
-    prefix self-join on token → positional+length prune → distinct
-    pairs → array verify (once per SET pair, not per doc pair)."""
-    s = sets.select(
-        F.col("set_id"), "toks", F.size("toks").alias("n_toks")
-    )
-    prefix = _prefix_rows(s, threshold)
+    Every stage after the encode works on DICTIONARY-ENCODED sets
+    (r13, VERDICT r12 task 1 — the named verify-stage lever): tokens
+    map to unique int64 ids once, sets become int arrays sorted by the
+    global (df, tid) order, and from there the collision join keys on
+    a long instead of a string while the candidate/verify joins shuffle
+    int arrays instead of token-string arrays (~2.5x fewer shuffle
+    bytes at sf3, where those two stages were the one above-linear
+    residual — BENCH_STAGES_r12.json).  The encode also RETIRES the
+    per-set rank window: the global frequency order is baked into each
+    array once, so prefixes are a map-side ``slice`` + ``posexplode``.
+
+    Plan: explode → vocab groupBy (tok → unique tid, df) → encode join
+    + per-set collect/sort (ONE set-keyed shuffle of int structs) →
+    map-side prefix slice → prefix self-join on int token id →
+    positional+length prune → distinct pairs → int-array verify (once
+    per SET pair, not per doc pair)."""
+    enc = _encode_token_sets(
+        sets.select(F.col("set_id"), "toks")
+    ).localCheckpoint(eager=False)
+    prefix = _prefix_rows(enc, threshold)
     collisions = _prefix_collisions(prefix, threshold)
     cands = collisions.distinct()
-    verified = _verify_set_pairs(cands, s, threshold)
+    verified = _verify_set_pairs(cands, enc, threshold)
     if stages_out is not None:
         # diagnostic seams for tools/profile_components.py (r10, VERDICT
         # r9 task 2): the lazy per-stage frames, so the profiler can
         # time/count each stage without duplicating the plan here
+        stages_out["encode"] = enc
         stages_out["prefix"] = prefix
         stages_out["collisions"] = collisions
         stages_out["cands"] = cands
@@ -549,13 +562,56 @@ def _jaccard_prefix_sets(sets: DataFrame, threshold: float,
     return verified
 
 
-def _prefix_rows(s: DataFrame, threshold: float) -> DataFrame:
-    """Inverted index restricted to each set's PPJoin prefix: order each
-    set's tokens by ascending global set frequency and keep the first
-    ``n - ceil(t*n) + 1``."""
-    inv = s.select("set_id", "n_toks", F.explode("toks").alias("tok"))
-    setfreq = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("set_id").orderBy("df", "tok")
+def _encode_token_sets(sets: DataFrame) -> DataFrame:
+    """Dictionary-encode distinct token sets for the PPJoin stages:
+    ``(set_id, n_toks, etoks)`` where ``etoks`` is the set's tokens as
+    UNIQUE int64 ids, array-sorted by the global ``(df, tid)`` order —
+    ascending set frequency with the id as tie-break, the exact total
+    order PPJoin prefixes require (any global total order is sound;
+    rarest-first is what keeps prefixes selective).
+
+    Exactness: ids come from ``monotonically_increasing_id`` over the
+    DISTINCT-token vocabulary — unique by construction, so int-array
+    intersections equal string-array intersections bit-for-bit (no
+    hash-collision risk at any vocabulary size, the same bar
+    :func:`_collapse_token_sets` holds for set keys).  Callers
+    localCheckpoint the result: both the prefix and verify stages read
+    it, and the checkpoint also pins the generated ids to one
+    materialization.
+
+    Scale shape: the vocab groupBy is bounded by DISTINCT tokens; the
+    encode join shuffles the exploded corpus once (the same volume the
+    old setfreq join moved) and the per-set collect is the set-keyed
+    shuffle the old rank window already paid — but it now carries
+    (long, long) structs, not strings, and every downstream stage
+    reuses the encoded arrays."""
+    inv = sets.select("set_id", F.explode("toks").alias("tok"))
+    vocab = inv.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    ).select("tok", "df", F.monotonically_increasing_id().alias("tid"))
+    return (
+        inv.join(vocab, "tok")
+        .groupBy("set_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("tid")))
+            ).alias("dts")
+        )
+        .select(
+            "set_id",
+            F.size("dts").alias("n_toks"),
+            F.transform("dts", lambda x: x.getField("tid")).alias("etoks"),
+        )
+    )
+
+
+def _prefix_rows(enc: DataFrame, threshold: float) -> DataFrame:
+    """Inverted index restricted to each set's PPJoin prefix: the
+    encoded arrays (:func:`_encode_token_sets`) are already in the
+    global rarest-first order, so the prefix is a map-side ``slice`` of
+    the first ``n - ceil(t*n) + 1`` ids + ``posexplode`` — no window,
+    no join (r13: the old per-set rank window and its setfreq join
+    retired by the encode)."""
     # Every ceil() here is a LENGTH/BOUND whose float argument may land
     # an epsilon ABOVE an exact integer (0.8 * 5 == 4.000000000000001 ->
     # ceil 5, silently shortening a prefix by one and LOSING true
@@ -564,7 +620,7 @@ def _prefix_rows(s: DataFrame, threshold: float) -> DataFrame:
     eps = 1e-9
     prefix_len = (
         F.col("n_toks") - F.ceil(F.col("n_toks") * threshold - eps) + 1
-    )
+    ).cast("int")
     # Indexed-side prefix (PPJoin asymmetry): when the pair is joined as
     # (larger probes, smaller indexed), the required overlap
     # o >= t/(1+t)*(n_a+n_b) >= 2t/(1+t)*n_b bounds the first common
@@ -576,10 +632,15 @@ def _prefix_rows(s: DataFrame, threshold: float) -> DataFrame:
         F.col("n_toks") * (2.0 * threshold / (1.0 + threshold)) - eps
     ) + 1
     return (
-        inv.join(setfreq, "tok")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= prefix_len)
-        .select("set_id", "n_toks", "tok", "rn",
+        enc.select(
+            "set_id", "n_toks",
+            F.posexplode(
+                F.slice("etoks", F.lit(1), prefix_len)
+            ).alias("pos", "tid"),
+        )
+        .select("set_id", "n_toks", "tid",
+                (F.col("pos") + 1).alias("rn"))
+        .select("set_id", "n_toks", "tid", "rn",
                 (F.col("rn") <= index_len).alias("in_index"))
     )
 
@@ -591,11 +652,11 @@ def _prefix_collisions(prefix: DataFrame, threshold: float) -> DataFrame:
     eps = 1e-9
     a = prefix.select(
         F.col("set_id").alias("a_sid"), F.col("n_toks").alias("n_a"),
-        "tok", F.col("rn").alias("pa"),
+        "tid", F.col("rn").alias("pa"),
     )
     b = prefix.filter(F.col("in_index")).select(
         F.col("set_id").alias("b_sid"), F.col("n_toks").alias("n_b"),
-        "tok", F.col("rn").alias("pb"),
+        "tid", F.col("rn").alias("pb"),
     )
     required = F.ceil(
         F.lit(threshold / (1.0 + threshold))
@@ -605,7 +666,7 @@ def _prefix_collisions(prefix: DataFrame, threshold: float) -> DataFrame:
         F.least(F.col("n_a") - F.col("pa"), F.col("n_b") - F.col("pb")) + 1
     )
     return (
-        a.join(b, "tok")
+        a.join(b, "tid")
         # orientation: larger set probes, smaller is indexed; equal
         # sizes tie-break on set id so each pair joins exactly once
         .filter(
@@ -625,14 +686,16 @@ def _prefix_collisions(prefix: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _verify_set_pairs(cands: DataFrame, s: DataFrame,
+def _verify_set_pairs(cands: DataFrame, enc: DataFrame,
                       threshold: float) -> DataFrame:
     """Exact array-intersect jaccard verify, once per candidate SET
-    pair."""
-    av = s.select(F.col("set_id").alias("a_sid"),
-                  F.col("toks").alias("a_toks"))
-    bv = s.select(F.col("set_id").alias("b_sid"),
-                  F.col("toks").alias("b_toks"))
+    pair — over the dictionary-ENCODED int arrays (r13): the unique
+    token ids make int intersections equal string intersections
+    exactly, at a fraction of the join's shuffle bytes."""
+    av = enc.select(F.col("set_id").alias("a_sid"),
+                    F.col("etoks").alias("a_toks"))
+    bv = enc.select(F.col("set_id").alias("b_sid"),
+                    F.col("etoks").alias("b_toks"))
     joined = cands.join(av, "a_sid").join(bv, "b_sid")
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
     union = F.size("a_toks") + F.size("b_toks") - inter

@@ -11,10 +11,11 @@ via ``_jaccard_prefix_sets(..., stages_out=...)``, not a re-derivation,
 so the decomposition measures the shipped plan):
 
   collapse    docs -> distinct token sets (md5 digest groupBy)
-  prefix      inverted index + setfreq + per-set rank -> prefix rows
+  encode      token dictionary + per-set sorted int arrays (r13 lever)
+  prefix      map-side slice/posexplode of encoded arrays -> prefix rows
   collisions  prefix self-join + positional/length prunes (pre-distinct)
   cands       candidate pair .distinct()
-  verify      array-intersect jaccard verify of candidate pairs
+  verify      int-array-intersect jaccard verify of candidate pairs
   cc          Shiloach-Vishkin hooking + pointer-jump label loop
   expand      member (doc -> set) join of final labels
 
@@ -89,22 +90,23 @@ def profile(spark, sf_dir: str, reps: int = 1) -> dict:
         "collapse", lambda: dedup._collapse_token_sets(toks, "doc_id")
     )
     toks.unpersist()
-    s = groups.select(
-        F.col("set_id"), "toks", F.size("toks").alias("n_toks")
-    )
     # each stage composes the library's OWN stage function over the
     # previous stage's materialized output, so its wall time is
     # isolated compute — the seams are the exact functions
     # _jaccard_prefix_sets itself chains
-    prefix = timed("prefix", lambda: dedup._prefix_rows(s, 0.8))
+    enc = timed("encode", lambda: dedup._encode_token_sets(
+        groups.select(F.col("set_id"), "toks")))
+    prefix = timed("prefix", lambda: dedup._prefix_rows(enc, 0.8))
     collisions = timed(
         "collisions", lambda: dedup._prefix_collisions(prefix, 0.8)
     )
     prefix.unpersist()
     cands = timed("cands", lambda: collisions.distinct())
     collisions.unpersist()
-    verified = timed("verify", lambda: dedup._verify_set_pairs(cands, s, 0.8))
+    verified = timed("verify",
+                     lambda: dedup._verify_set_pairs(cands, enc, 0.8))
     cands.unpersist()
+    enc.unpersist()
 
     comp = timed("cc", lambda: dedup.connected_components(
         verified.select(F.col("a_sid").alias("a_id"),
@@ -177,7 +179,7 @@ def main() -> int:
                      f"(rows_factor {factor:g})"),
         "stages": stages,
     }
-    path = REPO / ("BENCH_STAGES_r12.json" if reps > 1
+    path = REPO / ("BENCH_STAGES_r13.json" if reps > 1
                    else "BENCH_STAGES_r10.json")
     path.write_text(json.dumps(artifact, indent=1) + "\n")
     print(f"wrote {path}", file=sys.stderr)
