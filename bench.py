@@ -20,6 +20,20 @@ now runs k times back-to-back; BENCH_FULL.json records min/median/max so
 a real regression (tight spread, high median) is separable from noise
 (wide spread).  The headline total is the sum of medians — comparable
 round-over-round even if the rep count changes.
+
+Spread-or-paired discipline (r13, VERDICT r12 task 2): two regens of
+IDENTICAL code disagreed by up to 6.8x on single-sample heavy queries,
+so round-over-round deltas on this artifact alone are NOT regression
+evidence.  Three changes make the headline self-describing about its
+own confidence: (a) over-cutoff queries now take a SECOND sample
+(n=2) unless they exceed SPARK_GRAFT_BENCH_SLOW_CAP — an n=1 number is
+unfalsifiable, one extra rep makes the spread visible; (b) every
+detail row records ``spread`` = max/min; (c) BENCH_FULL.json carries a
+``low_confidence`` list (reps==1 or spread > 2) and the headline line
+a ``_lowconf`` count.  Regression claims should run the paired A/B
+protocol (tools/bench_ab.py — alternating arms against a base commit,
+overlap-gated verdicts); the committed BENCH_AB_FULL_r{N}.json is the
+trustworthy round-over-round comparator.
 """
 
 from __future__ import annotations
@@ -55,17 +69,19 @@ def main() -> int:
     spark.range(2).mapInPandas(lambda it: it, "id long").count()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    # a query whose single run exceeds the cutoff keeps ONE sample: the
-    # rep discipline exists to separate noise from regressions on
-    # second-scale queries, and re-running a ~30s end-to-end query 3x
-    # triples bench wall-clock for little signal (n=1 is recorded, so
-    # the lower confidence is visible in BENCH_FULL.json)
+    # a query whose FIRST run exceeds the cutoff drops to TWO samples
+    # (r13, VERDICT r12 task 2 — n=1 on exactly the heaviest queries
+    # made regens of identical code disagree 6.8x with no visible
+    # spread); only past the hard cap does it stay at one, and that row
+    # is flagged low-confidence in the artifact either way
     slow_cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_CUTOFF", "20"))
+    slow_cap = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_CAP", "90"))
     timings: dict[str, float] = {}          # median per query (headline)
     detail: dict[str, dict] = {}            # min/median/max/reps per query
     for name, fn in entry_mod.queries().items():
         samples: list[float] = []
         err = None
+        want = reps
         for _ in range(reps):
             t0 = time.time()
             try:
@@ -75,10 +91,12 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
                 err = str(e)
                 break
-            # single-sample rule: only the FIRST run decides — breaking
-            # on a later over-cutoff sample would leave an even-count
+            # only the FIRST run decides the rep budget — re-deciding on
+            # a later over-cutoff sample would leave an even-count
             # median polluted by the outlier (r5 code review)
             if len(samples) == 1 and samples[0] > slow_cutoff:
+                want = 1 if samples[0] > slow_cap else min(2, reps)
+            if len(samples) >= want:
                 break
         if err is not None or not samples:
             timings[name] = -1.0
@@ -93,6 +111,7 @@ def main() -> int:
             "min": round(s[0], 3),
             "max": round(s[-1], 3),
             "reps": len(s),
+            "spread": round(s[-1] / max(s[0], 1e-9), 2),
         }
         print(
             f"bench {name}: median {timings[name]}s "
@@ -100,6 +119,13 @@ def main() -> int:
             file=sys.stderr, flush=True,
         )
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    # rows whose number can't support a round-over-round delta on its
+    # own: single-sampled, or spread past 2x (VM interference class —
+    # PERF.md measured 4.5x intra-arm spread on identical binaries)
+    low_confidence = sorted(
+        k for k, d in detail.items()
+        if "error" not in d and (d["reps"] == 1 or d["spread"] > 2.0)
+    )
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -138,6 +164,7 @@ def main() -> int:
     with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as f:
         json.dump({"total_sec": total, "sf": sf, "errors": errored,
                    "reps": reps, "metric": "sum_of_medians",
+                   "low_confidence": low_confidence,
                    "queries": timings, "detail": detail,
                    "scaling": scaling}, f, indent=1)
 
@@ -153,6 +180,8 @@ def main() -> int:
             "queries": q,
             "sf": sf,
         }
+        if low_confidence:
+            payload["_lowconf"] = len(low_confidence)
         if errored:
             payload["_errors"] = len(errored)
         return json.dumps(payload, separators=(",", ":"))

@@ -3193,6 +3193,104 @@ SELECT doc_id FROM k3
 """
 
 
+def stream_components_ledger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-batch replay of the AT-REST connected-
+    components ledger (r13, VERDICT r12 task 4 —
+    streaming/components.py): the corpus arrives in four fixed
+    micro-batches (doc_id % 4, in order); each batch discovers its
+    verified near-dup edges in-batch AND against the all-ingested
+    bands+shingle ledger, contracts them through the current component
+    view, and folds the bounded label-merge into the immutable-assign +
+    remap pair — no per-batch full CC, no assign rewrites.  Because the
+    banded candidate relation is content-deterministic, the edge union
+    over batches EQUALS the one-shot pair relation, so the oracle is the
+    batch-independent recursive-CTE closure over the md5-minhash pair
+    graph — the same min-label semantics ``dedup_components`` pins for
+    the token-jaccard graph."""
+    import shutil
+    import tempfile
+
+    from ..storage import Warehouse
+    from ..streaming.components import (components_assignment,
+                                        process_components_batch)
+    from ..streaming.dedup import NearDupLedger
+
+    docs = t(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="ccledger_")
+    ledger = NearDupLedger()
+    try:
+        wh = Warehouse(spark, scratch)
+        for b in range(4):
+            process_components_batch(
+                wh, docs.filter(F.col("doc_id") % 4 == b), b,
+                threshold=0.8, hash_fn="md5", ledger=ledger,
+            )
+        return components_assignment(wh).select(
+            "doc_id", "component",
+            (F.col("doc_id") == F.col("component")).alias("is_kept"),
+        ).localCheckpoint()
+    finally:
+        ledger.close()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+ORACLE_STREAM_COMPONENTS = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           list_distinct([
+             array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             for i in generate_series(1, len(string_split(text, ' ')) - 2)
+           ])
+         ELSE [] END AS sh
+  FROM documents
+), exploded AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS h
+  FROM sh
+), seeds(seed, a1, a2, b) AS (
+  VALUES {", ".join(f"({i}, {a1}, {a2}, {b})"
+                    for i, (a1, a2, b) in enumerate(_PERMS))}
+), mins AS (
+  SELECT doc_id, seed,
+         MIN((a1 * (h >> 30) + a2 * (h & 1073741823) + b)
+             % {dedup.MINHASH_P}) AS h
+  FROM exploded CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), sigs AS (
+  SELECT doc_id, list(h ORDER BY seed) AS sig FROM mins GROUP BY doc_id
+), bandix AS (
+  SELECT unnest(generate_series(0, 7)) AS band
+), banded AS (
+  SELECT doc_id, band,
+         ('0x' || substring(
+            md5(array_to_string(sig[band*4+1 : band*4+4], '|')), 1, 15)
+         )::BIGINT AS bucket
+  FROM sigs CROSS JOIN bandix
+), cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+), pairs AS (
+  SELECT a_id, b_id
+  FROM cands
+  JOIN sh sa ON sa.doc_id = a_id
+  JOIN sh sb ON sb.doc_id = b_id
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        >= 0.8
+), edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+), walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, MIN(label) AS component,
+       node = MIN(label) AS is_kept
+FROM walk GROUP BY node
+"""
 
 
 def corpus_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4618,16 +4716,15 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ivfpq_topk(train: str = "TRUE") -> str:
-    """The IVF-PQ replay oracle, parameterized by a TRAINING-subset
-    predicate (r12): coarse centroids, codebook seeds, and the Lloyd
-    codebook round derive from rows satisfying ``train``; encoding and
-    probing still cover the whole table — exactly the at-rest index's
-    posture (build on history, upsert the rest against frozen
-    quantizers).  ``train="TRUE"`` reproduces the original
-    full-corpus ORACLE_IVFPQ_TOPK byte-for-byte in semantics."""
-    return f"""
-WITH e AS MATERIALIZED (
+def _oracle_ivfpq_chain(train: str = "TRUE") -> str:
+    """The shared IVF-PQ replay chain through ``enc`` (r13 refactor:
+    one source of truth for the topk, at-rest, and probe-tuning
+    oracles), parameterized by a TRAINING-subset predicate (r12):
+    coarse centroids, codebook seeds, and the Lloyd codebook round
+    derive from rows satisfying ``train``; encoding still covers the
+    whole table — exactly the at-rest index's posture (build on
+    history, upsert the rest against frozen quantizers)."""
+    return f"""e AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS v
@@ -4689,7 +4786,15 @@ WITH e AS MATERIALIZED (
                       AS BIGINT) ASC, c.code ASC) AS rn
     FROM rsv v JOIN cb c USING (sub)
   ) WHERE rn = 1
-), probes AS MATERIALIZED (
+)"""
+
+
+def _oracle_ivfpq_topk(train: str = "TRUE") -> str:
+    """``_oracle_ivfpq_chain`` + the nprobe=2 probe/ADC-scoring tail.
+    ``train="TRUE"`` reproduces the original full-corpus
+    ORACLE_IVFPQ_TOPK byte-for-byte in semantics."""
+    return f"""
+WITH {_oracle_ivfpq_chain(train)}, probes AS MATERIALIZED (
   SELECT vec_id AS query_id, cell_id,
          list_transform(list_zip(v, cv), x -> x[1] - x[2]) AS qr
   FROM cscored WHERE rn <= 2 AND vec_id IN (0, 1, 2, 3, 4)
@@ -4905,6 +5010,115 @@ FROM ({rows})
 
 
 ORACLE_NPROBE_TUNING = _oracle_nprobe_tuning()
+
+
+def ann_ivfpq_probe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe operating-point curve over the AT-REST IVF-PQ index
+    (r13, VERDICT r12 task 6 — similarity.ivfpq_probe_tuning):
+    ``ann_nprobe_tuning`` measures the in-memory assignment; a
+    deployment tunes against the index it SERVES, where the cost axes
+    are pruned partitions read (``n_cells``) and compressed code rows
+    ADC-scored (``n_cand``) per config.  The curve reports BOTH
+    ``cand_recall`` (true neighbor's cell scanned at all — provably
+    monotone over the nested candidate sets, and the ceiling for any
+    exact re-rank) and end-to-end ADC ``recall`` (measured, not
+    assumed monotone: the approximate distance can let a closer-by-ADC
+    non-neighbor displace a hit at higher nprobe).  ONE shared
+    brute-force truth + one ADC scoring pass at max nprobe; each
+    config is a cell_rank filter."""
+    import shutil
+    import tempfile
+
+    from ..storage import Warehouse
+
+    emb = t(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="ivfpqtune_")
+    try:
+        wh = Warehouse(spark, scratch)
+        similarity.ivfpq_index_build(
+            wh, emb, m=8, n_cells_target=8, n_codes_target=64,
+        )
+        return similarity.ivfpq_probe_tuning(
+            wh, emb, query_ids=[0, 1, 2, 3, 4], k=10,
+            nprobes=(1, 2, 4), m=8,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _oracle_ivfpq_probe_tuning(nprobes=(1, 2, 4), k: int = 10) -> str:
+    """The at-rest probe-tuning oracle: the shared IVF-PQ chain
+    (``_oracle_ivfpq_chain``, full-corpus training — matching the
+    declared build) + cell_rank-carrying probes/LUT/ADC scoring + one
+    metrics row per config over the SAME scored relation."""
+    max_np = max(nprobes)
+    per_config = []
+    for np_ in nprobes:
+        per_config.append(f"""row{np_} AS (
+  SELECT CAST({np_} AS BIGINT) AS nprobe,
+         (SELECT COUNT(*) FROM probes WHERE cell_rank <= {np_})
+           AS n_cells,
+         (SELECT COUNT(*) FROM exact) AS n_truth,
+         (SELECT COUNT(*) FROM scored WHERE cell_rank <= {np_})
+           AS n_cand,
+         (SELECT COUNT(*) FROM scored s
+          JOIN exact x ON x.query_id = s.query_id
+                      AND x.neighbor_id = s.neighbor_id
+          WHERE s.cell_rank <= {np_}) AS n_cand_hit,
+         (SELECT COUNT(*)
+          FROM (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY adist_q ASC, neighbor_id ASC) AS r
+                  FROM scored WHERE cell_rank <= {np_})
+                WHERE r <= {k}) t
+          JOIN exact x ON x.query_id = t.query_id
+                      AND x.neighbor_id = t.neighbor_id) AS n_hit
+)""")
+    rows = "\nUNION ALL\n".join(f"SELECT * FROM row{n}" for n in nprobes)
+    return f"""
+WITH {_oracle_ivfpq_chain()}, probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, cell_id, rn AS cell_rank,
+         list_transform(list_zip(v, cv), x -> x[1] - x[2]) AS qr
+  FROM cscored WHERE rn <= {max_np} AND vec_id IN (0, 1, 2, 3, 4)
+), qsub AS MATERIALIZED (
+  SELECT query_id, cell_id, cell_rank, s AS sub,
+         qr[s * (SELECT w FROM dm) + 1 : (s + 1) * (SELECT w FROM dm)]
+           AS qsv
+  FROM probes, (SELECT unnest(generate_series(0, 7)) AS s)
+), lut AS MATERIALIZED (
+  SELECT q.query_id, q.cell_id, q.cell_rank, q.sub, c.code,
+         CAST(list_sum(list_transform(list_zip(q.qsv, c.cv),
+              x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d2
+  FROM qsub q JOIN cb c USING (sub)
+), scored AS MATERIALIZED (
+  SELECT l.query_id, n.vec_id AS neighbor_id,
+         CAST(SUM(l.d2) AS BIGINT) AS adist_q,
+         MIN(l.cell_rank) AS cell_rank
+  FROM enc n
+  JOIN lut l ON l.cell_id = n.cell_id AND l.sub = n.sub
+            AND l.code = n.code
+  WHERE n.vec_id != l.query_id
+  GROUP BY 1, 2
+), exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(q.v, c.v),
+               x -> x[1] * x[2])) AS BIGINT) DESC, c.vec_id) AS rank
+    FROM e q, e c
+    WHERE q.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id != q.vec_id
+  ) WHERE rank <= {k}
+), {", ".join(per_config)}
+SELECT nprobe, n_cells, n_truth, n_cand, n_cand_hit,
+       CAST(n_cand_hit AS DOUBLE) / n_truth AS cand_recall,
+       n_hit,
+       CAST(n_hit AS DOUBLE) / n_truth AS recall
+FROM ({rows})
+"""
+
+
+ORACLE_IVFPQ_PROBE_TUNING = _oracle_ivfpq_probe_tuning()
 
 
 ORACLE_IVF_RECALL = f"""
@@ -5661,6 +5875,8 @@ PIPELINE_QUERIES = {
     "ivf_refined_centroids": (ivf_refined_centroids, ORACLE_IVF_REFINE),
     "stream_near_dup_ledger": (stream_near_dup_ledger,
                                ORACLE_STREAM_NEAR_DUP),
+    "stream_components_ledger": (stream_components_ledger_q,
+                                 ORACLE_STREAM_COMPONENTS),
     "multimodal_binary_near_dup": (multimodal_binary_near_dup,
                                    ORACLE_BINARY_NEAR_DUP),
     "emb_semantic_dedup": (emb_semantic_dedup, ORACLE_EMB_SEMANTIC_DEDUP),
@@ -5696,6 +5912,8 @@ PIPELINE_QUERIES = {
     "knn_ivfpq_topk": (knn_ivfpq_topk, ORACLE_IVFPQ_TOPK),
     "ann_ivfpq_at_rest": (ann_ivfpq_at_rest, ORACLE_IVFPQ_AT_REST),
     "ann_nprobe_tuning": (ann_nprobe_tuning, ORACLE_NPROBE_TUNING),
+    "ann_ivfpq_probe_tuning": (ann_ivfpq_probe_tuning,
+                               ORACLE_IVFPQ_PROBE_TUNING),
     "ann_pq_recall": (ann_pq_recall, ORACLE_PQ_RECALL),
     "corpus_segment_dedup": (corpus_segment_dedup, ORACLE_SEGMENT_DEDUP),
     "emb_decontam": (emb_decontam, ORACLE_EMB_DECONTAM),

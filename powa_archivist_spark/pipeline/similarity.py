@@ -2159,6 +2159,147 @@ def ivfpq_probe(
     )
 
 
+def ivfpq_probe_tuning(
+    wh,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plan_out: dict | None = None,
+) -> DataFrame:
+    """The nprobe operating-point curve over the AT-REST IVF-PQ index
+    (r13, VERDICT r12 task 6): :func:`ivf_nprobe_tuning` measures the
+    in-memory assignment, but a deployment tunes nprobe against the
+    index it SERVES — where the real cost axis is pruned partitions
+    read and compressed code rows scored per config.  One row per
+    nprobe: (nprobe, n_cells, n_truth, n_cand, n_cand_hit,
+    cand_recall, n_hit, recall) — ``n_cells`` is (query, cell)
+    partition reads, ``n_cand`` the code rows ADC-scored (the IO and
+    compute bill), ``cand_recall`` the fraction of true neighbors
+    whose cell was scanned at all, ``recall`` the end-to-end ADC top-k
+    recall.
+
+    SHARED WORK, like the assignment curve: truth, cell ranking, and
+    ADC scoring run ONCE at the largest nprobe; each config is a
+    ``cell_rank`` filter over the already-scored rows.  Candidate sets
+    are therefore nested, so ``n_cells``/``n_cand``/``cand_recall``
+    are provably non-decreasing in nprobe (pytest-pinned) —
+    ``cand_recall`` is also the ceiling an exact re-rank of the probe's
+    shortlist could reach.  End-to-end ``recall`` ranks by the
+    approximate ADC distance, so a closer-by-ADC non-neighbor entering
+    at higher nprobe can in principle displace a hit — the measured
+    number is reported, not assumed monotone (the honesty gap between
+    this curve and the exact-rescoring assignment curve IS the
+    information a deployment needs).
+
+    Plan (100 TB): the probe machinery is :func:`ivfpq_probe` verbatim
+    — pruned partitions of 32x-compressed codes, broadcast LUT, no
+    corpus-sized exchange; per-config windows partition per query."""
+    cells_all = ivfpq_cells(wh)
+    cents = wh.read(ANNPQ_CENTROIDS_TABLE)
+    cb = wh.read(ANNPQ_CODEBOOK_TABLE)
+    exact = knn_bruteforce(emb, list(query_ids), k, id_col, vec_col) \
+        .localCheckpoint(eager=False)
+    q = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    qs = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cell_id",
+        int_dot(F.col("qv"), F.col("cv")).alias("dot_c"),
+        F.col("cv"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_c"), F.asc("cell_id")
+    )
+    probes = (
+        qs.withColumn("cell_rank", F.row_number().over(wp))
+        .filter(F.col("cell_rank") <= max(nprobes))
+        .select(
+            "query_id", "cell_id", "cell_rank",
+            F.zip_with("qv", "cv", lambda x, y: x - y).alias("qr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cell_ids = sorted(
+        {r.cell_id for r in probes.select("cell_id").distinct().collect()}
+    )
+    cells = cells_all.filter(F.col("cell_id").isin(cell_ids))
+    qsub = probes.select(
+        "query_id", "cell_id", "cell_rank",
+        F.explode(_pq_subvecs(F.col("qr"), m)).alias("p"),
+    ).select("query_id", "cell_id", "cell_rank",
+             F.col("p.sub").alias("sub"), F.col("p.sv").alias("qsv"))
+    lut = qsub.join(F.broadcast(cb), "sub").select(
+        "query_id", "cell_id", "cell_rank", "sub", "code",
+        _l2_q(F.col("qsv"), F.col("cv")).alias("d2"),
+    )
+    code_rows = cells.select(
+        F.col(id_col).alias("neighbor_id"), "cell_id",
+        F.posexplode("codes").alias("sub", "code"),
+    ).withColumn("sub", F.col("sub").cast("int"))
+    # a neighbor lives in exactly ONE cell (the index's no-duplicate-id
+    # invariant), so its cell_rank per query is single-valued — min()
+    # is exact, not a choice
+    scored_plan = (
+        code_rows.join(F.broadcast(lut), ["cell_id", "sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adist_q"),
+             F.min("cell_rank").alias("cell_rank"))
+    )
+    if plan_out is not None:
+        # the once-executed scoring subtree for the plan pin (pruned
+        # partition reads per config).  Wrapped in a no-op filter so the
+        # seam owns a FRESH QueryExecution: localCheckpoint(eager=False)
+        # finalizes the parent's adaptive plan (measured on PySpark
+        # 4.1), which strips the per-scan detail a pin inspects.
+        plan_out["scored"] = scored_plan.filter(F.lit(True))
+    scored = scored_plan.localCheckpoint(eager=False)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_q"), F.asc("neighbor_id")
+    )
+    truth_keys = exact.select("query_id", "neighbor_id")
+    out = None
+    for np_ in nprobes:
+        c = scored.filter(F.col("cell_rank") <= np_)
+        top = (
+            c.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+        )
+        row = (
+            probes.filter(F.col("cell_rank") <= np_)
+            .agg(F.count(F.lit(1)).alias("n_cells"))
+            .crossJoin(c.agg(F.count(F.lit(1)).alias("n_cand")))
+            .crossJoin(
+                c.join(truth_keys, ["query_id", "neighbor_id"],
+                       "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_cand_hit"))
+            )
+            .crossJoin(
+                top.join(truth_keys, ["query_id", "neighbor_id"],
+                         "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_hit"))
+            )
+            .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_truth")))
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.col("n_cells"),
+                F.col("n_truth"),
+                F.col("n_cand"),
+                F.col("n_cand_hit"),
+                (F.col("n_cand_hit") / F.col("n_truth"))
+                .alias("cand_recall"),
+                F.col("n_hit"),
+                (F.col("n_hit") / F.col("n_truth")).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def ann_recall_at_k(
     exact: DataFrame,
     approx: DataFrame,

@@ -1,0 +1,385 @@
+"""At-rest incremental connected-components dedup ledger (r13, VERDICT
+r12 task 2/4) — the missing at-rest family member: every other
+dedup/sketch family had a ledger with replay short-circuit (digests,
+near-dup bands, BM25 postings, CMS/HLL/KLL, k-means, PQ codes, novelty
+grams), but transitive-closure dedup only had the batch
+:func:`~..pipeline.dedup.connected_components` — a corpus built
+incrementally at 100 TB re-ran the full CC over the pair ledger every
+time, and the greedy first-owner ledger (streaming/dedup.py) keeps a
+DIFFERENT set than CC's min-id-per-component.
+
+State tables (folded through ONE txn.StagedPass manifest per batch —
+the package-wide D1 shape; reference analog: the packed at-rest
+posture, powa--5.2.0.sql:2107-2123):
+
+  components_ledger  (doc_id, band, bucket, sh)  — bands+shingles of ALL
+                     ingested docs (band NULL discriminates shingle
+                     rows; same layout as the near-dup ledger)
+  components_edges   (a_id, b_id, epoch)         — verified near-dup
+                     edges, append-only
+  components_assign  (doc_id, label0, epoch)     — IMMUTABLE per-doc
+                     rows: the doc's component label AT INSERT TIME
+  components_remap   (from_label, to_label)      — bounded dim mapping
+                     superseded labels to their current component
+
+The split is the scale design: when components MERGE, the docs whose
+label changed are never rewritten — one bounded remap row redirects
+every doc that ever carried the superseded label.  The current
+assignment view is ``coalesce(remap[label0], label0)`` — one broadcast
+join of a dim bounded by MERGE EVENTS (not membership, not corpus).
+The remap is kept FLAT (pointer-jumped to its fixed point every fold),
+so the view is one lookup deep by construction.
+
+Fold algorithm per micro-batch (incremental hooking over new edges
+only):
+
+1. band+shingle the batch once; verified near-dup edges = in-batch
+   band collisions + cross-batch collisions against the ledger
+   (identical candidate+verify semantics to the one-shot
+   :func:`~..pipeline.dedup.minhash_dedup_pairs` — bands are
+   content-deterministic, so the edge union over batches EQUALS the
+   one-shot pair relation over the union corpus);
+2. contract the new edges through the current view (old endpoints map
+   to their component label, batch endpoints to themselves) and run
+   the batch CC on the CONTRACTED graph — bounded by the batch's
+   edges, never the corpus;
+3. changed labels become remap rows (old remap entries pointer-jump
+   through them, so the dim stays flat); batch docs land in ``assign``
+   with their FINAL post-fold label, so they never need a remap entry
+   of their own.
+
+Semantics contract (tested batch-equality): after any prefix of folds,
+:func:`components_assignment` equals the one-shot
+``connected_components(minhash_dedup_pairs(union), union)`` —
+bit-for-bit, labels = min doc id per component.  Replay protocol: a
+checkpoint-replayed epoch short-circuits on a ``limit(1)`` epoch probe
+against the assign table (streaming/quantiles.py's protocol).
+
+Scale shape per batch at 100 TB: the cross-batch candidate join keys
+on (band, bucket) — at scale the ledger partitions by bucket so a
+batch touches only its colliding buckets' files; the contracted CC's
+driver loop is bounded by the batch's edge count; the one corpus-sized
+read is the old-endpoint label lookup, a broadcast-semi-pruned scan of
+the two-long-column assign table (the digest-ledger asymptote every
+streaming dedup pass already pays)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..session import narrow_engine_pass
+from ..storage import Warehouse
+from .dedup import NearDupLedger
+from .ingest import with_epoch_marker as _with_epoch_marker
+
+COMP_LEDGER_TABLE = "components_ledger"
+COMP_EDGES_TABLE = "components_edges"
+COMP_ASSIGN_TABLE = "components_assign"
+COMP_REMAP_TABLE = "components_remap"
+
+_REMAP_SCHEMA = "from_label long, to_label long"
+
+
+def components_assignment(wh: Warehouse,
+                          assign_table: str = COMP_ASSIGN_TABLE,
+                          remap_table: str = COMP_REMAP_TABLE) -> DataFrame:
+    """The current (doc_id, component) view from the ledger alone:
+    immutable per-doc labels redirected through the broadcast remap
+    dim.  After any fold this equals the one-shot
+    ``connected_components`` over every ingested doc and verified edge
+    (tested bit-for-bit)."""
+    assign = wh.read(assign_table)
+    remap = wh.read(remap_table) if wh.exists(remap_table) else None
+    if remap is None:
+        return assign.select(
+            "doc_id", F.col("label0").alias("component")
+        )
+    return (
+        assign.join(
+            F.broadcast(remap),
+            assign.label0 == remap.from_label, "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("to_label", "label0").alias("component"),
+        )
+    )
+
+
+@narrow_engine_pass
+def process_components_batch(
+    wh: Warehouse,
+    batch: DataFrame,
+    epoch_id: int,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    ledger: NearDupLedger | None = None,
+) -> bool:
+    """Fold one micro-batch into the components ledger; returns False
+    when the epoch already landed (checkpoint replay) or the batch is
+    empty.  See the module docstring for the algorithm and the
+    batch-equality contract."""
+    from ..pipeline.dedup import (connected_components, minhash_bands,
+                                  shingle_arrays)
+    from ..txn import GLOBAL_LANE, StagedPass
+
+    StagedPass.recover(wh, GLOBAL_LANE)
+    StagedPass.sweep_flat_stages(wh, COMP_LEDGER_TABLE, COMP_EDGES_TABLE,
+                                 COMP_ASSIGN_TABLE, COMP_REMAP_TABLE)
+    if wh.exists(COMP_ASSIGN_TABLE):
+        seen = (
+            wh.read(COMP_ASSIGN_TABLE)
+            .filter(F.col("epoch") == epoch_id)
+            .limit(1).count()
+        )
+        if seen:
+            return False
+    if batch.limit(1).count() == 0:
+        return False
+
+    sh_b = shingle_arrays(batch, shingle_n, text_col, id_col).persist()
+    batch_bands = minhash_bands(
+        batch, num_perm, bands, shingle_n, text_col, id_col,
+        shingle_df=sh_b, hash_fn=hash_fn,
+    ).persist()
+    try:
+        # in-batch verified edges: band-bucket self-join + exact shingle
+        # jaccard — identical semantics to minhash_dedup_pairs
+        ba = batch_bands.select("band", "bucket",
+                                F.col(id_col).alias("a_id"))
+        bb = batch_bands.select("band", "bucket",
+                                F.col(id_col).alias("b_id"))
+        cands_in = (
+            ba.join(bb, ["band", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        va = sh_b.select(F.col(id_col).alias("a_id"),
+                         F.col("sh").alias("a_sh"))
+        vb = sh_b.select(F.col(id_col).alias("b_id"),
+                         F.col("sh").alias("b_sh"))
+        inter = F.size(F.array_intersect("a_sh", "b_sh"))
+        union = F.size("a_sh") + F.size("b_sh") - inter
+        edges_new = (
+            cands_in.join(va, "a_id").join(vb, "b_id")
+            .filter((inter / union) >= threshold)
+            .select("a_id", "b_id")
+        )
+
+        # cross-batch verified edges against the all-ingested ledger
+        combined = None
+        if ledger is not None and ledger.combined is not None:
+            combined = ledger.combined
+        elif wh.exists(COMP_LEDGER_TABLE):
+            combined = wh.read(COMP_LEDGER_TABLE)
+            if ledger is not None:
+                ledger.combined = combined  # restart: seed the cache
+        if combined is not None:
+            led_bands = combined.filter(F.col("band").isNotNull()).select(
+                "band", "bucket", F.col(id_col).alias("old_id")
+            )
+            led_sh = combined.filter(F.col("band").isNull()).select(
+                F.col(id_col).alias("old_id"), F.col("sh").alias("b_sh")
+            )
+            cands_x = (
+                batch_bands.select(
+                    "band", "bucket", F.col(id_col).alias("new_id")
+                )
+                .join(led_bands, ["band", "bucket"])
+                .select("new_id", "old_id")
+                .distinct()
+            )
+            an = sh_b.select(F.col(id_col).alias("new_id"),
+                             F.col("sh").alias("a_sh"))
+            cross_edges = (
+                cands_x.join(an, "new_id")
+                .join(led_sh, "old_id")
+                .filter((inter / union) >= threshold)
+                .select(
+                    F.col("old_id").alias("a_id"),
+                    F.col("new_id").alias("b_id"),
+                )
+            )
+            edges_new = edges_new.unionByName(cross_edges)
+        edges_new = edges_new.select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        ).localCheckpoint(eager=False)
+
+        # contract the new edges through the current view: old
+        # endpoints -> current component label, batch endpoints ->
+        # themselves.  The endpoint set is bounded by the batch's
+        # edges, so the semi-prune broadcasts.
+        endpoints = (
+            edges_new.select(F.col("a_id").alias("node"))
+            .unionByName(edges_new.select(F.col("b_id").alias("node")))
+            .distinct()
+        )
+        batch_ids = batch.select(F.col(id_col).alias("node"))
+        label_frames = [
+            batch_ids.join(F.broadcast(endpoints), "node", "left_semi")
+            .select("node", F.col("node").alias("label"))
+        ]
+        if wh.exists(COMP_ASSIGN_TABLE):
+            old_view = components_assignment(wh).select(
+                F.col(id_col).alias("node"),
+                F.col("component").alias("label"),
+            )
+            label_frames.append(
+                old_view.join(F.broadcast(endpoints), "node", "left_semi")
+            )
+        view = label_frames[0]
+        for fr in label_frames[1:]:
+            view = view.unionByName(fr)
+        la = view.select(F.col("node").alias("a_id"),
+                         F.col("label").alias("la"))
+        lb = view.select(F.col("node").alias("b_id"),
+                         F.col("label").alias("lb"))
+        cedges = (
+            edges_new.join(la, "a_id").join(lb, "b_id")
+            .filter(F.col("la") != F.col("lb"))
+            .select(
+                F.least("la", "lb").alias("a_id"),
+                F.greatest("la", "lb").alias("b_id"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cnodes = (
+            cedges.select(F.col("a_id").alias("n"))
+            .unionByName(cedges.select(F.col("b_id").alias("n")))
+            .distinct()
+        )
+        # batch CC over the CONTRACTED graph — bounded by this batch's
+        # edges; its driver-side convergence loop is a micro-job
+        delta_map = (
+            connected_components(cedges, cnodes, id_col="n")
+            .filter(F.col("n") != F.col("component"))
+            .select(
+                F.col("n").alias("from_label"),
+                F.col("component").alias("to_label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+        # batch docs land with their FINAL post-fold label (so they
+        # never need a remap row of their own); a batch doc absent from
+        # delta_map keeps itself as label
+        batch_assign = (
+            batch_ids.join(
+                F.broadcast(delta_map),
+                batch_ids.node == delta_map.from_label, "left",
+            )
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce("to_label", "node").alias("label0"),
+                F.lit(int(epoch_id)).cast("long").alias("epoch"),
+            )
+        )
+        # remap fold: existing entries pointer-jump through delta_map
+        # (keeps the dim flat); changed OLD labels add new entries —
+        # batch-origin labels are excluded (their docs carry the final
+        # label directly).  Key-disjoint by construction: delta keys
+        # are CURRENT labels, which are never existing remap keys.
+        if wh.exists(COMP_REMAP_TABLE):
+            old_remap = wh.read(COMP_REMAP_TABLE)
+        else:
+            old_remap = wh.spark.createDataFrame([], _REMAP_SCHEMA)
+        jumped = (
+            old_remap.join(
+                F.broadcast(delta_map.select(
+                    F.col("from_label").alias("t"),
+                    F.col("to_label").alias("t2"),
+                )),
+                old_remap.to_label == F.col("t"), "left",
+            )
+            .select(
+                "from_label",
+                F.coalesce("t2", "to_label").alias("to_label"),
+            )
+        )
+        new_entries = delta_map.join(
+            F.broadcast(batch_ids), delta_map.from_label == batch_ids.node,
+            "left_anti",
+        )
+        new_remap = jumped.unionByName(new_entries)
+
+        # all-ingested bands+shingles delta (band NULL = shingle rows)
+        sh_type = dict(sh_b.dtypes)["sh"]
+        band_t = dict(batch_bands.dtypes)["band"]
+        bucket_t = dict(batch_bands.dtypes)["bucket"]
+        combined_delta = batch_bands.select(
+            id_col, "band", "bucket",
+            F.lit(None).cast(sh_type).alias("sh"),
+        ).unionByName(
+            sh_b.select(
+                id_col,
+                F.lit(None).cast(band_t).alias("band"),
+                F.lit(None).cast(bucket_t).alias("bucket"),
+                "sh",
+            )
+        )
+        if ledger is not None:
+            combined_delta = ledger.advance(combined_delta)
+
+        sp = StagedPass(wh, GLOBAL_LANE)
+        sp.stage_append_flat(combined_delta, COMP_LEDGER_TABLE)
+        sp.stage_append_flat(
+            edges_new.withColumn(
+                "epoch", F.lit(int(epoch_id)).cast("long")
+            ),
+            COMP_EDGES_TABLE,
+        )
+        sp.stage_append_flat(batch_assign, COMP_ASSIGN_TABLE)
+        sp.stage_replace_flat(new_remap, COMP_REMAP_TABLE)
+        sp.publish()
+        return True
+    finally:
+        batch_bands.unpersist()
+        sh_b.unpersist()
+
+
+def stream_components_ledger(
+    spark,
+    landing_glob: str,
+    schema,
+    checkpoint_dir: str,
+    wh: Warehouse,
+    threshold: float = 0.8,
+    max_files_per_trigger: int = 16,
+    ledger: NearDupLedger | None = None,
+):
+    """Structured Streaming wrapper: landing files -> foreachBatch
+    components fold.  The epoch marker skips wasted work on re-delivery
+    and the in-fold epoch probe makes a marker-less replay a no-op
+    too.  Pass a :class:`~.dedup.NearDupLedger` to cache the growing
+    bands+shingles state across batches (caller owns ``close()``)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_glob)
+    )
+    marker_dir = os.path.join(checkpoint_dir, "epoch_markers")
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        _with_epoch_marker(
+            marker_dir, epoch_id,
+            lambda: process_components_batch(
+                wh, batch, epoch_id, threshold=threshold, ledger=ledger,
+            ),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -3769,3 +3769,44 @@ def test_ivf_nprobe_tuning_monotone_with_exact_endpoint(spark):
         assert b.n_cand >= a.n_cand, "scan cost must be monotone"
     assert rows[-1].recall == 1.0  # all cells probed == brute force
     assert all(0.0 <= r.recall <= 1.0 for r in rows)
+
+
+def test_ivfpq_probe_tuning_monotone_candidates_allcells_endpoint(spark, wh):
+    """r13 (VERDICT r12 task 6): the at-rest probe-tuning curve shares
+    one ADC scoring pass, so candidate sets nest — n_cells / n_cand /
+    cand_recall are provably non-decreasing in nprobe; probing every
+    cell scans every neighbor's cell, so cand_recall hits 1.0 exactly
+    at the all-cells endpoint."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity as S
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter("vec_id < 400")
+    S.ivfpq_index_build(wh, emb, m=8, n_cells_target=8, n_codes_target=64)
+    n_cells_total = wh.read(S.ANNPQ_CELLS_TABLE) \
+        .select("cell_id").distinct().count()
+    out = S.ivfpq_probe_tuning(
+        wh, emb, query_ids=[0, 1, 2, 3, 4], k=10,
+        nprobes=(1, 2, n_cells_total), m=8,
+    ).orderBy("nprobe").collect()
+    assert [r.nprobe for r in out] == sorted([1, 2, n_cells_total])
+    for a, b in zip(out, out[1:]):
+        assert b.n_cells >= a.n_cells
+        assert b.n_cand >= a.n_cand
+        assert b.n_cand_hit >= a.n_cand_hit
+        assert b.cand_recall >= a.cand_recall
+    assert out[-1].cand_recall == 1.0
+    assert out[-1].n_cand_hit == out[-1].n_truth == 50
+    # end-to-end ADC recall at all cells equals the pure full-scan ADC
+    # top-k recall over the same frozen artifacts
+    cents = wh.read(S.ANNPQ_CENTROIDS_TABLE)
+    cb = wh.read(S.ANNPQ_CODEBOOK_TABLE)
+    idx = S.ivfpq_encode(emb, cents, cb, m=8)
+    exact = S.knn_bruteforce(emb, [0, 1, 2, 3, 4], k=10)
+    full = S.ivfpq_search(emb, cents, cb, idx, [0, 1, 2, 3, 4], k=10,
+                          nprobe=n_cells_total, m=8)
+    want = S.ann_recall_at_k(exact, full, k=10) \
+        .agg(F.sum("hits").alias("h")).collect()[0].h
+    assert out[-1].n_hit == want

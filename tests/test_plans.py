@@ -962,3 +962,35 @@ def test_ivfpq_probe_prunes_base_partitions_with_delta(spark, wh):
     pushed = " ".join(pi.pushed_filters(out))
     assert "cell_id" in pushed, "delta scan lost the cell filter"
     assert not pi.has_cartesian(out)
+
+
+def test_ivfpq_probe_tuning_prunes_reads_per_config(spark, wh):
+    """r13 (VERDICT r12 task 6): the at-rest nprobe-tuning curve scores
+    through ivfpq_probe's pruned path — the codes scan carries the
+    cell_id partition filter (base) and pushed filter (delta), the LUT
+    broadcasts, and no stage is a cartesian product."""
+    from pyspark.sql import functions as F
+
+    from powa_archivist_spark.pipeline import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    similarity.ivfpq_index_build(wh, emb.filter("vec_id % 3 != 2"))
+    similarity.ivfpq_upsert(
+        wh,
+        emb.filter("vec_id % 3 = 2").select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            "embedding",
+        ),
+        assume_new_ids=True,
+    )
+    seam: dict = {}
+    out = similarity.ivfpq_probe_tuning(
+        wh, emb, query_ids=[0, 3], k=5, nprobes=(1, 2), plan_out=seam,
+    )
+    scored = seam["scored"]  # the once-executed ADC scoring subtree
+    part = " ".join(pi.partition_filters(scored))
+    assert "cell_id" in part, "base scan lost cell partition pruning"
+    pushed = " ".join(pi.pushed_filters(scored))
+    assert "cell_id" in pushed, "delta scan lost the cell filter"
+    assert not pi.has_cartesian(scored)
+    assert not pi.unbounded_global_windows(out)

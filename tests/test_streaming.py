@@ -1438,3 +1438,101 @@ def test_kmeans_staleness_tracks_refresh_cycle(spark, wh):
     assert r2.n_vecs == emb.count() and r2.n_frozen == 0
     assert r2.trained_epoch == 2 and r2.epochs_since_refresh == 0
     assert not r2.refresh_due
+
+
+def test_components_ledger_equals_one_shot_and_replay_safe(spark, wh):
+    """r13 (VERDICT r12 task 4): after ANY prefix of folds the at-rest
+    components assignment equals the one-shot
+    connected_components(minhash_dedup_pairs(union), union) bit-for-bit
+    (the batch-equality contract every other ledger meets); a replayed
+    epoch is a no-op; an empty batch is a no-op."""
+    from powa_archivist_spark.pipeline.dedup import (connected_components,
+                                                     minhash_dedup_pairs)
+    from powa_archivist_spark.streaming.components import (
+        components_assignment, process_components_batch)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+    def one_shot(union_docs):
+        pairs = minhash_dedup_pairs(union_docs, threshold=0.8)
+        comp = connected_components(pairs, union_docs.select("doc_id"))
+        return sorted((r.doc_id, r.component) for r in comp.collect())
+
+    for b in range(3):
+        assert process_components_batch(
+            wh, docs.filter(F.col("doc_id") % 3 == b), b, threshold=0.8,
+        )
+        union = docs.filter(F.col("doc_id") % 3 <= b)
+        got = sorted(
+            (r.doc_id, r.component)
+            for r in components_assignment(wh).collect()
+        )
+        assert got == one_shot(union), f"diverged after batch {b}"
+
+    before = sorted(
+        (r.doc_id, r.component)
+        for r in components_assignment(wh).collect()
+    )
+    # replayed epoch short-circuits on the assign-table probe
+    assert not process_components_batch(
+        wh, docs.filter(F.col("doc_id") % 3 == 1), 1, threshold=0.8,
+    )
+    # empty batch is a no-op
+    assert not process_components_batch(
+        wh, docs.filter(F.lit(False)), 99, threshold=0.8,
+    )
+    after = sorted(
+        (r.doc_id, r.component)
+        for r in components_assignment(wh).collect()
+    )
+    assert after == before
+
+
+def test_components_ledger_cross_component_merge_via_remap(spark, wh):
+    """The remap path: two components built in earlier batches MERGE
+    when a later doc near-dups both — the superseded label is
+    redirected by ONE bounded remap row, no assign rows rewritten, and
+    the runtime stream wrapper drives the same fold."""
+    import tempfile as _tf
+
+    from powa_archivist_spark.streaming.components import (
+        COMP_ASSIGN_TABLE, COMP_REMAP_TABLE, components_assignment,
+        stream_components_ledger)
+
+    # doc7's shingle set S (9 shingles); doc0 = S + 2 extras; doc5 = S
+    # + 2 other extras: j(7,0)=j(7,5)=9/11>=0.8 but j(0,5)=9/13<0.8
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    schema = "doc_id long, ts timestamp, text string"
+    landing = _tf.mkdtemp(prefix="cmplanding_")
+    ckpt = _tf.mkdtemp(prefix="cmpckpt_")
+
+    def land(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(landing, name))
+        q = stream_components_ledger(
+            spark, landing + "/*", spark.createDataFrame(rows, schema).schema,
+            ckpt, wh, threshold=0.8)
+        q.awaitTermination(120)
+
+    land("b1", [(0, ts(0), base + " aa ab"),
+                (2, ts(1), "totally different unrelated words here now")])
+    land("b2", [(5, ts(2), base + " bb bc")])
+    got2 = {r.doc_id: r.component
+            for r in components_assignment(wh).collect()}
+    assert got2 == {0: 0, 2: 2, 5: 5}, got2  # two separate components
+
+    land("b3", [(7, ts(3), base)])
+    got3 = {r.doc_id: r.component
+            for r in components_assignment(wh).collect()}
+    assert got3 == {0: 0, 2: 2, 5: 0, 7: 0}, got3  # merged under min id
+
+    # the merge is a remap ROW, not an assign rewrite: doc5's immutable
+    # label0 still reads 5, redirected by (5 -> 0)
+    assign = {r.doc_id: r.label0
+              for r in wh.read(COMP_ASSIGN_TABLE).collect()}
+    assert assign[5] == 5
+    remap = {r.from_label: r.to_label
+             for r in wh.read(COMP_REMAP_TABLE).collect()}
+    assert remap == {5: 0}, remap
