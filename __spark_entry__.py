@@ -69,6 +69,23 @@ from powa_archivist_spark.queries import CORE_QUERIES  # noqa: E402
 _GATE_ORDER = [
     # --- flagship (always gated) ---
     "q01_pricing_summary",
+    # --- new in r13 ---
+    # stream_components_ledger (at-rest incremental connected-components
+    # dedup ledger, VERDICT r12 task 4) displaces corpus_chunks (r8-gate
+    # green); ann_ivfpq_probe_tuning (nprobe curve over the AT-REST
+    # IVF-PQ index, task 6) displaces ann_index_upsert (r8-gate green —
+    # the LSM upsert machinery stays transitively driver-verified
+    # through ann_ivfpq_at_rest below, whose oracle replays the
+    # upsert==rebuild equivalence).  Both displaced rows stay replayed
+    # per-commit by tests/test_oracle_full and ORACLE_FULL.txt.
+    # r13 changed forms already in the window, re-gated in place: the
+    # PPJoin stages are dictionary-encoded (dedup.py _encode_token_sets)
+    # — dedup_components, dedup_jaccard_pairs, dedup_keep_list,
+    # dedup_components_smallvocab (all below); ann_ivfpq_at_rest's
+    # probe snapshots base∪delta up front and its build delegates to
+    # ivfpq_encode (same plan, single implementation).
+    "stream_components_ledger",
+    "ann_ivfpq_probe_tuning",
     # --- new in r12 ---
     # ann_ivfpq_at_rest (at-rest IVF-PQ index lifecycle, VERDICT r11
     # task 4) displaces emb_semantic_dedup_lsh (r8-gate green);
@@ -180,6 +197,8 @@ _GATE_ORDER = [
     "multimodal_resize",
     "multimodal_features",
     "corpus_token_stats",
+    # corpus_chunks / ann_index_upsert displaced r13 (see the r13
+    # section at the top)
     "corpus_chunks",
     "ann_index_upsert",
     "corpus_segment_dedup",
