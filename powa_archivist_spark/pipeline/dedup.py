@@ -1172,7 +1172,14 @@ def connected_components(
     Only nodes that appear in a pair enter the iteration — singletons
     (the overwhelming majority of a real corpus) are labeled by a single
     anti-join at the end and never touch the loop, so per-iteration
-    shuffles are sized by the near-dup subgraph, not the corpus."""
+    shuffles are sized by the near-dup subgraph, not the corpus.
+
+    r13: a count-probed driver route replaces the iteration when the
+    hooked/contracted graph fits a bounded probe (hooking collapses
+    cliques, so this is the overwhelmingly common case) — one collect +
+    exact min-label union-find instead of O(log diameter) rounds of
+    join + eager checkpoint + convergence probe; the distributed loop
+    stays the route past the cap (SPARK_GRAFT_CC_DRIVER_EDGES)."""
     edges = (
         pairs.select(
             F.explode(
@@ -1214,6 +1221,49 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # r13 count-probed route (guide §2.4 / the repo's allpairs-vs-blocked
+    # precedent): hooking contracts cliques away, so the surviving
+    # contracted graph is usually TINY even when the input pair set is
+    # large.  When it fits a bounded driver probe, one collect + exact
+    # min-label union-find replaces the whole O(log diameter) sequence
+    # of join+eager-checkpoint+convergence-probe rounds (4-6 Spark jobs
+    # per round).  The distributed loop below stays the route for a
+    # contracted graph that exceeds the probe — the 100 TB posture is
+    # unchanged.  Labels are identical by construction: union-by-min
+    # roots converge to the component's min id, exactly the loop's fixed
+    # point.  Cap override: SPARK_GRAFT_CC_DRIVER_EDGES.
+    import os as _os
+
+    driver_cap = int(_os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES",
+                                     "500000"))
+    n_cedges = cedges.limit(driver_cap + 1).count()
+    if n_cedges <= driver_cap:
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        edge_rows = cedges.collect()
+        for r in edge_rows:
+            ra, rb = _find(r.src), _find(r.dst)
+            if ra != rb:
+                if ra > rb:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        comp = sorted(
+            {n for r in edge_rows for n in (r.src, r.dst)}
+        )
+        labels = pairs.sparkSession.createDataFrame(
+            [(int(n), int(_find(n))) for n in comp],
+            "node long, label long",
+        )
+        return _cc_expand(labels, sup, nodes, id_col)
+
     labels = (
         cedges.select("src")
         .distinct()
@@ -1258,8 +1308,19 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    # contracted components: loop labels + supernodes whose edges all
-    # vanished in the contraction (fully-collapsed cliques)
+    return _cc_expand(labels, sup, nodes, id_col)
+
+
+def _cc_expand(labels: DataFrame, sup: DataFrame, nodes: DataFrame,
+               id_col: str) -> DataFrame:
+    """Expand contracted-graph labels back over the original node set
+    (shared tail of both :func:`connected_components` routes):
+    supernodes whose edges all vanished in the contraction
+    (fully-collapsed cliques) label themselves, hooked nodes adopt
+    their supernode's component, and singletons never touched the loop
+    at all.  The component id is the min ORIGINAL id (the component's
+    min m hooks to itself, so m is a supernode and wins the min-label
+    fixed point)."""
     c_single = (
         sup.select(F.col("sup").alias("node"))
         .distinct()
@@ -1269,9 +1330,6 @@ def connected_components(
     comp_sup = labels.unionByName(c_single).select(
         F.col("node").alias("sup"), F.col("label")
     )
-    # expand supernode components back to the original hooked nodes; the
-    # component id is the min ORIGINAL id (the component's min m hooks to
-    # itself, so m is a supernode and wins the min-label loop)
     hooked = sup.join(comp_sup, "sup").select("node", "label")
     singletons = nodes.select(F.col(id_col).alias("node")).join(
         hooked.select("node"), "node", "left_anti"

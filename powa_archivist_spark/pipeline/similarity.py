@@ -11,6 +11,8 @@ All JVM-side (zip_with / aggregate); no Python in the hot path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -121,28 +123,94 @@ def _init_batches(k: int, init_rounds: int) -> list[int]:
     return [q + 1] * rem + [q] * (init_rounds - rem)
 
 
+def _center_rows(cents: DataFrame) -> list[tuple[int, list[int]]]:
+    """Collect a BOUNDED (cluster, cv) center table to the driver,
+    sorted by cluster id — k x dim longs, the same bounded probe the
+    Lloyd loop already pays every round for its convergence check."""
+    return sorted(
+        ((int(r[0]), list(r[1]))
+         for r in cents.select("cluster", "cv").collect()),
+        key=lambda rc: rc[0],
+    )
+
+
+def _centers_1row(spark, centers: list[tuple[int, list[int]]]) -> DataFrame:
+    """The center table as ONE row holding an array<struct<cluster,cv>>
+    column.  Centers ride as DATA, not literals: the per-round plan
+    TEXT stays byte-identical across Lloyd rounds / streaming epochs,
+    so Catalyst planning and whole-stage codegen compile once and cache
+    (an earlier r13 draft baked the centers in as literals — every
+    round then recompiled a fresh several-hundred-literal plan and the
+    driver-side compile time exceeded the shuffle it saved, measured
+    27 s -> 70 s on emb_kmeans).  Broadcasting one row is the cheapest
+    exchange Spark has."""
+    return spark.createDataFrame(
+        [([(int(cid), [int(x) for x in cv]) for cid, cv in centers],)],
+        "cents array<struct<cluster:bigint,cv:array<bigint>>>",
+    )
+
+
+def _best_center(vcol, k: int):
+    """Per-row argmin-L2 against the 1-row-broadcast ``cents`` array:
+    ``least`` over k struct(d2, cluster) expressions — lexicographic
+    struct ordering resolves ties to the smallest cluster id, the exact
+    ``min_by(struct(cluster, ...), struct(d2, cluster))`` semantics of
+    the r10-r12 per-id aggregation shape, with no per-id shuffle and no
+    sort.  FLAT expressions on purpose: ``least`` and the k int_l2
+    terms evaluate inside whole-stage codegen, whereas an
+    ``array_min(transform(...))`` formulation nests higher-order
+    functions and falls back to interpretation — measured ~7x slower
+    per evaluation and immune to codegen warmup."""
+    exprs = [
+        F.struct(
+            int_l2(
+                vcol, F.element_at(F.col("cents"), i + 1).getField("cv")
+            ).alias("d2"),
+            F.element_at(F.col("cents"), i + 1)
+            .getField("cluster").alias("cluster"),
+        )
+        for i in range(k)
+    ]
+    return exprs[0] if len(exprs) == 1 else F.least(*exprs)
+
+
+def _assign_driver_centers(vecs: DataFrame,
+                           centers: list[tuple[int, list[int]]],
+                           id_col: str = "vec_id") -> DataFrame:
+    """Assignment of quantized (id, v) rows against driver-held centers
+    as ONE narrow projection behind a 1-row broadcast (r13, guide §2.4:
+    the k-bounded center table needs no per-id aggregation — the former
+    broadcast crossJoin + corpus-wide min_by SortAggregate shuffled and
+    double-sorted the n x k scored frame once per call).  Returns
+    (id, cluster, d2_q), bit-identical to the aggregation shape."""
+    cents = _centers_1row(vecs.sparkSession, centers)
+    best = _best_center(F.col("v"), len(centers))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), best.alias("best"))
+        .select(
+            id_col,
+            F.col("best.cluster").alias("cluster"),
+            F.col("best.d2").alias("d2_q"),
+        )
+    )
+
+
 def assign_to_centers(vecs: DataFrame, cents: DataFrame,
                       id_col: str = "vec_id") -> DataFrame:
     """argmin-L2 assignment of quantized (id, v) rows against a
-    BROADCAST (cluster, cv) center table — ONE min_by aggregation, ties
-    to the smallest cluster id (r11: factored out of :func:`kmeans`'s
-    final step so the streaming ledger's frozen-assign path is the
-    byte-identical plan).  Returns (id, cluster, d2_q)."""
-    return (
-        vecs.crossJoin(F.broadcast(cents))
-        .select(
-            id_col, "cluster",
-            int_l2(F.col("v"), F.col("cv")).alias("d2"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.min_by(
-                F.struct(F.col("cluster"), F.col("d2")),
-                F.struct(F.col("d2"), F.col("cluster")),
-            ).alias("best")
-        )
-        .select(id_col, "best.cluster", F.col("best.d2").alias("d2_q"))
-    )
+    (cluster, cv) center table, ties to the smallest cluster id (r11:
+    factored out of :func:`kmeans`'s final step so the streaming
+    ledger's frozen-assign path is the byte-identical plan).  Returns
+    (id, cluster, d2_q).
+
+    r13: the center table is k-bounded BY CONTRACT (the callers pass
+    Lloyd centers — k x dim longs), so it collapses to the driver once
+    and the assignment plans as a projection behind a 1-row broadcast
+    (:func:`_assign_driver_centers`) — no corpus-wide per-id min_by
+    shuffle, no SortAggregate, where the r10-r12 shape paid both per
+    call."""
+    return _assign_driver_centers(vecs, _center_rows(cents), id_col=id_col)
 
 
 def kmeans(
@@ -171,24 +239,28 @@ def kmeans(
     be oracle-checked).  Exactly k centers come out, so no reclustering
     step is needed; cluster ids number the centers in selection order.
 
-    **Lloyd.**  Each round: argmin-L2 assignment against the BROADCAST
-    center table via ``min_by`` keyed on (d2, cluster) — map-side
-    combinable, no window, ties to the smallest cluster id — then the
-    centroid update as dimension-wise int64 sums floored through one
-    exact double division (the :func:`ivf_refine` integer-grid
-    discipline; order-independent, engine-exact).  Empty clusters keep
-    their previous center.  The k x dim new centers come to the driver
-    (the bounded per-round probe — the BPE-argmax precedent) and the
-    loop STOPS at the integer fixed point (centers unchanged implies
-    assignments unchanged implies every later round is the identity) or
-    at ``max_rounds``.  Because converged rounds are no-ops, the oracle
-    replays a FIXED ``max_rounds`` unrolling and matches whichever
-    round Spark stopped at.
+    **Lloyd.**  Each round: argmin-L2 assignment against the 1-row
+    BROADCAST center array (r13 — :func:`_best_center`: ``least`` over
+    k struct(d2, cluster) terms, a projection; ties to the smallest
+    cluster id), then the centroid update as dimension-wise int64 sums
+    floored through one exact double division (the :func:`ivf_refine`
+    integer-grid discipline; order-independent, engine-exact).  Empty
+    clusters keep their previous center.  The k x dim new centers come
+    to the driver (the bounded per-round probe — the BPE-argmax
+    precedent) and the loop STOPS at the integer fixed point (centers
+    unchanged implies assignments unchanged implies every later round
+    is the identity) or at ``max_rounds``.  Because converged rounds
+    are no-ops, the oracle replays a FIXED ``max_rounds`` unrolling and
+    matches whichever round Spark stopped at.
 
-    Plan per round at 100 TB: one broadcast-scored min_by aggregation +
-    one (cluster, dim)-keyed partial-agg groupBy — two bounded-key
-    shuffles, no skew amplification, k x dim longs across the driver.
-    The quantized corpus is lazily localCheckpointed once; every round
+    Plan per round at 100 TB (r13, guide §2.4): ONE map-side-combinable
+    groupBy(cluster) carrying dim per-dimension partial sums — a single
+    k-row-keyed exchange; the assignment itself is a projection behind
+    a 1-row broadcast of the center array (centers live on the driver
+    between rounds for the convergence check regardless, so scoring
+    needs no per-id aggregation).  The r10-r12 shape paid 3 exchanges
+    and two full sorts of the n x k scored frame per round.  The
+    quantized corpus is lazily localCheckpointed once; every round
     plans against that materialization, never the raw input.
 
     Returns the final assignment (id, cluster, d2_q).  ``stats_out``
@@ -197,84 +269,78 @@ def kmeans(
     ``pre_quantized`` (r11) marks ``vec_col`` as already on the integer
     grid (the at-rest ledger's vector table) — quantization must be
     applied exactly once."""
-    spark = emb.sparkSession
     vcol = (F.col(vec_col) if pre_quantized
             else quantized(F.col(vec_col)))
     vecs = emb.select(
         F.col(id_col), vcol.alias("v")
     ).localCheckpoint(eager=False)
 
+    # r13 count-probed TRAINING route (guide §1.2: "the distributed
+    # algorithm" first — here the cheapest correct algorithm is not
+    # distributed at all).  Lloyd is a driver-sequenced loop of
+    # micro-jobs whose per-round cost at any corpus size that fits the
+    # probe is pure orchestration: fresh-plan analysis, AQE stage
+    # barriers and collect latency (~0.7 s/round measured on 2000
+    # vectors — 33 rounds = 23 s of overhead for ~3 s of compute).
+    # When the quantized corpus fits a bounded probe, collect it ONCE
+    # and run the identical integer arithmetic in numpy on the driver:
+    # same seed, same batched-farthest init, same argmin ties, same
+    # floor(sx/n) IEEE double division, same fixed point — the
+    # statically unrolled oracle replays it unchanged (oracle-gated on
+    # all five kmeans-family queries).  Past the cap the distributed
+    # loop below runs — itself restructured this round to one
+    # k-row-keyed exchange per round.  Training on a bounded sample
+    # with driver-side Lloyd is the standard quantizer-training posture
+    # (FAISS trains on samples); the cap is env-tunable.
+    driver_cap = int(
+        os.environ.get("SPARK_GRAFT_KMEANS_DRIVER_ROWS", "65536")
+    )
+    centers: list[list[int]]
+    if vecs.limit(driver_cap + 1).count() <= driver_cap:
+        centers, rounds, converged = _kmeans_driver_loop(
+            vecs, k, init_rounds, max_rounds, id_col
+        )
+        if stats_out is not None:
+            stats_out["rounds"] = rounds
+            stats_out["converged"] = converged
+            stats_out["centers"] = centers
+        return _assign_driver_centers(
+            vecs, list(enumerate(centers)), id_col=id_col
+        )
+
     seed = (
         vecs.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
     )
-    centers: list[list[int]] = [list(seed.v)]
+    centers = [list(seed.v)]
 
-    def cents_df(cs: list[list[int]]) -> DataFrame:
-        return spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cs)],
-            "cluster long, cv array<bigint>",
-        )
-
+    # r13 restructure (guide §2.4 — remove shuffles outright): centers
+    # are k x dim longs held by the DRIVER between rounds anyway (the
+    # convergence check needs them), so every scoring pass ships them
+    # as ONE broadcast row holding the center array and the per-vector
+    # argmin/min-distance becomes a projection over it.  The r10-r12
+    # shape paid, per round, a corpus-wide groupBy(id) min_by that
+    # planned as SortAggregate (min_by over struct is not
+    # hash-aggregable: two full sorts of the n x k scored frame) + a
+    # posexplode double groupBy for the centroid update — 3 exchanges
+    # and 2 sorts per round.  Now: init rounds are one TakeOrdered job
+    # (no shuffle); Lloyd rounds are one projection + one
+    # groupBy(cluster) carrying dim per-dimension partial sums — a
+    # single k-row-keyed exchange.  Centers ride as DATA so the round
+    # plan text never changes and codegen compiles once
+    # (_centers_1row).  Arithmetic is IDENTICAL (exact integer grid,
+    # same floor(sx/n) double division, ties to the smallest cluster),
+    # so the statically unrolled oracle replays unchanged.
     for batch in _init_batches(k, init_rounds):
         if batch <= 0:
             continue
-        scored = (
-            vecs.crossJoin(F.broadcast(cents_df(centers)))
-            .select(
-                id_col, "v",
-                int_l2(F.col("v"), F.col("cv")).alias("d2"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.min("d2").alias("md"),
-                F.min_by(F.col("v"), F.col("d2")).alias("v"),
-            )
-        )
-        picked = (
-            scored.orderBy(F.col("md").desc(), F.col(id_col).asc())
-            .limit(batch)
-            .collect()
-        )
+        picked = _init_score_frame(vecs, centers, batch, id_col).collect()
         centers.extend(list(r.v) for r in picked)
 
     rounds = 0
     converged = False
     for _ in range(max_rounds):
         rounds += 1
-        cd = cents_df(centers)
-        assign = (
-            vecs.crossJoin(F.broadcast(cd))
-            .select(
-                id_col, "v", "cluster",
-                int_l2(F.col("v"), F.col("cv")).alias("d2"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.min_by(
-                    F.struct(F.col("cluster"), F.col("v")),
-                    F.struct(F.col("d2"), F.col("cluster")),
-                ).alias("best")
-            )
-            .select("best.cluster", "best.v")
-        )
-        new_rows = (
-            assign.select("cluster", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
-            .withColumn(
-                "cx", F.floor(F.col("sx") / F.col("n")).cast("long")
-            )
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("dim"), F.col("cx")))
-                    ),
-                    lambda s: s.getField("cx"),
-                ).alias("cv")
-            )
-            .collect()
-        )
+        new_rows = _lloyd_update_frame(vecs, centers, id_col).collect()
         updated = {int(r.cluster): list(r.cv) for r in new_rows}
         new_centers = [
             updated.get(i, centers[i]) for i in range(len(centers))
@@ -289,7 +355,129 @@ def kmeans(
         stats_out["converged"] = converged
         stats_out["centers"] = centers
 
-    return assign_to_centers(vecs, cents_df(centers), id_col=id_col)
+    return _assign_driver_centers(
+        vecs, list(enumerate(centers)), id_col=id_col
+    )
+
+
+def _kmeans_driver_loop(
+    vecs: DataFrame,
+    k: int,
+    init_rounds: int,
+    max_rounds: int,
+    id_col: str,
+) -> tuple[list[list[int]], int, bool]:
+    """The k-means training loop on the DRIVER over a count-probe-
+    bounded collected corpus (see the routing comment in
+    :func:`kmeans`) — numpy int64 end to end, replicating the
+    distributed loop's arithmetic exactly:
+
+    - seed = min-id vector; init rounds pick the top batch by
+      (min-d2 DESC, id ASC) — ``lexsort`` on unique ids, no ties;
+    - Lloyd assignment = first-of-min ``argmin`` over centers in
+      cluster-id order (ties to the smallest cluster, the min_by /
+      least-struct rule);
+    - centroid update = exact int64 dimension sums through ONE IEEE
+      double division + floor (Python's ``int/int`` is the same
+      correctly-rounded long->double conversion pair and division
+      Spark's ``FLOOR(CAST(sx AS DOUBLE) / n)`` performs);
+    - empty clusters keep their previous center; stop at the integer
+      fixed point or ``max_rounds``.
+
+    Returns (centers, rounds, converged)."""
+    import math
+
+    import numpy as np
+
+    rows = vecs.collect()
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    V = np.array([list(r[1]) for r in rows], dtype=np.int64)
+
+    def d2_matrix(C: np.ndarray) -> np.ndarray:
+        out = np.empty((V.shape[0], C.shape[0]), dtype=np.int64)
+        for ci in range(C.shape[0]):
+            diff = V - C[ci]
+            out[:, ci] = (diff * diff).sum(axis=1)
+        return out
+
+    C = V[0:1].copy()
+    for batch in _init_batches(k, init_rounds):
+        if batch <= 0:
+            continue
+        md = d2_matrix(C).min(axis=1)
+        order = np.lexsort((ids, -md))  # md DESC, id ASC
+        C = np.vstack([C, V[order[:batch]]])
+
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        rounds += 1
+        assign = d2_matrix(C).argmin(axis=1)  # first min = smallest id
+        newC = C.copy()
+        for ci in range(C.shape[0]):
+            members = V[assign == ci]
+            if len(members):
+                sums = members.sum(axis=0)
+                newC[ci] = np.array(
+                    [math.floor(int(s) / len(members)) for s in sums],
+                    dtype=np.int64,
+                )
+        if np.array_equal(newC, C):
+            converged = True
+            break
+        C = newC
+    return [[int(x) for x in c] for c in C], rounds, converged
+
+
+def _lloyd_update_frame(vecs: DataFrame, centers: list[list[int]],
+                        id_col: str = "vec_id") -> DataFrame:
+    """One Lloyd round's centroid-update frame: 1-row-broadcast argmin
+    projection -> ONE groupBy(cluster) with per-dimension partial sums
+    -> floored exact double division.  Called once per Lloyd round by
+    :func:`kmeans`; fixed-dim corpus by contract (the oracle's own
+    centroid update indexes v[i] with one shared series)."""
+    dim = len(centers[0])
+    cents = _centers_1row(vecs.sparkSession, list(enumerate(centers)))
+    best = _best_center(F.col("v"), len(centers))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(best.getField("cluster").alias("cluster"), "v")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("v").getItem(d)).alias(f"s{d}")
+              for d in range(dim)],
+        )
+        .select(
+            "cluster",
+            F.array(*[
+                F.floor(F.col(f"s{d}") / F.col("n")).cast("long")
+                for d in range(dim)
+            ]).alias("cv"),
+        )
+    )
+
+
+def _init_score_frame(vecs: DataFrame, centers: list[list[int]],
+                      batch: int = 4,
+                      id_col: str = "vec_id") -> DataFrame:
+    """One init round's top-batch selection frame: 1-row-broadcast
+    min-distance projection -> TakeOrdered (md DESC, id ASC) — no
+    shuffle at all.  Called once per init round by :func:`kmeans`."""
+    cents = _centers_1row(vecs.sparkSession, list(enumerate(centers)))
+    d2s = [
+        int_l2(F.col("v"), F.element_at(F.col("cents"), i + 1)
+               .getField("cv"))
+        for i in range(len(centers))
+    ]
+    md = d2s[0] if len(d2s) == 1 else F.least(*d2s)
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(id_col, "v", md.alias("md"))
+        .orderBy(F.col("md").desc(), F.col(id_col).asc())
+        .limit(batch)
+    )
 
 
 def kmeans_profile(emb: DataFrame, k: int = 8, init_rounds: int = 3,

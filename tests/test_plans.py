@@ -807,12 +807,16 @@ def test_bm25_broadcast_query_dim_partitioned_window(spark):
     )
 
 
-def test_kmeans_plan_broadcast_assignment_no_window(spark):
-    """emb_kmeans (r10, VERDICT r9 task 6): the returned assignment
-    frame scores against the BROADCAST literal center table and picks
-    argmin via min_by partial aggregation — no window, no sort-merge
-    join, no cartesian product (the crossJoin's bounded side always
-    broadcasts)."""
+def test_kmeans_plan_onerow_broadcast_assignment_no_shuffle(spark):
+    """emb_kmeans (r13 restructure of the r10 operator): the returned
+    assignment frame scores against a ONE-ROW broadcast holding the
+    center array (centers ride as data so every Lloyd round reuses the
+    compiled plan) and picks argmin via least over k
+    struct(d2, cluster) terms — a projection over the checkpointed
+    corpus:
+    no window, no aggregation, no sort, and no shuffle exchange at all
+    (the r10-r12 shape paid a corpus-wide per-id min_by SortAggregate
+    behind a k-row broadcast: 2 sorts + a shuffle per call)."""
     from powa_archivist_spark.pipeline.queries import emb_kmeans
 
     df = emb_kmeans(spark, SF)
@@ -820,8 +824,12 @@ def test_kmeans_plan_broadcast_assignment_no_window(spark):
     assert not pi.has_cartesian(df)
     assert pi.window_count(df) == 0
     assert pi.sort_merge_join_count(df) == 0
+    assert "least(" in plan
     assert "BroadcastNestedLoopJoin Cross" in plan
-    assert "partial_min_by" in plan or "partial_min" in plan
+    # broadcast of the 1-row center frame is the ONLY exchange: no
+    # shuffle (the old shape's per-id aggregation exchange is gone)
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortAggregate" not in plan
 
 
 def test_bm25_wand_plan_pruned_reads_bounded_windows(spark):
