@@ -1765,6 +1765,22 @@ def ivf_nprobe_tuning(
     return out
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition ``df`` up to cluster parallelism when its scan
+    produced fewer partitions (r13, guide §2.5 input skew: a bounded
+    corpus arriving as one parquet row group is ONE split, so the k- or
+    code-amplified scoring that follows — 63x row amplification through
+    the broadcast codebook join — runs on a single core).  Keyed on the
+    unique id column, so the placement is deterministic under task
+    retries (guide §2.5 on rand-derived keys).  At scale the scan
+    already yields >= parallelism splits and this is a no-op — the
+    probe is plan metadata, no job."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def _pq_subvecs(vcol: Column, m: int) -> Column:
     """Split a quantized vector into ``m`` equal subvectors:
     array<struct<sub:int, sv:array<long>>>.  The subspace width comes
@@ -1833,7 +1849,7 @@ def pq_train(
     # quantize=False: vec_col is already on the integer grid (e.g. the
     # RESIDUAL vectors of ivfpq_build)
     v = quantized(F.col(vec_col)) if quantize else F.col(vec_col)
-    sv = emb.select(
+    sv = _spread(emb, id_col).select(
         F.col(id_col), F.explode(_pq_subvecs(v, m)).alias("p")
     ).select(F.col(id_col), F.col("p.sub").alias("sub"),
              F.col("p.sv").alias("sv"))
@@ -1889,7 +1905,7 @@ def pq_encode(
     the per-(id, sub) argmin partial-aggregates before the single
     per-id exchange; codes reassemble ordered by subspace."""
     v = quantized(F.col(vec_col)) if quantize else F.col(vec_col)
-    sv = emb.select(
+    sv = _spread(emb, id_col).select(
         F.col(id_col), F.explode(_pq_subvecs(v, m)).alias("p")
     ).select(F.col(id_col), F.col("p.sub").alias("sub"),
              F.col("p.sv").alias("sv"))
@@ -2001,8 +2017,10 @@ def ivfpq_build(
     cell_mod = max(1, -(-n // n_cells_target))
     cents = emb.filter(F.col(id_col) % cell_mod == 0).select(
         F.col(id_col).alias("cell_id"), quantized(F.col(vec_col)).alias("cv")
+    ).localCheckpoint(eager=False)  # bounded dim, reused by 3 consumers
+    vecs = _spread(emb, id_col).select(
+        F.col(id_col), quantized(F.col(vec_col)).alias("v")
     )
-    vecs = emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         id_col, "v", "cell_id",
         int_dot(F.col("v"), F.col("cv")).alias("dot_c"),
@@ -2019,8 +2037,20 @@ def ivfpq_build(
         id_col, "cell_id",
         F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"),
     )
-    codebook = pq_train(resid, m=m, n_codes_target=n_codes_target,
-                        id_col=id_col, vec_col="rv", quantize=False)
+    # pass the SIZING MOD through instead of n_codes_target (r13): the
+    # residual frame has exactly n rows (one per vector), so pq_train's
+    # internal sizing count would re-execute the whole coarse-assign +
+    # residual lineage just to re-derive the same ceil(n/target) — a
+    # full corpus pass saved per build.  The trained codebook is a
+    # BOUNDED dim (m x codes rows); checkpoint it eagerly so the encode
+    # below and the caller's codebook write both reuse ONE training
+    # execution instead of re-running it per action (guide §5 caching:
+    # reused AND expensive to recompute).
+    codebook = pq_train(
+        resid, m=m,
+        centroid_mod=max(1, -(-n // n_codes_target)),
+        id_col=id_col, vec_col="rv", quantize=False,
+    ).localCheckpoint(eager=True)
     # ONE encode implementation (r13, ADVICE r12): the build's index
     # rows come from the same :func:`ivfpq_encode` an upsert uses, so
     # upsert==rebuild equivalence holds by construction, not by keeping
@@ -2136,7 +2166,9 @@ def ivfpq_encode(
     Plan (100 TB): coarse assignment is the broadcast max_by (no
     window); residuals are a map-side zip_with; the per-(id, sub) code
     argmin partial-aggregates before the single per-id exchange."""
-    vecs = emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("v"))
+    vecs = _spread(emb, id_col).select(
+        F.col(id_col), quantized(F.col(vec_col)).alias("v")
+    )
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         id_col, "v", "cell_id",
         int_dot(F.col("v"), F.col("cv")).alias("dot_c"),
