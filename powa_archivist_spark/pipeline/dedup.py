@@ -1111,6 +1111,39 @@ def near_dup_keep(docs: DataFrame, threshold: float = 0.8,
     return docs.select(id_col).join(dropped, id_col, "left_anti")
 
 
+def min_label_union_find(edge_rows) -> dict[int, int]:
+    """Exact min-label union-find over a DRIVER-side edge list: every
+    endpoint maps to the smallest id reachable from it — the same fixed
+    point the distributed min-label propagation loop converges to.
+    Shared by :func:`connected_components`' count-probed driver route
+    and the streaming components fold (which applies it to the
+    contracted per-batch delta graph).  ``edge_rows`` is any iterable of
+    objects with ``src``/``dst`` attributes; duplicate and self edges
+    are tolerated.  Returns {node: label} for every endpoint (including
+    identity labels)."""
+    parent: dict[int, int] = {}
+
+    def _find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    seen: set[int] = set()
+    for r in edge_rows:
+        a, b = r.src, r.dst
+        seen.add(a)
+        seen.add(b)
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: _find(n) for n in seen}
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -1238,28 +1271,9 @@ def connected_components(
                                      "500000"))
     n_cedges = cedges.limit(driver_cap + 1).count()
     if n_cedges <= driver_cap:
-        parent: dict[int, int] = {}
-
-        def _find(x: int) -> int:
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
-
-        edge_rows = cedges.collect()
-        for r in edge_rows:
-            ra, rb = _find(r.src), _find(r.dst)
-            if ra != rb:
-                if ra > rb:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        comp = sorted(
-            {n for r in edge_rows for n in (r.src, r.dst)}
-        )
+        lab = min_label_union_find(cedges.collect())
         labels = pairs.sparkSession.createDataFrame(
-            [(int(n), int(_find(n))) for n in comp],
+            [(int(n), int(v)) for n, v in sorted(lab.items())],
             "node long, label long",
         )
         return _cc_expand(labels, sup, nodes, id_col)

@@ -127,8 +127,8 @@ def process_components_batch(
     when the epoch already landed (checkpoint replay) or the batch is
     empty.  See the module docstring for the algorithm and the
     batch-equality contract."""
-    from ..pipeline.dedup import (connected_components, minhash_bands,
-                                  shingle_arrays)
+    from ..pipeline.dedup import (connected_components, min_label_union_find,
+                                  minhash_bands, shingle_arrays)
     from ..txn import GLOBAL_LANE, StagedPass
 
     StagedPass.recover(wh, GLOBAL_LANE)
@@ -145,121 +145,149 @@ def process_components_batch(
     if batch.limit(1).count() == 0:
         return False
 
-    sh_b = shingle_arrays(batch, shingle_n, text_col, id_col).persist()
+    # eager localCheckpoint, not persist (r13): both frames feed many
+    # downstream statements (candidate join, verify, contraction,
+    # ledger delta, staged writes), and with persist every one of those
+    # actions re-canonicalizes the full minhash expression tree on the
+    # driver for the cache lookup — measured as multi-second driver
+    # gaps per fold.  The checkpoint truncates lineage to a leaf; the
+    # data lands in the same block-manager storage.
+    sh_b = shingle_arrays(batch, shingle_n, text_col, id_col) \
+        .localCheckpoint()
     batch_bands = minhash_bands(
         batch, num_perm, bands, shingle_n, text_col, id_col,
         shingle_df=sh_b, hash_fn=hash_fn,
-    ).persist()
-    try:
-        # in-batch verified edges: band-bucket self-join + exact shingle
-        # jaccard — identical semantics to minhash_dedup_pairs
-        ba = batch_bands.select("band", "bucket",
-                                F.col(id_col).alias("a_id"))
-        bb = batch_bands.select("band", "bucket",
-                                F.col(id_col).alias("b_id"))
-        cands_in = (
-            ba.join(bb, ["band", "bucket"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id")
-            .distinct()
+    ).localCheckpoint()
+    # ONE unified candidate+verify pipeline (r13, guide §2.4): the
+    # in-batch band self-join and the cross-batch ledger join used
+    # to be two separate join+verify subtrees — at fold scale each
+    # Exchange is one fixed-latency AQE sub-job, and at 100 TB each
+    # is a real shuffle.  The "other" side is the batch itself
+    # (admitted only when other_id < new_id — the a<b in-batch rule)
+    # unioned with the all-ingested ledger (admitted always);
+    # batch ids and ledger ids are disjoint for fresh docs, and a
+    # re-ingested id self-pairs exactly like the old cross-batch
+    # join did (harmless: contraction drops la == lb).  Candidate
+    # set, verify formula and final least/greatest orientation are
+    # identical to the two-subtree form.
+    combined = None
+    if ledger is not None and ledger.combined is not None:
+        combined = ledger.combined
+    elif wh.exists(COMP_LEDGER_TABLE):
+        combined = wh.read(COMP_LEDGER_TABLE)
+        if ledger is not None:
+            ledger.combined = combined  # restart: seed the cache
+    other_bands = batch_bands.select(
+        "band", "bucket", F.col(id_col).alias("other_id"),
+        F.lit(False).alias("is_old"),
+    )
+    other_sh = sh_b.select(F.col(id_col).alias("other_id"),
+                           F.col("sh").alias("b_sh"))
+    if combined is not None:
+        other_bands = other_bands.unionByName(
+            combined.filter(F.col("band").isNotNull()).select(
+                "band", "bucket", F.col(id_col).alias("other_id"),
+                F.lit(True).alias("is_old"),
+            )
         )
-        va = sh_b.select(F.col(id_col).alias("a_id"),
-                         F.col("sh").alias("a_sh"))
-        vb = sh_b.select(F.col(id_col).alias("b_id"),
-                         F.col("sh").alias("b_sh"))
-        inter = F.size(F.array_intersect("a_sh", "b_sh"))
-        union = F.size("a_sh") + F.size("b_sh") - inter
-        edges_new = (
-            cands_in.join(va, "a_id").join(vb, "b_id")
-            .filter((inter / union) >= threshold)
-            .select("a_id", "b_id")
+        other_sh = other_sh.unionByName(
+            combined.filter(F.col("band").isNull()).select(
+                F.col(id_col).alias("other_id"),
+                F.col("sh").alias("b_sh"),
+            )
         )
+    cands = (
+        batch_bands.select(
+            "band", "bucket", F.col(id_col).alias("new_id")
+        )
+        .join(other_bands, ["band", "bucket"])
+        .filter(F.col("is_old") | (F.col("other_id") < F.col("new_id")))
+        .select("new_id", "other_id")
+        .distinct()
+    )
+    an = sh_b.select(F.col(id_col).alias("new_id"),
+                     F.col("sh").alias("a_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    edges_new = (
+        cands.join(an, "new_id")
+        .join(other_sh, "other_id")
+        .filter((inter / union) >= threshold)
+        .select(
+            F.least("new_id", "other_id").alias("a_id"),
+            F.greatest("new_id", "other_id").alias("b_id"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
-        # cross-batch verified edges against the all-ingested ledger
-        combined = None
-        if ledger is not None and ledger.combined is not None:
-            combined = ledger.combined
-        elif wh.exists(COMP_LEDGER_TABLE):
-            combined = wh.read(COMP_LEDGER_TABLE)
-            if ledger is not None:
-                ledger.combined = combined  # restart: seed the cache
-        if combined is not None:
-            led_bands = combined.filter(F.col("band").isNotNull()).select(
-                "band", "bucket", F.col(id_col).alias("old_id")
-            )
-            led_sh = combined.filter(F.col("band").isNull()).select(
-                F.col(id_col).alias("old_id"), F.col("sh").alias("b_sh")
-            )
-            cands_x = (
-                batch_bands.select(
-                    "band", "bucket", F.col(id_col).alias("new_id")
-                )
-                .join(led_bands, ["band", "bucket"])
-                .select("new_id", "old_id")
-                .distinct()
-            )
-            an = sh_b.select(F.col(id_col).alias("new_id"),
-                             F.col("sh").alias("a_sh"))
-            cross_edges = (
-                cands_x.join(an, "new_id")
-                .join(led_sh, "old_id")
-                .filter((inter / union) >= threshold)
-                .select(
-                    F.col("old_id").alias("a_id"),
-                    F.col("new_id").alias("b_id"),
-                )
-            )
-            edges_new = edges_new.unionByName(cross_edges)
-        edges_new = edges_new.select(
-            F.least("a_id", "b_id").alias("a_id"),
-            F.greatest("a_id", "b_id").alias("b_id"),
+    # contract the new edges through the current view: old
+    # endpoints -> current component label, batch endpoints ->
+    # themselves.  The endpoint set is bounded by the batch's
+    # edges, so the semi-prune broadcasts.
+    endpoints = (
+        edges_new.select(F.col("a_id").alias("node"))
+        .unionByName(edges_new.select(F.col("b_id").alias("node")))
+        .distinct()
+    )
+    batch_ids = batch.select(F.col(id_col).alias("node"))
+    label_frames = [
+        batch_ids.join(F.broadcast(endpoints), "node", "left_semi")
+        .select("node", F.col("node").alias("label"))
+    ]
+    if wh.exists(COMP_ASSIGN_TABLE):
+        old_view = components_assignment(wh).select(
+            F.col(id_col).alias("node"),
+            F.col("component").alias("label"),
+        )
+        label_frames.append(
+            old_view.join(F.broadcast(endpoints), "node", "left_semi")
+        )
+    view = label_frames[0]
+    for fr in label_frames[1:]:
+        view = view.unionByName(fr)
+    la = view.select(F.col("node").alias("a_id"),
+                     F.col("label").alias("la"))
+    lb = view.select(F.col("node").alias("b_id"),
+                     F.col("label").alias("lb"))
+    cedges = (
+        edges_new.join(la, "a_id").join(lb, "b_id")
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            F.least("la", "lb").alias("src"),
+            F.greatest("la", "lb").alias("dst"),
+        )
+    )
+    # batch CC over the CONTRACTED graph — bounded by this batch's
+    # edges.  r13: the contracted delta graph is tiny by
+    # construction (bounded by the batch's edges, cliques already
+    # collapsed by label contraction), so under the same driver cap
+    # connected_components uses, ONE take() probe + exact min-label
+    # union-find replaces the full CC call — which would re-run its
+    # own hook/contract pre-pass (explode + groupBy + double join +
+    # distinct, each an Exchange and an AQE sub-job) on an
+    # already-contracted graph.  Past the cap the distributed CC
+    # remains the route, so the 100 TB posture is unchanged.
+    driver_cap = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES",
+                                    "500000"))
+    probe = cedges.take(driver_cap + 1)
+    if len(probe) <= driver_cap:
+        lab = min_label_union_find(probe)
+        delta_rows = sorted(
+            (int(n), int(v)) for n, v in lab.items() if n != v
+        )
+        delta_map = wh.spark.createDataFrame(
+            delta_rows, _REMAP_SCHEMA,
+        )
+        delta_empty = not delta_rows
+    else:
+        cedges = cedges.select(
+            F.col("src").alias("a_id"), F.col("dst").alias("b_id")
         ).localCheckpoint(eager=False)
-
-        # contract the new edges through the current view: old
-        # endpoints -> current component label, batch endpoints ->
-        # themselves.  The endpoint set is bounded by the batch's
-        # edges, so the semi-prune broadcasts.
-        endpoints = (
-            edges_new.select(F.col("a_id").alias("node"))
-            .unionByName(edges_new.select(F.col("b_id").alias("node")))
-            .distinct()
-        )
-        batch_ids = batch.select(F.col(id_col).alias("node"))
-        label_frames = [
-            batch_ids.join(F.broadcast(endpoints), "node", "left_semi")
-            .select("node", F.col("node").alias("label"))
-        ]
-        if wh.exists(COMP_ASSIGN_TABLE):
-            old_view = components_assignment(wh).select(
-                F.col(id_col).alias("node"),
-                F.col("component").alias("label"),
-            )
-            label_frames.append(
-                old_view.join(F.broadcast(endpoints), "node", "left_semi")
-            )
-        view = label_frames[0]
-        for fr in label_frames[1:]:
-            view = view.unionByName(fr)
-        la = view.select(F.col("node").alias("a_id"),
-                         F.col("label").alias("la"))
-        lb = view.select(F.col("node").alias("b_id"),
-                         F.col("label").alias("lb"))
-        cedges = (
-            edges_new.join(la, "a_id").join(lb, "b_id")
-            .filter(F.col("la") != F.col("lb"))
-            .select(
-                F.least("la", "lb").alias("a_id"),
-                F.greatest("la", "lb").alias("b_id"),
-            )
-            .localCheckpoint(eager=False)
-        )
         cnodes = (
             cedges.select(F.col("a_id").alias("n"))
             .unionByName(cedges.select(F.col("b_id").alias("n")))
             .distinct()
         )
-        # batch CC over the CONTRACTED graph — bounded by this batch's
-        # edges; its driver-side convergence loop is a micro-job
         delta_map = (
             connected_components(cedges, cnodes, id_col="n")
             .filter(F.col("n") != F.col("component"))
@@ -269,10 +297,20 @@ def process_components_batch(
             )
             .localCheckpoint(eager=False)
         )
+        delta_empty = False
 
-        # batch docs land with their FINAL post-fold label (so they
-        # never need a remap row of their own); a batch doc absent from
-        # delta_map keeps itself as label
+    # batch docs land with their FINAL post-fold label (so they
+    # never need a remap row of their own); a batch doc absent from
+    # delta_map keeps itself as label.  When the fold changed no
+    # labels the join is skipped outright — the assign rows are the
+    # ids themselves.
+    if delta_empty:
+        batch_assign = batch_ids.select(
+            F.col("node").alias(id_col),
+            F.col("node").alias("label0"),
+            F.lit(int(epoch_id)).cast("long").alias("epoch"),
+        )
+    else:
         batch_assign = (
             batch_ids.join(
                 F.broadcast(delta_map),
@@ -284,11 +322,16 @@ def process_components_batch(
                 F.lit(int(epoch_id)).cast("long").alias("epoch"),
             )
         )
-        # remap fold: existing entries pointer-jump through delta_map
-        # (keeps the dim flat); changed OLD labels add new entries —
-        # batch-origin labels are excluded (their docs carry the final
-        # label directly).  Key-disjoint by construction: delta keys
-        # are CURRENT labels, which are never existing remap keys.
+    # remap fold: existing entries pointer-jump through delta_map
+    # (keeps the dim flat); changed OLD labels add new entries —
+    # batch-origin labels are excluded (their docs carry the final
+    # label directly).  Key-disjoint by construction: delta keys
+    # are CURRENT labels, which are never existing remap keys.
+    # r13: an empty delta leaves the remap EXACTLY as it was
+    # (jumped == old_remap, no new entries), so the rewrite — one
+    # staged table replace plus a join, every fold — is skipped.
+    new_remap = None
+    if not delta_empty:
         if wh.exists(COMP_REMAP_TABLE):
             old_remap = wh.read(COMP_REMAP_TABLE)
         else:
@@ -307,44 +350,43 @@ def process_components_batch(
             )
         )
         new_entries = delta_map.join(
-            F.broadcast(batch_ids), delta_map.from_label == batch_ids.node,
+            F.broadcast(batch_ids),
+            delta_map.from_label == batch_ids.node,
             "left_anti",
         )
         new_remap = jumped.unionByName(new_entries)
 
-        # all-ingested bands+shingles delta (band NULL = shingle rows)
-        sh_type = dict(sh_b.dtypes)["sh"]
-        band_t = dict(batch_bands.dtypes)["band"]
-        bucket_t = dict(batch_bands.dtypes)["bucket"]
-        combined_delta = batch_bands.select(
-            id_col, "band", "bucket",
-            F.lit(None).cast(sh_type).alias("sh"),
-        ).unionByName(
-            sh_b.select(
-                id_col,
-                F.lit(None).cast(band_t).alias("band"),
-                F.lit(None).cast(bucket_t).alias("bucket"),
-                "sh",
-            )
+    # all-ingested bands+shingles delta (band NULL = shingle rows)
+    sh_type = dict(sh_b.dtypes)["sh"]
+    band_t = dict(batch_bands.dtypes)["band"]
+    bucket_t = dict(batch_bands.dtypes)["bucket"]
+    combined_delta = batch_bands.select(
+        id_col, "band", "bucket",
+        F.lit(None).cast(sh_type).alias("sh"),
+    ).unionByName(
+        sh_b.select(
+            id_col,
+            F.lit(None).cast(band_t).alias("band"),
+            F.lit(None).cast(bucket_t).alias("bucket"),
+            "sh",
         )
-        if ledger is not None:
-            combined_delta = ledger.advance(combined_delta)
+    )
+    if ledger is not None:
+        combined_delta = ledger.advance(combined_delta)
 
-        sp = StagedPass(wh, GLOBAL_LANE)
-        sp.stage_append_flat(combined_delta, COMP_LEDGER_TABLE)
-        sp.stage_append_flat(
-            edges_new.withColumn(
-                "epoch", F.lit(int(epoch_id)).cast("long")
-            ),
-            COMP_EDGES_TABLE,
-        )
-        sp.stage_append_flat(batch_assign, COMP_ASSIGN_TABLE)
+    sp = StagedPass(wh, GLOBAL_LANE)
+    sp.stage_append_flat(combined_delta, COMP_LEDGER_TABLE)
+    sp.stage_append_flat(
+        edges_new.withColumn(
+            "epoch", F.lit(int(epoch_id)).cast("long")
+        ),
+        COMP_EDGES_TABLE,
+    )
+    sp.stage_append_flat(batch_assign, COMP_ASSIGN_TABLE)
+    if new_remap is not None:
         sp.stage_replace_flat(new_remap, COMP_REMAP_TABLE)
-        sp.publish()
-        return True
-    finally:
-        batch_bands.unpersist()
-        sh_b.unpersist()
+    sp.publish()
+    return True
 
 
 def stream_components_ledger(

@@ -326,39 +326,24 @@ def process_near_dup_batch(
     colliding buckets' files."""
     from ..pipeline.dedup import minhash_bands, shingle_arrays
 
-    sh_b = shingle_arrays(batch, shingle_n, text_col, id_col).persist()
+    # eager localCheckpoint, not persist (r13): both frames feed many
+    # downstream statements, and with persist every action over them
+    # re-canonicalizes the full minhash expression tree on the driver
+    # for the cache lookup — measured as multi-second driver gaps per
+    # fold.  The checkpoint truncates lineage to a leaf; the data lands
+    # in the same block-manager storage (reclaimed by the
+    # ContextCleaner when the frames go out of scope).
+    sh_b = shingle_arrays(batch, shingle_n, text_col, id_col) \
+        .localCheckpoint()
     # signatures + band buckets computed ONCE for the whole batch
     # (round-5: the in-batch pair stage previously re-derived them via
     # minhash_dedup_pairs and the ledger append derived them a second
     # time for the survivors — one full signature pipeline per batch
-    # saved); every later stage reuses this cached frame
+    # saved); every later stage reuses this checkpointed frame
     batch_bands = minhash_bands(
         batch, num_perm, bands, shingle_n, text_col, id_col,
         shingle_df=sh_b, hash_fn=hash_fn,
-    ).persist()
-
-    # in-batch candidates: band-bucket self-join, verified with exact
-    # shingle jaccard — identical semantics to minhash_dedup_pairs
-    ba = batch_bands.select("band", "bucket", F.col(id_col).alias("a_id"))
-    bb = batch_bands.select("band", "bucket", F.col(id_col).alias("b_id"))
-    cands_in = (
-        ba.join(bb, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    va = sh_b.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
-    vb = sh_b.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
-    inter_in = F.size(F.array_intersect("a_sh", "b_sh"))
-    union_in = F.size("a_sh") + F.size("b_sh") - inter_in
-    # no .distinct() on the drop sets: they only ever feed a left_anti
-    # join, which is duplicate-insensitive — each removed distinct is a
-    # removed shuffle stage per micro-batch
-    in_batch_drops = (
-        cands_in.join(va, "a_id").join(vb, "b_id")
-        .filter((inter_in / union_in) >= threshold)
-        .select(F.col("b_id").alias(id_col))
-    )
+    ).localCheckpoint()
 
     # kept-so-far ledger frames: cached across batches when the caller
     # threads a NearDupLedger, else read from the combined parquet table
@@ -375,47 +360,56 @@ def process_near_dup_batch(
             # post-restart deltas alone and silently re-admit near-dups
             # of the pre-restart corpus
             ledger.combined = combined
-    led_bands = led_sh = None
-    if combined is not None:
-        led_bands = combined.filter(F.col("band").isNotNull()).select(
-            "band", "bucket", id_col
-        )
-        led_sh = combined.filter(F.col("band").isNull()).select(id_col, "sh")
 
-    drops = in_batch_drops
-    if led_bands is not None:
-        # cross-batch candidates come from ALL batch docs, not just the
-        # in-batch survivors: a doc dropped by both rules is dropped
-        # either way, so the unioned drop set yields the identical
-        # survivor set while (a) removing the survivors->bands semi-join
-        # shuffle from the critical path and (b) making the in-batch and
-        # cross-batch subtrees independent (they evaluate in parallel)
-        cands = (
-            batch_bands.select(
-                "band", "bucket", F.col(id_col).alias("new_id")
+    # ONE unified candidate+verify pipeline (r13, guide §2.4): the
+    # in-batch band self-join (drop b when a < b verified) and the
+    # cross-batch ledger join (drop new when it matches any kept old)
+    # used to be two separate join+verify subtrees; both produce a
+    # NEW-side drop id, so the "other" side unions the batch itself
+    # (admitted only when other_id < new_id) with the kept-corpus
+    # ledger (admitted always).  Candidate sets, verify formula and the
+    # resulting drop set are identical to the two-subtree form —
+    # cross-batch candidates still come from ALL batch docs, not just
+    # in-batch survivors (a doc dropped by both rules is dropped either
+    # way).  One distinct before the verify join instead of two, one
+    # shingle-verify join tree instead of two.
+    other_bands = batch_bands.select(
+        "band", "bucket", F.col(id_col).alias("other_id"),
+        F.lit(False).alias("is_old"),
+    )
+    other_sh = sh_b.select(F.col(id_col).alias("other_id"),
+                           F.col("sh").alias("b_sh"))
+    if combined is not None:
+        other_bands = other_bands.unionByName(
+            combined.filter(F.col("band").isNotNull()).select(
+                "band", "bucket", F.col(id_col).alias("other_id"),
+                F.lit(True).alias("is_old"),
             )
-            .join(
-                led_bands.select(
-                    "band", "bucket", F.col(id_col).alias("old_id")
-                ),
-                ["band", "bucket"],
+        )
+        other_sh = other_sh.unionByName(
+            combined.filter(F.col("band").isNull()).select(
+                F.col(id_col).alias("other_id"), F.col("sh").alias("b_sh")
             )
-            .select("new_id", "old_id")
-            .distinct()
         )
-        a = sh_b.select(F.col(id_col).alias("new_id"), F.col("sh").alias("a_sh"))
-        b = led_sh.select(
-            F.col(id_col).alias("old_id"), F.col("sh").alias("b_sh")
-        )
-        inter = F.size(F.array_intersect("a_sh", "b_sh"))
-        union = F.size("a_sh") + F.size("b_sh") - inter
-        cross_drops = (
-            cands.join(a, "new_id")
-            .join(b, "old_id")
-            .filter((inter / union) >= threshold)
-            .select(F.col("new_id").alias(id_col))
-        )
-        drops = drops.unionByName(cross_drops)
+    cands = (
+        batch_bands.select("band", "bucket", F.col(id_col).alias("new_id"))
+        .join(other_bands, ["band", "bucket"])
+        .filter(F.col("is_old") | (F.col("other_id") < F.col("new_id")))
+        .select("new_id", "other_id")
+        .distinct()
+    )
+    a = sh_b.select(F.col(id_col).alias("new_id"), F.col("sh").alias("a_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    # no .distinct() on the drop set: it only ever feeds a left_anti
+    # join, which is duplicate-insensitive — each removed distinct is a
+    # removed shuffle stage per micro-batch
+    drops = (
+        cands.join(a, "new_id")
+        .join(other_sh, "other_id")
+        .filter((inter / union) >= threshold)
+        .select(F.col("new_id").alias(id_col))
+    )
     survivors = batch.join(drops, id_col, "left_anti")
 
     survivors = survivors.cache()
@@ -451,8 +445,6 @@ def process_near_dup_batch(
         wh.append(combined_delta, NEAR_DUP_LEDGER_TABLE)
     finally:
         survivors.unpersist()
-        batch_bands.unpersist()
-        sh_b.unpersist()
 
 
 def stream_near_dup_ledger(
