@@ -16,6 +16,12 @@ import os
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# the probe-then-repartition scan floor lives in pipeline/spread.py
+# (r13) so the text stack shares one implementation with the ANN
+# scoring fan-out (here the amplification is the 63x broadcast-codebook
+# row blowup; there it is the gram/shingle explode)
+from .spread import spread as _spread
+
 QUANT = 1_000_000  # 1e6 quantization: 64-dim unit vectors -> dot < 6.5e13
 
 
@@ -1763,22 +1769,6 @@ def ivf_nprobe_tuning(
         )
         out = row if out is None else out.unionByName(row)
     return out
-
-
-def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Hash-repartition ``df`` up to cluster parallelism when its scan
-    produced fewer partitions (r13, guide §2.5 input skew: a bounded
-    corpus arriving as one parquet row group is ONE split, so the k- or
-    code-amplified scoring that follows — 63x row amplification through
-    the broadcast codebook join — runs on a single core).  Keyed on the
-    unique id column, so the placement is deterministic under task
-    retries (guide §2.5 on rand-derived keys).  At scale the scan
-    already yields >= parallelism splits and this is a no-op — the
-    probe is plan metadata, no job."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target, F.col(key))
 
 
 def _pq_subvecs(vcol: Column, m: int) -> Column:

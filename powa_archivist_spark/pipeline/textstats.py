@@ -8,6 +8,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# scan-parallelism floor before CPU-heavy tokenize/gram-explode stages
+# (r13, guide §2.5/§6): a one-row-group corpus is ONE split, so without
+# it the whole quality stack runs its map work on a single core;
+# no-op at scale (see pipeline/spread.py)
+from .spread import spread
+
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "a", "of", "and"],
@@ -325,7 +331,8 @@ def quality_gate(docs: DataFrame, text_col: str = "text",
     dedup passes.  NULL-text docs get keep=false with reason
     'null_text' (consistent with the repetition NULL contract)."""
     th = {**DEFAULT_GATE, **(thresholds or {})}
-    rep = repetition_stats(docs, text_col, id_col, keep=(text_col,))
+    rep = repetition_stats(spread(docs, id_col), text_col, id_col,
+                           keep=(text_col,))
     text = F.col(text_col)
     toks = F.split(F.trim(text), r"\s+")
     # NULL text -> NULL counters (not size()'s -1 sentinel), matching
@@ -569,7 +576,7 @@ def classifier_score(docs: DataFrame, weights: DataFrame,
     model-based form both sitting before the dedup passes)."""
     from .dedup import cross_engine_hash64
 
-    feats = docs.select(
+    feats = spread(docs, id_col).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     ).select(
@@ -670,7 +677,8 @@ def ngram_perplexity(
     # sub-threshold bigram tail for nothing (r9 A/B: +25% on the
     # quality-ensemble stack that embeds this model).
     gram_counts = (
-        train.select(F.explode(F.concat(toks, pair_arr)).alias("gram"))
+        spread(train, id_col)
+        .select(F.explode(F.concat(toks, pair_arr)).alias("gram"))
         .groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
         .filter(~is_bigram | (F.col("c") >= min_count))
         .localCheckpoint(eager=False)
@@ -683,7 +691,7 @@ def ngram_perplexity(
         F.col("gram").alias("pair"), F.col("c").alias("c_ab")
     )
 
-    occ = docs.select(
+    occ = spread(docs, id_col).select(
         F.col(id_col),
         F.explode(pair_arr).alias("pair"),
     ).select(
@@ -781,7 +789,7 @@ def dsir_model(docs: DataFrame, target_docs: DataFrame | None = None,
                 lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        return df.select(
+        return spread(df, text_col).select(
             F.explode(F.concat(toks, pairs)).alias("gram")
         ).select(
             (cross_engine_hash64(F.col("gram")) % n_buckets)
@@ -799,7 +807,7 @@ def dsir_model(docs: DataFrame, target_docs: DataFrame | None = None,
                 lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        feats = docs.select(
+        feats = spread(docs, text_col).select(
             target_pred.alias("_t"),
             F.explode(F.concat(toks, pairs)).alias("gram"),
         ).select(
@@ -882,7 +890,7 @@ def dsir_select(docs: DataFrame, model: DataFrame,
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = docs.select(
+    feats = spread(docs, id_col).select(
         F.col(id_col),
         F.explode(F.concat(toks, pairs)).alias("gram"),
     ).select(
@@ -967,7 +975,8 @@ def ngram_perplexity_interpolated(
 
     is_bigram = F.col("gram").contains(" ")
     gram_counts = (
-        train.select(F.explode(F.concat(toks, pair_arr)).alias("gram"))
+        spread(train, id_col)
+        .select(F.explode(F.concat(toks, pair_arr)).alias("gram"))
         .groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
         .filter(~is_bigram | (F.col("c") >= min_count))
         .localCheckpoint(eager=False)
@@ -986,7 +995,7 @@ def ngram_perplexity_interpolated(
         F.sum("c_a").alias("n"), (F.count(F.lit(1)) + 1).alias("v")
     )
 
-    occ = docs.select(
+    occ = spread(docs, id_col).select(
         F.col(id_col),
         F.explode(pair_arr).alias("pair"),
     ).select(

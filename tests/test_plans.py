@@ -356,14 +356,20 @@ def test_dataset_split_zero_shuffles(spark):
 def test_quality_gate_is_map_only(spark):
     """The composed keep/drop verdict must stay a single map-only
     select: repetition fractions thread the text through instead of
-    joining two projections of the same scan."""
+    joining two projections of the same scan.  r13: one scan-floor
+    exchange is allowed — pipeline/spread.py hash-repartitions a
+    below-parallelism scan (this test's one-row-group file) before the
+    heavy per-row work; at scale the probe is a no-op and the plan is
+    exchange-free again.  No joins, no windows either way."""
     from powa_archivist_spark.pipeline import textstats
 
     docs = spark.read.parquet(SF + "/documents.parquet").select(
         "doc_id", "text"
     )
     out = textstats.quality_gate(docs)
-    assert pi.exchange_count(out) == 0
+    assert pi.exchange_count(out) <= 1      # the spread scan floor only
+    assert pi.broadcast_join_count(out) == 0
+    assert pi.sort_merge_join_count(out) == 0
     assert pi.window_count(out) == 0
     assert not pi.has_cartesian(out)
 
@@ -484,8 +490,10 @@ def test_fuzzy_decontam_broadcasts_eval_side(spark):
 def test_classifier_score_broadcasts_model(spark):
     """Model-based quality filter: the weight table (n_buckets rows)
     must arrive broadcast onto the exploded token stream — never a
-    sort-merge join — and the only exchange is the per-doc sum (one
-    hashpartitioning; partial agg makes it ~one row per doc)."""
+    sort-merge join — and the corpus-side exchanges are the per-doc sum
+    (one hashpartitioning; partial agg makes it ~one row per doc) plus,
+    on a below-parallelism scan like this test's one-row-group file,
+    the pipeline/spread.py scan floor (a no-op at scale)."""
     from powa_archivist_spark.pipeline import textstats
 
     docs = spark.read.parquet(SF + "/documents.parquet").select(
@@ -495,7 +503,7 @@ def test_classifier_score_broadcasts_model(spark):
     out = textstats.classifier_score(docs, w, n_buckets=512)
     assert pi.broadcast_join_count(out) == 1
     assert pi.sort_merge_join_count(out) == 0
-    assert pi.exchange_count(out) == 1
+    assert pi.exchange_count(out) <= 2
     assert pi.window_count(out) == 0
 
 
