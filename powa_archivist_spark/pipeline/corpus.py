@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import cross_engine_hash64, exact_dedup, near_dup_keep
+from .spread import spread
 
 
 def corpus_prep(
@@ -1243,14 +1244,18 @@ def decontaminate_excise(
                           F.col("g.gh").alias("gh"))
 
     ev = gram_hash(eval_docs).select("gh").distinct()
-    hits = gram_hash(docs).join(F.broadcast(ev), "gh")
+    # spread the CORPUS-side gram stream and token stream (r13): both
+    # otherwise run their tokenize/hash map work in the one-split scan
+    # stage; the (tiny, broadcast) eval side stays as scanned
+    hits = gram_hash(spread(docs, id_col)).join(F.broadcast(ev), "gh")
     covered = hits.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos"),
                              F.col("pos") + F.lit(n - 1))).alias("cpos"),
     ).distinct()
 
-    tok_rows = docs.filter(F.col(text_col).isNotNull()).select(
+    tok_rows = spread(docs.filter(F.col(text_col).isNotNull()),
+                      id_col).select(
         F.col(id_col), F.posexplode(toks).alias("pos", "tok")
     )
     joined = tok_rows.join(
@@ -1327,7 +1332,12 @@ def substring_dedup_excise(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,gh:long>>"))
-    grams = docs.select(F.col(id_col), F.explode(g).alias("g")).select(
+    # spread before the gram explode (r13, guide §2.5/§6): the
+    # per-position tokenize + hash map work otherwise runs in the
+    # one-split scan stage; no-op at scale (see pipeline/spread.py)
+    grams = spread(docs, id_col).select(
+        F.col(id_col), F.explode(g).alias("g")
+    ).select(
         F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")
     )
     dup_owner = (
@@ -1348,7 +1358,8 @@ def substring_dedup_excise(
                              F.col("pos") + F.lit(k - 1))).alias("cpos"),
     ).distinct()
 
-    tok_rows = docs.filter(F.col(text_col).isNotNull()).select(
+    tok_rows = spread(docs.filter(F.col(text_col).isNotNull()),
+                      id_col).select(
         F.col(id_col), F.posexplode(toks).alias("pos", "tok")
     )
     joined = tok_rows.join(

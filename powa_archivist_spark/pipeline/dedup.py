@@ -24,6 +24,13 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# scan-parallelism floor before the shingle/gram explode stages (r13,
+# guide §2.5/§6): a one-row-group corpus is ONE split, so without it
+# the tokenize/shingle/minhash map work runs on a single core; no-op
+# at scale (see pipeline/spread.py).  Batch paths only — streaming
+# folds pass pre-checkpointed micro-frames and skip it.
+from .spread import spread
+
 _LOG = logging.getLogger(__name__)
 
 
@@ -167,7 +174,10 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     bitmask route's mask grouping IS a distinct-set collapse already
     (equal masks == equal sets), so a second digest pass there is pure
     overhead (r9 A/B: +25% on the probe-declared queries)."""
-    toks = token_sets(docs, text_col, id_col)
+    # spread before tokenize/collapse (r13): the split +
+    # array_distinct + set-digest partial agg otherwise runs in
+    # the one-split scan stage (see pipeline/spread.py)
+    toks = token_sets(spread(docs, id_col), text_col, id_col)
     if strategy != "prefix":
         vocab = _probe_vocab(toks, strategy)
         if vocab is not None and _masks_fit_bitmask(toks, vocab, id_col,
@@ -383,7 +393,10 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.8,
     the doc-level pairs instead: its mask grouping already collapses
     identical sets during pair generation, and the tiny corpora it
     serves don't profit from a second digest pass (r9)."""
-    toks = token_sets(docs, text_col, id_col)
+    # spread before tokenize/collapse (r13): the split +
+    # array_distinct + set-digest partial agg otherwise runs in
+    # the one-split scan stage (see pipeline/spread.py)
+    toks = token_sets(spread(docs, id_col), text_col, id_col)
     if strategy != "prefix":
         vocab = _probe_vocab(toks, strategy)
         if vocab is not None and _masks_fit_bitmask(toks, vocab, id_col,
@@ -762,7 +775,14 @@ def minhash_signatures(
     sh_arr = (
         shingle_df
         if shingle_df is not None
-        else shingle_arrays(docs, shingle_n, text_col, id_col)
+        # scan-parallelism floor (r13, guide §2.5/§6): a one-row-group
+        # corpus is ONE split, and the explode + num_perm MIN partial
+        # aggs below run in the SCAN stage — serial without it.  Only
+        # on the derive-our-own-shingles batch path: streaming folds
+        # pass their (tiny, checkpointed) shingle_df and must not pay
+        # a 32-way exchange per micro-batch.
+        else shingle_arrays(spread(docs, id_col), shingle_n, text_col,
+                            id_col)
     )
     sh = sh_arr.select(F.col(id_col), F.explode("sh").alias("shingle"))
     if hash_fn == "md5":
@@ -906,8 +926,19 @@ def lsh_truth_pairs(docs: DataFrame, threshold: float = 0.8,
     computes exact SHINGLE jaccard with all its prefix/length prunes;
     shingle-less docs (< n tokens) are outside the relation, exactly as
     they are invisible to LSH."""
-    sh = shingle_arrays(docs, shingle_n, text_col, id_col)
-    glued = sh.filter(F.size("sh") > 0).select(
+    # spread before shingling: the glue + downstream PPJoin token_sets
+    # map work otherwise runs in the one-split scan stage (r13).  The
+    # shingle-bearing filter is applied BELOW the spread as its exact
+    # raw-column equivalent (size(sh) > 0 iff the doc has >= n tokens;
+    # NULL text fails both forms), so it pushes to the scan as a cheap
+    # split-length check instead of dragging the full shingle transform
+    # down with it.
+    eligible = docs.filter(
+        F.size(F.split(F.col(text_col), " ")) >= shingle_n
+    )
+    sh = shingle_arrays(spread(eligible, id_col), shingle_n, text_col,
+                        id_col)
+    glued = sh.select(
         F.col(id_col),
         F.concat_ws(
             " ", F.transform("sh", lambda s: F.translate(s, " ", "\x01"))
@@ -930,17 +961,42 @@ def lsh_tuning(
     (num_perm, bands) configuration against ONE shared exact truth
     relation — more bands/fewer rows-per-band raises collision
     probability (recall up, precision down), and this sweep is how a
-    deployment picks its point on that curve.  One row per config."""
+    deployment picks its point on that curve.  One row per config.
+
+    The minhash SIGNATURE is computed once per distinct num_perm and
+    shared across its band configs (r13, guide §1.2 remove-redundant-
+    work): banding is a cheap slice+hash over the signature
+    (:func:`_band_rows`), while the signature itself is the expensive
+    shingle-explode + num_perm-MIN aggregate — the default sweep holds
+    num_perm fixed at 32, so this cuts the signature work 3x with
+    bit-identical candidates per config."""
     from functools import reduce
 
     truth = lsh_truth_pairs(docs, threshold, shingle_n, text_col,
                             id_col).localCheckpoint(eager=False)
+    sigs: dict[int, DataFrame] = {}
     frames = []
     for num_perm, bands in band_configs:
+        if num_perm % bands != 0:
+            # keep minhash_bands' non-divisible-config contract
+            raise ValueError(
+                f"num_perm ({num_perm}) must be divisible by bands"
+                f" ({bands}): a non-divisible config silently ignores"
+                f" the trailing {num_perm % bands} signature values"
+            )
+        if num_perm not in sigs:
+            sigs[num_perm] = minhash_signatures(
+                docs, num_perm, shingle_n, text_col, id_col,
+                hash_fn=hash_fn,
+            ).localCheckpoint(eager=False)
+        cands = _band_collisions(
+            _band_rows(sigs[num_perm], num_perm, bands, hash_fn, id_col),
+            id_col,
+        ).distinct()
         r = minhash_lsh_recall(
             docs, threshold=threshold, num_perm=num_perm, bands=bands,
             shingle_n=shingle_n, text_col=text_col, id_col=id_col,
-            hash_fn=hash_fn, truth=truth,
+            hash_fn=hash_fn, truth=truth, cands=cands,
         )
         frames.append(r.select(
             F.lit(num_perm).cast("long").alias("num_perm"),
@@ -960,6 +1016,7 @@ def minhash_lsh_recall(
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
     truth: DataFrame | None = None,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """Measured candidate recall/precision of the banded MinHash-LSH
     against exact shingle-Jaccard ground truth — the dedup family's
@@ -984,10 +1041,14 @@ def minhash_lsh_recall(
         truth = lsh_truth_pairs(docs, threshold, shingle_n,
                                 text_col, id_col)
     truth = truth.select("a_id", "b_id").localCheckpoint(eager=False)
-    cands = minhash_lsh_candidates(
-        docs, num_perm, bands, shingle_n, text_col, id_col,
-        hash_fn=hash_fn,
-    ).localCheckpoint(eager=False)
+    if cands is None:
+        # ``cands`` lets a tuning sweep (`lsh_tuning`) derive each
+        # config's candidates from ONE shared signature frame (r13)
+        cands = minhash_lsh_candidates(
+            docs, num_perm, bands, shingle_n, text_col, id_col,
+            hash_fn=hash_fn,
+        )
+    cands = cands.localCheckpoint(eager=False)
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_cand = cands.agg(F.count(F.lit(1)).alias("n_cand"))
     n_hit = truth.join(cands, ["a_id", "b_id"]).agg(
@@ -1037,7 +1098,10 @@ def minhash_dedup_pairs(
     sh = (
         shingle_df
         if shingle_df is not None
-        else shingle_arrays(docs, shingle_n, text_col, id_col).persist()
+        # spread before shingling (r13): the persisted frame is built
+        # by a one-split scan stage otherwise — see minhash_signatures
+        else shingle_arrays(spread(docs, id_col), shingle_n, text_col,
+                            id_col).persist()
     )
     cands = minhash_lsh_candidates(
         docs, num_perm, bands, shingle_n, text_col, id_col,
@@ -1374,7 +1438,7 @@ def simhash(docs: DataFrame, text_col: str = "text",
         # bit 63 of a signed 64-bit mask is the sign bit
         return (1 << k) if k < 63 else -(1 << 63)
 
-    toks = docs.select(
+    toks = spread(docs, id_col).select(
         F.col(id_col),
         F.explode_outer(F.array_distinct(F.split(F.col(text_col), " "))).alias(
             "tok"
@@ -1488,7 +1552,9 @@ def duplicate_spans(docs: DataFrame, k: int = 5, min_docs: int = 2,
     "md5" twin here ONLY because the oracle replays it; pass
     "xxhash64" in production like every other sketch operator."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = docs.select(
+    # spread before the gram explode (r13): the per-position tokenize +
+    # hash map work otherwise runs in the one-split scan stage
+    grams = spread(docs, id_col).select(
         F.col(id_col),
         F.explode(
             F.when(

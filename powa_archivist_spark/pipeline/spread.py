@@ -27,8 +27,25 @@ from pyspark.sql import functions as F
 
 def spread(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition ``df`` up to cluster parallelism when its plan
-    currently yields fewer partitions; identity otherwise."""
+    currently yields fewer partitions; identity otherwise.
+
+    The constant-true ``spark_partition_id() >= 0`` filter above the
+    exchange is a PREDICATE-PUSHDOWN BARRIER (r13): Catalyst pushes
+    filters on derived columns — including the ``size(..) > 0 AND
+    isnotnull(..)`` predicates InferFiltersFromGenerate synthesizes
+    under every explode — through RepartitionByExpression by
+    substituting the full defining expression, which lands the heavy
+    shingle/gram compute back in the one-split scan stage this exchange
+    exists to escape (measured: the whole minhash/PPJoin map work
+    serialized below the exchange).  Predicates cannot reorder across a
+    nondeterministic filter, so work stays above; the barrier itself
+    evaluates one integer comparison per row.  Caller-side filters on
+    raw scan columns sit BELOW the spread in the plan (they are applied
+    to ``df`` before it is passed in) and still reach the parquet
+    scan."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(target, F.col(key))
+    return df.repartition(target, F.col(key)).where(
+        F.spark_partition_id() >= 0
+    )

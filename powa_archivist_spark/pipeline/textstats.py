@@ -398,7 +398,7 @@ def winnow_fingerprints(docs: DataFrame, shingle_n: int = 5,
     # `hashes` expression inside the window-min lambda would inline (and
     # recompute) the whole O(L) hashing per window position — O(L^2)
     # digests per doc, measured ~20x slower
-    step = docs.select(F.col(id_col), hashes.alias("_hs"))
+    step = spread(docs, id_col).select(F.col(id_col), hashes.alias("_hs"))
     n_win = F.greatest(F.size("_hs") - (window - 1), F.lit(0))
     mins = F.transform(
         F.sequence(F.lit(1), n_win),
