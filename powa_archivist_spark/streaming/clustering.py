@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline.similarity import assign_to_centers, kmeans, quantized
+from ..pipeline.spread import spread
 from ..session import narrow_engine_pass
 from ..storage import Warehouse
 
@@ -97,7 +98,9 @@ def process_kmeans_batch(
         if seen:
             return False
 
-    vecs = batch.select(
+    # spread before the vector quantization map (r13, guide §2.5):
+    # serial one-split batches otherwise; probe-gated
+    vecs = spread(batch, id_col).select(
         F.col(id_col).alias("vec_id"),
         quantized(F.col(vec_col)).alias("v"),
     ).withColumn("epoch", F.lit(int(epoch_id)).cast("long"))

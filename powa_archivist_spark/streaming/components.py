@@ -70,6 +70,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..pipeline.spread import spread
 from ..session import narrow_engine_pass
 from ..storage import Warehouse
 from .dedup import NearDupLedger
@@ -152,8 +153,13 @@ def process_components_batch(
     # driver for the cache lookup — measured as multi-second driver
     # gaps per fold.  The checkpoint truncates lineage to a leaf; the
     # data lands in the same block-manager storage.
-    sh_b = shingle_arrays(batch, shingle_n, text_col, id_col) \
-        .localCheckpoint()
+    # spread before the shingle transform (r13, guide §2.5): a batch
+    # cut from a few parquet splits runs the whole shingle + minhash
+    # map serially otherwise; the eager checkpoint then pins the
+    # parallel layout for every downstream statement.  Probe-gated —
+    # a many-file micro-batch skips the exchange.
+    sh_b = shingle_arrays(spread(batch, id_col), shingle_n, text_col,
+                          id_col).localCheckpoint()
     batch_bands = minhash_bands(
         batch, num_perm, bands, shingle_n, text_col, id_col,
         shingle_df=sh_b, hash_fn=hash_fn,

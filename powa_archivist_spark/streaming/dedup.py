@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline.dedup import normalized_text
+from ..pipeline.spread import spread
 from ..session import narrow_engine_pass
 from ..storage import Warehouse
 from .ingest import with_epoch_marker as _with_epoch_marker
@@ -333,8 +334,10 @@ def process_near_dup_batch(
     # fold.  The checkpoint truncates lineage to a leaf; the data lands
     # in the same block-manager storage (reclaimed by the
     # ContextCleaner when the frames go out of scope).
-    sh_b = shingle_arrays(batch, shingle_n, text_col, id_col) \
-        .localCheckpoint()
+    # spread before the shingle transform (r13, guide §2.5) — see the
+    # components fold: serial one-split batches otherwise
+    sh_b = shingle_arrays(spread(batch, id_col), shingle_n, text_col,
+                          id_col).localCheckpoint()
     # signatures + band buckets computed ONCE for the whole batch
     # (round-5: the in-batch pair stage previously re-derived them via
     # minhash_dedup_pairs and the ledger append derived them a second

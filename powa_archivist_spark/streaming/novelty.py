@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline.corpus import _word_ngrams
+from ..pipeline.spread import spread
 from ..session import narrow_engine_pass
 from ..storage import Warehouse
 
@@ -76,8 +77,10 @@ def process_novelty_batch(
         )
         if seen:
             return False
+    # spread before the gram explode (r13, guide §2.5) — see the
+    # postings fold: serial one-split batches otherwise
     grams = (
-        _word_ngrams(batch, n, text_col, id_col)
+        _word_ngrams(spread(batch, id_col), n, text_col, id_col)
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -39,6 +39,7 @@ from ..pipeline.textstats import (
     bm25_postings,
     bm25_wand_from_index,
 )
+from ..pipeline.spread import spread
 from ..session import narrow_engine_pass
 from ..storage import Warehouse
 
@@ -74,7 +75,11 @@ def process_postings_batch(
         if seen:
             return False
     toks = F.split(F.col(text_col), " ")
-    post = bm25_postings(batch, text_col, id_col).withColumn(
+    # spread before the postings explode (r13, guide §2.5): a batch cut
+    # from few parquet splits runs the tokenize + explode + partial
+    # count serially otherwise; probe-gated no-op for many-file batches
+    post = bm25_postings(spread(batch, id_col), text_col,
+                         id_col).withColumn(
         "epoch", F.lit(int(epoch_id)).cast("long")
     )
     stats = batch.select(F.size(toks).alias("dlen")).agg(
