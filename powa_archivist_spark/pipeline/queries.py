@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..queries import t
 from . import dedup, multimodal, similarity, textstats
+from .spread import spread
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2625,8 +2626,12 @@ def multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests, per-blob shared-chunk/byte counts.  The oracle replays
     boundaries, chunk slicing, digests, and reference counting."""
     docs = t(spark, sf_dir, "documents")
+    # spread before the per-byte rolling-hash expressions (r13, guide
+    # §2.5/§6): the boundary md5 per byte position is the operator's
+    # hot loop and otherwise runs in the one-split scan stage
     return multimodal.cdc_dedup_stats(
-        multimodal.with_payload(docs), window_bytes=8, divisor=64
+        spread(multimodal.with_payload(docs), "doc_id"),
+        window_bytes=8, divisor=64,
     ).orderBy("doc_id")
 
 
@@ -2730,7 +2735,11 @@ def multimodal_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to tokenize.  md5 cross-engine family so the oracle replays shingle
     -> 32 permutations -> 8 bands -> candidate join -> exact verify."""
     docs = t(spark, sf_dir, "documents")
-    wp = multimodal.with_payload(docs)
+    # spread before the hex/window shingle expressions and the minhash
+    # aggregate they feed (r13, guide §2.5/§6) — the byte-shingle path
+    # passes shingle_df explicitly, so dedup's own scan floor never
+    # fires for it
+    wp = spread(multimodal.with_payload(docs), "doc_id")
     sh = multimodal.binary_shingles(wp)
     return dedup.minhash_dedup_pairs(
         wp, threshold=0.8, hash_fn="md5", shingle_df=sh

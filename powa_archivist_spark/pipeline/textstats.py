@@ -1092,8 +1092,13 @@ def bm25_search(docs: DataFrame, n_queries: int = 5,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dlen").alias("sum_dlen"),
     )
+    # spread before the postings explode (r13, guide §2.5/§6): the
+    # tokenize + explode + partial count agg otherwise run in the
+    # one-split scan stage.  The stats aggregate stays on the raw scan
+    # (two cheap column reads).  Streaming postings folds call
+    # bm25_postings directly and skip this.
     return bm25_from_postings(
-        bm25_postings(docs, text_col, id_col), stats,
+        bm25_postings(spread(docs, id_col), text_col, id_col), stats,
         n_queries=n_queries, terms_per_query=terms_per_query,
         k=k, k1=k1, b=b, id_col=id_col, path=path,
     )
@@ -1389,9 +1394,9 @@ def bm25_rm3(docs: DataFrame, n_queries: int = 5,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dlen").alias("sum_dlen"),
     )
-    term = bm25_postings(docs, text_col, id_col).localCheckpoint(
-        eager=False
-    )
+    # spread before the postings explode (r13) — see bm25_search
+    term = bm25_postings(spread(docs, id_col), text_col,
+                         id_col).localCheckpoint(eager=False)
     qterms = _bm25_workload(term, n_queries, terms_per_query)
     fb = score(
         term, stats, qterms, k=fb_docs, k1=k1, b=b, id_col=id_col
@@ -1644,7 +1649,11 @@ def bm25_wand(docs: DataFrame, n_queries: int = 5,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dlen").alias("sum_dlen"),
     )
-    term = bm25_postings(docs, text_col, id_col)
+    # spread before the postings explode (r13) — see bm25_search; the
+    # lazy checkpoint stops the workload probe and the impact-index
+    # build from each re-running the corpus explode (the rm3 shape)
+    term = bm25_postings(spread(docs, id_col), text_col,
+                         id_col).localCheckpoint(eager=False)
     qterms = _bm25_workload(term, n_queries, terms_per_query,
                             strategy=workload)
     index = bm25_impact_index(
