@@ -5258,52 +5258,23 @@ def corpus_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensemble adds three keyed left joins on doc_id."""
     docs = t(spark, sf_dir, "documents")
     # same thresholds as the declared corpus_quality_gate (whose oracle
-    # this ensemble's qg CTE reuses verbatim)
-    gate = textstats.quality_gate(docs, thresholds={
-        "min_tokens": 20,
-        "max_tokens": 100_000,
-        "min_distinct_ratio": 0.35,
-        "max_dup_2gram_frac": 0.55,
-        "max_top_token_frac": 0.45,
-    }).select("doc_id", F.col("keep").alias("heuristic_pass"))
-    w = textstats.classifier_weights(spark, n_buckets=512)
-    cls = textstats.classifier_score(
-        docs, w, threshold_num=-534, threshold_den=2
-    ).select("doc_id", F.col("quality_pass").alias("classifier_pass"))
-    ppl = textstats.ngram_perplexity(
-        docs, train_docs=docs.filter(F.col("doc_id") % 5 != 0)
-    ).select(
-        "doc_id",
-        (F.col("sum_bits") * 2 <= F.lit(9) * F.col("n_bigrams"))
-        .alias("ppl_pass"),
-    )
-    model = textstats.dsir_model(
-        docs, target_pred=F.col("doc_id") % 5 == 0)
-    ds = textstats.dsir_select(
-        docs, model, threshold_num=-1, threshold_den=5
-    ).select("doc_id", F.col("keep").alias("dsir_pass"))
-    out = (
-        gate.join(cls, "doc_id", "left")
-        .join(ppl, "doc_id", "left")
-        .join(ds, "doc_id", "left")
-        .select(
-            "doc_id",
-            "heuristic_pass",
-            F.coalesce("classifier_pass", F.lit(False))
-            .alias("classifier_pass"),
-            F.coalesce("ppl_pass", F.lit(False)).alias("ppl_pass"),
-            F.coalesce("dsir_pass", F.lit(False)).alias("dsir_pass"),
-        )
-    )
-    votes = sum(
-        F.col(c).cast("int")
-        for c in ("heuristic_pass", "classifier_pass", "ppl_pass",
-                  "dsir_pass")
-    )
-    return out.select(
-        "*",
-        votes.cast("long").alias("n_passed"),
-        (votes == 4).alias("keep_all"),
+    # this ensemble's qg CTE reuses verbatim); r13: the four legs run
+    # through textstats.quality_ensemble — bit-identical verdicts
+    # (oracle replays the unfused SQL) from 3 corpus passes instead of
+    # 6 and one per-doc exchange instead of three
+    return textstats.quality_ensemble(
+        docs,
+        weights=textstats.classifier_weights(spark, n_buckets=512),
+        target_pred=F.col("doc_id") % 5 == 0,
+        thresholds={
+            "min_tokens": 20,
+            "max_tokens": 100_000,
+            "min_distinct_ratio": 0.35,
+            "max_dup_2gram_frac": 0.55,
+            "max_top_token_frac": 0.45,
+        },
+        cls_threshold_num=-534, cls_threshold_den=2,
+        dsir_threshold_num=-1, dsir_threshold_den=5,
     )
 
 

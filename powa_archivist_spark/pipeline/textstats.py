@@ -834,7 +834,19 @@ def dsir_model(docs: DataFrame, target_docs: DataFrame | None = None,
         t_total = t_counts.agg(F.sum("c_t").alias("t_tot"))
         r_total = r_counts.agg(F.sum("c_r").alias("r_tot"))
 
-    spark = docs.sparkSession
+    return _dsir_weight_table(
+        docs.sparkSession, t_counts, r_counts, t_total, r_total, n_buckets
+    )
+
+
+def _dsir_weight_table(spark, t_counts: DataFrame, r_counts: DataFrame,
+                       t_total: DataFrame, r_total: DataFrame,
+                       n_buckets: int) -> DataFrame:
+    """Compose the term-wise whole-bit importance weights from bucket
+    count tables — the tail of :func:`dsir_model`, shared with the
+    fused :func:`quality_ensemble` build (r13), which derives the same
+    counts from its gram-level count table instead of a second corpus
+    pass."""
     all_buckets = spark.range(n_buckets).select(
         F.col("id").cast("int").alias("bucket"))
     b = F.lit(int(n_buckets))
@@ -910,6 +922,179 @@ def dsir_select(docs: DataFrame, model: DataFrame,
         F.col(id_col), "n_feats", "dsir_weight",
         (F.col("dsir_weight") * F.lit(int(threshold_den))
          >= F.lit(int(threshold_num)) * F.col("n_feats")).alias("keep"),
+    )
+
+
+def quality_ensemble(docs: DataFrame, weights: DataFrame,
+                     target_pred: Column,
+                     thresholds: dict | None = None,
+                     n_buckets: int = 512,
+                     cls_threshold_num: int = 0,
+                     cls_threshold_den: int = 1,
+                     ppl_min_count: int = 2,
+                     ppl_bits_num: int = 9,
+                     ppl_bits_den: int = 2,
+                     dsir_threshold_num: int = 0,
+                     dsir_threshold_den: int = 1,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Fused four-filter quality verdict (r13, guide §1.2/§2.4): the
+    same ensemble :func:`quality_gate` + :func:`classifier_score` +
+    :func:`ngram_perplexity` + :func:`dsir_select` compose, computed in
+    THREE corpus passes instead of six and ONE per-doc exchange instead
+    of three.
+
+    The fusion exploits two facts the separate legs cannot see:
+
+    - the perplexity TRAIN set is the complement of the DSIR TARGET set
+      (``train = NOT target_pred``), so one gram-level count table with
+      a conditional target count ``(gram, c_all, c_t)`` recovers BOTH
+      models exactly: the ppl model's train counts are ``c_all - c_t``
+      (filtered to the train-present grams: unigrams with
+      ``c_train >= 1``, bigrams with ``c_train >= min_count`` — the
+      exact gram set a train-only count table holds), and the DSIR
+      bucket counts are sums of ``(c_t, c_all)`` over each gram's hash
+      bucket — per-gram aggregation of the same per-occurrence counts.
+    - classifier tokens, ppl bigrams, and DSIR grams are all slices of
+      ONE exploded ``concat(tokens, bigrams)`` stream (a bigram always
+      contains the space a token never can), so one scoring explode +
+      one per-doc groupBy with conditional aggregates replaces three
+      per-doc aggregations and their three doc_id joins.
+
+    Every verdict is bit-identical to the separate legs (the declared
+    query's DuckDB oracle replays the unfused SQL): missing-leg rows
+    (no tokens / no bigrams) surface as NULL conditional sums, and the
+    integer cross-multiplied comparisons evaluate to NULL exactly where
+    the unfused left joins produced NULL — both coalesce to False.
+
+    Plan: models = 1 explode + 1 gram groupBy (+ a vocabulary-bounded
+    bucket rollup); scoring = 1 explode, three broadcast joins (fused
+    512-row weight dim carrying both model weights, bigram dim, context
+    dim), 1 per-doc exchange; the gate spine is map-only; 1 doc_id
+    join.  ZERO windows."""
+    from .dedup import cross_engine_hash64
+
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    pair_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    is_bigram = F.col("gram").contains(" ")
+    base = spread(docs, id_col)
+
+    # ---- models: ONE corpus explode + ONE gram groupBy feeds both
+    gram_counts = (
+        base.select(
+            target_pred.alias("_t"),
+            F.explode(F.concat(toks, pair_arr)).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.sum(F.col("_t").cast("long")).alias("c_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    c_train = F.col("c_all") - F.col("c_t")
+    model_grams = gram_counts.filter(
+        (~is_bigram & (c_train >= 1))
+        | (is_bigram & (c_train >= int(ppl_min_count)))
+    ).select("gram", c_train.alias("c"))
+    uni = model_grams.filter(~is_bigram).select(
+        F.col("gram").alias("ctx"), F.col("c").alias("c_a"))
+    vocab = uni.agg((F.count(F.lit(1)) + 1).alias("v"))
+    bi = model_grams.filter(is_bigram).select(
+        F.col("gram").alias("pair"), F.col("c").alias("c_ab"))
+
+    bucket_counts = gram_counts.groupBy(
+        (cross_engine_hash64(F.col("gram")) % n_buckets)
+        .cast("int").alias("bucket")
+    ).agg(
+        F.sum("c_t").alias("c_t"),
+        F.sum("c_all").alias("c_r"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("c_t").alias("t_tot"), F.sum("c_r").alias("r_tot"))
+    dsir_w = _dsir_weight_table(
+        docs.sparkSession,
+        bucket_counts.select("bucket", "c_t"),
+        bucket_counts.select("bucket", "c_r"),
+        totals.select("t_tot"), totals.select("r_tot"), n_buckets,
+    )
+    # one 512-row dim carrying BOTH model weights, broadcast once
+    wdim = weights.select("bucket", F.col("weight").alias("w_cls")).join(
+        dsir_w.select("bucket", F.col("weight").alias("w_dsir")),
+        "bucket",
+    )
+
+    # ---- scoring: ONE explode + ONE per-doc groupBy
+    feat = base.select(
+        F.col(id_col),
+        F.explode(F.concat(toks, pair_arr)).alias("gram"),
+    ).select(
+        F.col(id_col),
+        "gram",
+        is_bigram.alias("_bg"),
+        (cross_engine_hash64(F.col("gram")) % n_buckets)
+        .cast("int").alias("bucket"),
+        F.when(is_bigram, F.split(F.col("gram"), " ")[0]).alias("ctx"),
+    )
+    scored = (
+        feat.join(F.broadcast(wdim), "bucket")
+        .join(F.broadcast(bi), F.col("gram") == F.col("pair"), "left")
+        .join(F.broadcast(uni), "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col), "_bg", "w_cls", "w_dsir",
+            (F.coalesce(F.col("c_ab"), F.lit(0)) + 1).alias("num"),
+            (F.coalesce(F.col("c_a"), F.lit(0)) + F.col("v")).alias("den"),
+        )
+    )
+    bits = F.length(F.conv(F.expr("den div num").cast("string"), 10, 2)) - 1
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.when(~F.col("_bg"), F.lit(1))).alias("n_tokens"),
+        F.sum(F.when(~F.col("_bg"), F.col("w_cls"))).alias("cls_score"),
+        F.count(F.when(F.col("_bg"), F.lit(1))).alias("n_bigrams"),
+        F.sum(F.when(F.col("_bg"), bits)).cast("long").alias("sum_bits"),
+        F.count(F.lit(1)).alias("n_feats"),
+        F.sum("w_dsir").alias("dsir_weight"),
+    )
+    verdict = agg.select(
+        F.col(id_col),
+        (F.col("cls_score") * F.lit(int(cls_threshold_den))
+         >= F.lit(int(cls_threshold_num)) * F.col("n_tokens"))
+        .alias("classifier_pass"),
+        (F.col("sum_bits") * F.lit(int(ppl_bits_den))
+         <= F.lit(int(ppl_bits_num)) * F.col("n_bigrams"))
+        .alias("ppl_pass"),
+        (F.col("dsir_weight") * F.lit(int(dsir_threshold_den))
+         >= F.lit(int(dsir_threshold_num)) * F.col("n_feats"))
+        .alias("dsir_pass"),
+    )
+
+    gate = quality_gate(docs, text_col, id_col, thresholds).select(
+        F.col(id_col), F.col("keep").alias("heuristic_pass"))
+    out = gate.join(verdict, id_col, "left").select(
+        id_col,
+        "heuristic_pass",
+        F.coalesce("classifier_pass", F.lit(False))
+        .alias("classifier_pass"),
+        F.coalesce("ppl_pass", F.lit(False)).alias("ppl_pass"),
+        F.coalesce("dsir_pass", F.lit(False)).alias("dsir_pass"),
+    )
+    votes = sum(
+        F.col(c).cast("int")
+        for c in ("heuristic_pass", "classifier_pass", "ppl_pass",
+                  "dsir_pass")
+    )
+    return out.select(
+        "*",
+        votes.cast("long").alias("n_passed"),
+        (votes == 4).alias("keep_all"),
     )
 
 
