@@ -4190,18 +4190,19 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     textstats.dsir_model + dsir_select for the overflow-free
     whole-bit log-ratio discipline and the 100 TB broadcast plan."""
     docs = t(spark, sf_dir, "documents")
-    # fused model build (r8 perf): target is IN-corpus, so one explode
-    # + one groupBy computes both distributions (c_t as a conditional
-    # count) — halves the hashed-gram work vs the two-pass form
-    model = textstats.dsir_model(
-        docs, target_pred=F.col("doc_id") % 5 == 0)
+    # fused model build + selection (r13, guide §1.2): target is
+    # IN-corpus, so ONE explode + one per-(doc,bucket) count table
+    # computes both distributions AND every document's score — one
+    # corpus pass instead of two, bit-identical integer arithmetic
+    # (textstats.dsir_model_select).
     # keep threshold -1/5 (avg weight >= -0.2): the whole-bit log-ratio
     # composition biases a homogeneous corpus ~0.2 bits negative (the
     # target slice is statistically identical to raw here), so the
     # informative fence sits just below zero; integer cross-multiplied
     # like every verdict
-    return textstats.dsir_select(docs, model,
-                                 threshold_num=-1, threshold_den=5)
+    return textstats.dsir_model_select(
+        docs, target_pred=F.col("doc_id") % 5 == 0,
+        threshold_num=-1, threshold_den=5)
 
 
 ORACLE_DSIR_SELECT = r"""

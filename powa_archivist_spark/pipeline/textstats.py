@@ -925,6 +925,77 @@ def dsir_select(docs: DataFrame, model: DataFrame,
     )
 
 
+def dsir_model_select(docs: DataFrame, target_pred: Column,
+                      n_buckets: int = 512,
+                      threshold_num: int = 0, threshold_den: int = 1,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Fused in-corpus DSIR model build + selection (r13, guide
+    §1.2/§2.3): bit-identical to ``dsir_select(docs,
+    dsir_model(docs, target_pred=...))`` in ONE corpus pass instead of
+    two.
+
+    The shared intermediate is the per-(doc, bucket) feature count
+    table — one explode + one groupBy, lazily checkpointed.  Both
+    consumers are exact aggregations of it: the model's bucket counts
+    are sums over docs (``c_t`` the target-conditional sum), and the
+    per-doc score is ``sum(weight * c)`` over the doc's buckets —
+    integer arithmetic throughout, so equality with the per-occurrence
+    form is exact, not approximate.  The compacted table is bounded by
+    ``docs x n_buckets`` rows — far smaller than the gram stream it
+    replaces for the second pass."""
+    from .dedup import cross_engine_hash64
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    db = (
+        spread(docs, id_col)
+        .select(
+            F.col(id_col),
+            target_pred.alias("_t"),
+            F.explode(F.concat(toks, pairs)).alias("gram"),
+        )
+        .groupBy(
+            id_col, "_t",
+            (cross_engine_hash64(F.col("gram")) % n_buckets)
+            .cast("int").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bucket_counts = db.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), F.col("c"))).alias("c_t"),
+        F.sum("c").alias("c_r"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("c_t").alias("t_tot"), F.sum("c_r").alias("r_tot"))
+    model = _dsir_weight_table(
+        docs.sparkSession,
+        bucket_counts.select("bucket", "c_t"),
+        bucket_counts.select("bucket", "c_r"),
+        totals.select("t_tot"), totals.select("r_tot"), n_buckets,
+    )
+    scored = (
+        db.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("weight") * F.col("c")).alias("dsir_weight"),
+        )
+    )
+    return scored.select(
+        F.col(id_col), "n_feats", "dsir_weight",
+        (F.col("dsir_weight") * F.lit(int(threshold_den))
+         >= F.lit(int(threshold_num)) * F.col("n_feats")).alias("keep"),
+    )
+
+
 def quality_ensemble(docs: DataFrame, weights: DataFrame,
                      target_pred: Column,
                      thresholds: dict | None = None,

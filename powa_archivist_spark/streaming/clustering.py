@@ -86,17 +86,15 @@ def process_kmeans_batch(
     the batch frozen-assigns against the current centers and appends."""
     from ..txn import GLOBAL_LANE, StagedPass
 
+    from .epochs import epoch_replayed, landed
+
     StagedPass.recover(wh, GLOBAL_LANE)
     StagedPass.sweep_flat_stages(wh, vectors_table, centers_table,
                                  assign_table)
-    if wh.exists(vectors_table):
-        seen = (
-            wh.read(vectors_table)
-            .filter(F.col("epoch") == epoch_id)
-            .limit(1).count()
-        )
-        if seen:
-            return False
+    # in-process replay memo (r13): a dict lookup instead of one
+    # limit(1) probe job per micro-batch; cold entries seed once
+    if epoch_replayed(wh, vectors_table, int(epoch_id)):
+        return False
 
     # spread before the vector quantization map (r13, guide §2.5):
     # serial one-split batches otherwise; probe-gated
@@ -175,6 +173,9 @@ def process_kmeans_batch(
         if stats_out is not None:
             stats_out["refreshed"] = False
     sp.publish()
+    if not is_empty:
+        # memo mirrors the TABLE: an empty refresh lands no vectors row
+        landed(wh, vectors_table, int(epoch_id))
     return True
 
 

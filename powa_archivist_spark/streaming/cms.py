@@ -66,22 +66,21 @@ def process_cms_batch(
     the short-circuit is load-bearing: SUM-merge is not idempotent)."""
     from ..txn import GLOBAL_LANE, StagedPass
 
+    from .epochs import epoch_replayed, landed
+
     StagedPass.recover(wh, GLOBAL_LANE)
     StagedPass.sweep_flat_stages(wh, table)
-    if wh.exists(table):
-        seen = (
-            wh.read(table)
-            .filter(F.col("epoch") == epoch_id)
-            .limit(1).count()
-        )
-        if seen:
-            return False
+    # in-process replay memo (r13): a dict lookup instead of one
+    # limit(1) probe job per micro-batch; cold entries seed once
+    if epoch_replayed(wh, table, int(epoch_id)):
+        return False
     regs = cms_registers(batch, key_col, group_cols, d, w)
     sp = StagedPass(wh, GLOBAL_LANE)
     sp.stage_append_flat(
         regs.withColumn("epoch", F.lit(int(epoch_id)).cast("long")), table
     )
     sp.publish()
+    landed(wh, table, int(epoch_id))
     return True
 
 

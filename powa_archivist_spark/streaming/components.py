@@ -132,18 +132,14 @@ def process_components_batch(
                                   minhash_bands, shingle_arrays)
     from ..txn import GLOBAL_LANE, StagedPass
 
+    from .epochs import epoch_replayed, landed
+
     StagedPass.recover(wh, GLOBAL_LANE)
     StagedPass.sweep_flat_stages(wh, COMP_LEDGER_TABLE, COMP_EDGES_TABLE,
                                  COMP_ASSIGN_TABLE, COMP_REMAP_TABLE)
-    if wh.exists(COMP_ASSIGN_TABLE):
-        seen = (
-            wh.read(COMP_ASSIGN_TABLE)
-            .filter(F.col("epoch") == epoch_id)
-            .limit(1).count()
-        )
-        if seen:
-            return False
-    if batch.limit(1).count() == 0:
+    # in-process replay memo (r13): a dict lookup instead of one
+    # limit(1) probe job per micro-batch; cold entries seed once
+    if epoch_replayed(wh, COMP_ASSIGN_TABLE, int(epoch_id)):
         return False
 
     # eager localCheckpoint, not persist (r13): both frames feed many
@@ -160,6 +156,11 @@ def process_components_batch(
     # a many-file micro-batch skips the exchange.
     sh_b = shingle_arrays(spread(batch, id_col), shingle_n, text_col,
                           id_col).localCheckpoint()
+    # empty-batch probe rides the checkpoint (r13): shingle_arrays keeps
+    # one row per doc, so take(1) over the materialized blocks replaces
+    # the former limit(1).count() scan job over the raw batch
+    if not sh_b.take(1):
+        return False
     batch_bands = minhash_bands(
         batch, num_perm, bands, shingle_n, text_col, id_col,
         shingle_df=sh_b, hash_fn=hash_fn,
@@ -392,6 +393,7 @@ def process_components_batch(
     if new_remap is not None:
         sp.stage_replace_flat(new_remap, COMP_REMAP_TABLE)
     sp.publish()
+    landed(wh, COMP_ASSIGN_TABLE, int(epoch_id))
     return True
 
 

@@ -107,27 +107,21 @@ def process_curation_batch(
     StagedPass.sweep_flat_stages(wh, sink_table, LEDGER_TABLE, REJECT_TABLE)
     if digest_ledger is not None:
         digest_ledger.sweep_stages()
-    if (
-        epoch_id is not None
-        and stream_gen is not None
-        and wh.exists(REJECT_TABLE)
-    ):
-        # declared schema (ADVICE r7): a pre-r7 reject table lacks the
-        # epoch/stream_gen columns — schema inference over the mixed
-        # files could surface the OLD two-column shape and make this
-        # filter raise (failing every batch) or match nothing; with the
-        # declared reader schema old files read as null epoch/gen and
-        # simply never match a replay key
-        already = (
-            wh.read(REJECT_TABLE, schema=_reject_schema(id_col))
-            .filter(
-                (F.col("epoch") == int(epoch_id))
-                & (F.col("stream_gen") == stream_gen)
-            )
-            .limit(1)
-            .count()
-        )
-        if already:
+    # in-process replay memo (r13): a dict lookup instead of one
+    # limit(1) probe job per micro-batch; cold entries seed once.
+    # Declared schema on the seed read (ADVICE r7): a pre-r7 reject
+    # table lacks the epoch/stream_gen columns — with the declared
+    # reader schema old files seed as (None, None), which no replay
+    # key matches.
+    if epoch_id is not None and stream_gen is not None:
+        from .epochs import epoch_replayed
+
+        if epoch_replayed(
+            wh, REJECT_TABLE, (int(epoch_id), stream_gen),
+            key_frame=lambda: wh.read(
+                REJECT_TABLE, schema=_reject_schema(id_col)
+            ).select("epoch", "stream_gen"),
+        ):
             return  # epoch fully published (atomic pass) — pure replay
     verdict = quality_gate(batch, text_col, id_col, thresholds)
     rejects = verdict.filter(~F.col("keep")).select(
@@ -157,6 +151,10 @@ def process_curation_batch(
                 )
         sp.stage_append_flat(rejects, REJECT_TABLE)
         sp.publish()
+        if epoch_id is not None and stream_gen is not None:
+            from .epochs import landed
+
+            landed(wh, REJECT_TABLE, (int(epoch_id), stream_gen))
     finally:
         survivors.unpersist()
 

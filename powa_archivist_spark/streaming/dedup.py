@@ -282,11 +282,15 @@ class NearDupLedger:
         self.combined: DataFrame | None = None
 
     def advance(self, combined_delta: DataFrame) -> DataFrame:
-        """Checkpoint one batch's kept delta (eager — computed exactly
-        once, while its batch-local parents are still cached) and fold
-        it into the cached state.  Returns the checkpointed delta so the
-        caller can reuse it (e.g. for the durable parquet append)."""
-        delta = combined_delta.localCheckpoint()
+        """Checkpoint one batch's kept delta (LAZY — r13: the caller
+        always follows with the durable parquet append, and that write
+        is the materializing action, so the delta is computed exactly
+        once while its batch-local parents are still cached, without
+        paying a separate checkpoint job first) and fold it into the
+        cached state.  Returns the checkpointed delta so the caller can
+        reuse it (the durable append reads it; later batches read the
+        materialized blocks)."""
+        delta = combined_delta.localCheckpoint(eager=False)
         self.combined = (
             delta if self.combined is None
             else self.combined.unionByName(delta)

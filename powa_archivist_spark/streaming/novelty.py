@@ -66,17 +66,15 @@ def process_novelty_batch(
     replay)."""
     from ..txn import GLOBAL_LANE, StagedPass
 
+    from .epochs import epoch_replayed, landed
+
     StagedPass.recover(wh, GLOBAL_LANE)
     StagedPass.sweep_flat_stages(wh, owners_table)
     StagedPass.sweep_flat_stages(wh, stats_table)
-    if wh.exists(stats_table):
-        seen = (
-            wh.read(stats_table)
-            .filter(F.col("epoch") == epoch_id)
-            .limit(1).count()
-        )
-        if seen:
-            return False
+    # in-process replay memo (r13): a dict lookup instead of one
+    # limit(1) probe job per micro-batch; cold entries seed once
+    if epoch_replayed(wh, stats_table, int(epoch_id)):
+        return False
     # spread before the gram explode (r13, guide §2.5) — see the
     # postings fold: serial one-split batches otherwise
     grams = (
@@ -119,6 +117,7 @@ def process_novelty_batch(
     )
     sp.stage_append_flat(stats, stats_table)
     sp.publish()
+    landed(wh, stats_table, int(epoch_id))
     return True
 
 

@@ -96,23 +96,21 @@ def process_pq_batch(
     (recover/sweep below) exactly as in the curation sinks."""
     from ..txn import GLOBAL_LANE, StagedPass
 
+    from .epochs import epoch_replayed, landed
+
     StagedPass.recover(wh, GLOBAL_LANE)
     StagedPass.sweep_flat_stages(wh, PQ_CODES_TABLE)
-    if (
-        epoch_id is not None
-        and stream_gen is not None
-        and wh.exists(PQ_CODES_TABLE)
-    ):
-        already = (
-            wh.read(PQ_CODES_TABLE, schema=_codes_schema(id_col))
-            .filter(
-                (F.col("epoch") == int(epoch_id))
-                & (F.col("stream_gen") == stream_gen)
-            )
-            .limit(1)
-            .count()
-        )
-        if already:
+    # in-process replay memo (r13): a dict lookup instead of one
+    # limit(1) probe job per micro-batch; cold entries seed once (the
+    # declared-schema read keeps pre-r7 null-epoch files harmless —
+    # they seed as (None, None), which no replay key matches)
+    if epoch_id is not None and stream_gen is not None:
+        if epoch_replayed(
+            wh, PQ_CODES_TABLE, (int(epoch_id), stream_gen),
+            key_frame=lambda: wh.read(
+                PQ_CODES_TABLE, schema=_codes_schema(id_col)
+            ).select("epoch", "stream_gen"),
+        ):
             return
     cb = wh.read(PQ_CODEBOOK_TABLE)
     enc = pq_encode(batch, cb, m=m, id_col=id_col, vec_col=vec_col).select(
@@ -124,6 +122,8 @@ def process_pq_batch(
     sp = StagedPass(wh, GLOBAL_LANE)
     sp.stage_append_flat(enc, PQ_CODES_TABLE)
     sp.publish()
+    if epoch_id is not None and stream_gen is not None:
+        landed(wh, PQ_CODES_TABLE, (int(epoch_id), stream_gen))
 
 
 def pq_codes(wh: Warehouse, id_col: str = "vec_id") -> DataFrame:

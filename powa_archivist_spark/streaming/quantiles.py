@@ -83,22 +83,21 @@ def process_quantile_batch(
     False when the epoch already landed (checkpoint replay)."""
     from ..txn import GLOBAL_LANE, StagedPass
 
+    from .epochs import epoch_replayed, landed
+
     StagedPass.recover(wh, GLOBAL_LANE)
     StagedPass.sweep_flat_stages(wh, table)
-    if wh.exists(table):
-        seen = (
-            wh.read(table)
-            .filter(F.col("epoch") == epoch_id)
-            .limit(1).count()
-        )
-        if seen:
-            return False
+    # in-process replay memo (r13): a dict lookup instead of one
+    # limit(1) probe job per micro-batch; cold entries seed once
+    if epoch_replayed(wh, table, int(epoch_id)):
+        return False
     sk = level_sample_sketch(batch, value_col, id_col, group_cols, k)
     sp = StagedPass(wh, GLOBAL_LANE)
     sp.stage_append_flat(
         sk.withColumn("epoch", F.lit(int(epoch_id)).cast("long")), table
     )
     sp.publish()
+    landed(wh, table, int(epoch_id))
     return True
 
 

@@ -63,17 +63,15 @@ def process_postings_batch(
     would double its docs' postings and inflate n_docs)."""
     from ..txn import GLOBAL_LANE, StagedPass
 
+    from .epochs import epoch_replayed, landed
+
     StagedPass.recover(wh, GLOBAL_LANE)
     StagedPass.sweep_flat_stages(wh, table)
     StagedPass.sweep_flat_stages(wh, stats_table)
-    if wh.exists(table):
-        seen = (
-            wh.read(table)
-            .filter(F.col("epoch") == epoch_id)
-            .limit(1).count()
-        )
-        if seen:
-            return False
+    # in-process replay memo (r13): a dict lookup instead of one
+    # limit(1) probe job per micro-batch; cold entries seed once
+    if epoch_replayed(wh, table, int(epoch_id)):
+        return False
     toks = F.split(F.col(text_col), " ")
     # spread before the postings explode (r13, guide §2.5): a batch cut
     # from few parquet splits runs the tokenize + explode + partial
@@ -90,6 +88,7 @@ def process_postings_batch(
     sp.stage_append_flat(post, table)
     sp.stage_append_flat(stats, stats_table)
     sp.publish()
+    landed(wh, table, int(epoch_id))
     return True
 
 

@@ -395,6 +395,13 @@ class StagedPass:
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(p)
                 done += 1
+        if done:
+            # epochs landed WITHOUT their fold's landed() call (the
+            # fold crashed after its commit point) — the streaming
+            # replay memo must re-seed from the tables (r13)
+            from .streaming.epochs import invalidate
+
+            invalidate(wh.root)
         if not sweep:
             return done
         # ONE walk serves two recoveries (a full-tree walk is metadata-
@@ -503,6 +510,12 @@ def heal_table(wh, table: str) -> int:
                     # publisher's own remove may race us; both tolerate)
                     with contextlib.suppress(FileNotFoundError):
                         os.remove(p)
+    if folded:
+        # see StagedPass.recover: healed manifests can land epochs the
+        # streaming replay memo never saw (r13)
+        from .streaming.epochs import invalidate
+
+        invalidate(wh.root)
     return folded
 
 
