@@ -785,21 +785,35 @@ def minhash_signatures(
                             id_col)
     )
     sh = sh_arr.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    # r13 (guide §1.2 driver-side cost): the num_perm aggregate columns
+    # are built as ONE F.expr SQL string each — the Column-DSL form made
+    # ~6,200 py4j round-trips per construction (~1.5 s of driver time,
+    # paid per streaming fold and per batch query; measured with
+    # cProfile: permuted_hash alone 0.83 s).  The parsed expressions are
+    # arithmetic-identical (same literals, same long ops), so results —
+    # and the SQL oracle — are unchanged.
     if hash_fn == "md5":
         # one digest per shingle, then num_perm universal-hash
         # permutations over it — int64-only, so the md5 cost does not
         # scale with num_perm and the SQL oracle replays it verbatim
         consts = _perm_constants(num_perm)
         sh = sh.select(
-            F.col(id_col), cross_engine_hash64(F.col("shingle")).alias("h")
+            F.col(id_col),
+            F.expr(
+                "cast(conv(substring(md5(shingle), 1, 15), 16, 10)"
+                " as bigint)"
+            ).alias("h"),
         )
         mins = [
-            F.min(permuted_hash(F.col("h"), *consts[i])).alias(f"h{i}")
-            for i in range(num_perm)
+            F.expr(
+                f"min(({a1}L * shiftrightunsigned(h, 30)"
+                f" + {a2}L * (h & {_HALF_MASK}L) + {b}L) % {MINHASH_P}L)"
+            ).alias(f"h{i}")
+            for i, (a1, a2, b) in enumerate(consts)
         ]
     else:
         mins = [
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            F.expr(f"min(xxhash64({i}, shingle))").alias(f"h{i}")
             for i in range(num_perm)
         ]
     return (
@@ -853,27 +867,27 @@ def _band_rows(sig: DataFrame, num_perm: int, bands: int,
     a materialized signature input instead of re-deriving it."""
     r = num_perm // bands
 
-    def bucket(b: int) -> Column:
-        sl = F.slice("sig", b * r + 1, r)
+    # r13: one F.expr per banding generator instead of bands x (slice +
+    # hash + struct) Column-DSL trees — same py4j-round-trip cut as
+    # minhash_signatures (the construction is per fold / per sweep
+    # config); parsed expressions are identical arithmetic, so buckets
+    # and the SQL oracle are unchanged.
+    def bucket_sql(b: int) -> str:
+        sl = f"slice(sig, {b * r + 1}, {r})"
         if hash_fn == "xxhash64":
-            return F.xxhash64(sl)
-        return cross_engine_hash64(
-            F.concat_ws("|", F.transform(sl, lambda x: x.cast("string")))
+            return f"xxhash64({sl})"
+        return (
+            "cast(conv(substring(md5(concat_ws('|',"
+            f" transform({sl}, x -> cast(x as string)))), 1, 15),"
+            " 16, 10) as bigint)"
         )
 
+    gen = "explode(array({})) as bb".format(",".join(
+        f"named_struct('band', {b}, 'bucket', {bucket_sql(b)})"
+        for b in range(bands)
+    ))
     return sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        bucket(b).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.col(id_col), F.expr(gen),
     ).select(id_col, "bb.band", "bb.bucket")
 
 

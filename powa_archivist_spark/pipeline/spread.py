@@ -25,6 +25,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def write_coalesce(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Collapse a bounded per-batch frame to a few write tasks (r13,
+    guide §6 output sizing): the streaming folds' sink frames are
+    unions of 32-partition checkpointed micro-frames — without a
+    shuffle AQE never coalesces them, so every fold append wrote ~64
+    KB-sized parquet files whose listing+footer cost is then paid by
+    EVERY later fold's ledger read.  ``coalesce`` is a narrow merge of
+    cached checkpoint blocks (no shuffle, no recompute); it never
+    increases a frame's partition count, so an already-narrow frame
+    passes through unchanged.  Default = parallelism/8 write tasks
+    (4 on the local[32] harness), env-tunable for deployments whose
+    micro-batches are fatter."""
+    if parts is None:
+        import os
+
+        env = os.environ.get("SPARK_GRAFT_FOLD_WRITE_PARTITIONS")
+        parts = int(env) if env else max(
+            1, df.sparkSession.sparkContext.defaultParallelism // 8
+        )
+    return df.coalesce(parts)
+
+
 def spread(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition ``df`` up to cluster parallelism when its plan
     currently yields fewer partitions; identity otherwise.

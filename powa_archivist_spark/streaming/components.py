@@ -70,7 +70,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..pipeline.spread import spread
+from ..pipeline.spread import spread, write_coalesce
 from ..session import narrow_engine_pass
 from ..storage import Warehouse
 from .dedup import NearDupLedger
@@ -161,10 +161,14 @@ def process_components_batch(
     # the former limit(1).count() scan job over the raw batch
     if not sh_b.take(1):
         return False
+    # lazy checkpoint (r13): the first action (the cedges probe below)
+    # materializes the bands while sh_b's blocks are hot; the ledger
+    # append and later folds then read the checkpointed blocks.  An
+    # eager checkpoint here was one extra fixed-latency job per fold.
     batch_bands = minhash_bands(
         batch, num_perm, bands, shingle_n, text_col, id_col,
         shingle_df=sh_b, hash_fn=hash_fn,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # ONE unified candidate+verify pipeline (r13, guide §2.4): the
     # in-batch band self-join and the cross-batch ledger join used
     # to be two separate join+verify subtrees — at fold scale each
@@ -236,7 +240,12 @@ def process_components_batch(
         .unionByName(edges_new.select(F.col("b_id").alias("node")))
         .distinct()
     )
-    batch_ids = batch.select(F.col(id_col).alias("node"))
+    # batch ids read from the CHECKPOINTED shingle frame (r13):
+    # shingle_arrays keeps exactly one row per batch doc, so this is the
+    # same id set served from block-manager blocks — the raw batch
+    # would re-scan its parquet splits on each of the three bounded
+    # joins below (label contraction, assign build, remap anti-join)
+    batch_ids = sh_b.select(F.col(id_col).alias("node"))
     label_frames = [
         batch_ids.join(F.broadcast(endpoints), "node", "left_semi")
         .select("node", F.col("node").alias("label"))
@@ -367,7 +376,11 @@ def process_components_batch(
     sh_type = dict(sh_b.dtypes)["sh"]
     band_t = dict(batch_bands.dtypes)["band"]
     bucket_t = dict(batch_bands.dtypes)["bucket"]
-    combined_delta = batch_bands.select(
+    # write_coalesce INSIDE the checkpointed lineage (r13, guide §6):
+    # the union of two 32-partition checkpoints otherwise writes ~64
+    # tiny files per fold, and every later fold re-lists and re-reads
+    # them through the ledger
+    combined_delta = write_coalesce(batch_bands.select(
         id_col, "band", "bucket",
         F.lit(None).cast(sh_type).alias("sh"),
     ).unionByName(
@@ -377,21 +390,21 @@ def process_components_batch(
             F.lit(None).cast(bucket_t).alias("bucket"),
             "sh",
         )
-    )
+    ))
     if ledger is not None:
         combined_delta = ledger.advance(combined_delta)
 
     sp = StagedPass(wh, GLOBAL_LANE)
     sp.stage_append_flat(combined_delta, COMP_LEDGER_TABLE)
     sp.stage_append_flat(
-        edges_new.withColumn(
+        write_coalesce(edges_new.withColumn(
             "epoch", F.lit(int(epoch_id)).cast("long")
-        ),
+        )),
         COMP_EDGES_TABLE,
     )
-    sp.stage_append_flat(batch_assign, COMP_ASSIGN_TABLE)
+    sp.stage_append_flat(write_coalesce(batch_assign), COMP_ASSIGN_TABLE)
     if new_remap is not None:
-        sp.stage_replace_flat(new_remap, COMP_REMAP_TABLE)
+        sp.stage_replace_flat(write_coalesce(new_remap), COMP_REMAP_TABLE)
     sp.publish()
     landed(wh, COMP_ASSIGN_TABLE, int(epoch_id))
     return True

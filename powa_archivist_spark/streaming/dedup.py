@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline.dedup import normalized_text
-from ..pipeline.spread import spread
+from ..pipeline.spread import spread, write_coalesce
 from ..session import narrow_engine_pass
 from ..storage import Warehouse
 from .ingest import with_epoch_marker as _with_epoch_marker
@@ -347,10 +347,14 @@ def process_near_dup_batch(
     # minhash_dedup_pairs and the ledger append derived them a second
     # time for the survivors — one full signature pipeline per batch
     # saved); every later stage reuses this checkpointed frame
+    # lazy checkpoint (r13): the first action (the sink append of the
+    # survivors) materializes the bands while sh_b's blocks are hot;
+    # the ledger delta then reads the checkpointed blocks.  Eager was
+    # one extra fixed-latency job per fold.
     batch_bands = minhash_bands(
         batch, num_perm, bands, shingle_n, text_col, id_col,
         shingle_df=sh_b, hash_fn=hash_fn,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # kept-so-far ledger frames: cached across batches when the caller
     # threads a NearDupLedger, else read from the combined parquet table
@@ -434,7 +438,11 @@ def process_near_dup_batch(
         # ONE ledger append: band rows and shingle rows union into the
         # combined table (band IS NULL discriminates on read)
         sh_type = dict(sh_b.dtypes)["sh"]
-        combined_delta = delta_bands.select(
+        # write_coalesce INSIDE the checkpointed lineage (r13, guide
+        # §6): the union of two 32-partition checkpointed frames
+        # otherwise writes ~64 tiny files per fold, re-listed and
+        # re-read by every later fold through the ledger
+        combined_delta = write_coalesce(delta_bands.select(
             id_col, "band", "bucket", F.lit(None).cast(sh_type).alias("sh")
         ).unionByName(
             delta_sh.select(
@@ -443,7 +451,7 @@ def process_near_dup_batch(
                 F.lit(None).cast(dict(batch_bands.dtypes)["bucket"]).alias("bucket"),
                 "sh",
             )
-        )
+        ))
         if ledger is not None:
             # checkpoint the delta while its parents are still cached;
             # the durable append then reads the checkpoint blocks
