@@ -191,7 +191,13 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     # expansion sides — without it the token_sets+collapse groupBy
     # re-executes per reference (near_dup_components applies the same
     # cut for the same reason)
-    groups = _collapse_token_sets(toks, id_col).localCheckpoint(eager=False)
+    # eager checkpoint + spread (r13): same single-partition cliff as
+    # _jaccard_prefix_sets' encode — the collapse shuffle AQE-coalesces
+    # to one partition at bench scale and the downstream member
+    # explode / set reads serialize; no-op once the collapse yields
+    # >= parallelism partitions
+    groups = spread(_collapse_token_sets(toks, id_col).localCheckpoint(),
+                    "set_id")
     return _expand_set_pairs(
         _jaccard_prefix_sets(groups.select(F.col("set_id"), "toks"),
                              threshold),
@@ -410,7 +416,13 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.8,
             )
     if route_out is not None:
         route_out["route"] = "prefix"
-    groups = _collapse_token_sets(toks, id_col).localCheckpoint(eager=False)
+    # eager checkpoint + spread (r13): same single-partition cliff as
+    # _jaccard_prefix_sets' encode — the collapse shuffle AQE-coalesces
+    # to one partition at bench scale and the downstream member
+    # explode / set reads serialize; no-op once the collapse yields
+    # >= parallelism partitions
+    groups = spread(_collapse_token_sets(toks, id_col).localCheckpoint(),
+                    "set_id")
     spairs = _jaccard_prefix_sets(
         groups.select(F.col("set_id"), "toks"), threshold
     )
@@ -556,9 +568,17 @@ def _jaccard_prefix_sets(sets: DataFrame, threshold: float,
     map-side prefix slice → prefix self-join on int token id →
     positional+length prune → distinct pairs → int-array verify (once
     per SET pair, not per doc pair)."""
-    enc = _encode_token_sets(
+    # eager checkpoint + spread (r13, guide §2.5): AQE coalesces the
+    # encode's tiny set-keyed shuffle by SIZE, so at bench scale the
+    # checkpoint lands as ONE partition and the prefix explode +
+    # collision join + array-intersect verify all serialize on one core
+    # (measured: a 3.8 s single-task job carrying the whole cands
+    # pipeline).  spread() over the materialized checkpoint reads the
+    # TRUE partition count, so a corpus-scale encode (>= parallelism
+    # partitions) skips the exchange entirely.
+    enc = spread(_encode_token_sets(
         sets.select(F.col("set_id"), "toks")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(), "set_id")
     prefix = _prefix_rows(enc, threshold)
     collisions = _prefix_collisions(prefix, threshold)
     cands = collisions.distinct()
