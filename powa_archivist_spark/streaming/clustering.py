@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline.similarity import assign_to_centers, kmeans, quantized
-from ..pipeline.spread import spread
+from ..pipeline.spread import spread, write_coalesce
 from ..session import narrow_engine_pass
 from ..storage import Warehouse
 
@@ -97,11 +97,16 @@ def process_kmeans_batch(
         return False
 
     # spread before the vector quantization map (r13, guide §2.5):
-    # serial one-split batches otherwise; probe-gated
+    # serial one-split batches otherwise; probe-gated.  Lazy checkpoint:
+    # the staged vectors append below is the materializing action, and
+    # the refresh/frozen assignment then reads the checkpointed blocks
+    # instead of re-running the exchange + quantize a second time.
     vecs = spread(batch, id_col).select(
         F.col(id_col).alias("vec_id"),
         quantized(F.col(vec_col)).alias("v"),
-    ).withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+    ).withColumn(
+        "epoch", F.lit(int(epoch_id)).cast("long")
+    )
 
     # Structured Streaming can deliver EMPTY micro-batches (e.g. a
     # trigger with no new files).  Folding one is a no-op — and on the
@@ -123,7 +128,11 @@ def process_kmeans_batch(
 
     sp = StagedPass(wh, GLOBAL_LANE)
     if not is_empty:
-        sp.stage_append_flat(vecs, vectors_table)
+        # write_coalesce (r13, guide §6): the spread exchange leaves the
+        # batch at cluster parallelism — staged as-is every fold appends
+        # ~32 KB-sized files that every later refresh re-lists and
+        # re-reads through the history scan
+        sp.stage_append_flat(write_coalesce(vecs), vectors_table)
 
     must_refresh = refresh or not wh.exists(centers_table)
     if must_refresh:
@@ -141,8 +150,15 @@ def process_kmeans_batch(
             max_rounds=max_rounds, id_col="vec_id", vec_col="v",
             stats_out=st, pre_quantized=True,
         )
+        # k driver-local rows, created as ONE slice (r13): a plain
+        # createDataFrame is a defaultParallelism-slice LocalTableScan,
+        # which writes k files + empty tasks — and coalescing a
+        # LocalTableScan measured a multi-second fallback penalty, so
+        # the slice count is set at creation instead
         centers = wh.spark.createDataFrame(
-            [(i, c, int(epoch_id)) for i, c in enumerate(st["centers"])],
+            wh.spark.sparkContext.parallelize(
+                [(i, c, int(epoch_id))
+                 for i, c in enumerate(st["centers"])], 1),
             "cluster long, cv array<bigint>, trained_epoch long",
         )
         sp.stage_replace_flat(centers, centers_table)
@@ -162,12 +178,15 @@ def process_kmeans_batch(
         assign = assign_to_centers(
             vecs.select("vec_id", "v"), cents, id_col="vec_id"
         )
+        # frozen appends are batch-bounded: coalesce the write (the
+        # corpus-sized refresh REPLACE above stays uncoalesced — its
+        # parallelism must scale with the at-rest table)
         sp.stage_append_flat(
-            assign.select(
+            write_coalesce(assign.select(
                 "vec_id", "cluster", "d2_q",
                 F.lit(True).alias("frozen"),
                 F.lit(int(epoch_id)).cast("long").alias("epoch"),
-            ),
+            )),
             assign_table,
         )
         if stats_out is not None:

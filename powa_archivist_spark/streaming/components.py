@@ -291,8 +291,12 @@ def process_components_batch(
         delta_rows = sorted(
             (int(n), int(v)) for n, v in lab.items() if n != v
         )
+        # one slice (r13): the plain form is a 32-slice LocalTableScan
+        # whose non-broadcast uses below each pay empty tasks, and
+        # coalescing one measured a multi-second fallback penalty
         delta_map = wh.spark.createDataFrame(
-            delta_rows, _REMAP_SCHEMA,
+            wh.spark.sparkContext.parallelize(delta_rows, 1),
+            _REMAP_SCHEMA,
         )
         delta_empty = not delta_rows
     else:
