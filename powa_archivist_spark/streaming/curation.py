@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline.corpus import dataset_split
 from ..pipeline.textstats import quality_gate
+from ..pipeline.spread import write_coalesce
 from ..session import narrow_engine_pass
 from ..storage import Warehouse
 from .dedup import dedup_batch_survivors
@@ -149,7 +150,9 @@ def process_curation_batch(
                 sp.stage_append_flat(
                     survivors.select("text_hash"), LEDGER_TABLE
                 )
-        sp.stage_append_flat(rejects, REJECT_TABLE)
+        # rejects inherit quality_gate's parallelism-wide spread —
+        # coalesce the bounded per-batch append (r13, guide §6)
+        sp.stage_append_flat(write_coalesce(rejects), REJECT_TABLE)
         sp.publish()
         if epoch_id is not None and stream_gen is not None:
             from .epochs import landed
