@@ -409,10 +409,48 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.8,
                                                     strategy):
             if route_out is not None:
                 route_out["route"] = "bitmask"
-            pairs = _jaccard_bitmask(toks, vocab, threshold, id_col)
-            return connected_components(
-                pairs, toks.select(F.col(id_col)), id_col=id_col,
-                max_iters=max_iters,
+            # r13: CC over the MASK-contracted graph, not doc pairs.
+            # The doc-pair expansion is m^2 per same-mask group —
+            # measured 2.97M doc-pair rows at sf0.1 (x2 orientations
+            # through the CC hook) for a graph whose quotient has at
+            # most BITMASK_MAX_MASKS nodes.  Equal masks = equal token
+            # sets, so contracting each mask group to its min-id rep
+            # preserves components exactly (same argument as the
+            # prefix route's set contraction: in-group docs pair at
+            # jaccard 1.0 with their rep, and a cross-group doc pair
+            # exists iff its mask pair qualifies); labels stay min doc
+            # id per component (every group's min IS its rep, so the
+            # component min over reps equals the min over all docs).
+            # Both joins broadcast dims bounded by the admission caps.
+            masks = _build_masks(toks, vocab, id_col).localCheckpoint(
+                eager=False
+            )
+            groups = masks.groupBy("mask").agg(F.min(id_col).alias("rep"))
+            ga = groups.select(F.col("mask").alias("mask_a"),
+                               F.col("rep").alias("a_id"))
+            gb = groups.select(F.col("mask").alias("mask_b"),
+                               F.col("rep").alias("b_id"))
+            inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+            union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
+            mpairs = (
+                ga.crossJoin(F.broadcast(gb))
+                .filter(F.col("mask_a") < F.col("mask_b"))
+                .filter((inter.cast("double") / union) >= threshold)
+                .select("a_id", "b_id")
+            )
+            comp = connected_components(
+                mpairs, groups.select(F.col("rep").alias(id_col)),
+                id_col=id_col, max_iters=max_iters,
+            )
+            return (
+                masks.join(F.broadcast(groups), "mask")
+                .join(
+                    F.broadcast(
+                        comp.withColumnRenamed(id_col, "rep")
+                    ),
+                    "rep",
+                )
+                .select(id_col, "component")
             )
     if route_out is not None:
         route_out["route"] = "prefix"
