@@ -145,10 +145,13 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     CONTENT, not crawl multiplicity.
 
     - **``"prefix"`` (default)**: AllPairs/PPJoin prefix filtering with
-      the positional upper-bound filter — no driver-side job at all;
-      the whole computation is one declarative plan.  Right for any
-      real corpus, and the only sane default at 100 TB where even a
-      bounded probe is a wasted full-ish scan job.
+      the positional upper-bound filter — no driver-side PROBE job
+      (unlike ``"probe"``), though since r13 the route eagerly
+      localCheckpoints its collapse/encode frames at construction time
+      (the spread seams), so building the DataFrame does launch
+      checkpoint jobs.  Right for any real corpus, and the only sane
+      default at 100 TB where even a bounded probe is a wasted
+      full-ish scan job.
     - **``"bitmask"``**: small-vocabulary (<= 63 distinct tokens) int64
       bitmask encoding; pair verification collapses to
       ``bit_count(a & b) / bit_count(a | b)`` — O(1) per pair.
@@ -442,7 +445,7 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.8,
                 mpairs, groups.select(F.col("rep").alias(id_col)),
                 id_col=id_col, max_iters=max_iters,
             )
-            return (
+            labeled = (
                 masks.join(F.broadcast(groups), "mask")
                 .join(
                     F.broadcast(
@@ -452,6 +455,19 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.8,
                 )
                 .select(id_col, "component")
             )
+            # r14 (ADVICE r13): NULL-text docs emit no mask row
+            # (_build_masks explodes toks, and a NULL token array
+            # explodes to nothing), so the masks-join output dropped
+            # them — breaking the documented equivalence to
+            # connected_components(jaccard_pairs(docs), docs), where
+            # the prefix route keeps them as singletons via the
+            # _collapse_token_sets NULL sentinel.  Union them back as
+            # singleton components (their own id — they have never
+            # entered the pair relation in either route).
+            nulls = toks.filter(F.col("toks").isNull()).select(
+                F.col(id_col), F.col(id_col).alias("component")
+            )
+            return labeled.unionByName(nulls)
     if route_out is not None:
         route_out["route"] = "prefix"
     # eager checkpoint + spread (r13): same single-partition cliff as

@@ -3220,13 +3220,16 @@ def stream_components_ledger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..storage import Warehouse
-    from ..streaming.components import (components_assignment,
+    from ..streaming.components import (ComponentsState,
+                                        components_assignment,
                                         process_components_batch)
-    from ..streaming.dedup import NearDupLedger
 
     docs = t(spark, sf_dir, "documents")
     scratch = tempfile.mkdtemp(prefix="ccledger_")
-    ledger = NearDupLedger()
+    # ComponentsState (r14): the NearDupLedger bands+shingles cache
+    # plus in-memory assign/remap views — no per-fold state-table
+    # re-read/re-listing on the hot path
+    ledger = ComponentsState()
     try:
         wh = Warehouse(spark, scratch)
         for b in range(4):

@@ -41,7 +41,10 @@ def write_coalesce(df: DataFrame, parts: int | None = None) -> DataFrame:
         import os
 
         env = os.environ.get("SPARK_GRAFT_FOLD_WRITE_PARTITIONS")
-        parts = int(env) if env else max(
+        # clamp non-positive env values (r14, ADVICE r13): '0' passed
+        # the truthiness check and produced coalesce(0), a plan-time
+        # error surfacing far from the knob
+        parts = max(1, int(env)) if env else max(
             1, df.sparkSession.sparkContext.defaultParallelism // 8
         )
     return df.coalesce(parts)

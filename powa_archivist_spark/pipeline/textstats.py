@@ -1353,8 +1353,18 @@ def bm25_search(docs: DataFrame, n_queries: int = 5,
     # one-split scan stage.  The stats aggregate stays on the raw scan
     # (two cheap column reads).  Streaming postings folds call
     # bm25_postings directly and skip this.
+    # lazy localCheckpoint (r14, VERDICT r13 task 3): the scoring chain
+    # references the postings THREE times (the workload probe collect,
+    # the per-term df aggregate, the contribution scoring join), and
+    # without the cut each reference re-ran the corpus explode +
+    # (doc,tok) groupBy — bm25_wand and bm25_rm3 already checkpoint
+    # theirs for exactly this reason (the profiled docs_bm25_topk was
+    # FLAT in r13 and ran 2x faster on 8 cores than 32: three redundant
+    # corpus passes of fixed-latency jobs, not compute).
+    term = bm25_postings(spread(docs, id_col), text_col,
+                         id_col).localCheckpoint(eager=False)
     return bm25_from_postings(
-        bm25_postings(spread(docs, id_col), text_col, id_col), stats,
+        term, stats,
         n_queries=n_queries, terms_per_query=terms_per_query,
         k=k, k1=k1, b=b, id_col=id_col, path=path,
     )

@@ -52,25 +52,49 @@ def narrow_exchanges(spark: SparkSession):
     want = os.environ.get("SPARK_GRAFT_NARROW_PARTITIONS") or str(
         spark.sparkContext.defaultParallelism
     )
+    # r14 (VERDICT r13 tasks 2/6): AQE materializes every Exchange of a
+    # query as its own scheduler job ("query stage"), and an engine fold
+    # runs DOZENS of multi-exchange micro-statements per batch — the
+    # per-fold job count (and the ~0.1 s driver gap each job carries)
+    # was measured as HALF the streaming ledgers' wall clock at bounded
+    # batch sizes.  Engine passes are bounded per (srvid, batch) BY
+    # CONTRACT, which is exactly the regime where AQE's runtime
+    # re-planning buys nothing (exchanges are already narrow-planned
+    # here) and its per-stage job overhead dominates.  Analytics
+    # queries keep AQE untouched.  Opt-out: SPARK_GRAFT_FOLD_AQE=true
+    # restores adaptive execution inside engine passes.
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_want = os.environ.get("SPARK_GRAFT_FOLD_AQE", "false")
+    # The folds' bounded take()/limit-collect probes (contracted-graph
+    # edges, empty-batch checks) EXPECT to read everything small:
+    # executeTake's default 1 -> 4x escalation turns each probe into
+    # 3-4 scheduler jobs over an already-materialized micro-frame.  One
+    # job that scans all partitions is strictly cheaper here; analytics
+    # limits outside engine passes keep the escalating default.
+    lim_key = "spark.sql.limit.initialNumPartitions"
+    lim_want = os.environ.get("SPARK_GRAFT_FOLD_LIMIT_PARTITIONS", "100000")
+    scoped = [(key, want), (aqe_key, aqe_want), (lim_key, lim_want)]
     with _NARROW_LOCK:
         _NARROW_DEPTH += 1
         outermost = _NARROW_DEPTH == 1
-        old = None
+        olds: list[tuple[str, str | None]] = []
         if outermost:
-            try:
-                old = spark.conf.get(key)
-            except Exception:
-                old = None
-            spark.conf.set(key, want)
+            for k, v in scoped:
+                try:
+                    olds.append((k, spark.conf.get(k)))
+                except Exception:
+                    olds.append((k, None))
+                spark.conf.set(k, v)
         try:
             yield
         finally:
             _NARROW_DEPTH -= 1
             if outermost:
-                if old is None:
-                    spark.conf.unset(key)
-                else:
-                    spark.conf.set(key, old)
+                for k, v in olds:
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
 
 
 def narrow_engine_pass(fn):

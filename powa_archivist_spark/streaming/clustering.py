@@ -106,7 +106,10 @@ def process_kmeans_batch(
         quantized(F.col(vec_col)).alias("v"),
     ).withColumn(
         "epoch", F.lit(int(epoch_id)).cast("long")
-    )
+    ).localCheckpoint(eager=False)  # r14 (ADVICE r13): the checkpoint
+    # the comment above promises was missing — without it the refresh /
+    # frozen-assign statements re-ran the exchange + quantize from the
+    # raw batch instead of reading the append-materialized blocks
 
     # Structured Streaming can deliver EMPTY micro-batches (e.g. a
     # trigger with no new files).  Folding one is a no-op — and on the
@@ -118,9 +121,13 @@ def process_kmeans_batch(
     # empty epochs never land in the ledger, including refresh epochs;
     # a crash-replay of an empty refresh re-runs the deterministic
     # Lloyd and replaces identical state — idempotent either way, and
-    # the stream wrapper's epoch marker skips it entirely).  The probe
-    # is one limit(1) job on the (already materialized) micro-batch.
-    is_empty = batch.limit(1).count() == 0
+    # the stream wrapper's epoch marker skips it entirely).  r14: the
+    # probe rides the vecs checkpoint — take(1) materializes the
+    # checkpointed quantized batch (engine passes scan all partitions
+    # in one job, session.narrow_exchanges), so the staged append and
+    # the refresh/frozen assignment below read blocks instead of
+    # re-running the exchange + quantize; one probe job either way.
+    is_empty = not vecs.take(1)
     if is_empty and not (refresh and wh.exists(centers_table)):
         if stats_out is not None:
             stats_out["refreshed"] = False

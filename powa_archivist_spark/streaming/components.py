@@ -84,16 +84,46 @@ COMP_REMAP_TABLE = "components_remap"
 _REMAP_SCHEMA = "from_label long, to_label long"
 
 
-def components_assignment(wh: Warehouse,
-                          assign_table: str = COMP_ASSIGN_TABLE,
-                          remap_table: str = COMP_REMAP_TABLE) -> DataFrame:
-    """The current (doc_id, component) view from the ledger alone:
-    immutable per-doc labels redirected through the broadcast remap
-    dim.  After any fold this equals the one-shot
-    ``connected_components`` over every ingested doc and verified edge
-    (tested bit-for-bit)."""
-    assign = wh.read(assign_table)
-    remap = wh.read(remap_table) if wh.exists(remap_table) else None
+class ComponentsState(NearDupLedger):
+    """Cross-fold in-memory view of the components ledger state (r14,
+    VERDICT r13 task 2): extends :class:`NearDupLedger`'s combined
+    bands+shingles cache with the ASSIGN and REMAP views, so a fold's
+    hot path re-reads (and re-lists) no state table at all — the r13
+    profile attributed ~1 s/fold to driver-side frame construction plus
+    per-fold warehouse read listing.  Same durability contract as the
+    parent: the parquet state is still written every fold through the
+    StagedPass manifest; a restart starts cold and seeds identical
+    state from disk.  ``assign`` is the lazy union of the folds'
+    checkpointed batch_assign deltas (each materialized by its own
+    staged write — exactly the table's contents); ``remap`` is the
+    checkpointed current remap (None = table absent)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.assign: DataFrame | None = None
+        self.remap: DataFrame | None = None
+        #: True once assign/remap were seeded (from disk or from the
+        #: first fold) — an absent remap is a VALID cached state, so a
+        #: plain None check cannot express "cold"
+        self.seeded = False
+
+    def reset(self) -> None:
+        """Drop the cached views (crash-recovery applied a manifest
+        this process did not fold — reseed from the tables)."""
+        self.assign = None
+        self.remap = None
+        self.seeded = False
+
+    def close(self) -> None:
+        super().close()
+        self.reset()
+
+
+def _assignment_view(assign: DataFrame,
+                     remap: DataFrame | None) -> DataFrame:
+    """(doc_id, component) from given assign/remap frames — the shared
+    body of :func:`components_assignment` and the fold's cached-state
+    path (one broadcast redirect through the bounded remap dim)."""
     if remap is None:
         return assign.select(
             "doc_id", F.col("label0").alias("component")
@@ -108,6 +138,19 @@ def components_assignment(wh: Warehouse,
             F.coalesce("to_label", "label0").alias("component"),
         )
     )
+
+
+def components_assignment(wh: Warehouse,
+                          assign_table: str = COMP_ASSIGN_TABLE,
+                          remap_table: str = COMP_REMAP_TABLE) -> DataFrame:
+    """The current (doc_id, component) view from the ledger alone:
+    immutable per-doc labels redirected through the broadcast remap
+    dim.  After any fold this equals the one-shot
+    ``connected_components`` over every ingested doc and verified edge
+    (tested bit-for-bit)."""
+    assign = wh.read(assign_table)
+    remap = wh.read(remap_table) if wh.exists(remap_table) else None
+    return _assignment_view(assign, remap)
 
 
 @narrow_engine_pass
@@ -134,13 +177,31 @@ def process_components_batch(
 
     from .epochs import epoch_replayed, landed
 
-    StagedPass.recover(wh, GLOBAL_LANE)
+    healed = StagedPass.recover(wh, GLOBAL_LANE)
     StagedPass.sweep_flat_stages(wh, COMP_LEDGER_TABLE, COMP_EDGES_TABLE,
                                  COMP_ASSIGN_TABLE, COMP_REMAP_TABLE)
+    # cross-fold state cache (r14, VERDICT r13 task 2): when the caller
+    # threads a ComponentsState, the assign/remap views live in the
+    # driver as checkpointed frames and the fold re-reads no state
+    # table; recovery applying a crashed pass's manifest invalidates
+    # the cache (those rows landed without this process's fold), same
+    # contract as the epoch memo
+    st = ledger if isinstance(ledger, ComponentsState) else None
+    if st is not None and healed:
+        st.reset()
     # in-process replay memo (r13): a dict lookup instead of one
     # limit(1) probe job per micro-batch; cold entries seed once
     if epoch_replayed(wh, COMP_ASSIGN_TABLE, int(epoch_id)):
         return False
+    if st is not None and not st.seeded:
+        # cold seed: one read handle per table, resolved now; later
+        # folds extend these frames in memory with the checkpointed
+        # deltas their staged writes materialize
+        st.assign = (wh.read(COMP_ASSIGN_TABLE)
+                     if wh.exists(COMP_ASSIGN_TABLE) else None)
+        st.remap = (wh.read(COMP_REMAP_TABLE)
+                    if wh.exists(COMP_REMAP_TABLE) else None)
+        st.seeded = True
 
     # eager localCheckpoint, not persist (r13): both frames feed many
     # downstream statements (candidate join, verify, contraction,
@@ -250,8 +311,15 @@ def process_components_batch(
         batch_ids.join(F.broadcast(endpoints), "node", "left_semi")
         .select("node", F.col("node").alias("label"))
     ]
-    if wh.exists(COMP_ASSIGN_TABLE):
-        old_view = components_assignment(wh).select(
+    if st is not None:
+        old_assign, old_remap_view = st.assign, st.remap
+    else:
+        old_assign = (wh.read(COMP_ASSIGN_TABLE)
+                      if wh.exists(COMP_ASSIGN_TABLE) else None)
+        old_remap_view = (wh.read(COMP_REMAP_TABLE)
+                          if wh.exists(COMP_REMAP_TABLE) else None)
+    if old_assign is not None:
+        old_view = _assignment_view(old_assign, old_remap_view).select(
             F.col(id_col).alias("node"),
             F.col("component").alias("label"),
         )
@@ -352,8 +420,11 @@ def process_components_batch(
     # staged table replace plus a join, every fold — is skipped.
     new_remap = None
     if not delta_empty:
-        if wh.exists(COMP_REMAP_TABLE):
-            old_remap = wh.read(COMP_REMAP_TABLE)
+        # reuse the read handle resolved for the contraction view above
+        # (r14): the second wh.read of the same table per fold was pure
+        # driver listing cost
+        if old_remap_view is not None:
+            old_remap = old_remap_view
         else:
             old_remap = wh.spark.createDataFrame([], _REMAP_SCHEMA)
         jumped = (
@@ -398,6 +469,14 @@ def process_components_batch(
     if ledger is not None:
         combined_delta = ledger.advance(combined_delta)
 
+    # lazy checkpoints on the assign/remap deltas (r14): each staged
+    # write below is its materializing action, and the cross-fold state
+    # cache then extends its in-memory views with the checkpointed
+    # blocks instead of re-reading the tables next fold
+    batch_assign = batch_assign.localCheckpoint(eager=False)
+    if new_remap is not None:
+        new_remap = new_remap.localCheckpoint(eager=False)
+
     sp = StagedPass(wh, GLOBAL_LANE)
     sp.stage_append_flat(combined_delta, COMP_LEDGER_TABLE)
     sp.stage_append_flat(
@@ -408,9 +487,23 @@ def process_components_batch(
     )
     sp.stage_append_flat(write_coalesce(batch_assign), COMP_ASSIGN_TABLE)
     if new_remap is not None:
-        sp.stage_replace_flat(write_coalesce(new_remap), COMP_REMAP_TABLE)
+        # UNcoalesced (r14, ADVICE r13): the remap is a full-table
+        # replace whose size grows with merge history — write
+        # parallelism must scale with the at-rest table
+        # (clustering.py's refresh-replace rule); at fold scale the
+        # frame is naturally narrow (old remap scan ∪ one delta slice)
+        # so no small-file regression either way
+        sp.stage_replace_flat(new_remap, COMP_REMAP_TABLE)
     sp.publish()
     landed(wh, COMP_ASSIGN_TABLE, int(epoch_id))
+    if st is not None:
+        # mirror the TABLES the pass just published (post-commit only:
+        # a fold that raises before publish leaves the cache unchanged,
+        # exactly like the tables)
+        st.assign = (batch_assign if st.assign is None
+                     else st.assign.unionByName(batch_assign))
+        if new_remap is not None:
+            st.remap = new_remap
     return True
 
 

@@ -124,7 +124,13 @@ def process_curation_batch(
             ).select("epoch", "stream_gen"),
         ):
             return  # epoch fully published (atomic pass) — pure replay
-    verdict = quality_gate(batch, text_col, id_col, thresholds)
+    # eager localCheckpoint (r14): the verdict feeds BOTH the reject
+    # append and the survivor chain (left_semi into dedup + sink) —
+    # without the cut each side re-ran the whole quality_gate scoring
+    # pass per fold (same rationale as the dedup folds' shingle
+    # checkpoint, r13)
+    verdict = quality_gate(batch, text_col, id_col,
+                           thresholds).localCheckpoint()
     rejects = verdict.filter(~F.col("keep")).select(
         id_col, "reasons",
         F.lit(-1 if epoch_id is None else int(epoch_id))

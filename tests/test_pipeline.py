@@ -122,6 +122,40 @@ def test_near_dup_components_matches_doc_level(spark):
     assert comp[4] == 4 and comp[5] == 5 and comp[6] == 6  # singletons
 
 
+def test_near_dup_components_bitmask_keeps_null_text_docs(spark):
+    """r14 (ADVICE r13): the mask-contracted bitmask CC route dropped
+    NULL-text docs (a NULL token array explodes to no mask row), while
+    the prefix route keeps them as singletons via the NULL set-key
+    sentinel — route parity requires the bitmask output to carry them
+    as singleton components too."""
+    rows = [
+        (0, "a b c"),
+        (1, "a b c"),      # exact dup of 0
+        (2, "a b d"),      # not a near dup at 0.8
+        (3, None),         # NULL text
+        (4, None),         # second NULL: each its own singleton
+        (5, ""),           # empty text ('' token set, non-NULL)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prefix = {
+        (r.doc_id, r.component)
+        for r in dedup.near_dup_components(
+            docs, threshold=0.8, strategy="prefix"
+        ).collect()
+    }
+    route = {}
+    bitmask = {
+        (r.doc_id, r.component)
+        for r in dedup.near_dup_components(
+            docs, threshold=0.8, strategy="probe", route_out=route
+        ).collect()
+    }
+    assert route == {"route": "bitmask"}
+    assert bitmask == prefix
+    comp = dict(bitmask)
+    assert comp[3] == 3 and comp[4] == 4  # NULL-text singletons kept
+
+
 def test_near_dup_components_route_pin(spark):
     """VERDICT r8 task 1: the DECLARED dedup_components route must be
     the route-FIXED prefix plan (no probe, no mid-decade flip); the

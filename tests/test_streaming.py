@@ -9,6 +9,8 @@ import datetime
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from powa_archivist_spark.specs import PG_STAT_BGWRITER
@@ -1440,16 +1442,23 @@ def test_kmeans_staleness_tracks_refresh_cycle(spark, wh):
     assert not r2.refresh_due
 
 
-def test_components_ledger_equals_one_shot_and_replay_safe(spark, wh):
+@pytest.mark.parametrize("cached", [False, True])
+def test_components_ledger_equals_one_shot_and_replay_safe(
+        spark, wh, cached):
     """r13 (VERDICT r12 task 4): after ANY prefix of folds the at-rest
     components assignment equals the one-shot
     connected_components(minhash_dedup_pairs(union), union) bit-for-bit
     (the batch-equality contract every other ledger meets); a replayed
-    epoch is a no-op; an empty batch is a no-op."""
+    epoch is a no-op; an empty batch is a no-op.  Parameterized over
+    the r14 ComponentsState cross-fold cache: the cached hot path and
+    the per-fold table-read path must fold identical state (the
+    equality reads the PUBLISHED tables either way)."""
     from powa_archivist_spark.pipeline.dedup import (connected_components,
                                                      minhash_dedup_pairs)
     from powa_archivist_spark.streaming.components import (
-        components_assignment, process_components_batch)
+        ComponentsState, components_assignment, process_components_batch)
+
+    state = ComponentsState() if cached else None
 
     docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
@@ -1463,6 +1472,7 @@ def test_components_ledger_equals_one_shot_and_replay_safe(spark, wh):
     for b in range(3):
         assert process_components_batch(
             wh, docs.filter(F.col("doc_id") % 3 == b), b, threshold=0.8,
+            ledger=state,
         )
         union = docs.filter(F.col("doc_id") % 3 <= b)
         got = sorted(
@@ -1478,10 +1488,12 @@ def test_components_ledger_equals_one_shot_and_replay_safe(spark, wh):
     # replayed epoch short-circuits on the assign-table probe
     assert not process_components_batch(
         wh, docs.filter(F.col("doc_id") % 3 == 1), 1, threshold=0.8,
+        ledger=state,
     )
     # empty batch is a no-op
     assert not process_components_batch(
         wh, docs.filter(F.lit(False)), 99, threshold=0.8,
+        ledger=state,
     )
     after = sorted(
         (r.doc_id, r.component)

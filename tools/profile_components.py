@@ -83,7 +83,10 @@ def profile(spark, sf_dir: str, reps: int = 1) -> dict:
         }
         return cp
 
-    toks = dedup.token_sets(docs).persist(StorageLevel.DISK_ONLY)
+    from powa_archivist_spark.pipeline.spread import spread
+
+    toks = dedup.token_sets(
+        spread(docs, "doc_id")).persist(StorageLevel.DISK_ONLY)
     toks.count()  # outside the decomposition: shared input
 
     groups = timed(
@@ -93,10 +96,19 @@ def profile(spark, sf_dir: str, reps: int = 1) -> dict:
     # each stage composes the library's OWN stage function over the
     # previous stage's materialized output, so its wall time is
     # isolated compute — the seams are the exact functions
-    # _jaccard_prefix_sets itself chains
+    # _jaccard_prefix_sets itself chains.  r14 (the deferred VERDICT
+    # r12/r13 "re-profile post-spread" item): the SHIPPED plan spreads
+    # the collapse/encode checkpoints back to cluster parallelism
+    # before the heavy prefix/collision/verify stages (dedup.py r13,
+    # commit 7f694b4) — this profiler predates that change and timed
+    # 1-2-task stages AQE had coalesced by input SIZE, i.e. a
+    # serialization cliff the shipped query no longer has.  The spread
+    # seams below mirror _jaccard_prefix_sets exactly, so the stage
+    # table measures the shipped shape.
     enc = timed("encode", lambda: dedup._encode_token_sets(
-        groups.select(F.col("set_id"), "toks")))
-    prefix = timed("prefix", lambda: dedup._prefix_rows(enc, 0.8))
+        spread(groups, "set_id").select(F.col("set_id"), "toks")))
+    enc_sp = spread(enc, "set_id")
+    prefix = timed("prefix", lambda: dedup._prefix_rows(enc_sp, 0.8))
     collisions = timed(
         "collisions", lambda: dedup._prefix_collisions(prefix, 0.8)
     )
@@ -104,7 +116,7 @@ def profile(spark, sf_dir: str, reps: int = 1) -> dict:
     cands = timed("cands", lambda: collisions.distinct())
     collisions.unpersist()
     verified = timed("verify",
-                     lambda: dedup._verify_set_pairs(cands, enc, 0.8))
+                     lambda: dedup._verify_set_pairs(cands, enc_sp, 0.8))
     cands.unpersist()
     enc.unpersist()
 
@@ -171,7 +183,9 @@ def main() -> int:
               file=sys.stderr, flush=True)
 
     artifact = {
-        "query": "dedup_components (route-fixed prefix plan)",
+        "query": ("dedup_components (route-fixed prefix plan, r14: "
+                  "shipped post-spread shape — stage inputs spread to "
+                  "cluster parallelism exactly like _jaccard_prefix_sets)"),
         "protocol": ("per-stage eager-checkpoint timing, median of "
                      f"{reps} sample(s) per point + exact row counts; "
                      "exponents over "
@@ -179,7 +193,7 @@ def main() -> int:
                      f"(rows_factor {factor:g})"),
         "stages": stages,
     }
-    path = REPO / ("BENCH_STAGES_r13.json" if reps > 1
+    path = REPO / ("BENCH_STAGES_r14.json" if reps > 1
                    else "BENCH_STAGES_r10.json")
     path.write_text(json.dumps(artifact, indent=1) + "\n")
     print(f"wrote {path}", file=sys.stderr)
