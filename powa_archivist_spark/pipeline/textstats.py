@@ -1834,7 +1834,11 @@ def bm25_wand_from_index(index: DataFrame, blockmax: DataFrame,
     rounds = 0
     while True:
         rounds += 1
-        scores = seen_scores(p)
+        # lazy checkpoint (r14): the terminal round's scores ARE the
+        # returned frame's scores (same p), so the final ranking below
+        # reads these blocks instead of re-running the whole
+        # seen+patch scoring subtree one more time per WAND call
+        scores = seen_scores(p).localCheckpoint(eager=False)
         probe = (
             scores.mapInPandas(
                 _topk_local("query_id", k, "score_fp", id_col),
@@ -1883,7 +1887,10 @@ def bm25_wand_from_index(index: DataFrame, blockmax: DataFrame,
             .count()
         )
 
-    final = seen_scores(p)
+    # the loop exits with `scores` already holding seen_scores(p) for
+    # the terminal p (checkpointed above) — reuse it instead of
+    # re-deriving the identical frame
+    final = scores
     pruned = final.mapInPandas(
         _topk_local("query_id", k, "score_fp", id_col),
         schema=final.schema,
