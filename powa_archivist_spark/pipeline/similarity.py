@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 # (r13) so the text stack shares one implementation with the ANN
 # scoring fan-out (here the amplification is the 63x broadcast-codebook
 # row blowup; there it is the gram/shingle explode)
+from ..session import narrow_engine_pass
 from .spread import spread as _spread
 
 QUANT = 1_000_000  # 1e6 quantization: 64-dim unit vectors -> dot < 6.5e13
@@ -818,6 +819,13 @@ def ivf_build(
     )
 
 
+# r14 (VERDICT r13 task 4, BENCH_STAGES_ANN_r14.json): the upsert is
+# batch-bounded BY DESIGN (run append + Bloom-gated touched-cell
+# rewrite), i.e. an engine maintenance pass, not an analytics query —
+# its probes and staged writes get the fold posture (narrow exchanges,
+# no per-exchange AQE stage jobs, single-job bounded probes); the
+# full-corpus ivf_build/ivfpq_index_build keep the analytics posture.
+@narrow_engine_pass
 def ivf_upsert(
     wh,
     new_emb: DataFrame,
@@ -2241,6 +2249,7 @@ def ivfpq_cells(wh) -> DataFrame:
     return _cells_union(wh, ANNPQ_CELLS_TABLE, ANNPQ_DELTA_TABLE)
 
 
+@narrow_engine_pass
 def ivfpq_upsert(
     wh,
     new_emb: DataFrame,
