@@ -822,6 +822,38 @@ def shingle_arrays(docs: DataFrame, shingle_n: int = 3,
     )
 
 
+#: (hash_fn, num_perm) -> the num_perm MIN-aggregate Columns; see the
+#: r14 note in minhash_signatures.  Column objects are unresolved
+#: expression trees — safe to reuse across DataFrames and sessions.
+_MIN_AGG_MEMO: dict[tuple[str, int], list[Column]] = {}
+
+
+def _min_agg_columns(hash_fn: str, num_perm: int) -> list[Column]:
+    key = (hash_fn, num_perm)
+    mins = _MIN_AGG_MEMO.get(key)
+    if mins is None:
+        if hash_fn == "md5":
+            # one digest per shingle (projected by the caller as `h`),
+            # then num_perm universal-hash permutations over it —
+            # int64-only, so the md5 cost does not scale with num_perm
+            # and the SQL oracle replays it verbatim
+            consts = _perm_constants(num_perm)
+            mins = [
+                F.expr(
+                    f"min(({a1}L * shiftrightunsigned(h, 30)"
+                    f" + {a2}L * (h & {_HALF_MASK}L) + {b}L) % {MINHASH_P}L)"
+                ).alias(f"h{i}")
+                for i, (a1, a2, b) in enumerate(consts)
+            ]
+        else:
+            mins = [
+                F.expr(f"min(xxhash64({i}, shingle))").alias(f"h{i}")
+                for i in range(num_perm)
+            ]
+        _MIN_AGG_MEMO[key] = mins
+    return mins
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_perm: int = 32,
@@ -866,11 +898,11 @@ def minhash_signatures(
     # cProfile: permuted_hash alone 0.83 s).  The parsed expressions are
     # arithmetic-identical (same literals, same long ops), so results —
     # and the SQL oracle — are unchanged.
+    # r14: the column LIST is additionally memoized per (hash_fn,
+    # num_perm) — it is a pure function of the config (unresolved
+    # expressions, reusable across frames), and the ~num_perm F.expr
+    # py4j parses were still paid once per streaming fold.
     if hash_fn == "md5":
-        # one digest per shingle, then num_perm universal-hash
-        # permutations over it — int64-only, so the md5 cost does not
-        # scale with num_perm and the SQL oracle replays it verbatim
-        consts = _perm_constants(num_perm)
         sh = sh.select(
             F.col(id_col),
             F.expr(
@@ -878,18 +910,7 @@ def minhash_signatures(
                 " as bigint)"
             ).alias("h"),
         )
-        mins = [
-            F.expr(
-                f"min(({a1}L * shiftrightunsigned(h, 30)"
-                f" + {a2}L * (h & {_HALF_MASK}L) + {b}L) % {MINHASH_P}L)"
-            ).alias(f"h{i}")
-            for i, (a1, a2, b) in enumerate(consts)
-        ]
-    else:
-        mins = [
-            F.expr(f"min(xxhash64({i}, shingle))").alias(f"h{i}")
-            for i in range(num_perm)
-        ]
+    mins = _min_agg_columns(hash_fn, num_perm)
     return (
         sh.groupBy(id_col)
         .agg(*mins)

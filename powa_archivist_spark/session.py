@@ -23,6 +23,25 @@ from pyspark.sql import SparkSession
 # conf, shared context).
 _NARROW_LOCK = threading.RLock()
 _NARROW_DEPTH = 0
+#: thread-local marker for WORKER threads an engine pass spawns to
+#: overlap its independent staged writes (r14, guide §2.6): the pass
+#: itself holds _NARROW_LOCK with the conf already set, so a worker
+#: blocking on the lock would deadlock the pass waiting on its own
+#: writers — workers inherit the pass's conf scope instead.
+_NARROW_TL = threading.local()
+
+
+@contextmanager
+def narrow_inherited():
+    """Mark the current thread as running INSIDE an already-narrow
+    engine pass: nested :func:`narrow_exchanges` calls become no-ops
+    (the owning pass holds the conf for the worker's whole lifetime).
+    Only for threads whose lifetime is enclosed by the owning pass."""
+    _NARROW_TL.inherited = True
+    try:
+        yield
+    finally:
+        _NARROW_TL.inherited = False
 
 
 @contextmanager
@@ -73,6 +92,11 @@ def narrow_exchanges(spark: SparkSession):
     # limits outside engine passes keep the escalating default.
     lim_key = "spark.sql.limit.initialNumPartitions"
     lim_want = os.environ.get("SPARK_GRAFT_FOLD_LIMIT_PARTITIONS", "100000")
+    if getattr(_NARROW_TL, "inherited", False):
+        # worker thread of an engine pass that already holds the lock
+        # and the conf (see narrow_inherited) — pure pass-through
+        yield
+        return
     scoped = [(key, want), (aqe_key, aqe_want), (lim_key, lim_want)]
     with _NARROW_LOCK:
         _NARROW_DEPTH += 1

@@ -134,12 +134,19 @@ def process_kmeans_batch(
         return False
 
     sp = StagedPass(wh, GLOBAL_LANE)
+    # the fold's staged writes touch DISTINCT tables and read only
+    # materialized state (the take(1) probe checkpointed the batch, the
+    # Lloyd refresh runs its actions before staging) — collect them and
+    # run overlapped (r14, guide §2.6; the components fold's pattern)
+    staged_calls = []
     if not is_empty:
         # write_coalesce (r13, guide §6): the spread exchange leaves the
         # batch at cluster parallelism — staged as-is every fold appends
         # ~32 KB-sized files that every later refresh re-lists and
         # re-reads through the history scan
-        sp.stage_append_flat(write_coalesce(vecs), vectors_table)
+        staged_calls.append(
+            lambda: sp.stage_append_flat(write_coalesce(vecs),
+                                         vectors_table))
 
     must_refresh = refresh or not wh.exists(centers_table)
     if must_refresh:
@@ -168,15 +175,16 @@ def process_kmeans_batch(
                  for i, c in enumerate(st["centers"])], 1),
             "cluster long, cv array<bigint>, trained_epoch long",
         )
-        sp.stage_replace_flat(centers, centers_table)
-        sp.stage_replace_flat(
+        staged_calls.append(
+            lambda: sp.stage_replace_flat(centers, centers_table))
+        staged_calls.append(lambda: sp.stage_replace_flat(
             assign.select(
                 "vec_id", "cluster", "d2_q",
                 F.lit(False).alias("frozen"),
                 F.lit(int(epoch_id)).cast("long").alias("epoch"),
             ),
             assign_table,
-        )
+        ))
         if stats_out is not None:
             stats_out.update(st)
             stats_out["refreshed"] = True
@@ -188,16 +196,17 @@ def process_kmeans_batch(
         # frozen appends are batch-bounded: coalesce the write (the
         # corpus-sized refresh REPLACE above stays uncoalesced — its
         # parallelism must scale with the at-rest table)
-        sp.stage_append_flat(
+        staged_calls.append(lambda: sp.stage_append_flat(
             write_coalesce(assign.select(
                 "vec_id", "cluster", "d2_q",
                 F.lit(True).alias("frozen"),
                 F.lit(int(epoch_id)).cast("long").alias("epoch"),
             )),
             assign_table,
-        )
+        ))
         if stats_out is not None:
             stats_out["refreshed"] = False
+    sp.stage_concurrently(*staged_calls)
     sp.publish()
     if not is_empty:
         # memo mirrors the TABLE: an empty refresh lands no vectors row

@@ -215,12 +215,19 @@ def process_components_batch(
     # map serially otherwise; the eager checkpoint then pins the
     # parallel layout for every downstream statement.  Probe-gated —
     # a many-file micro-batch skips the exchange.
+    # empty-batch probe rides the checkpoint MATERIALIZATION itself
+    # (r14, the Observation API — VERDICT r13 task 2): the eager
+    # localCheckpoint job already computes every row, so the row count
+    # falls out of the same job and the former take(1) probe job (one
+    # per fold) disappears
+    from pyspark.sql import Observation
+
+    obs = Observation()
     sh_b = shingle_arrays(spread(batch, id_col), shingle_n, text_col,
-                          id_col).localCheckpoint()
-    # empty-batch probe rides the checkpoint (r13): shingle_arrays keeps
-    # one row per doc, so take(1) over the materialized blocks replaces
-    # the former limit(1).count() scan job over the raw batch
-    if not sh_b.take(1):
+                          id_col).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
+    if obs.get["n"] == 0:
         return False
     # lazy checkpoint (r13): the first action (the cedges probe below)
     # materializes the bands while sh_b's blocks are hot; the ledger
@@ -478,14 +485,21 @@ def process_components_batch(
         new_remap = new_remap.localCheckpoint(eager=False)
 
     sp = StagedPass(wh, GLOBAL_LANE)
-    sp.stage_append_flat(combined_delta, COMP_LEDGER_TABLE)
-    sp.stage_append_flat(
-        write_coalesce(edges_new.withColumn(
-            "epoch", F.lit(int(epoch_id)).cast("long")
-        )),
-        COMP_EDGES_TABLE,
-    )
-    sp.stage_append_flat(write_coalesce(batch_assign), COMP_ASSIGN_TABLE)
+    # the four staged writes touch four DISTINCT tables and read only
+    # checkpointed/cached inputs — run them overlapped (r14, guide
+    # §2.6): at fold scale each write is a fixed-latency micro-job and
+    # serializing them was the fold's tail
+    calls = [
+        lambda: sp.stage_append_flat(combined_delta, COMP_LEDGER_TABLE),
+        lambda: sp.stage_append_flat(
+            write_coalesce(edges_new.withColumn(
+                "epoch", F.lit(int(epoch_id)).cast("long")
+            )),
+            COMP_EDGES_TABLE,
+        ),
+        lambda: sp.stage_append_flat(write_coalesce(batch_assign),
+                                     COMP_ASSIGN_TABLE),
+    ]
     if new_remap is not None:
         # UNcoalesced (r14, ADVICE r13): the remap is a full-table
         # replace whose size grows with merge history — write
@@ -493,7 +507,9 @@ def process_components_batch(
         # (clustering.py's refresh-replace rule); at fold scale the
         # frame is naturally narrow (old remap scan ∪ one delta slice)
         # so no small-file regression either way
-        sp.stage_replace_flat(new_remap, COMP_REMAP_TABLE)
+        calls.append(
+            lambda: sp.stage_replace_flat(new_remap, COMP_REMAP_TABLE))
+    sp.stage_concurrently(*calls)
     sp.publish()
     landed(wh, COMP_ASSIGN_TABLE, int(epoch_id))
     if st is not None:

@@ -144,21 +144,37 @@ def process_curation_batch(
         wh, passed, text_col, id_col, broadcast_ledger, digest_ledger
     ).cache()
     try:
-        labeled = dataset_split(survivors.drop("text_hash"), id_col=id_col)
+        # survivor-count probe rides the sink write (r14, Observation
+        # API): dataset_split is map-only 1:1, so observing the labeled
+        # frame's count inside the staged append replaces the separate
+        # limit(1).count() probe job per fold
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        labeled = dataset_split(
+            survivors.drop("text_hash"), id_col=id_col
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
         sp = StagedPass(wh, GLOBAL_LANE)
+        # sink write first: it materializes the survivors cache and the
+        # count observation the ledger decision reads; the ledger and
+        # reject writes then touch distinct tables over materialized
+        # inputs — overlapped (r14, guide §2.6)
         sp.stage_append_flat(labeled, sink_table)
-        if survivors.limit(1).count() > 0:
+        calls = []
+        if obs.get["n"] > 0:
             if digest_ledger is not None:
-                digest_ledger.stage_append(
+                calls.append(lambda: digest_ledger.stage_append(
                     survivors.select("text_hash"), sp
-                )
+                ))
             else:
-                sp.stage_append_flat(
+                calls.append(lambda: sp.stage_append_flat(
                     survivors.select("text_hash"), LEDGER_TABLE
-                )
+                ))
         # rejects inherit quality_gate's parallelism-wide spread —
         # coalesce the bounded per-batch append (r13, guide §6)
-        sp.stage_append_flat(write_coalesce(rejects), REJECT_TABLE)
+        calls.append(lambda: sp.stage_append_flat(
+            write_coalesce(rejects), REJECT_TABLE))
+        sp.stage_concurrently(*calls)
         sp.publish()
         if epoch_id is not None and stream_gen is not None:
             from .epochs import landed

@@ -421,16 +421,24 @@ def process_near_dup_batch(
         .filter((inter / union) >= threshold)
         .select(F.col("new_id").alias(id_col))
     )
-    survivors = batch.join(drops, id_col, "left_anti")
+    # survivor-count probe rides the sink append (r14, Observation
+    # API): the write job materializes every row anyway, so the count
+    # falls out of the same job and the separate cache-local count job
+    # per fold disappears
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    survivors = batch.join(drops, id_col, "left_anti").observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
 
     survivors = survivors.cache()
     try:
-        # append FIRST: the write job materializes the cache, so the
-        # emptiness probe below is a cache-local count, not a second
-        # full computation (an all-dup batch appends one empty file —
-        # harmless, the reader filters parquet files by row content)
+        # append FIRST: the write job materializes the cache (and the
+        # observation); an all-dup batch appends one empty file —
+        # harmless, the reader filters parquet files by row content
         wh.append(survivors, sink_table)
-        if survivors.count() == 0:
+        if obs.get["n"] == 0:
             return
         keep_ids = survivors.select(id_col)
         delta_bands = batch_bands.join(keep_ids, id_col, "left_semi")

@@ -37,8 +37,9 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 
-from .session import narrow_exchanges
+from .session import narrow_exchanges, narrow_inherited
 
 
 #: srvid lane for passes that are not tied to a monitored server — the
@@ -195,7 +196,18 @@ class StagedPass:
                 "'__' nor '/'"
             )
         self._ops: list[dict] = []
+        # stage_* may run on worker threads (stage_concurrently, r14):
+        # op-slot reservation serializes here so stage-dir names stay
+        # unique; the parquet writes themselves overlap freely
+        self._ops_lock = threading.Lock()
         self._txn_dir = os.path.join(wh.root, "_txn", f"srvid={srvid}")
+
+    def _reserve_op(self) -> int:
+        """Reserve this op's manifest slot (thread-safe); the caller
+        fills it after its write completes."""
+        with self._ops_lock:
+            self._ops.append(None)
+            return len(self._ops) - 1
 
     # ---- staging ---------------------------------------------------------
 
@@ -216,16 +228,17 @@ class StagedPass:
         must carry the srvid column (dropped here: partition dirs encode
         it, matching what a partitionBy append writes)."""
         self._acl_check(table)
+        idx = self._reserve_op()
         d = os.path.join(
             self._part_dir(table),
-            f".__stage__{self.pass_id}__{len(self._ops)}",
+            f".__stage__{self.pass_id}__{idx}",
         )
         with narrow_exchanges(self.wh.spark):
             df.drop("srvid").write.mode("overwrite").parquet(d)
-        self._ops.append({
+        self._ops[idx] = {
             "kind": "append", "table": table, "stage": d,
             "files": _staged_files(d),
-        })
+        }
 
     def stage_append_flat(self, df, table: str) -> None:
         """Stage an append to an UNPARTITIONED table (streaming sinks,
@@ -235,30 +248,32 @@ class StagedPass:
         through one manifest (ADVICE r6: a crash between the two made
         the epoch replay re-admit the whole survivor set)."""
         self._acl_check(table)
+        idx = self._reserve_op()
         d = os.path.join(
             self.wh.path(table),
-            f".__stage__{self.pass_id}__{len(self._ops)}",
+            f".__stage__{self.pass_id}__{idx}",
         )
         with narrow_exchanges(self.wh.spark):
             df.write.mode("overwrite").parquet(d)
-        self._ops.append({
+        self._ops[idx] = {
             "kind": "append", "table": table, "stage": d,
             "files": _staged_files(d),
-        })
+        }
 
     def stage_replace(self, df, table: str) -> None:
         """Stage a full replace of the srvid partition of ``table``."""
         self._acl_check(table)
+        idx = self._reserve_op()
         d = os.path.join(
             self.wh.path(table),
-            f".__stageswap__srvid={self.srvid}__{self.pass_id}__{len(self._ops)}",
+            f".__stageswap__srvid={self.srvid}__{self.pass_id}__{idx}",
         )
         with narrow_exchanges(self.wh.spark):
             df.drop("srvid").write.mode("overwrite").parquet(d)
-        self._ops.append({
+        self._ops[idx] = {
             "kind": "replace", "table": table, "stage": d,
             "files": _staged_files(d),
-        })
+        }
 
     def stage_append_tree(
         self, df, table: str, partition_by: list[str],
@@ -270,17 +285,18 @@ class StagedPass:
         ingest paths whose IO must stay proportional to the batch (ANN
         upsert fresh rows), committed under the same single manifest."""
         self._acl_check(table)
-        token = f"{self.pass_id}__{len(self._ops)}"
+        idx = self._reserve_op()
+        token = f"{self.pass_id}__{idx}"
         d = os.path.join(self.wh.path(table), f".__stagetree__{token}")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         with narrow_exchanges(self.wh.spark):
             w.parquet(d)
-        self._ops.append({
+        self._ops[idx] = {
             "kind": "append_tree", "table": table, "stage": d,
             "token": token, "children": _staged_children(d),
-        })
+        }
 
     def stage_replace_flat(self, df, table: str) -> None:
         """Stage a full content replace of an UNPARTITIONED table (the
@@ -288,15 +304,16 @@ class StagedPass:
         a crashed re-apply can tell this pass's already-moved files
         from the old content it is retiring."""
         self._acl_check(table)
-        token = f"{self.pass_id}__{len(self._ops)}"
+        idx = self._reserve_op()
+        token = f"{self.pass_id}__{idx}"
         d = os.path.join(self.wh.path(table), f".__stageflatswap__{token}")
         with narrow_exchanges(self.wh.spark):
             df.write.mode("overwrite").parquet(d)
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        self._ops.append({
+        self._ops[idx] = {
             "kind": "replace_flat", "table": table, "stage": d,
             "token": token, "files": files,
-        })
+        }
 
     def stage_replace_tree(
         self, df, table: str, partition_by: list[str], drops: list[str] = (),
@@ -311,18 +328,19 @@ class StagedPass:
         dynamic-partition overwrite read the table it was overwriting
         and left a crash window holding replaced ids in two cells)."""
         self._acl_check(table)
-        token = f"{self.pass_id}__{len(self._ops)}"
+        idx = self._reserve_op()
+        token = f"{self.pass_id}__{idx}"
         d = os.path.join(self.wh.path(table), f".__stagetree__{token}")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         with narrow_exchanges(self.wh.spark):
             w.parquet(d)
-        self._ops.append({
+        self._ops[idx] = {
             "kind": "replace_tree", "table": table, "stage": d,
             "token": token, "drops": list(drops),
             "children": _staged_children(d),
-        })
+        }
 
     # ---- publish ---------------------------------------------------------
 
@@ -335,6 +353,11 @@ class StagedPass:
         :func:`heal_table`); removing the manifest retires the pass."""
         if not self._ops:
             return
+        if any(op is None for op in self._ops):
+            raise RuntimeError(
+                "publish() with an unfinished staged op — a concurrent "
+                "stage_* call failed or is still running"
+            )
         os.makedirs(self._txn_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=self._txn_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
@@ -346,6 +369,27 @@ class StagedPass:
         with contextlib.suppress(FileNotFoundError):
             os.remove(self._intent_path())
         self._ops = []
+
+    def stage_concurrently(self, *calls) -> None:
+        """Run independent ``stage_*`` thunks on worker threads so their
+        write jobs overlap (r14, guide §2.6 — a fold's sink writes are
+        bounded micro-jobs whose wall clock is fixed latency, and
+        Spark's scheduler happily runs them together; the owning engine
+        pass already holds the narrow conf, so workers inherit it via
+        :func:`~..session.narrow_inherited`).  ONLY for calls touching
+        DISTINCT tables: manifest op order is not deterministic across
+        workers, and recovery applies ops in list order — two ops on one
+        table must stay sequenced by the caller."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run(c):
+            with narrow_inherited():
+                return c()
+
+        with ThreadPoolExecutor(max_workers=max(2, len(calls))) as pool:
+            futs = [pool.submit(run, c) for c in calls]
+            for f in futs:
+                f.result()
 
     # ---- recovery --------------------------------------------------------
 
