@@ -234,11 +234,19 @@ def process_dedup_batch(
         if firsts.count() == 0:
             return
         sp = StagedPass(wh, GLOBAL_LANE)
-        sp.stage_append_flat(firsts.drop("text_hash"), sink_table)
+        # two distinct tables over the just-materialized cache —
+        # overlapped staged writes (r14, guide §2.6)
         if digest_ledger is not None:
-            digest_ledger.stage_append(firsts.select("text_hash"), sp)
+            second = lambda: digest_ledger.stage_append(  # noqa: E731
+                firsts.select("text_hash"), sp)
         else:
-            sp.stage_append_flat(firsts.select("text_hash"), LEDGER_TABLE)
+            second = lambda: sp.stage_append_flat(  # noqa: E731
+                firsts.select("text_hash"), LEDGER_TABLE)
+        sp.stage_concurrently(
+            lambda: sp.stage_append_flat(firsts.drop("text_hash"),
+                                         sink_table),
+            second,
+        )
         sp.publish()
     finally:
         firsts.unpersist()

@@ -109,13 +109,19 @@ def process_novelty_batch(
         )
     )
     sp = StagedPass(wh, GLOBAL_LANE)
-    sp.stage_append_flat(
-        owners.withColumn(
-            "epoch", F.lit(int(epoch_id)).cast("long")
-        ).select("gram", "first_doc", "epoch"),
-        owners_table,
+    # two distinct tables over the shared owners/grams checkpoints —
+    # overlapped staged writes (r14, guide §2.6; concurrent actions on
+    # a shared lazy localCheckpoint serialize its materialization in
+    # the block manager, each side then reads the blocks)
+    sp.stage_concurrently(
+        lambda: sp.stage_append_flat(
+            owners.withColumn(
+                "epoch", F.lit(int(epoch_id)).cast("long")
+            ).select("gram", "first_doc", "epoch"),
+            owners_table,
+        ),
+        lambda: sp.stage_append_flat(stats, stats_table),
     )
-    sp.stage_append_flat(stats, stats_table)
     sp.publish()
     landed(wh, stats_table, int(epoch_id))
     return True

@@ -85,8 +85,12 @@ def process_postings_batch(
         F.sum("dlen").alias("sum_dlen"),
     ).withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
     sp = StagedPass(wh, GLOBAL_LANE)
-    sp.stage_append_flat(post, table)
-    sp.stage_append_flat(stats, stats_table)
+    # independent frames (both derive straight from the batch scan),
+    # distinct tables — overlapped staged writes (r14, guide §2.6)
+    sp.stage_concurrently(
+        lambda: sp.stage_append_flat(post, table),
+        lambda: sp.stage_append_flat(stats, stats_table),
+    )
     sp.publish()
     landed(wh, table, int(epoch_id))
     return True
