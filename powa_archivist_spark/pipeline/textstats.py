@@ -1876,6 +1876,11 @@ def bm25_wand_from_index(index: DataFrame, blockmax: DataFrame,
     if stats_out is not None:
         stats_out["rounds"] = rounds
         stats_out["final_blk"] = p
+        # test/ops instrumentation: the terminal round's scoring frame
+        # REBUILT without the checkpoint, so its plan exposes the
+        # pruned-read structure (blk-prefix filter + seen-set semi
+        # join) that the returned frame reads via checkpointed blocks
+        stats_out["terminal_scores_frame"] = seen_scores(p)
         stats_out["postings_total"] = matched.count()
         stats_out["postings_prefix"] = matched.filter(
             F.col("blk") <= p

@@ -841,30 +841,41 @@ def test_kmeans_plan_onerow_broadcast_assignment_no_shuffle(spark):
 
 
 def test_bm25_wand_plan_pruned_reads_bounded_windows(spark):
-    """docs_bm25_wand (r10, VERDICT r9 task 4): the anytime WAND loop's
-    returned frame scores only the terminal seen set — the plan must
-    show the blk-prefix filter ON the checkpointed impact index (the
-    pruned read: at rest this predicate partition-prunes the bucket
-    layout), the bounded seen-set semi-join, the broadcast query dim,
-    the bounded top-k pre-prune under the only window, and no
-    cartesian."""
-    from powa_archivist_spark.pipeline.queries import docs_bm25_wand
+    """docs_bm25_wand (r10, VERDICT r9 task 4; reshaped r14): the
+    anytime WAND loop's returned frame ranks the TERMINAL round's
+    checkpointed scores (r14 — the loop's last probe already computed
+    exactly this frame, so the final ranking reads those blocks instead
+    of re-running the seen+patch scoring subtree).  The pruned-read
+    structure (blk-prefix filter on the checkpointed impact index +
+    bounded seen-set semi join) therefore lives in the ROUND frame the
+    loop executes — asserted on the stats_out instrumentation rebuild —
+    while the returned frame keeps the bounded top-k pre-prune under
+    the only window, no cartesian, and the checkpoint scan."""
+    from powa_archivist_spark.pipeline import textstats
+    from powa_archivist_spark.pipeline.queries import docs_bm25_wand, t
 
     df = docs_bm25_wand(spark, SF)
     plan = pi.plan_string(df)
     assert not pi.has_cartesian(df)
     assert pi.unbounded_global_windows(df) == []
-    # the broadcast query-dim joins live BEHIND the index localCheckpoint
-    # (materialized once, reused by every loop round); the returned
-    # frame must show the blk-prefix filter deriving the seen set (the
-    # pruned read — partition-prunable when the at-rest index is laid
-    # out by blk) and the semi-join patch fetch keyed on it
-    assert "blk" in plan and "<=" in plan, "blk prefix filter missing"
-    assert "LeftSemi" in plan, "seen-set patch fetch must be a semi join"
+    # r14: the returned frame reads the terminal round's checkpointed
+    # scores — one scoring subtree per WAND call, not two
+    assert "ExistingRDD" in plan, "terminal-round checkpoint reuse missing"
     assert "MapInPandas" in plan, "bounded top-k pre-prune missing"
     win_pos = plan.find("Window")
     mip_pos = plan.find("MapInPandas")
     assert 0 <= win_pos < mip_pos
+    # the round frame (what each loop iteration executes, and what the
+    # terminal checkpoint materialized) must show the blk-prefix filter
+    # deriving the seen set (the pruned read — partition-prunable when
+    # the at-rest index is laid out by blk) and the semi-join patch
+    # fetch keyed on it
+    st: dict = {}
+    textstats.bm25_wand(t(spark, SF, "documents"), stats_out=st)
+    tplan = pi.plan_string(st["terminal_scores_frame"])
+    assert "blk" in tplan and "<=" in tplan, "blk prefix filter missing"
+    assert "LeftSemi" in tplan, "seen-set patch fetch must be a semi join"
+    assert st["postings_prefix"] <= st["postings_total"]
 
 
 def test_rrf_fusion_ranks_bounded_channel_frames(spark):
@@ -880,11 +891,12 @@ def test_rrf_fusion_ranks_bounded_channel_frames(spark):
     assert not pi.has_cartesian(df)
     plan = pi.plan_string(df)
     assert "MapInPandas" in plan, "bm25 pre-prune missing"
-    # r11 (VERDICT r10 task 4): the lexical channel reads the impact
-    # index through the WAND blk-prefix filter + seen-set semi join —
-    # the pruned serving read, partition-prunable at rest
-    assert "blk" in plan and "<=" in plan, "WAND blk prefix filter missing"
-    assert "LeftSemi" in plan, "seen-set patch fetch must be a semi join"
+    # r11 (VERDICT r10 task 4) / r14: the lexical channel reads the
+    # impact index through the WAND pruned serving read; since r14 the
+    # fused plan ranks the channel's terminal-round checkpoint (the
+    # blk-prefix + semi-join structure is pinned on the round frame in
+    # test_bm25_wand_plan_pruned_reads_bounded_windows)
+    assert "ExistingRDD" in plan, "WAND terminal checkpoint reuse missing"
 
 
 def test_rm3_rounds_share_broadcast_dims_no_global_window(spark):
@@ -903,10 +915,11 @@ def test_rm3_rounds_share_broadcast_dims_no_global_window(spark):
     # per-term df, corpus stats, feedback docs) now live BEHIND the
     # WAND index localCheckpoint (materialized once, reused per round)
     assert "MapInPandas" in plan
-    # r11 (VERDICT r10 task 4): round 2 reads its impact index through
-    # the WAND blk-prefix filter + seen-set semi join (pruned read)
-    assert "blk" in plan and "<=" in plan, "WAND blk prefix filter missing"
-    assert "LeftSemi" in plan, "seen-set patch fetch must be a semi join"
+    # r11 (VERDICT r10 task 4) / r14: round 2 reads its impact index
+    # through the WAND pruned serving read; since r14 the returned
+    # ranking reads round 2's terminal-round checkpoint (pruned-read
+    # structure pinned on the round frame in the wand plan test)
+    assert "ExistingRDD" in plan, "WAND terminal checkpoint reuse missing"
 
 
 def test_ngram_novelty_windowless_two_phase_aggs(spark):
