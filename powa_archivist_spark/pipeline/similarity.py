@@ -1748,35 +1748,61 @@ def ivf_nprobe_tuning(
         )
         .localCheckpoint(eager=False)
     )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("dot_q"), F.asc("neighbor_id")
+    # Fused curve evaluation (r14, guide §1.2/§2.4): the old per-config
+    # loop unioned |nprobes| legs of (count agg x crossJoin x window
+    # top-k x truth semi-join) — 9+ aggregate subtrees re-reading the
+    # cand checkpoint.  Candidate sets are NESTED in nprobe and every
+    # config shares one ordering (dot_q desc, neighbor_id asc; unique
+    # per (query, neighbor)), so one running-count window pass yields
+    # each row's rank WITHIN every config's subset at once, and one
+    # conditional aggregate replaces all the per-config counts.  Values
+    # are identical: rank_i of a qualifying row == row_number over the
+    # cell_rank<=np_i filter, and sum(when(qual,1)) == filter+count.
+    truth_flag = exact.select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_truth")
     )
-    truth_keys = exact.select("query_id", "neighbor_id")
-    out = None
-    for np_ in nprobes:
-        c = cand.filter(F.col("cell_rank") <= np_)
-        top = (
-            c.withColumn("rank", F.row_number().over(wq))
-            .filter(F.col("rank") <= k)
-        )
-        row = (
-            c.agg(F.count(F.lit(1)).alias("n_cand"))
-            .crossJoin(
-                top.join(truth_keys, ["query_id", "neighbor_id"],
-                         "left_semi")
-                .agg(F.count(F.lit(1)).alias("n_hit"))
-            )
-            .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_truth")))
-            .select(
+    wrun = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cand.join(
+        F.broadcast(truth_flag), ["query_id", "neighbor_id"], "left"
+    ).select(
+        "cell_rank", "is_truth",
+        *[
+            F.sum(F.when(F.col("cell_rank") <= np_, 1).otherwise(0))
+            .over(wrun).alias(f"rank_{i}")
+            for i, np_ in enumerate(nprobes)
+        ],
+    )
+    aggs = []
+    for i, np_ in enumerate(nprobes):
+        qual = F.col("cell_rank") <= np_
+        aggs += [
+            F.coalesce(F.sum(F.when(qual, F.lit(1)).cast("long")),
+                       F.lit(0).cast("long")).alias(f"n_cand_{i}"),
+            F.coalesce(
+                F.sum(F.when(qual & (F.col("is_truth") == 1)
+                             & (F.col(f"rank_{i}") <= k),
+                             F.lit(1)).cast("long")),
+                F.lit(0).cast("long")).alias(f"n_hit_{i}"),
+        ]
+    merged = ranked.agg(*aggs).crossJoin(
+        exact.agg(F.count(F.lit(1)).alias("n_truth"))
+    )
+    return merged.select(
+        F.explode(F.array(*[
+            F.struct(
                 F.lit(np_).cast("long").alias("nprobe"),
-                F.col("n_truth"),
-                F.col("n_cand"),
-                F.col("n_hit"),
-                (F.col("n_hit") / F.col("n_truth")).alias("recall"),
+                F.col("n_truth").alias("n_truth"),
+                F.col(f"n_cand_{i}").alias("n_cand"),
+                F.col(f"n_hit_{i}").alias("n_hit"),
+                (F.col(f"n_hit_{i}") / F.col("n_truth")).alias("recall"),
             )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+            for i, np_ in enumerate(nprobes)
+        ])).alias("r")
+    ).select("r.*")
 
 
 def _pq_subvecs(vcol: Column, m: int) -> Column:
@@ -2477,46 +2503,79 @@ def ivfpq_probe_tuning(
         # 4.1), which strips the per-scan detail a pin inspects.
         plan_out["scored"] = scored_plan.filter(F.lit(True))
     scored = scored_plan.localCheckpoint(eager=False)
-    wq = Window.partitionBy("query_id").orderBy(
-        F.asc("adist_q"), F.asc("neighbor_id")
+    # Fused curve evaluation (r14, guide §1.2/§2.4): the old per-config
+    # loop unioned |nprobes| legs of 5 aggregate subtrees each (n_cells
+    # / n_cand / n_cand_hit / n_hit / n_truth crossJoins plus a window
+    # top-k per leg) — 15+ jobs re-reading the scored checkpoint.
+    # Candidate sets are NESTED in nprobe and every config ranks by the
+    # same (adist_q asc, neighbor_id asc) order (unique per (query,
+    # neighbor) after the groupBy), so ONE running-count window pass
+    # yields each row's rank within every config's subset, and one
+    # conditional aggregate replaces all per-config counts.  Values are
+    # identical: rank_i of a qualifying row == row_number over the
+    # cell_rank<=np_i filter, and sum(when(qual,1)) == filter+count.
+    truth_flag = exact.select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_truth")
     )
-    truth_keys = exact.select("query_id", "neighbor_id")
-    out = None
-    for np_ in nprobes:
-        c = scored.filter(F.col("cell_rank") <= np_)
-        top = (
-            c.withColumn("rank", F.row_number().over(wq))
-            .filter(F.col("rank") <= k)
-        )
-        row = (
-            probes.filter(F.col("cell_rank") <= np_)
-            .agg(F.count(F.lit(1)).alias("n_cells"))
-            .crossJoin(c.agg(F.count(F.lit(1)).alias("n_cand")))
-            .crossJoin(
-                c.join(truth_keys, ["query_id", "neighbor_id"],
-                       "left_semi")
-                .agg(F.count(F.lit(1)).alias("n_cand_hit"))
-            )
-            .crossJoin(
-                top.join(truth_keys, ["query_id", "neighbor_id"],
-                         "left_semi")
-                .agg(F.count(F.lit(1)).alias("n_hit"))
-            )
-            .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_truth")))
-            .select(
+    wrun = (
+        Window.partitionBy("query_id")
+        .orderBy(F.asc("adist_q"), F.asc("neighbor_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.join(
+        F.broadcast(truth_flag), ["query_id", "neighbor_id"], "left"
+    ).select(
+        "cell_rank", "is_truth",
+        *[
+            F.sum(F.when(F.col("cell_rank") <= np_, 1).otherwise(0))
+            .over(wrun).alias(f"rank_{i}")
+            for i, np_ in enumerate(nprobes)
+        ],
+    )
+    aggs = []
+    for i, np_ in enumerate(nprobes):
+        qual = F.col("cell_rank") <= np_
+        aggs += [
+            F.coalesce(F.sum(F.when(qual, F.lit(1)).cast("long")),
+                       F.lit(0).cast("long")).alias(f"n_cand_{i}"),
+            F.coalesce(
+                F.sum(F.when(qual & (F.col("is_truth") == 1),
+                             F.lit(1)).cast("long")),
+                F.lit(0).cast("long")).alias(f"n_cand_hit_{i}"),
+            F.coalesce(
+                F.sum(F.when(qual & (F.col("is_truth") == 1)
+                             & (F.col(f"rank_{i}") <= k),
+                             F.lit(1)).cast("long")),
+                F.lit(0).cast("long")).alias(f"n_hit_{i}"),
+        ]
+    cell_aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("cell_rank") <= np_, F.lit(1))
+                  .cast("long")),
+            F.lit(0).cast("long")).alias(f"n_cells_{i}")
+        for i, np_ in enumerate(nprobes)
+    ]
+    merged = (
+        ranked.agg(*aggs)
+        .crossJoin(probes.agg(*cell_aggs))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_truth")))
+    )
+    return merged.select(
+        F.explode(F.array(*[
+            F.struct(
                 F.lit(np_).cast("long").alias("nprobe"),
-                F.col("n_cells"),
-                F.col("n_truth"),
-                F.col("n_cand"),
-                F.col("n_cand_hit"),
-                (F.col("n_cand_hit") / F.col("n_truth"))
+                F.col(f"n_cells_{i}").alias("n_cells"),
+                F.col("n_truth").alias("n_truth"),
+                F.col(f"n_cand_{i}").alias("n_cand"),
+                F.col(f"n_cand_hit_{i}").alias("n_cand_hit"),
+                (F.col(f"n_cand_hit_{i}") / F.col("n_truth"))
                 .alias("cand_recall"),
-                F.col("n_hit"),
-                (F.col("n_hit") / F.col("n_truth")).alias("recall"),
+                F.col(f"n_hit_{i}").alias("n_hit"),
+                (F.col(f"n_hit_{i}") / F.col("n_truth")).alias("recall"),
             )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+            for i, np_ in enumerate(nprobes)
+        ])).alias("r")
+    ).select("r.*")
 
 
 def ann_recall_at_k(
